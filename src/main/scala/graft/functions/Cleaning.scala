@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar string/numeric functions of the reference, re-expressed as
+  * codegen-friendly Spark Column expressions (SURVEY.md §2.3 F1–F8,
+  * F11–F13). Everything here composes `org.apache.spark.sql.functions`
+  * built-ins — no UDFs — so whole-stage codegen covers the hot path and
+  * filters built from these still push down.
+  *
+  * Reference behavior (studied, not copied): /root/reference/main.py
+  * 1262-1750.
+  */
+object Cleaning {
+
+  /** F1 — trim + collapse whitespace runs to a single space; empty→null.
+    * Ref: main.py:1262-1272 (`" ".join(s.split())`). */
+  def cleanInvisibleChars(c: Column): Column = {
+    val collapsed = regexp_replace(trim(c), "\\s+", " ")
+    when(c.isNull || collapsed === "", lit(null)).otherwise(collapsed)
+  }
+
+  /** F2 — Vitya article cleaning: strip apostrophes, strip one leading
+    * "000", then ALWAYS an integer: all-digits→int; else concatenation of
+    * every digit run→int; no digits at all→0. Null/blank in → null out.
+    * Ref: main.py:1285-1318. */
+  def cleanArticleVitya(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val noApos = regexp_replace(s, "'", "")
+    val noPrefix = regexp_replace(noApos, "^000", "")
+    // re.findall(r"\d+") + join == deleting every non-digit char.
+    val digits = regexp_replace(noPrefix, "[^0-9]", "")
+    when(c.isNull || s === "", lit(null).cast("long"))
+      .otherwise(coalesce(digitsToLong(digits), lit(0L)))
+  }
+
+  /** ANSI-safe digits→long: empty / non-digit / >18-digit strings → null
+    * (the rlike guard keeps CaseWhen short-circuiting under ANSI mode). */
+  private def digitsToLong(c: Column): Column =
+    when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
+
+  /** F3 — Dimi article cleaning: strip apostrophes + one leading "000",
+    * result stays a string. Ref: main.py:1508-1526. */
+  def cleanArticleDimi(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val cleaned = regexp_replace(regexp_replace(s, "'", ""), "^000", "")
+    when(c.isNull || s === "", lit(null).cast("string")).otherwise(cleaned)
+  }
+
+  /** F4 — color normalization: null → "", else lower(trim).
+    * Ref: main.py:2037-2055. */
+  def safeColor(c: Column): Column =
+    lower(trim(coalesce(c.cast("string"), lit(""))))
+
+  /** F6 — first "(...)" group, trimmed + uppercased; valid iff it matches
+    * ^[A-Za-zА-Яа-я0-9-]+$ and is at least 4 chars. Ref: main.py:1640-1666. */
+  def bracketCode(name: Column): Column = {
+    val code = upper(trim(regexp_extract(name, "\\(([^)]+)\\)", 1)))
+    when(code.rlike("^[A-Za-zА-Яа-я0-9\\-]+$") && length(code) >= 4, code)
+  }
+
+  /** F7 — battery capacity: first `(\d+)\s*mah` (then мач, then мч) in the
+    * lowercased name, kept iff 5 ≤ v ≤ 999999; returned as string (the
+    * reference keeps the matched text). Ref: main.py:1668-1710. */
+  def batteryCapacity(name: Column): Column = {
+    def cap(l: Column, suffix: String): Column = {
+      val v = regexp_extract(l, "(\\d+)\\s*" + suffix, 1)
+      when(digitsToLong(v).between(5L, 999999L), v)
+    }
+    val l = lower(name)
+    coalesce(cap(l, "mah"), cap(l, "мач"), cap(l, "мч"))
+  }
+
+  /** Known brand list of F8. Ref: main.py:1727-1737. */
+  val Brands: Seq[String] =
+    Seq("GREENOE", "XIAOMI", "SAMSUNG", "APPLE", "HUAWEI", "OPPO", "VIVO", "ONEPLUS")
+
+  /** Brand containment (first brand in list order wins), used by F8. */
+  def brandIn(name: Column): Column = {
+    val upperName = upper(name)
+    Brands.foldRight(lit(null).cast("string"): Column) { (b, acc) =>
+      when(upperName.contains(b), lit(b)).otherwise(acc)
+    }
+  }
+
+  /** F8 — unified code: bracket code, else known brand, else name code of
+    * length ≥ 4 (name-code extraction via [[ProductCode]] UDF).
+    * Ref: main.py:1712-1750. */
+  def unifiedCode(name: Column, nameCode: Column): Column =
+    coalesce(bracketCode(name), brandIn(name), when(length(nameCode) >= 4, nameCode))
+
+  /** F11 — price change percent, guarded by base>0. Ref: main.py:2198-2203. */
+  def priceChangePct(supplierPrice: Column, basePrice: Column): Column =
+    when(basePrice > 0, (supplierPrice - basePrice) / basePrice * 100).otherwise(lit(0.0))
+
+  /** F12 — per-supplier base price: null/≤0 → 0.0. Ref: main.py:2057-2075. */
+  def basePriceOrZero(c: Column): Column =
+    coalesce(when(c > 0, c), lit(0.0))
+
+  /** F13 — min positive price across supplier price columns; all
+    * null/≤0 → 0.0. Ref: main.py:2077-2095. */
+  def minPositivePrice(cols: Column*): Column =
+    coalesce(least(cols.map(c => when(c > 0, c)): _*), lit(0.0))
+}

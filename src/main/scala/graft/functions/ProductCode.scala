@@ -1,0 +1,48 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+/** F5 — product-code extraction from a product name: 7 regex patterns in
+  * priority order with an exclusion list (spec strings like "60000mah",
+  * long digit runs, stop-words). Pure JVM function; exposed to Spark as
+  * a deterministic UDF in [[GraftFunctions]].
+  *
+  * Behavior studied from /root/reference/main.py:1591-1638 (re-implemented
+  * for the JVM, not translated line by line).
+  */
+object ProductCode extends Serializable {
+
+  // Priority-ordered patterns over the UPPERCASED name.
+  private val patterns: Array[Pattern] = Array(
+    "\\b[A-Z0-9]+(?:-[A-Z0-9]+)+\\b", // dash codes: AC-M25-SC, P27QDA-RGP
+    "\\b[A-Z]{2,}[0-9]{2,}[A-Z]*\\b", // letters-digits(-letters): XM123, MJKDDYJ02HT
+    "\\b[0-9]{3,}[A-Z]{1,3}\\b",      // digits-letters: 123XM
+    "\\b[A-Z][0-9]{4,}[A-Z][0-9]+\\b", // M2319E1 style
+    "\\b[A-Z]{4,8}\\b",               // bare 4-8 letter brands
+    "\\b[A-Z][0-9]{1,3}\\b",          // C60, C20, D30
+    "\\b[А-Я][0-9]{1,3}\\b"           // Cyrillic С20, Д30
+  ).map(Pattern.compile)
+
+  private val specPattern = Pattern.compile("^\\d+mah$|^\\d+w$|^\\d+wh$|^\\d+ma$")
+  private val longDigits = Pattern.compile("^\\d{5,}$")
+  private val stopWords = Set("USB-C", "POWER", "PORTABLE", "CHARGER", "BANK")
+
+  /** First acceptable match of the first pattern that yields any match. */
+  def findInName(name: String): String = {
+    if (name == null) return null
+    val upper = name.toUpperCase
+    var pi = 0
+    while (pi < patterns.length) {
+      val m = patterns(pi).matcher(upper)
+      while (m.find()) {
+        val cand = m.group()
+        val ok = !specPattern.matcher(cand.toLowerCase).matches() &&
+          !longDigits.matcher(cand).matches() &&
+          !stopWords.contains(cand)
+        if (ok) return cand
+      }
+      pi += 1
+    }
+    null
+  }
+}

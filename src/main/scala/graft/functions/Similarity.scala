@@ -1,0 +1,108 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** F9 — Ratcliff–Obershelp "gestalt" similarity with CPython-difflib
+  * semantics, including the `autojunk` popular-element heuristic (elements
+  * occurring in more than 1% of `b` are junked when |b| ≥ 200). The
+  * reference's matching cascade thresholds (TRSH = 0.33,
+  * /root/reference/main.py:60) are calibrated against difflib's ratio, so
+  * numeric parity matters (SURVEY.md §7.4 risk 2).
+  *
+  * Algorithm is public (Ratcliff & Obershelp 1988; CPython difflib docs);
+  * this is a from-scratch JVM implementation over char sequences.
+  */
+object Similarity extends Serializable {
+
+  /** difflib.SequenceMatcher(None, a, b).ratio() */
+  def ratio(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    val la = a.length
+    val lb = b.length
+    if (la + lb == 0) return 1.0
+
+    // b2j: char -> ascending positions in b, minus "popular" chars
+    // (autojunk) when b is long.
+    val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+    var j = 0
+    while (j < lb) {
+      b2j.getOrElseUpdate(b.charAt(j), mutable.ArrayBuffer.empty[Int]) += j
+      j += 1
+    }
+    // autojunk: popular elements (>1% of b, |b| ≥ 200) are removed from
+    // b2j so they can't SEED matches — but they are NOT bjunk (isjunk is
+    // None here), so match extension still walks through them.
+    if (lb >= 200) {
+      val ntest = lb / 100 + 1
+      val popular = b2j.iterator.collect { case (c, idxs) if idxs.length > ntest => c }.toSet
+      popular.foreach(b2j.remove)
+    }
+
+    // With isjunk=None the bjunk set is empty; kept as a function to
+    // mirror difflib's extension structure.
+    def isbjunk(c: Char): Boolean = false
+
+    // Longest matching block in a[alo,ahi) x b[blo,bhi), difflib tie-break
+    // (earliest in a, then earliest in b) and junk-extension behavior.
+    def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      var j2len = mutable.HashMap.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val newj2len = mutable.HashMap.empty[Int, Int]
+        b2j.get(a.charAt(i)) match {
+          case Some(idxs) =>
+            var k = 0
+            var break = false
+            while (k < idxs.length && !break) {
+              val jj = idxs(k)
+              if (jj >= blo) {
+                if (jj >= bhi) break = true
+                else {
+                  val len = j2len.getOrElse(jj - 1, 0) + 1
+                  newj2len(jj) = len
+                  if (len > bestsize) { besti = i - len + 1; bestj = jj - len + 1; bestsize = len }
+                }
+              }
+              k += 1
+            }
+          case None =>
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // Extend over non-junk, then over junk, exactly as difflib does.
+      while (besti > alo && bestj > blo && !isbjunk(b.charAt(bestj - 1)) &&
+        a.charAt(besti - 1) == b.charAt(bestj - 1)) { besti -= 1; bestj -= 1; bestsize += 1 }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+        !isbjunk(b.charAt(bestj + bestsize)) &&
+        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) bestsize += 1
+      while (besti > alo && bestj > blo && isbjunk(b.charAt(bestj - 1)) &&
+        a.charAt(besti - 1) == b.charAt(bestj - 1)) { besti -= 1; bestj -= 1; bestsize += 1 }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+        isbjunk(b.charAt(bestj + bestsize)) &&
+        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) bestsize += 1
+      (besti, bestj, bestsize)
+    }
+
+    // Sum of matching-block sizes (iterative divide & conquer).
+    var matches = 0
+    val queue = mutable.Stack[(Int, Int, Int, Int)]((0, la, 0, lb))
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val (i2, j2, k2) = findLongestMatch(alo, ahi, blo, bhi)
+      if (k2 > 0) {
+        matches += k2
+        if (alo < i2 && blo < j2) queue.push((alo, i2, blo, j2))
+        if (i2 + k2 < ahi && j2 + k2 < bhi) queue.push((i2 + k2, ahi, j2 + k2, bhi))
+      }
+    }
+    2.0 * matches / (la + lb)
+  }
+
+  /** Reference wrapper semantics: null/empty inputs → 0.0, compare
+    * lowercased. Ref: main.py:1274-1283. */
+  def referenceRatio(a: String, b: String): Double =
+    if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
+    else ratio(a.toLowerCase, b.toLowerCase)
+}

@@ -1,0 +1,372 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Cleaning
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core of the engine: the reference's filters, projections,
+  * joins, aggregations and window patterns (SURVEY.md §2.2, §2.4–§2.8)
+  * re-expressed over the fixture tables, each paired with a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - every filter/projection here is a plain Column expression → pushed
+  *    into the parquet scan by Catalyst (verified via explain: PushedFilters);
+  *  - the match join broadcasts the dimension side (`part`), so the big
+  *    fact side never shuffles;
+  *  - last-wins dedup partitions by the join key, so the window and the
+  *    subsequent join reuse one hash partitioning.
+  */
+object CoreQueries {
+
+  // The "supplier price list" analog: lineitem rows keyed by l_partkey with
+  // a deterministic row id (file-order identity, SURVEY.md §1.1).
+  private def supplierSide(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.lineitem(s, dir).withColumn("row_id", Tables.lineitemRowId)
+    // Last-wins dedup per article: the reference's dict-overwrite semantics
+    // (main.py:2118-2141) — latest row in file order wins.
+    val w = Window.partitionBy("l_partkey").orderBy(col("row_id").desc)
+    li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("l_partkey").as("article"),
+        col("l_extendedprice").as("supplier_price"),
+        col("row_id"))
+  }
+
+  // The "master base" analog: part, minus every 97th key so the anti-join
+  // (new items) path is non-trivial.
+  private def baseSide(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 97 =!= 0)
+      .select(
+        col("p_partkey").as("article"),
+        col("p_retailprice").as("base_price"),
+        col("p_name").as("name"))
+
+  private val supplierSideSql =
+    """SELECT article, supplier_price, row_id FROM (
+      |  SELECT l_partkey AS article, l_extendedprice AS supplier_price,
+      |         l_orderkey*8+l_linenumber AS row_id,
+      |         row_number() OVER (PARTITION BY l_partkey
+      |                            ORDER BY l_orderkey*8+l_linenumber DESC) AS rn
+      |  FROM lineitem) WHERE rn = 1""".stripMargin
+
+  private val baseSideSql =
+    """SELECT p_partkey AS article, p_retailprice AS base_price, p_name AS name
+      |FROM part WHERE p_partkey % 97 <> 0""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- flagship aggregation (pricing summary à la TPC-H Q1) ----
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- P8: price filter (notna AND > MIN_PRICE_THRESHOLD=0.01) ----
+    "p8_price_filter" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_extendedprice").isNotNull && col("l_extendedprice") > 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price_usd"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P9: keep-list stock filter (isin) ----
+    "p9_stock_filter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // ---- P10: null-keeping != filter (pandas `!=` keeps NaN rows) ----
+    "p10_pending_filter" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(!(col("l_returnflag") <=> lit("R")) && !(col("l_linestatus") <=> lit("F")))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P13: anti-filter by found set (left_anti) ----
+    "p13_anti_join" -> ((s, dir) => {
+      val sold = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select(col("l_partkey"))
+      Tables.part(s, dir)
+        .join(sold, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // ---- J1: article match (last-wins dedup + inner equi-join) ----
+    "j1_article_match" -> ((s, dir) => {
+      val sup = supplierSide(s, dir)
+      val base = baseSide(s, dir)
+      sup.join(broadcast(base), Seq("article"), "inner")
+        .select(
+          col("article"),
+          col("supplier_price"),
+          col("base_price"),
+          round(col("supplier_price") - col("base_price"), 2).as("price_diff"),
+          round(Cleaning.priceChangePct(col("supplier_price"), col("base_price")), 4)
+            .as("price_change_pct"),
+          col("name"))
+        .orderBy("article")
+    }),
+
+    // ---- J1 miss branch: new items (anti join) ----
+    "j1_new_items" -> ((s, dir) => {
+      val sup = supplierSide(s, dir)
+      val base = baseSide(s, dir)
+      sup.join(broadcast(base), Seq("article"), "left_anti")
+        .select("article", "supplier_price")
+        .orderBy("article")
+    }),
+
+    // ---- J6: price-update join (skip |Δ| < 0.001 tolerance) ----
+    "j6_price_update" -> ((s, dir) => {
+      val sup = supplierSide(s, dir)
+      val base = baseSide(s, dir)
+      base.join(sup, Seq("article"), "inner")
+        .filter(abs(col("supplier_price") - col("base_price")) >= 0.001)
+        .select(
+          col("article"),
+          col("base_price").as("old_price"),
+          col("supplier_price").as("new_price"),
+          round(when(col("base_price") > 0,
+            (col("supplier_price") - col("base_price")) / col("base_price") * 100)
+            .otherwise(lit(100.0)), 4).as("change_pct"))
+        .orderBy("article")
+    }),
+
+    // ---- A6: match statistics (single-row summary) ----
+    "a6_match_stats" -> ((s, dir) => {
+      val joined = supplierSide(s, dir)
+        .join(broadcast(baseSide(s, dir)), Seq("article"), "left")
+      joined.agg(
+        count(lit(1)).as("supplier_total"),
+        count(col("base_price")).as("matched"),
+        (count(lit(1)) - count(col("base_price"))).as("new_items"),
+        round(count(col("base_price")) * lit(100.0) / count(lit(1)), 4).as("match_rate"))
+    }),
+
+    // ---- A1: duplicate detection (group-count > 1) ----
+    "a1_duplicates" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("dup_count"),
+          min("o_orderkey").as("first_row"),
+          max("o_orderkey").as("last_row"))
+        .filter(col("dup_count") > 1)
+        .orderBy("o_custkey")),
+
+    // ---- A2: max key + 1 (auto-numbering for inserts) ----
+    "a2_max_article" -> ((s, dir) =>
+      Tables.part(s, dir).agg((max("p_partkey") + 1).as("next_article"))),
+
+    // ---- A4: value_counts().head(10) with deterministic tie-break ----
+    "a4_top10" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("o_custkey").asc)
+        .limit(10)),
+
+    // ---- A5: null/notna profiling ----
+    "a5_null_profile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("total_rows"),
+        count("l_quantity").as("qty_notnull"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("returnflag_nulls"),
+        count("l_shipdate").as("shipdate_notnull"))),
+
+    // ---- A8: removal-reason breakdown of the price filter ----
+    "a8_removal_breakdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        sum(when(col("l_extendedprice").isNull, 1).otherwise(0)).as("removed_nan"),
+        sum(when(col("l_extendedprice") === 0, 1).otherwise(0)).as("removed_zero"),
+        sum(when(col("l_extendedprice").isNotNull &&
+          col("l_extendedprice") > 0 && col("l_extendedprice") <= 0.01, 1)
+          .otherwise(0)).as("removed_low"),
+        sum(when(col("l_extendedprice") > 0.01, 1).otherwise(0)).as("kept"))),
+
+    // ---- A9: per-status counts ----
+    "a9_status_counts" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    // ---- O2: top-10 by |price change| (sort + limit) ----
+    "o2_top_changes" -> ((s, dir) => {
+      val sup = supplierSide(s, dir)
+      val base = baseSide(s, dir)
+      sup.join(broadcast(base), Seq("article"), "inner")
+        .select(col("article"),
+          round(Cleaning.priceChangePct(col("supplier_price"), col("base_price")), 4)
+            .as("price_change_pct"))
+        .orderBy(abs(col("price_change_pct")).desc, col("article").asc)
+        .limit(10)
+    }),
+
+    // ---- U1: unionByName of two tagged subsets ----
+    "u1_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        .withColumn("src", lit("open"))
+      val done = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        .withColumn("src", lit("finished"))
+      open.unionByName(done).orderBy("id")
+    }),
+
+    // ---- F13: row-wise min positive price ----
+    "f13_min_price" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(Cleaning.minPositivePrice(
+            col("l_extendedprice"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")),
+            col("l_extendedprice") * (col("l_tax") - lit(0.05))), 4)
+            .as("min_price"))
+        .orderBy("l_orderkey", "l_linenumber"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p8_price_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price_usd
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0.01
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p9_stock_filter" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('O','F') ORDER BY o_orderkey""".stripMargin,
+
+    "p10_pending_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_returnflag IS DISTINCT FROM 'R'
+        |  AND l_linestatus IS DISTINCT FROM 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p13_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_quantity > 45 AND l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j1_article_match" ->
+      s"""WITH sup AS ($supplierSideSql), base AS ($baseSideSql)
+         |SELECT s.article, s.supplier_price, b.base_price,
+         | round(s.supplier_price - b.base_price, 2) AS price_diff,
+         | round(CASE WHEN b.base_price > 0
+         |   THEN (s.supplier_price - b.base_price) / b.base_price * 100
+         |   ELSE 0 END, 4) AS price_change_pct,
+         | b.name
+         |FROM sup s JOIN base b USING (article)
+         |ORDER BY article""".stripMargin,
+
+    "j1_new_items" ->
+      s"""WITH sup AS ($supplierSideSql), base AS ($baseSideSql)
+         |SELECT s.article, s.supplier_price FROM sup s
+         |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.article = s.article)
+         |ORDER BY article""".stripMargin,
+
+    "j6_price_update" ->
+      s"""WITH sup AS ($supplierSideSql), base AS ($baseSideSql)
+         |SELECT b.article, b.base_price AS old_price,
+         | s.supplier_price AS new_price,
+         | round(CASE WHEN b.base_price > 0
+         |   THEN (s.supplier_price - b.base_price) / b.base_price * 100
+         |   ELSE 100.0 END, 4) AS change_pct
+         |FROM base b JOIN sup s USING (article)
+         |WHERE abs(s.supplier_price - b.base_price) >= 0.001
+         |ORDER BY article""".stripMargin,
+
+    "a6_match_stats" ->
+      s"""WITH sup AS ($supplierSideSql), base AS ($baseSideSql)
+         |SELECT count(*) AS supplier_total,
+         | count(b.base_price) AS matched,
+         | count(*) - count(b.base_price) AS new_items,
+         | round(count(b.base_price) * 100.0 / count(*), 4) AS match_rate
+         |FROM sup s LEFT JOIN base b USING (article)""".stripMargin,
+
+    "a1_duplicates" ->
+      """SELECT o_custkey, count(*) AS dup_count,
+        | min(o_orderkey) AS first_row, max(o_orderkey) AS last_row
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "a2_max_article" ->
+      "SELECT max(p_partkey) + 1 AS next_article FROM part",
+
+    "a4_top10" ->
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey ORDER BY cnt DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "a5_null_profile" ->
+      """SELECT count(*) AS total_rows, count(l_quantity) AS qty_notnull,
+        | sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS returnflag_nulls,
+        | count(l_shipdate) AS shipdate_notnull
+        |FROM lineitem""".stripMargin,
+
+    "a8_removal_breakdown" ->
+      """SELECT
+        | sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS removed_nan,
+        | sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END) AS removed_zero,
+        | sum(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |          AND l_extendedprice <= 0.01 THEN 1 ELSE 0 END) AS removed_low,
+        | sum(CASE WHEN l_extendedprice > 0.01 THEN 1 ELSE 0 END) AS kept
+        |FROM lineitem""".stripMargin,
+
+    "a9_status_counts" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o2_top_changes" ->
+      s"""WITH sup AS ($supplierSideSql), base AS ($baseSideSql)
+         |SELECT s.article,
+         | round(CASE WHEN b.base_price > 0
+         |   THEN (s.supplier_price - b.base_price) / b.base_price * 100
+         |   ELSE 0 END, 4) AS price_change_pct
+         |FROM sup s JOIN base b USING (article)
+         |ORDER BY abs(round(CASE WHEN b.base_price > 0
+         |   THEN (s.supplier_price - b.base_price) / b.base_price * 100
+         |   ELSE 0 END, 4)) DESC, s.article ASC
+         |LIMIT 10""".stripMargin,
+
+    "u1_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS price, 'open' AS src
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey AS id, o_totalprice AS price, 'finished' AS src
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY id""".stripMargin,
+
+    "f13_min_price" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(COALESCE(LEAST(
+        |   CASE WHEN l_extendedprice > 0 THEN l_extendedprice END,
+        |   CASE WHEN l_extendedprice*(1-l_discount) > 0
+        |        THEN l_extendedprice*(1-l_discount) END,
+        |   CASE WHEN l_extendedprice*(l_tax-0.05) > 0
+        |        THEN l_extendedprice*(l_tax-0.05) END), 0.0), 4) AS min_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

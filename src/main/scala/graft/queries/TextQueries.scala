@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Cleaning
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators for the training-data pipeline surface
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristic, fingerprinting, exact dedup, and the events-table window
+  * aggregation (batch analog of the streaming ingest).
+  *
+  * All are pure Column expressions — codegen'd, scan-pruned, and shuffle
+  * only at the declared groupBys — so they hold at 100 TB: per-row text
+  * scoring is embarrassingly parallel, and exact dedup is one hash
+  * shuffle on the fingerprint.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words: _*)))
+
+  // Marker-word sets for the language-ID heuristic (n-gram/stopword
+  // scoring — the classic cheap langid approach).
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est"))
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- token counting: whitespace + regex (BPE-ish word/punct split) ----
+    "t3_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_re_tokens"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy("doc_id")),
+
+    // ---- quality scoring: length / punctuation / stopword ratios ----
+    "t2_quality_score" -> ((s, dir) => {
+      val t = toks(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).as("char_len"),
+          size(t).as("n_tokens"),
+          round(length(regexp_replace(col("text"), "[^.,!?;:]", "")) * lit(1.0) /
+            length(col("text")), 4).as("punct_ratio"),
+          round(countIn(t, stopwords) * lit(1.0) / size(t), 4).as("stopword_ratio"),
+          round(length(regexp_replace(col("text"), "\\s", "")) * lit(1.0) / size(t), 4)
+            .as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic: marker-word scores, argmax with fixed
+    // priority order, 'und' when nothing matches ----
+    "t1_lang_id" -> ((s, dir) => {
+      val t = toks(lower(col("text")))
+      val scores = langMarkers.map { case (lang, ws) => lang -> countIn(t, ws) }
+      val best = greatest(scores.map(_._2): _*)
+      // Earlier languages win ties (en > es > de > fr), matching the
+      // oracle's CASE chain.
+      val pred2 = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("labeled_lang"), pred2.as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprinting: md5 over normalized text ----
+    "t4_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(lower(Cleaning.cleanInvisibleChars(col("text")))).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- exact dedup: hash-groupBy on normalized fingerprint ----
+    "d1_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(lower(Cleaning.cleanInvisibleChars(col("text")))).as("fp"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")),
+
+    // ---- events: tumbling-window counts (batch analog of the streaming
+    // ingest in graft.streaming) ----
+    "e_window_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("win_start", "event_type"))
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "t3_token_count" ->
+      s"""SELECT doc_id,
+         | len($toksSql) AS n_ws_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens,
+         | length(text) AS n_chars_computed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, length(text) AS char_len, len(toks) AS n_tokens,
+         | round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 /
+         |   length(text), 4) AS punct_ratio,
+         | round(len(list_filter(toks, x -> x IN ($stopSql))) * 1.0 /
+         |   len(toks), 4) AS stopword_ratio,
+         | round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks), 4)
+         |   AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t1_lang_id" -> {
+      val scoreSql = langMarkers.map { case (lang, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($set))) AS s_$lang"
+      }.mkString(",\n   ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |           FROM documents),
+         | sc AS (SELECT doc_id, lang,
+         |   $scoreSql
+         | FROM t)
+         |SELECT doc_id, lang AS labeled_lang,
+         | CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |      ELSE 'fr' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(NULLIF(regexp_replace(trim(text), '\s+', ' ', 'g'), ''))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(lower(NULLIF(regexp_replace(trim(text), '\s+', ' ', 'g'), ''))) AS fp,
+        | min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "e_window_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum("value"), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  )
+}
