@@ -31,9 +31,15 @@ object Tables {
     * parquet reader rejects; read nanos as long and convert to a µs
     * timestamp with integer division (ns-since-epoch exceeds double's
     * 2^53 mantissa, so `div`, not `/`).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * entry point (Verify/Bench/tests) sets at session construction — a
+    * session-wide reader conf, deliberately NOT mutated here so a table
+    * accessor has no hidden global side effects.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction to read events")
     load(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -15,23 +15,38 @@ import org.apache.spark.sql.functions._
 object Cleaning {
 
   /** F1 — trim + collapse whitespace runs to a single space; empty→null.
-    * Ref: main.py:1262-1272 (`" ".join(s.split())`). */
+    * Ref: main.py:1262-1272 (`" ".join(s.split())`). Python's str.split()
+    * splits on UNICODE whitespace (NBSP, thin spaces, …), so the pattern
+    * uses (?U) — Java's UNICODE_CHARACTER_CLASS — not ASCII \s. Runs are
+    * collapsed to a single ASCII space first, so the outer trim (ASCII
+    * space only) then strips the ends exactly like ' '.join(s.split()). */
   def cleanInvisibleChars(c: Column): Column = {
-    val collapsed = regexp_replace(trim(c), "\\s+", " ")
+    val collapsed = trim(regexp_replace(c, "(?U)\\s+", " "))
     when(c.isNull || collapsed === "", lit(null)).otherwise(collapsed)
   }
 
+  /** DuckDB/RE2 equivalent of the (?U)\s class above — RE2's \s is
+    * ASCII-only, so spell out Java's IsWhite_Space set: \t-\r, NEL (0x85),
+    * and the \p{Z} separators (covers 0x20, NBSP, 0x1680, 0x2000-0x200A,
+    * 0x2028, 0x2029, 0x202F, 0x205F, 0x3000). Kept next to the Spark
+    * implementation so the two can't drift apart. */
+  val UnicodeWsRe2: String = """[\t\n\x0b\f\r\x{85}\p{Z}]"""
+
   /** F2 — Vitya article cleaning: strip apostrophes, strip one leading
     * "000", then ALWAYS an integer: all-digits→int; else concatenation of
-    * every digit run→int; no digits at all→0. Null/blank in → null out.
-    * Ref: main.py:1285-1318. */
+    * every digit run→int; no digits at all→0. Null/blank/"nan" in → null
+    * out (the reference checks cleaned.lower()=='nan', a pandas
+    * astype(str) artifact). Accepted deviation: digit runs longer than 18
+    * chars return 0 (long overflow guard) where Python's arbitrary-
+    * precision int returns the full value — out of range for any real
+    * article. Ref: main.py:1285-1318. */
   def cleanArticleVitya(c: Column): Column = {
     val s = trim(c.cast("string"))
     val noApos = regexp_replace(s, "'", "")
     val noPrefix = regexp_replace(noApos, "^000", "")
     // re.findall(r"\d+") + join == deleting every non-digit char.
     val digits = regexp_replace(noPrefix, "[^0-9]", "")
-    when(c.isNull || s === "", lit(null).cast("long"))
+    when(c.isNull || s === "" || lower(s) === "nan", lit(null).cast("long"))
       .otherwise(coalesce(digitsToLong(digits), lit(0L)))
   }
 
@@ -41,11 +56,14 @@ object Cleaning {
     when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
 
   /** F3 — Dimi article cleaning: strip apostrophes + one leading "000",
-    * result stays a string. Ref: main.py:1508-1526. */
+    * result stays a string. Null/blank/"nan" in → null; empty AFTER
+    * cleaning (e.g. "'000") → null too (`return cleaned if cleaned else
+    * None`). Ref: main.py:1508-1526. */
   def cleanArticleDimi(c: Column): Column = {
     val s = trim(c.cast("string"))
     val cleaned = regexp_replace(regexp_replace(s, "'", ""), "^000", "")
-    when(c.isNull || s === "", lit(null).cast("string")).otherwise(cleaned)
+    when(c.isNull || s === "" || lower(s) === "nan" || cleaned === "",
+      lit(null).cast("string")).otherwise(cleaned)
   }
 
   /** F4 — color normalization: null → "", else lower(trim).

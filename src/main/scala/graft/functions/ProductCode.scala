@@ -27,16 +27,19 @@ object ProductCode extends Serializable {
   private val longDigits = Pattern.compile("^\\d{5,}$")
   private val stopWords = Set("USB-C", "POWER", "PORTABLE", "CHARGER", "BANK")
 
-  /** First acceptable match of the first pattern that yields any match. */
+  /** First acceptable match of the first pattern that yields any match.
+    * Case mapping uses Locale.ROOT — locale-independent like Python's
+    * str.upper()/lower() (a Turkish-default JVM would otherwise map
+    * I↔ı and break pattern/stop-word matching). */
   def findInName(name: String): String = {
     if (name == null) return null
-    val upper = name.toUpperCase
+    val upper = name.toUpperCase(java.util.Locale.ROOT)
     var pi = 0
     while (pi < patterns.length) {
       val m = patterns(pi).matcher(upper)
       while (m.find()) {
         val cand = m.group()
-        val ok = !specPattern.matcher(cand.toLowerCase).matches() &&
+        val ok = !specPattern.matcher(cand.toLowerCase(java.util.Locale.ROOT)).matches() &&
           !longDigits.matcher(cand).matches() &&
           !stopWords.contains(cand)
         if (ok) return cand

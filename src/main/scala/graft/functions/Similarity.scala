@@ -101,8 +101,10 @@ object Similarity extends Serializable {
   }
 
   /** Reference wrapper semantics: null/empty inputs → 0.0, compare
-    * lowercased. Ref: main.py:1274-1283. */
+    * lowercased. Locale.ROOT so a Turkish-locale JVM doesn't turn 'I'
+    * into dotless ı and shift the calibrated 0.33-threshold parity with
+    * Python's locale-independent str.lower(). Ref: main.py:1274-1283. */
   def referenceRatio(a: String, b: String): Double =
     if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
-    else ratio(a.toLowerCase, b.toLowerCase)
+    else ratio(a.toLowerCase(java.util.Locale.ROOT), b.toLowerCase(java.util.Locale.ROOT))
 }

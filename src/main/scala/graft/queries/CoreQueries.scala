@@ -319,19 +319,22 @@ object CoreQueries {
       """SELECT o_custkey, count(*) AS cnt FROM orders
         |GROUP BY o_custkey ORDER BY cnt DESC, o_custkey ASC LIMIT 10""".stripMargin,
 
+    // NOTE: DuckDB sum(int) returns HUGEINT — CAST to BIGINT so the
+    // driver's exact type/hash compare matches Spark's LongType.
     "a5_null_profile" ->
       """SELECT count(*) AS total_rows, count(l_quantity) AS qty_notnull,
-        | sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS returnflag_nulls,
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS returnflag_nulls,
         | count(l_shipdate) AS shipdate_notnull
         |FROM lineitem""".stripMargin,
 
     "a8_removal_breakdown" ->
       """SELECT
-        | sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS removed_nan,
-        | sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END) AS removed_zero,
-        | sum(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0
-        |          AND l_extendedprice <= 0.01 THEN 1 ELSE 0 END) AS removed_low,
-        | sum(CASE WHEN l_extendedprice > 0.01 THEN 1 ELSE 0 END) AS kept
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_nan,
+        | CAST(sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed_zero,
+        | CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |          AND l_extendedprice <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS removed_low,
+        | CAST(sum(CASE WHEN l_extendedprice > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS kept
         |FROM lineitem""".stripMargin,
 
     "a9_status_counts" ->

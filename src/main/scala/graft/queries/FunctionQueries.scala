@@ -108,10 +108,13 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // RE2's \s is ASCII-only; Cleaning.UnicodeWsRe2 spells out the Java
+    // (?U)\s / Python str.split() Unicode-whitespace set.
     "f1_clean_ws" ->
-      """SELECT doc_id,
-        | NULLIF(regexp_replace(trim(text), '\s+', ' ', 'g'), '') AS text_clean
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')
+         |   AS text_clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "f2_clean_article_int" ->
       s"""WITH t AS (SELECT p_partkey, $rawArticleSql AS raw_article FROM part)

@@ -132,7 +132,7 @@ object TextQueries {
          |   $scoreSql
          | FROM t)
          |SELECT doc_id, lang AS labeled_lang,
-         | CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         | CASE WHEN COALESCE(greatest(s_en, s_es, s_de, s_fr), 0) = 0 THEN 'und'
          |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
          |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
          |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
@@ -141,14 +141,15 @@ object TextQueries {
     },
 
     "t4_fingerprint" ->
-      """SELECT doc_id,
-        | md5(lower(NULLIF(regexp_replace(trim(text), '\s+', ' ', 'g'), ''))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))
+         |   AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
-      """SELECT md5(lower(NULLIF(regexp_replace(trim(text), '\s+', ' ', 'g'), ''))) AS fp,
-        | min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+      s"""SELECT md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), ''))) AS fp,
+         | min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
 
     "e_window_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
