@@ -18,7 +18,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, QueryFn], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracle),
     (FunctionQueries.queries, FunctionQueries.oracle),
-    (TextQueries.queries, TextQueries.oracle))
+    (TextQueries.queries, TextQueries.oracle),
+    (MatchQueries.queries, MatchQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

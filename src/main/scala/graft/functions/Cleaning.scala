@@ -90,6 +90,67 @@ object Cleaning {
     coalesce(cap(l, "mah"), cap(l, "мач"), cap(l, "мч"))
   }
 
+  /** DuckDB twin of [[bracketCode]] over a SQL name expression. */
+  def bracketCodeSql(n: String): String =
+    s"""(CASE WHEN regexp_matches(upper(trim(regexp_extract($n, '\\(([^)]+)\\)', 1))),
+       |           '^[A-Za-zА-Яа-я0-9\\-]+$$')
+       |       AND length(upper(trim(regexp_extract($n, '\\(([^)]+)\\)', 1)))) >= 4
+       |  THEN upper(trim(regexp_extract($n, '\\(([^)]+)\\)', 1))) END)""".stripMargin
+
+  /** DuckDB twin of [[batteryCapacity]] over a SQL name expression. */
+  def batteryCapacitySql(n: String): String = {
+    def cap(suffix: String) =
+      s"""(CASE WHEN TRY_CAST(regexp_extract(lower($n), '(\\d+)\\s*$suffix', 1) AS BIGINT)
+         |           BETWEEN 5 AND 999999
+         |      THEN regexp_extract(lower($n), '(\\d+)\\s*$suffix', 1) END)""".stripMargin
+    s"COALESCE(${cap("mah")}, ${cap("мач")}, ${cap("мч")})"
+  }
+
+  // ---- F5 as a pure Column expression (no UDF) ---------------------------
+  // Seven priority patterns over the uppercased name; per pattern, the
+  // FIRST match that survives the exclusion list wins (the reference
+  // iterates matches of a pattern before falling to the next —
+  // main.py:1591-1638). regexp_extract_all + filter + get expresses that
+  // without a UDF, so the DuckDB oracle can mirror it exactly
+  // (list_filter + list_extract). Both engines use ASCII word boundaries
+  // (Java default \b == RE2 \b); [[ProductCode.findInName]] keeps full
+  // Unicode-boundary parity with Python for Cyrillic codes.
+  private[graft] val nameCodePatterns: Seq[String] = Seq(
+    "\\b[A-Z0-9]+(?:-[A-Z0-9]+)+\\b", // dash codes: AC-M25-SC, P27QDA-RGP
+    "\\b[A-Z]{2,}[0-9]{2,}[A-Z]*\\b", // letters-digits(-letters): XM123
+    "\\b[0-9]{3,}[A-Z]{1,3}\\b",      // digits-letters: 123XM
+    "\\b[A-Z][0-9]{4,}[A-Z][0-9]+\\b", // M2319E1 style
+    "\\b[A-Z]{4,8}\\b",               // bare 4-8 letter brands
+    "\\b[A-Z][0-9]{1,3}\\b",          // C60, C20, D30
+    "\\b[А-Я][0-9]{1,3}\\b")          // Cyrillic С20, Д30
+
+  private val specRe = "^\\d+(mah|wh|w|ma)$"
+  private val longDigitsRe = "^\\d{5,}$"
+  private[graft] val nameCodeStops = Seq("USB-C", "POWER", "PORTABLE", "CHARGER", "BANK")
+
+  /** F5 — product-code-in-name extraction as a Column expression.
+    * Ref: main.py:1591-1638. */
+  def nameCode(name: Column): Column = {
+    val up = upper(name)
+    def keep(x: Column): Column =
+      !(lower(x).rlike(specRe) || x.rlike(longDigitsRe) || x.isin(nameCodeStops: _*))
+    val firsts = nameCodePatterns.map { p =>
+      get(filter(regexp_extract_all(up, lit(p), lit(0)), keep _), lit(0))
+    }
+    coalesce(firsts: _*)
+  }
+
+  /** DuckDB twin of [[nameCode]]. */
+  def nameCodeSql(n: String): String = {
+    val keep = (x: String) =>
+      s"NOT (regexp_matches(lower($x), '$specRe') OR regexp_matches($x, '$longDigitsRe')" +
+        s" OR $x IN (${nameCodeStops.map(w => s"'$w'").mkString(", ")}))"
+    val firsts = nameCodePatterns.map { p =>
+      s"list_extract(list_filter(regexp_extract_all(upper($n), '$p'), x -> ${keep("x")}), 1)"
+    }
+    s"COALESCE(${firsts.mkString(",\n    ")})"
+  }
+
   /** Known brand list of F8. Ref: main.py:1727-1737. */
   val Brands: Seq[String] =
     Seq("GREENOE", "XIAOMI", "SAMSUNG", "APPLE", "HUAWEI", "OPPO", "VIVO", "ONEPLUS")
@@ -107,6 +168,22 @@ object Cleaning {
     * Ref: main.py:1712-1750. */
   def unifiedCode(name: Column, nameCode: Column): Column =
     coalesce(bracketCode(name), brandIn(name), when(length(nameCode) >= 4, nameCode))
+
+  /** F8 fully expression-based (uses [[nameCode]] instead of the UDF). */
+  def unifiedCodeExpr(name: Column): Column =
+    unifiedCode(name, nameCode(name))
+
+  /** DuckDB twin of [[unifiedCodeExpr]] over a SQL name expression. NOTE:
+    * callers should bind `n` to a CTE column, not a giant inline
+    * expression — the twin repeats it many times. */
+  def unifiedCodeSql(n: String): String = {
+    val brandCase = "CASE " + Brands.map(b =>
+      s"WHEN contains(upper($n), '$b') THEN '$b'").mkString(" ") + " END"
+    val nc = nameCodeSql(n)
+    s"""COALESCE(${bracketCodeSql(n)},
+       | $brandCase,
+       | (CASE WHEN length($nc) >= 4 THEN $nc END))""".stripMargin
+  }
 
   /** F11 — price change percent, guarded by base>0. Ref: main.py:2198-2203. */
   def priceChangePct(supplierPrice: Column, basePrice: Column): Column =

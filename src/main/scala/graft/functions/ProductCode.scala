@@ -12,16 +12,12 @@ import java.util.regex.Pattern
   */
 object ProductCode extends Serializable {
 
-  // Priority-ordered patterns over the UPPERCASED name.
-  private val patterns: Array[Pattern] = Array(
-    "\\b[A-Z0-9]+(?:-[A-Z0-9]+)+\\b", // dash codes: AC-M25-SC, P27QDA-RGP
-    "\\b[A-Z]{2,}[0-9]{2,}[A-Z]*\\b", // letters-digits(-letters): XM123, MJKDDYJ02HT
-    "\\b[0-9]{3,}[A-Z]{1,3}\\b",      // digits-letters: 123XM
-    "\\b[A-Z][0-9]{4,}[A-Z][0-9]+\\b", // M2319E1 style
-    "\\b[A-Z]{4,8}\\b",               // bare 4-8 letter brands
-    "\\b[A-Z][0-9]{1,3}\\b",          // C60, C20, D30
-    "\\b[А-Я][0-9]{1,3}\\b"           // Cyrillic С20, Д30
-  ).map(Pattern.compile)
+  // Priority-ordered patterns over the UPPERCASED name (shared with the
+  // expression-based Cleaning.nameCode). UNICODE_CHARACTER_CLASS makes \b
+  // Unicode-aware like Python's re (without it Java's ASCII \b can never
+  // match the Cyrillic С20-style pattern).
+  private val patterns: Array[Pattern] =
+    Cleaning.nameCodePatterns.map(p => Pattern.compile(p, Pattern.UNICODE_CHARACTER_CLASS)).toArray
 
   private val specPattern = Pattern.compile("^\\d+mah$|^\\d+w$|^\\d+wh$|^\\d+ma$")
   private val longDigits = Pattern.compile("^\\d{5,}$")

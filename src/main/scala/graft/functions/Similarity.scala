@@ -100,6 +100,31 @@ object Similarity extends Serializable {
     2.0 * matches / (la + lb)
   }
 
+  /** difflib.real_quick_ratio — O(1) upper bound on [[ratio]]. */
+  def realQuickRatio(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la + lb == 0) 1.0 else 2.0 * math.min(la, lb) / (la + lb)
+  }
+
+  /** difflib.quick_ratio — char-multiset upper bound on [[ratio]]:
+    * 2·Σ_c min(count_a(c), count_b(c)) / (|a|+|b|). O(|a|+|b|). */
+  def quickRatio(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la + lb == 0) return 1.0
+    val counts = mutable.HashMap.empty[Char, Int]
+    var i = 0
+    while (i < lb) { val c = b.charAt(i); counts(c) = counts.getOrElse(c, 0) + 1; i += 1 }
+    var matches = 0
+    i = 0
+    while (i < la) {
+      val c = a.charAt(i)
+      val n = counts.getOrElse(c, 0)
+      if (n > 0) { matches += 1; counts(c) = n - 1 }
+      i += 1
+    }
+    2.0 * matches / (la + lb)
+  }
+
   /** Reference wrapper semantics: null/empty inputs → 0.0, compare
     * lowercased. Locale.ROOT so a Turkish-locale JVM doesn't turn 'I'
     * into dotless ı and shift the calibrated 0.33-threshold parity with
@@ -107,4 +132,22 @@ object Similarity extends Serializable {
   def referenceRatio(a: String, b: String): Double =
     if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
     else ratio(a.toLowerCase(java.util.Locale.ROOT), b.toLowerCase(java.util.Locale.ROOT))
+
+  /** [[referenceRatio]] with difflib's own cheap-upper-bound cascade:
+    * when real_quick_ratio or quick_ratio already falls below `minRatio`
+    * the (quadratic) full ratio is skipped and the BOUND is returned —
+    * an over-estimate that is still `< minRatio`, so thresholded
+    * consumers (sim ≥ t filters, argmax-above-t) see identical results
+    * at a fraction of the cost. This is the hot-path scoring function
+    * of the fuzzy join. */
+  def referenceRatioAtLeast(a: String, b: String, minRatio: Double): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    val al = a.toLowerCase(java.util.Locale.ROOT)
+    val bl = b.toLowerCase(java.util.Locale.ROOT)
+    val rq = realQuickRatio(al, bl)
+    if (rq < minRatio) return rq
+    val q = quickRatio(al, bl)
+    if (q < minRatio) return q
+    ratio(al, bl)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.Similarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's fuzzy-name matching (J2 per-item probe / J5 batch,
+  * /root/reference/main.py:2804-2924, 4612-4705) as a blocked similarity
+  * join: candidates × base names scored with difflib-parity
+  * Ratcliff–Obershelp ratio, best match per candidate above a threshold.
+  *
+  * Scale design (the reference is an O(n·m) Python loop — SURVEY.md §4.1):
+  *
+  *  1. '''Lossless length-band blocking.''' ratio(a,b) ≤ 2·min(|a|,|b|) /
+  *     (|a|+|b|) (difflib's real_quick_ratio bound), so pairs whose
+  *     lengths alone cap the ratio below the threshold are pruned by a
+  *     pure Column predicate BEFORE the scoring UDF runs. Equality of
+  *     results with the exact cross join is provable, not sampled.
+  *  2. '''Upper-bound cascade in the scorer.''' The UDF runs difflib's
+  *     real_quick_ratio → quick_ratio → ratio escalation, skipping the
+  *     quadratic match search for pairs that cannot reach the threshold.
+  *  3. '''Broadcast the small side.''' The candidate pool (unmatched new
+  *     items) is orders of magnitude smaller than the base; broadcasting
+  *     it turns the cross join into a map-side pass over the base with no
+  *     shuffle of the big side. At 100 TB the same plan holds: the
+  *     candidate set after the article/code stages is small by
+  *     construction; were it not, swap stage 1 for LSH bucketing (see
+  *     graft.queries.DedupQueries) at the cost of exactness.
+  */
+object FuzzyJoin {
+
+  private val simUdf = udf((a: String, b: String, t: Double) =>
+    Similarity.referenceRatioAtLeast(a, b, t))
+
+  /** Best fuzzy match per candidate: returns `cands`' columns plus
+    * `<prefix>_key`, `<prefix>_name`, `<prefix>_sim` of the best base row
+    * with sim ≥ threshold (left semantics: candidates without a match
+    * keep nulls). `candKey` must be unique per candidate row (it anchors
+    * the argmax window and the join-back). Deterministic tie-break:
+    * highest sim, then smallest base key — the reference's
+    * first-in-file-order argmax (main.py:2877-2903). */
+  def bestMatch(
+      cands: DataFrame, candKey: Column, candName: Column,
+      base: DataFrame, baseKey: Column, baseName: Column,
+      threshold: Double, prefix: String = "match"): DataFrame = {
+    val c = cands.withColumn("_cand_name", candName)
+      .withColumn("_cand_len", length(lower(candName)))
+      .withColumn("_cand_id", candKey)
+    val b = base.select(
+      baseKey.as(s"${prefix}_key"),
+      baseName.as(s"${prefix}_name"),
+      length(lower(baseName)).as("_base_len"))
+    // Lossless band: 2·min(la,lb)/(la+lb) ≥ t  (null lengths drop — a
+    // null name can never reach a positive threshold anyway).
+    val band = lit(2.0) * least(col("_cand_len"), col("_base_len")) /
+      (col("_cand_len") + col("_base_len")) >= lit(threshold)
+    val scored = broadcast(c).join(b, band, "inner")
+      .withColumn("_sim", simUdf(col("_cand_name"), col(s"${prefix}_name"), lit(threshold)))
+      .filter(col("_sim") >= threshold)
+    val w = Window.partitionBy("_cand_id")
+      .orderBy(col("_sim").desc, col(s"${prefix}_key").asc)
+    val best = scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .withColumn(s"${prefix}_sim", round(col("_sim"), 4))
+      .drop("_sim", "_rn", "_base_len")
+    c.join(best.select(col("_cand_id").as("_best_id"), col(s"${prefix}_key"),
+        col(s"${prefix}_name"), col(s"${prefix}_sim")),
+        col("_cand_id") === col("_best_id"), "left")
+      .drop("_cand_id", "_best_id", "_cand_name", "_cand_len")
+  }
+}

@@ -19,41 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object CoreQueries {
 
-  // The "supplier price list" analog: lineitem rows keyed by l_partkey with
-  // a deterministic row id (file-order identity, SURVEY.md §1.1).
-  private def supplierSide(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val li = Tables.lineitem(s, dir).withColumn("row_id", Tables.lineitemRowId)
-    // Last-wins dedup per article: the reference's dict-overwrite semantics
-    // (main.py:2118-2141) — latest row in file order wins.
-    val w = Window.partitionBy("l_partkey").orderBy(col("row_id").desc)
-    li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(
-        col("l_partkey").as("article"),
-        col("l_extendedprice").as("supplier_price"),
-        col("row_id"))
-  }
-
-  // The "master base" analog: part, minus every 97th key so the anti-join
-  // (new items) path is non-trivial.
+  // Supplier/base fixture analogs shared with the match/mutation suites —
+  // see graft.queries.Fixture (Spark construction + DuckDB SQL twins).
+  private def supplierSide(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Fixture.supplierSide(s, dir)
   private def baseSide(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.part(s, dir)
-      .filter(col("p_partkey") % 97 =!= 0)
-      .select(
-        col("p_partkey").as("article"),
-        col("p_retailprice").as("base_price"),
-        col("p_name").as("name"))
-
-  private val supplierSideSql =
-    """SELECT article, supplier_price, row_id FROM (
-      |  SELECT l_partkey AS article, l_extendedprice AS supplier_price,
-      |         l_orderkey*8+l_linenumber AS row_id,
-      |         row_number() OVER (PARTITION BY l_partkey
-      |                            ORDER BY l_orderkey*8+l_linenumber DESC) AS rn
-      |  FROM lineitem) WHERE rn = 1""".stripMargin
-
-  private val baseSideSql =
-    """SELECT p_partkey AS article, p_retailprice AS base_price, p_name AS name
-      |FROM part WHERE p_partkey % 97 <> 0""".stripMargin
+    Fixture.baseSide(s, dir)
+  private val supplierSideSql = Fixture.supplierSideSql
+  private val baseSideSql = Fixture.baseSideSql
 
   val queries: Map[String, QueryFn] = Map(
     // ---- flagship aggregation (pricing summary à la TPC-H Q1) ----

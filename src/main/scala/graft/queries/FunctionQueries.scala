@@ -90,20 +90,20 @@ object FunctionQueries {
         .select(col("p_partkey"), Cleaning.batteryCapacity(madeName).as("capacity"))
         .orderBy("p_partkey")),
 
-    // ---- F8: unified code (bracket > brand > name-code≥4); F5 inside is a
-    // deterministic Scala UDF, so this one is rows-only (no SQL oracle) ----
-    "f8_unified_code" -> ((s, dir) => {
-      val n = madeName
+    // ---- F8: unified code (bracket > brand > name-code≥4), fully
+    // expression-based via Cleaning.nameCode → hash-checkable ----
+    "f8_unified_code" -> ((s, dir) =>
       Tables.part(s, dir)
         .select(col("p_partkey"),
-          Cleaning.unifiedCode(n, productCodeUdf(n)).as("unified_code"))
-        .orderBy("p_partkey")
-    }),
+          Cleaning.unifiedCodeExpr(madeName).as("unified_code"))
+        .orderBy("p_partkey")),
 
-    // ---- F5: name-code extraction (priority regex cascade, UDF) ----
+    // ---- F5: name-code extraction (priority regex cascade) as a pure
+    // Column expression; the ProductCode UDF stays as the Unicode-\b
+    // parity variant (ScalaTest-checked against this one) ----
     "f5_name_code" -> ((s, dir) =>
       Tables.part(s, dir)
-        .select(col("p_partkey"), productCodeUdf(madeName).as("name_code"))
+        .select(col("p_partkey"), Cleaning.nameCode(madeName).as("name_code"))
         .orderBy("p_partkey"))
   )
 
@@ -157,7 +157,16 @@ object FunctionQueries {
          |  CASE WHEN c2 <> '' AND TRY_CAST(c2 AS BIGINT) BETWEEN 5 AND 999999 THEN c2 END,
          |  CASE WHEN c3 <> '' AND TRY_CAST(c3 AS BIGINT) BETWEEN 5 AND 999999 THEN c3 END)
          |  AS capacity
-         |FROM x ORDER BY p_partkey""".stripMargin
-    // f5_name_code / f8_unified_code: UDF-backed → rows-only check.
+         |FROM x ORDER BY p_partkey""".stripMargin,
+
+    "f5_name_code" ->
+      s"""WITH t AS (SELECT p_partkey, $madeNameSql AS made_name FROM part)
+         |SELECT p_partkey, ${Cleaning.nameCodeSql("made_name")} AS name_code
+         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "f8_unified_code" ->
+      s"""WITH t AS (SELECT p_partkey, $madeNameSql AS made_name FROM part)
+         |SELECT p_partkey, ${Cleaning.unifiedCodeSql("made_name")} AS unified_code
+         |FROM t ORDER BY p_partkey""".stripMargin
   )
 }

@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.functions.Cleaning
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's matching cascade (SURVEY.md §2.4, §3 E2):
+  * article match → bracket-code match (J3) → unified-code match (J4) →
+  * leftovers are new items; fuzzy name probing (J2/J5) annotates the
+  * unmatched pool. Variant selection inside the code stages follows the
+  * reference's priority — color∧capacity > color > capacity > first in
+  * file order (main.py:2693-2751) — as a scored row_number window.
+  *
+  * Scale notes (100 TB):
+  *  - every stage joins on a key (article / extracted code), so the big
+  *    side shuffles at most once per stage and Catalyst picks
+  *    broadcast-hash where the dimension side is small;
+  *  - the cascade's "remove what earlier stages matched" is left_anti on
+  *    the same key — no extra shuffle beyond the stage join;
+  *  - fuzzy probing is the only non-equi stage and runs AFTER the pool
+  *    has been shrunk by the code stages; see
+  *    [[graft.operators.FuzzyJoin]] for the lossless-blocking design.
+  */
+object MatchQueries {
+
+  // ---- builders ----------------------------------------------------------
+
+  /** Unmatched pool after the article stage (J1 miss branch). */
+  private def newItems(s: SparkSession, dir: String): DataFrame =
+    Fixture.supplierSide(s, dir)
+      .join(broadcast(Fixture.baseSide(s, dir).select("article")), Seq("article"), "left_anti")
+
+  /** New supplier rows with constructed name / color / bracket code /
+    * capacity (the inputs of the code-matching stages). */
+  private def supCoded(s: SparkSession, dir: String): DataFrame =
+    newItems(s, dir)
+      .withColumn("name", Fixture.supplierName(col("article")))
+      .withColumn("color", Fixture.supplierColor(col("article")))
+      .withColumn("code", Cleaning.bracketCode(col("name")))
+      .withColumn("capacity", Cleaning.batteryCapacity(col("name")))
+
+  /** Base rows with constructed name / color / bracket code / capacity. */
+  private def baseCoded(s: SparkSession, dir: String): DataFrame =
+    Fixture.baseSide(s, dir)
+      .select(col("article").as("base_article"), col("base_price"),
+        col("name").as("p_name"))
+      .withColumn("bname", Fixture.baseName(col("base_article"), col("p_name")))
+      .withColumn("bcolor", Fixture.baseColor(col("base_article")))
+      .withColumn("bcode", Cleaning.bracketCode(col("bname")))
+      .withColumn("bcapacity", Cleaning.batteryCapacity(col("bname")))
+
+  /** Reference variant priority: color∧capacity(3) > color(2) >
+    * capacity(1) > first-in-file(0). */
+  private def variantScore =
+    when(Cleaning.safeColor(col("color")) === Cleaning.safeColor(col("bcolor")) &&
+      col("capacity") === col("bcapacity"), 3)
+      .when(Cleaning.safeColor(col("color")) === Cleaning.safeColor(col("bcolor")), 2)
+      .when(col("capacity") === col("bcapacity"), 1)
+      .otherwise(0)
+
+  /** Best base variant per supplier article: score desc, then smallest
+    * base key (the reference's first-variant-wins fallback). */
+  private def bestPerArticle(pairs: DataFrame, codeCol: String): DataFrame = {
+    val w = Window.partitionBy("article").orderBy(col("score").desc, col("base_article").asc)
+    pairs.withColumn("score", variantScore)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("article"), col(codeCol).as("code"), col("base_article"), col("score"))
+  }
+
+  /** J3 — bracket-code stage over the unmatched pool. */
+  private def bracketBest(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supCoded(s, dir).join(baseCoded(s, dir), col("code") === col("bcode"))
+    bestPerArticle(pairs, "code")
+  }
+
+  /** J4 — unified-code stage over what the bracket stage left. */
+  private def unifiedBest(s: SparkSession, dir: String): DataFrame = {
+    val rest = supCoded(s, dir).join(bracketBest(s, dir).select("article"), Seq("article"), "left_anti")
+    val sup = rest.withColumn("ucode", Cleaning.unifiedCodeExpr(col("name")))
+      .filter(col("ucode").isNotNull)
+    val base = baseCoded(s, dir).withColumn("bucode", Cleaning.unifiedCodeExpr(col("bname")))
+      .filter(col("bucode").isNotNull)
+    val pairs = sup.join(base, col("ucode") === col("bucode"))
+    bestPerArticle(pairs, "ucode")
+  }
+
+  // ---- oracle CTE chain (DuckDB twin of the builders above) --------------
+
+  private val ctePrefix: String =
+    s"""WITH sup AS (${Fixture.supplierSideSql}),
+       | base AS (${Fixture.baseSideSql}),
+       | new_items AS (SELECT s.* FROM sup s
+       |   WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.article = s.article)),
+       | sup_named AS (SELECT article, supplier_price, row_id,
+       |     ${Fixture.supplierNameSql("article")} AS name,
+       |     ${Fixture.supplierColorSql("article")} AS color FROM new_items),
+       | sup_coded AS (SELECT article, supplier_price, row_id, name, color,
+       |     ${Cleaning.bracketCodeSql("name")} AS code,
+       |     ${Cleaning.batteryCapacitySql("name")} AS capacity FROM sup_named),
+       | base_named AS (SELECT article AS base_article, base_price, name AS p_name,
+       |     ${Fixture.baseNameSql("article", "name")} AS bname,
+       |     ${Fixture.baseColorSql("article")} AS bcolor FROM base),
+       | base_coded AS (SELECT base_article, base_price, p_name, bname, bcolor,
+       |     ${Cleaning.bracketCodeSql("bname")} AS bcode,
+       |     ${Cleaning.batteryCapacitySql("bname")} AS bcapacity FROM base_named),
+       | bracket_pairs AS (SELECT s.article, s.code, b.base_article,
+       |     CASE WHEN s.color = b.bcolor AND s.capacity = b.bcapacity THEN 3
+       |          WHEN s.color = b.bcolor THEN 2
+       |          WHEN s.capacity = b.bcapacity THEN 1 ELSE 0 END AS score
+       |   FROM sup_coded s JOIN base_coded b ON s.code = b.bcode),
+       | bracket_scored AS (SELECT *, row_number() OVER
+       |     (PARTITION BY article ORDER BY score DESC, base_article ASC) AS rn
+       |   FROM bracket_pairs),
+       | bracket_best AS (SELECT article, code, base_article, score
+       |   FROM bracket_scored WHERE rn = 1),
+       | uni_rest AS (SELECT * FROM sup_coded s
+       |   WHERE NOT EXISTS (SELECT 1 FROM bracket_best f WHERE f.article = s.article)),
+       | sup_uni AS (SELECT article, color, capacity,
+       |     ${Cleaning.unifiedCodeSql("name")} AS ucode FROM uni_rest),
+       | base_uni AS (SELECT base_article, bcolor, bcapacity,
+       |     ${Cleaning.unifiedCodeSql("bname")} AS bucode FROM base_coded),
+       | uni_pairs AS (SELECT s.article, s.ucode AS code, b.base_article,
+       |     CASE WHEN s.color = b.bcolor AND s.capacity = b.bcapacity THEN 3
+       |          WHEN s.color = b.bcolor THEN 2
+       |          WHEN s.capacity = b.bcapacity THEN 1 ELSE 0 END AS score
+       |   FROM sup_uni s JOIN base_uni b ON s.ucode = b.bucode
+       |   WHERE s.ucode IS NOT NULL),
+       | uni_scored AS (SELECT *, row_number() OVER
+       |     (PARTITION BY article ORDER BY score DESC, base_article ASC) AS rn
+       |   FROM uni_pairs),
+       | uni_best AS (SELECT article, code, base_article, score
+       |   FROM uni_scored WHERE rn = 1)""".stripMargin
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- J3: bracket-code match with variant-priority selection ----
+    "j3_bracket_match" -> ((s, dir) => bracketBest(s, dir).orderBy("article")),
+
+    // ---- J4: unified-code match (bracket > brand > F5 name-code) ----
+    "j4_unified_match" -> ((s, dir) => unifiedBest(s, dir).orderBy("article")),
+
+    // ---- A7: code-variant grouping (dict-of-lists keyed by code) ----
+    "a7_code_variants" -> ((s, dir) =>
+      baseCoded(s, dir).filter(col("bcode").isNotNull)
+        .groupBy(col("bcode").as("code"))
+        .agg(count(lit(1)).as("n_variants"),
+          array_join(sort_array(collect_list(col("base_article").cast("string"))), ",")
+            .as("variants"))
+        .orderBy("code")),
+
+    // ---- E2: the full cascade — per supplier article, which stage
+    // matched it (article / bracket / unified) or 'new' ----
+    "e2_cascade" -> ((s, dir) => {
+      val sup = Fixture.supplierSide(s, dir)
+      val base = Fixture.baseSide(s, dir)
+      val stage1 = sup.join(broadcast(base.select("article")), Seq("article"), "left_semi")
+        .select(col("article"), lit("article").as("found_by"),
+          col("article").as("base_article"))
+      val bb = bracketBest(s, dir)
+      val ub = unifiedBest(s, dir)
+      val stage2 = bb.select(col("article"), lit("bracket").as("found_by"), col("base_article"))
+      val stage3 = ub.select(col("article"), lit("unified").as("found_by"), col("base_article"))
+      val stage4 = newItems(s, dir)
+        .join(bb.select("article").unionByName(ub.select("article")), Seq("article"), "left_anti")
+        .select(col("article"), lit("new").as("found_by"),
+          lit(null).cast("long").as("base_article"))
+      stage1.unionByName(stage2).unionByName(stage3).unionByName(stage4)
+        .orderBy("article")
+    }),
+
+    // ---- J7: report-enrichment lookup (matches re-probed against the
+    // base for name/color/capacity columns) ----
+    "j7_enrich" -> ((s, dir) =>
+      Fixture.supplierSide(s, dir)
+        .join(broadcast(baseCoded(s, dir)), col("article") === col("base_article"))
+        .select(col("article"), col("supplier_price"), col("base_price"),
+          col("bname"), col("bcolor"), col("bcapacity"))
+        .orderBy("article")),
+
+    // ---- P14: processed-item removal (left_anti against a processed
+    // set derived from the pool itself) ----
+    "p14_processed_removal" -> ((s, dir) => {
+      val items = newItems(s, dir)
+      val processed = items.filter(col("article") % 5 === 0).select("article")
+      items.join(processed, Seq("article"), "left_anti")
+        .select("article", "supplier_price")
+        .orderBy("article")
+    }),
+
+    // ---- U2: membership as a semi-join ----
+    "u2_semi_join" -> ((s, dir) =>
+      Fixture.supplierSide(s, dir)
+        .join(broadcast(Fixture.baseSide(s, dir).select("article")), Seq("article"), "left_semi")
+        .select("article", "supplier_price")
+        .orderBy("article")),
+
+    // ---- J2: per-new-item fuzzy probe (left: unmatched keep nulls);
+    // difflib-parity ratio → rows-only gate + ScalaTest parity specs ----
+    "j2_fuzzy_probe" -> ((s, dir) => {
+      val cands = supCoded(s, dir).select("article", "name")
+      val base = baseCoded(s, dir).select("base_article", "bname")
+      FuzzyJoin.bestMatch(cands, col("article"), col("name"),
+          base, col("base_article"), col("bname"), 0.33, "fuzzy")
+        .select(col("article"), col("name"),
+          col("fuzzy_key").as("fuzzy_base_article"), col("fuzzy_name"), col("fuzzy_sim"))
+        .orderBy("article")
+    }),
+
+    // ---- J5: batch fuzzy match (inner: matched candidates only) ----
+    "j5_fuzzy_batch" -> ((s, dir) => {
+      val cands = supCoded(s, dir).select("article", "name")
+      val base = baseCoded(s, dir).select("base_article", "bname")
+      FuzzyJoin.bestMatch(cands, col("article"), col("name"),
+          base, col("base_article"), col("bname"), 0.33, "fuzzy")
+        .filter(col("fuzzy_key").isNotNull)
+        .select(col("article"), col("fuzzy_key").as("fuzzy_base_article"), col("fuzzy_sim"))
+        .orderBy("article")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j3_bracket_match" ->
+      s"""$ctePrefix
+         |SELECT article, code, base_article, score FROM bracket_best
+         |ORDER BY article""".stripMargin,
+
+    "j4_unified_match" ->
+      s"""$ctePrefix
+         |SELECT article, code, base_article, score FROM uni_best
+         |ORDER BY article""".stripMargin,
+
+    "a7_code_variants" ->
+      s"""$ctePrefix
+         |SELECT bcode AS code, count(*) AS n_variants,
+         | string_agg(CAST(base_article AS VARCHAR), ','
+         |            ORDER BY CAST(base_article AS VARCHAR)) AS variants
+         |FROM base_coded WHERE bcode IS NOT NULL
+         |GROUP BY bcode ORDER BY code""".stripMargin,
+
+    "e2_cascade" ->
+      s"""$ctePrefix
+         |SELECT article, 'article' AS found_by, article AS base_article FROM sup s
+         | WHERE EXISTS (SELECT 1 FROM base b WHERE b.article = s.article)
+         |UNION ALL SELECT article, 'bracket', base_article FROM bracket_best
+         |UNION ALL SELECT article, 'unified', base_article FROM uni_best
+         |UNION ALL SELECT n.article, 'new', CAST(NULL AS BIGINT) FROM new_items n
+         | WHERE NOT EXISTS (SELECT 1 FROM bracket_best f WHERE f.article = n.article)
+         |   AND NOT EXISTS (SELECT 1 FROM uni_best f WHERE f.article = n.article)
+         |ORDER BY article""".stripMargin,
+
+    "j7_enrich" ->
+      s"""$ctePrefix
+         |SELECT s.article, s.supplier_price, b.base_price, b.bname, b.bcolor, b.bcapacity
+         |FROM sup s JOIN base_coded b ON s.article = b.base_article
+         |ORDER BY article""".stripMargin,
+
+    "p14_processed_removal" ->
+      s"""$ctePrefix
+         |SELECT article, supplier_price FROM new_items n
+         |WHERE NOT EXISTS (SELECT 1 FROM
+         |  (SELECT article FROM new_items WHERE article % 5 = 0) p
+         |  WHERE p.article = n.article)
+         |ORDER BY article""".stripMargin,
+
+    "u2_semi_join" ->
+      s"""WITH sup AS (${Fixture.supplierSideSql}), base AS (${Fixture.baseSideSql})
+         |SELECT article, supplier_price FROM sup s
+         |WHERE EXISTS (SELECT 1 FROM base b WHERE b.article = s.article)
+         |ORDER BY article""".stripMargin
+    // j2_fuzzy_probe / j5_fuzzy_batch: difflib-parity UDF → rows-only.
+  )
+}
