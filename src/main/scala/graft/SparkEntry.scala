@@ -19,7 +19,9 @@ object SparkEntry {
     (CoreQueries.queries, CoreQueries.oracle),
     (FunctionQueries.queries, FunctionQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
-    (MatchQueries.queries, MatchQueries.oracle))
+    (MatchQueries.queries, MatchQueries.oracle),
+    (MutationQueries.queries, MutationQueries.oracle),
+    (SourceQueries.queries, SourceQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.{Canonicalize, SupplierConfig}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The reference's config-driven load pipeline (SURVEY.md §2.1 S1–S3,
+  * §2.2 P1–P7) exposed as driver-gated queries: a messy raw frame —
+  * localized/padded headers, a junk column, unparsable numerics — is
+  * constructed from `part`, then canonicalized through
+  * [[graft.sources.Canonicalize]] with a reference-shaped
+  * [[graft.sources.SupplierConfig]]. The DuckDB oracle states the
+  * expected FINAL canonical result directly, so the whole
+  * drop→rename→cast→validate path is hash-checked.
+  */
+object SourceQueries {
+
+  /** Reference-shaped config for the messy fixture below (mapping keys
+    * deliberately differ in case/padding from the raw headers). */
+  val testConfig: SupplierConfig = SupplierConfig(
+    name = "test",
+    columnMapping = Map(
+      "артикул" -> "article",
+      "НАИМЕНОВАНИЕ" -> "name",
+      "цена usd" -> "price_usd",
+      "unnamed: 5" -> "type_note"),
+    ignoreColumns = Seq("служебная"),
+    dataTypes = Map(
+      "article" -> "int",
+      "price_usd" -> "float",
+      "name" -> "string",
+      "type_note" -> "string"),
+    requiredColumns = Seq("article", "name", "price_usd"),
+    priceMin = 0.0,
+    priceMax = 1000.0,
+    skipEmptyRows = true)
+
+  /** Messy raw frame: headers as an Excel read would surface them —
+    * padded, mixed-case, localized, positional (`Unnamed: 5`) — plus one
+    * ignorable junk column and a numeric column with unparsable cells. */
+  private def rawFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.part(s, dir).select(
+      col("p_partkey").cast("string").as(" Артикул "),
+      col("p_name").as("Наименование"),
+      when(col("p_partkey") % 11 === 0, lit("N/A"))
+        .otherwise(col("p_retailprice").cast("string")).as("Цена USD"),
+      col("p_brand").as("Служебная колонка"),
+      col("p_type").as("Unnamed: 5"))
+
+  private val rawPriceSql =
+    """CASE WHEN p_partkey % 11 = 0 THEN 'N/A'
+      |     ELSE CAST(p_retailprice AS VARCHAR) END""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- S1+P1–P7: canonicalization of a messy schema-less read ----
+    "s1_canonicalize" -> ((s, dir) =>
+      Canonicalize(rawFrame(s, dir), testConfig).orderBy("article")),
+
+    // ---- P6: price-range validation metrics (warn-only, non-dropping) ----
+    "p6_price_validation" -> ((s, dir) =>
+      Canonicalize.priceRangeViolations(
+        Canonicalize(rawFrame(s, dir), testConfig), testConfig)),
+
+    // ---- S2: directory scan, pick-largest, load (loader.py:489-551) ----
+    "s2_pick_largest" -> ((s, dir) => {
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val largest = files.maxBy(f => fs.getContentSummary(f.getPath).getLength).getPath
+      Tables.load(s, dir, largest.getName.stripSuffix(".parquet"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("picked", lit(largest.getName))
+        .select("picked", "n_rows")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_canonicalize" ->
+      s"""SELECT CAST(p_partkey AS BIGINT) AS article, p_name AS name,
+         | TRY_CAST($rawPriceSql AS DOUBLE) AS price_usd,
+         | p_type AS type_note
+         |FROM part ORDER BY article""".stripMargin,
+
+    "p6_price_validation" ->
+      s"""WITH t AS (SELECT TRY_CAST($rawPriceSql AS DOUBLE) AS price_usd FROM part)
+         |SELECT count(CASE WHEN price_usd < 0.0 THEN 1 END) AS price_usd_below_min,
+         | count(CASE WHEN price_usd > 1000.0 THEN 1 END) AS price_usd_above_max
+         |FROM t""".stripMargin,
+
+    // lineitem is the largest table at every scale factor (TPC-H shape).
+    "s2_pick_largest" ->
+      "SELECT 'lineitem.parquet' AS picked, count(*) AS n_rows FROM lineitem"
+  )
+}

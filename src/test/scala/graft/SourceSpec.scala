@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.{Canonicalize, ConfigLoader, SupplierConfig}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config parsing + canonicalization pipeline (S1–S3, P1–P7). */
+class SourceSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private val refShapedJson =
+    """{
+      |  "name": "vitya",
+      |  "column_mapping": {
+      |    "Unnamed: 1": "name", "Unnamed: 4": "price_usd", "курс": "article_vitya"
+      |  },
+      |  "ignore_columns": ["служебн", "Фото"],
+      |  "data_types": {"price_usd": "float", "article_vitya": "int", "name": "string"},
+      |  "validation": {
+      |    "required_columns": ["article_vitya", "name", "price_usd"],
+      |    "price_min": 0, "price_max": 100000
+      |  },
+      |  "settings": {"skip_empty_rows": true}
+      |}""".stripMargin
+
+  test("ConfigLoader parses reference-shaped JSON") {
+    val cfg = ConfigLoader.fromJson(refShapedJson)
+    assert(cfg.name === "vitya")
+    assert(cfg.columnMapping("курс") === "article_vitya")
+    assert(cfg.ignoreColumns === Seq("служебн", "Фото"))
+    assert(cfg.dataTypes("price_usd") === "float")
+    assert(cfg.requiredColumns === Seq("article_vitya", "name", "price_usd"))
+    assert(cfg.priceMax === 100000.0)
+    assert(cfg.skipEmptyRows)
+    assert(cfg.reverseMapping("article_vitya") === "курс")
+  }
+
+  test("ConfigLoader defaults for missing sections (fallback config)") {
+    val cfg = ConfigLoader.fromJson("""{"name": "x"}""")
+    assert(cfg.columnMapping.isEmpty && cfg.requiredColumns.isEmpty && !cfg.skipEmptyRows)
+  }
+
+  test("detectByFilename follows the reference rules") {
+    assert(ConfigLoader.detectByFilename("JHT_Xiaomi_31.07.xlsx") === "vitya")
+    assert(ConfigLoader.detectByFilename("DiMi_Opt_Price.xlsx") === "dimi")
+    assert(ConfigLoader.detectByFilename("dima_list.xls") === "dimi")
+    assert(ConfigLoader.detectByFilename("base_ОСНОВА.xlsx") === "base")
+    assert(ConfigLoader.detectByFilename("файл БАЗА.xlsx") === "base")
+    assert(ConfigLoader.detectByFilename("random.xlsx") === "auto")
+  }
+
+  test("Canonicalize: drop-by-substring, case-insensitive rename, coerce casts, empty rows") {
+    val cfg = ConfigLoader.fromJson(refShapedJson)
+    val schema = StructType(Seq(
+      StructField("Unnamed: 1", StringType), StructField("Unnamed: 4", StringType),
+      StructField("КУРС", StringType), StructField("Служебная колонка", StringType),
+      StructField("Фото товара", StringType)))
+    val rows = Seq(
+      Row("Item A", "12.5", "'00042", "junk", "img"),
+      Row("Item B", "oops", "x9", "junk", "img"),
+      Row(null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Canonicalize(df, cfg)
+    assert(out.columns.toSeq === Seq("name", "price_usd", "article_vitya"))
+    val got = out.collect()
+    assert(got.length === 2, "all-null row dropped")
+    val a = got.find(_.getString(0) == "Item A").get
+    assert(a.getDouble(1) === 12.5)
+    assert(a.isNullAt(2), "non-numeric article coerces to null ('00042 has apostrophe)")
+    val b = got.find(_.getString(0) == "Item B").get
+    assert(b.isNullAt(1), "unparsable price coerces to null")
+  }
+
+  test("Canonicalize hard-fails on missing required columns (P5)") {
+    val cfg = ConfigLoader.fromJson(refShapedJson)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("x"))),
+      StructType(Seq(StructField("Unnamed: 1", StringType))))
+    val e = intercept[IllegalArgumentException](Canonicalize(df, cfg))
+    assert(e.getMessage.contains("article_vitya"))
+  }
+}
