@@ -21,7 +21,10 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracle),
     (MatchQueries.queries, MatchQueries.oracle),
     (MutationQueries.queries, MutationQueries.oracle),
-    (SourceQueries.queries, SourceQueries.oracle))
+    (SourceQueries.queries, SourceQueries.oracle),
+    (DedupQueries.queries, DedupQueries.oracle),
+    (AnnQueries.queries, AnnQueries.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

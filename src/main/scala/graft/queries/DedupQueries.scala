@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for the training-data pipeline (builder
+  * brief): exact-threshold n-gram Jaccard via a PREFIX-FILTERED set-
+  * similarity join (AllPairs/PPJoin family), MinHash+LSH banding,
+  * SimHash with pigeonhole chunk blocking, and embedding-cosine pairs.
+  *
+  * Scale design — none of these is an all-pairs cross join:
+  *  - '''d3''' prefix filtering is LOSSLESS for a Jaccard threshold t:
+  *    order each doc's shingles by (global document-frequency, token) and
+  *    keep the first ⌊(1−t)·|S|⌋+1 as its prefix — two sets with
+  *    J ≥ t MUST share a prefix token. Candidates come from an equi-join
+  *    on prefix tokens (rarest tokens first ⇒ tiny buckets), then exact
+  *    Jaccard verifies. All shuffles are key-hash joins/groupBys.
+  *  - '''d2''' MinHash signatures (32 hashes, 8 bands × 4) turn near-dup
+  *    search into an equi-join on band keys; exact Jaccard verifies
+  *    candidates, so false positives cost only the verify, and the miss
+  *    probability at J≥0.9 is (1−J⁴)⁸ < 0.1%.
+  *  - '''d4''' SimHash: 64-bit signature; Hamming ≤ 3 neighbours must
+  *    share one of 4 exact 16-bit chunks (pigeonhole) — again an
+  *    equi-join on (chunk index, chunk value).
+  *  - '''d5''' cosine pairs stay quadratic here (embeddings table is a
+  *    dimension-sized side); the scale path is x2_ann_lsh's bucketing.
+  */
+object DedupQueries {
+
+  /** Distinct word 3-gram shingles. Mirrors the DuckDB twin exactly:
+    * concat() (NULL-propagating, like SQL ||) over get() so a <3-word doc
+    * yields a single NULL shingle rather than an error. */
+  private[graft] def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat(get(words, i - 1), lit("_"), get(words, i), lit("_"), get(words, i + 1))))
+  }
+
+  private[queries] val shinglesSql: String =
+    """list_distinct(list_transform(
+      |   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |   i -> string_split(text, ' ')[i] || '_' ||
+      |        string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]))""".stripMargin
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  private val T = 0.5 // Jaccard threshold for d3 (planted dups are ≥0.9)
+
+  /** Exact-Jaccard verification of candidate (doc1, doc2) pairs. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, t: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("sz").as("sz1"))
+    val b = docs.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("sz").as("sz2"))
+    cand.join(a, "doc1").join(b, "doc2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- D3: exact n-gram Jaccard dedup via prefix-filtered join ----
+    "d3_ngram_jaccard" -> ((s, dir) => {
+      val docs = docShingles(s, dir).cache()
+      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
+      val pref = tok.join(freq, "t")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
+        .select(col("t"), col("doc_id"), col("sz"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+            // lossless size band: J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|)
+            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      verifyJaccard(cand, docs, T)
+    }),
+
+    // ---- D2: MinHash + LSH banding (xxhash64-based → rows-only gate;
+    // DedupSpec proves ≡ exact pairs at the same threshold) ----
+    "d2_minhash_lsh" -> ((s, dir) => {
+      val docs = docShingles(s, dir).cache()
+      // 32 minhashes; nested lambda: per hash index i, min over shingles.
+      val sigs = docs.withColumn("sig",
+        transform(sequence(lit(0), lit(31)),
+          i => array_min(transform(col("sh"),
+            t => xxhash64(concat(t, lit("#"), i.cast("string")))))))
+      // 8 bands of 4 rows → band key = hash of the slice.
+      val banded = sigs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(7)),
+            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("key"))))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      verifyJaccard(cand, docs, 0.8)
+    }),
+
+    // ---- D4: SimHash + pigeonhole chunk blocking (rows-only gate) ----
+    "d4_simhash" -> ((s, dir) => {
+      val sim = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+        // (acc << 1) | bit, not acc*2+bit: building the 64-bit signature
+        // through signed multiplication overflows under ANSI once the
+        // sign bit is set; shifts are plain bit ops.
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) -> (acc << 1) |
+            |  (CASE WHEN aggregate(th, 0L, (a2, h) ->
+            |     a2 + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) > 0
+            |   THEN 1L ELSE 0L END))""".stripMargin))
+        .select("doc_id", "simhash")
+      val chunked = sim.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c*16) & 65535 AS v))"))
+            .as("ck"))
+        .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+      chunked.as("a").join(chunked.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // ---- D5: embedding-cosine near-dup pairs ----
+    "d5_embedding_dup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n2", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("dot",
+          aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+        .withColumn("cosine", col("dot") / sqrt(col("n21") * col("n22")))
+        .filter(col("cosine") >= 0.45)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id1", "id2")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d3_ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | tok AS (SELECT doc_id, sz, unnest(sh) AS t FROM sized),
+         | freq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         | ranked AS (SELECT tok.t, tok.doc_id, tok.sz,
+         |     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.df ASC, tok.t ASC) AS rk
+         |   FROM tok JOIN freq f ON tok.t = f.t),
+         | pref AS (SELECT t, doc_id, sz FROM ranked
+         |   WHERE rk <= floor((1.0 - $T) * sz) + 1),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |   FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    AND a.sz >= $T * b.sz AND b.sz >= $T * a.sz),
+         | verified AS (SELECT c.doc1, c.doc2,
+         |     len(list_intersect(x.sh, y.sh)) * 1.0 /
+         |       (x.sz + y.sz - len(list_intersect(x.sh, y.sh))) AS j
+         |   FROM cand c JOIN sized x ON c.doc1 = x.doc_id
+         |               JOIN sized y ON c.doc2 = y.doc_id)
+         |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
+         |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin
+    // d2/d4: xxhash64-based → rows-only. d5: engine-specific float
+    // summation → rows-only (DedupSpec pins the values instead).
+  )
+}

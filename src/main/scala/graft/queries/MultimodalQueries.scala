@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): media as opaque binary
+  * columns with typed metadata. The decode step is a clearly-marked
+  * deterministic STUB (no image/audio libraries in this environment) —
+  * what is real and tested is the Spark-side plumbing: binary columns,
+  * typed Dataset batch processing via mapPartitions (the JVM analog of a
+  * vectorized-batch UDF: one iterator per partition, amortized setup),
+  * schema, and partitioning.
+  */
+object MultimodalQueries {
+
+  /** Decoded-media metadata record (what a real image decode would
+    * yield; here derived deterministically from the bytes). */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, phash: Long)
+
+  /** STUB decode: a real implementation would parse the container header
+    * (JPEG/PNG/WAV...). Deterministic fake so the pipeline is testable:
+    * dimensions and a perceptual-hash stand-in derived from the bytes. */
+  private[queries] def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    var h = 1125899906842597L // FNV-ish deterministic fold over the bytes
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    MediaMeta(docId, bytes.length, 64 + (math.abs(h) % 1536).toInt,
+      64 + (math.abs(h / 7) % 1024).toInt, h)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- M1: binary media column → per-partition batch decode →
+    // typed metadata (rows-only gate; MultimodalSpec pins values) ----
+    "m1_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[(Long, Array[Byte])]
+      // mapPartitions: one iterator per partition — where a real decoder
+      // would amortize codec/model setup across the batch.
+      media.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // ---- M2: media byte accounting (pure expression → hash-gated) ----
+    "m2_media_bytes" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          (length(col("text").cast("binary")) - length(col("text"))).as("multibyte_overhead"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m2_media_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | octet_length(encode(text)) - length(text) AS multibyte_overhead
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension over the events fixture (SURVEY.md
+  * §2.9: the reference is batch-only, so this is additive capability,
+  * kept out of the batch parity surface — its batch twin is the
+  * e_window_counts query).
+  *
+  * Scale notes: the windowed aggregation is a streaming state-store
+  * aggregation keyed by (window, event_type) — partitioned state, no
+  * global ordering; the watermark bounds state size. Sessionization
+  * keys state by user_id (hash-partitioned), emits on event-time
+  * timeout, so state is O(active users), not O(events).
+  */
+object EventStream {
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionAcc(count: Long, sumValue: Double, startMs: Long, lastMs: Long)
+  case class UserSession(user_id: Long, n_events: Long, sum_value: Double, duration_sec: Double)
+
+  /** Schema of the events fixture as stored (ts is TIMESTAMP(NANOS) →
+    * read as long under nanosAsLong, converted below). */
+  val storedSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source streaming read of the events table (requires
+    * spark.sql.legacy.parquet.nanosAsLong=true, as everywhere). The file
+    * source wants a directory, so the fixture dir is filtered down to
+    * the events file; in production this would be a drop-directory of
+    * event parquet files picked up incrementally. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(storedSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. Works on
+    * both streaming and batch frames (withWatermark is a no-op hint in
+    * batch), so streaming results are directly checkable against the
+    * batch twin. */
+  def windowCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time sessionization: per-user sessions closed after
+    * `gapMinutes` of inactivity (custom state via
+    * flatMapGroupsWithState, emitted on event-time timeout). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(uid, s.count, s.sumValue, (s.lastMs - s.startMs) / 1000.0))
+          } else {
+            val acc0 = state.getOption.getOrElse(SessionAcc(0, 0.0, Long.MaxValue, Long.MinValue))
+            val acc = it.foldLeft(acc0) { (a, e) =>
+              SessionAcc(a.count + 1, a.sumValue + e.value,
+                math.min(a.startMs, e.ts.getTime), math.max(a.lastMs, e.ts.getTime))
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastMs + gapMinutes * 60 * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+}

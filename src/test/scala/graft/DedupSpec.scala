@@ -1,0 +1,88 @@
+package graft
+
+import graft.queries.{AnnQueries, DedupQueries, MultimodalQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / ANN / multimodal: approximate methods checked against exact
+  * brute-force recomputation on sf0.001. */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sfDir}
+
+  /** Exact all-pairs Jaccard ≥ t over word-3-gram shingles. */
+  private def exactJaccardPairs(t: Double): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("d1"), col("sh").as("s1"))
+    val b = docs.select(col("doc_id").as("d2"), col("sh").as("s2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("i", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("j", col("i") / (size(col("s1")) + size(col("s2")) - col("i")))
+      .filter(col("j") >= t)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("d2 MinHash-LSH finds exactly the Jaccard≥0.8 pairs (verify stage removes FPs)") {
+    val lsh = DedupQueries.queries("d2_minhash_lsh")(spark, sfDir)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exactJaccardPairs(0.8))
+    assert(lsh.nonEmpty, "fixture has planted near-dups")
+  }
+
+  test("d3 prefix-filtered join ≡ exact all-pairs at the same threshold") {
+    val pf = DedupQueries.queries("d3_ngram_jaccard")(spark, sfDir)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === exactJaccardPairs(0.5))
+  }
+
+  test("d4 SimHash chunk blocking is lossless for hamming ≤ 3") {
+    val sim = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) -> (acc << 1) |
+          |  (CASE WHEN aggregate(th, 0L, (a2, h) ->
+          |     a2 + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) > 0
+          |   THEN 1L ELSE 0L END))""".stripMargin))
+      .select("doc_id", "simhash")
+    val a = sim.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sim.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val exact = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(expr("bit_count(h1 ^ h2) <= 3"))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = DedupQueries.queries("d4_simhash")(spark, sfDir)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === exact)
+  }
+
+  test("x2 LSH neighbors are true bucket-mates with exact cosines from x1's metric") {
+    val x2 = AnnQueries.queries("x2_ann_lsh")(spark, sfDir).collect()
+    assert(x2.nonEmpty)
+    // Each (qid, nid) pair's cosine must equal the brute-force cosine for
+    // the same pair (same arithmetic, no approximation in scoring).
+    val x1 = AnnQueries.queries("x1_ann_brute")(spark, sfDir)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    x2.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      x1.get(key).foreach(c => assert(c === r.getAs[Double]("cosine")))
+    }
+    // LSH top-k is a subset of each query's bucket — ranks are contiguous
+    x2.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("m1 media decode stub is deterministic and byte-accurate") {
+    val m1a = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()
+    val m1b = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()
+    assert(m1a.map(_.toSeq).toSeq === m1b.map(_.toSeq).toSeq, "deterministic across runs")
+    val nBytes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    m1a.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") === nBytes(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming: windowed aggregation parity with the batch twin
+  * and stateful sessionization. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("streaming windowCounts emits closed windows equal to the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      val events = Seq(
+        Event(ts(0), 1, "click", 1.0), Event(ts(10), 2, "view", 2.5),
+        Event(ts(20), 1, "click", 3.0), Event(ts(70), 3, "click", 4.0))
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData(Event(ts(600), 9, "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .select("win_start", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.windowCounts((events :+ Event(ts(600), 9, "late", 0.0)).toDF())
+        .collect()
+        .filter(_.getAs[Timestamp]("win_start").getTime < ts(600 - 120).getTime)
+        .map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize closes per-user sessions after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: three events within the gap; user 2: one event
+      input.addData(
+        Event(ts(0), 1, "click", 1.0), Event(ts(5), 1, "view", 2.0),
+        Event(ts(20), 1, "click", 3.0), Event(ts(2), 2, "view", 10.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past both timeouts
+      input.addData(Event(ts(300), 3, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventStream.UserSession]
+        .collect().map(s => s.user_id -> s).toMap
+      assert(sessions.contains(1L) && sessions.contains(2L))
+      assert(sessions(1L).n_events === 3 && sessions(1L).sum_value === 6.0)
+      assert(sessions(1L).duration_sec === 1200.0)
+      assert(sessions(2L).n_events === 1 && sessions(2L).duration_sec === 0.0)
+    } finally q.stop()
+  }
+
+  test("file-source streaming read of the fixture matches the batch row count") {
+    val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("ev_raw").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_raw").count()
+      val batch = Tables.events(spark, SparkTestBase.sfDir).count()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
