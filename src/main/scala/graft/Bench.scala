@@ -11,6 +11,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen and the page cache with one cheap scan per
+    // table so the first timed query doesn't absorb all startup cost.
+    Seq("lineitem", "orders", "part", "customer", "supplier", "nation",
+      "region", "events", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
+    }
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => }
+    // The similarity UDF's inner loops need a couple of large batches
+    // before C2 fully compiles them; two passes of the cheapest fuzzy
+    // query bring every fuzzy measurement to steady state.
+    (1 to 2).foreach { _ =>
+      try SparkEntry.queries("j5_fuzzy_batch")(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

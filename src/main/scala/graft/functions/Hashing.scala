@@ -1,0 +1,119 @@
+package graft.functions
+
+/** Deterministic 64-bit hashing for the dedup/ANN operators, implemented
+  * as plain JVM loops so the hot paths (minhash signatures, simhash bit
+  * counting, LSH projections) run at primitive speed instead of
+  * interpreted higher-order-function expressions.
+  *
+  * splitmix64 is the public-domain mixer from Steele et al. (JDK
+  * SplittableRandom); string hashing is a polynomial fold finished with
+  * the same mixer. These signatures are engine-internal (the gated
+  * queries that use them are rows-only), so the only requirements are
+  * determinism and dispersion.
+  */
+object Hashing extends Serializable {
+
+  final def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  final def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    splitmix64(h)
+  }
+
+  /** MinHash band keys: one base hash per shingle, k derived hashes via
+    * seed mixing (h_i = mix(h0 + i·φ)), min per derivation, then bands of
+    * `rows` minhashes folded to one key each. */
+  final def minhashBandKeys(shingles: Seq[String], numHashes: Int, bands: Int): Array[Long] = {
+    val rows = numHashes / bands
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val h0 = hashString(it.next())
+      var i = 0
+      while (i < numHashes) {
+        val hi = splitmix64(h0 + i * 0x9e3779b97f4a7c15L)
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0x2545f4914f6cdd1dL ^ b
+      var r = 0
+      while (r < rows) { k = splitmix64(k ^ mins(b * rows + r)); r += 1 }
+      keys(b) = k
+      b += 1
+    }
+    keys
+  }
+
+  /** 64-bit SimHash over string features: per bit, sum of ±1 across
+    * feature hashes; sign → bit. */
+  final def simhash(features: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    val it = features.iterator
+    while (it.hasNext) {
+      val h = hashString(it.next())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 63
+    while (b >= 0) { out = (out << 1) | (if (counts(b) > 0) 1L else 0L); b -= 1 }
+    out
+  }
+}
+
+/** Primitive-loop vector kernels shared by the embedding operators. The
+  * fold order is strictly sequential (index 0 → n−1), matching DuckDB's
+  * list_reduce over list_zip so double results are bit-identical and the
+  * x1/d5 oracles can hash-compare. */
+object VectorOps extends Serializable {
+  final def dot(x: Seq[Double], y: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  final def norm2(x: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    s
+  }
+
+  /** Deterministic pseudo-random hyperplanes in [-1,1]^dim. */
+  final def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      (Hashing.splitmix64(p.toLong * 131071L + i) % 1000003L).toDouble / 1000003.0
+    }
+
+  /** Sign-LSH bucket: one bit per plane (sign of the projection). */
+  final def signBucket(v: Seq[Double], ps: Array[Array[Double]]): Long = {
+    var out = 0L
+    var p = 0
+    while (p < ps.length) {
+      val plane = ps(p)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, plane.length)
+      while (i < n) { s += v(i) * plane(i); i += 1 }
+      out = (out << 1) | (if (s > 0.0) 1L else 0L)
+      p += 1
+    }
+    out
+  }
+}

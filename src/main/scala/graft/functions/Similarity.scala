@@ -142,12 +142,73 @@ object Similarity extends Serializable {
     * of the fuzzy join. */
   def referenceRatioAtLeast(a: String, b: String, minRatio: Double): Double = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
-    val al = a.toLowerCase(java.util.Locale.ROOT)
-    val bl = b.toLowerCase(java.util.Locale.ROOT)
+    lowercasedRatioAtLeast(
+      a.toLowerCase(java.util.Locale.ROOT), b.toLowerCase(java.util.Locale.ROOT), minRatio)
+  }
+
+  /** Pre-lowercased hot path: callers lowercase ONCE per row in the plan
+    * (a Column `lower()`), not once per pair in the UDF. Per-thread
+    * memoization of the b-side index: under a broadcast nested-loop join
+    * the streamed (base) row is fixed while the broadcast candidates
+    * iterate, so consecutive calls share `b` and reuse its char→positions
+    * index and char counts instead of rebuilding them per pair. */
+  def lowercasedRatioAtLeast(al: String, bl: String, minRatio: Double): Double = {
+    if (al == null || bl == null || al.isEmpty || bl.isEmpty) return 0.0
     val rq = realQuickRatio(al, bl)
     if (rq < minRatio) return rq
-    val q = quickRatio(al, bl)
+    val p = preparedFor(bl)
+    val q = quickRatioPrepared(al, p)
     if (q < minRatio) return q
     ratio(al, bl)
+  }
+
+  /** Immutable per-b index: ASCII char counts (for quick_ratio). */
+  private final class PreparedB(val b: String) {
+    val counts = new Array[Int](128)
+    var nonAscii: java.util.HashMap[Character, Integer] = _
+    locally {
+      var i = 0
+      while (i < b.length) {
+        val c = b.charAt(i)
+        if (c < 128) counts(c) += 1
+        else {
+          if (nonAscii == null) nonAscii = new java.util.HashMap[Character, Integer]()
+          nonAscii.merge(c, 1, (x, y) => x + y)
+        }
+        i += 1
+      }
+    }
+  }
+
+  private val tlPrepared = new ThreadLocal[PreparedB]
+
+  private def preparedFor(b: String): PreparedB = {
+    val cached = tlPrepared.get()
+    if (cached != null && (cached.b eq b) || (cached != null && cached.b == b)) cached
+    else { val p = new PreparedB(b); tlPrepared.set(p); p }
+  }
+
+  /** quick_ratio against a prepared b — primitive-array counting, no
+    * per-pair HashMap allocation for ASCII inputs. */
+  private def quickRatioPrepared(a: String, p: PreparedB): Double = {
+    val la = a.length; val lb = p.b.length
+    if (la + lb == 0) return 1.0
+    val avail = java.util.Arrays.copyOf(p.counts, 128)
+    var nonAsciiAvail: java.util.HashMap[Character, Integer] = null
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val c = a.charAt(i)
+      if (c < 128) {
+        if (avail(c) > 0) { matches += 1; avail(c) -= 1 }
+      } else if (p.nonAscii != null) {
+        if (nonAsciiAvail == null)
+          nonAsciiAvail = new java.util.HashMap[Character, Integer](p.nonAscii)
+        val n = nonAsciiAvail.getOrDefault(c, 0)
+        if (n > 0) { matches += 1; nonAsciiAvail.put(c, n - 1) }
+      }
+      i += 1
+    }
+    2.0 * matches / (la + lb)
   }
 }

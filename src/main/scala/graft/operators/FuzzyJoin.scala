@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  private val simUdf = udf((a: String, b: String, t: Double) =>
-    Similarity.referenceRatioAtLeast(a, b, t))
+  // Scores PRE-LOWERCASED columns: the case fold happens once per row in
+  // the plan (codegen'd lower()), not once per pair in the UDF.
+  private val simUdf = udf((aLc: String, bLc: String, t: Double) =>
+    Similarity.lowercasedRatioAtLeast(aLc, bLc, t))
 
   /** Best fuzzy match per candidate: returns `cands`' columns plus
     * `<prefix>_key`, `<prefix>_name`, `<prefix>_sim` of the best base row
@@ -45,18 +47,26 @@ object FuzzyJoin {
       base: DataFrame, baseKey: Column, baseName: Column,
       threshold: Double, prefix: String = "match"): DataFrame = {
     val c = cands.withColumn("_cand_name", candName)
+      .withColumn("_cand_lc", lower(candName))
       .withColumn("_cand_len", length(lower(candName)))
       .withColumn("_cand_id", candKey)
+    // The base side arrives as a handful of scan partitions; after the
+    // broadcast join it would run on those few threads. Repartition to
+    // the session's shuffle width so the O(cands·base) scoring spreads
+    // across all cores — a shuffle of the SMALL dimension table only.
+    val width = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val b = base.select(
       baseKey.as(s"${prefix}_key"),
       baseName.as(s"${prefix}_name"),
+      lower(baseName).as("_base_lc"),
       length(lower(baseName)).as("_base_len"))
+      .repartition(width)
     // Lossless band: 2·min(la,lb)/(la+lb) ≥ t  (null lengths drop — a
     // null name can never reach a positive threshold anyway).
     val band = lit(2.0) * least(col("_cand_len"), col("_base_len")) /
       (col("_cand_len") + col("_base_len")) >= lit(threshold)
     val scored = broadcast(c).join(b, band, "inner")
-      .withColumn("_sim", simUdf(col("_cand_name"), col(s"${prefix}_name"), lit(threshold)))
+      .withColumn("_sim", simUdf(col("_cand_lc"), col("_base_lc"), lit(threshold)))
       .filter(col("_sim") >= threshold)
     val w = Window.partitionBy("_cand_id")
       .orderBy(col("_sim").desc, col(s"${prefix}_key").asc)
@@ -66,6 +76,6 @@ object FuzzyJoin {
     c.join(best.select(col("_cand_id").as("_best_id"), col(s"${prefix}_key"),
         col(s"${prefix}_name"), col(s"${prefix}_sim")),
         col("_cand_id") === col("_best_id"), "left")
-      .drop("_cand_id", "_best_id", "_cand_name", "_cand_len")
+      .drop("_cand_id", "_best_id", "_cand_name", "_cand_lc", "_cand_len")
   }
 }

@@ -50,6 +50,13 @@ object DedupQueries {
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
 
+  private val bandKeysUdf =
+    udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))
+  private[graft] val simhashUdf =
+    udf((sh: Seq[String]) => graft.functions.Hashing.simhash(sh))
+  private val dotUdf = udf(graft.functions.VectorOps.dot _)
+  private val norm2Udf = udf(graft.functions.VectorOps.norm2 _)
+
   private val T = 0.5 // Jaccard threshold for d3 (planted dups are ≥0.9)
 
   /** Exact-Jaccard verification of candidate (doc1, doc2) pairs. */
@@ -85,21 +92,14 @@ object DedupQueries {
       verifyJaccard(cand, docs, T)
     }),
 
-    // ---- D2: MinHash + LSH banding (xxhash64-based → rows-only gate;
-    // DedupSpec proves ≡ exact pairs at the same threshold) ----
+    // ---- D2: MinHash + LSH banding (engine-internal hashes → rows-only
+    // gate; DedupSpec proves ≡ exact pairs at the same threshold). The
+    // signature is one primitive JVM pass per doc (32 derived hashes per
+    // shingle), not an interpreted nested-lambda expression. ----
     "d2_minhash_lsh" -> ((s, dir) => {
       val docs = docShingles(s, dir).cache()
-      // 32 minhashes; nested lambda: per hash index i, min over shingles.
-      val sigs = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(31)),
-          i => array_min(transform(col("sh"),
-            t => xxhash64(concat(t, lit("#"), i.cast("string")))))))
-      // 8 bands of 4 rows → band key = hash of the slice.
-      val banded = sigs.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(7)),
-            b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("key"))))
-            .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val banded = docs.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+        .toDF("doc_id", "band", "key")
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -108,20 +108,14 @@ object DedupQueries {
       verifyJaccard(cand, docs, 0.8)
     }),
 
-    // ---- D4: SimHash + pigeonhole chunk blocking (rows-only gate) ----
+    // ---- D4: SimHash + pigeonhole chunk blocking (rows-only gate).
+    // Features are the word 3-gram SHINGLES, not unigrams: on a small
+    // shared vocabulary every doc contains nearly every word, so a
+    // unigram simhash is almost constant; shingle features separate
+    // planted near-dups from the background. ----
     "d4_simhash" -> ((s, dir) => {
-      val sim = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-        // (acc << 1) | bit, not acc*2+bit: building the 64-bit signature
-        // through signed multiplication overflows under ANSI once the
-        // sign bit is set; shifts are plain bit ops.
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) -> (acc << 1) |
-            |  (CASE WHEN aggregate(th, 0L, (a2, h) ->
-            |     a2 + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) > 0
-            |   THEN 1L ELSE 0L END))""".stripMargin))
-        .select("doc_id", "simhash")
+      val sim = docShingles(s, dir)
+        .select(col("doc_id"), simhashUdf(col("sh")).as("simhash"))
       val chunked = sim.select(col("doc_id"), col("simhash"),
           explode(expr(
             "transform(sequence(0, 3), c -> struct(c AS c, shiftright(simhash, c*16) & 65535 AS v))"))
@@ -137,17 +131,19 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
-    // ---- D5: embedding-cosine near-dup pairs ----
+    // ---- D5: embedding-cosine near-dup pairs. The dot product is a
+    // primitive JVM loop with strictly sequential fold order, matching
+    // DuckDB's list_reduce bit-for-bit → hash-gated oracle. ----
     "d5_embedding_dup" -> ((s, dir) => {
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("n2", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+        .withColumn("n2", norm2Udf(col("v")))
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
-      a.join(b, col("id1") < col("id2"))
-        .withColumn("dot",
-          aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-        .withColumn("cosine", col("dot") / sqrt(col("n21") * col("n22")))
+      // spread the streamed side over all cores; broadcast the other
+      a.repartition(width).join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("cosine", dotUdf(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
         .filter(col("cosine") >= 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1", "id2")
@@ -175,8 +171,22 @@ object DedupQueries {
          |   FROM cand c JOIN sized x ON c.doc1 = x.doc_id
          |               JOIN sized y ON c.doc2 = y.doc_id)
          |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
-         |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin
-    // d2/d4: xxhash64-based → rows-only. d5: engine-specific float
-    // summation → rows-only (DedupSpec pins the values instead).
+         |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin,
+
+    // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
+    // equals DuckDB's first-element-seeded list_reduce exactly).
+    "d5_embedding_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+        |       (x, y) -> x + y) / sqrt(a.n2 * b.n2) AS cosine
+        |   FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(cosine, 4) AS cosine FROM pairs
+        |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin
+    // d2/d4: engine-internal hashing → rows-only (DedupSpec proves
+    // equivalence to exact recomputation instead).
   )
 }

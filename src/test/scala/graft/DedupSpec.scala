@@ -37,14 +37,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("d4 SimHash chunk blocking is lossless for hamming ≤ 3") {
     val sim = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) -> (acc << 1) |
-          |  (CASE WHEN aggregate(th, 0L, (a2, h) ->
-          |     a2 + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) > 0
-          |   THEN 1L ELSE 0L END))""".stripMargin))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"),
+        DedupQueries.simhashUdf(DedupQueries.shingles(col("text"))).as("simhash"))
     val a = sim.select(col("doc_id").as("d1"), col("simhash").as("h1"))
     val b = sim.select(col("doc_id").as("d2"), col("simhash").as("h2"))
     val exact = a.crossJoin(b).filter(col("d1") < col("d2"))
