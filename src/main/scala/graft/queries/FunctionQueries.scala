@@ -104,6 +104,15 @@ object FunctionQueries {
     "f5_name_code" -> ((s, dir) =>
       Tables.part(s, dir)
         .select(col("p_partkey"), Cleaning.nameCode(madeName).as("name_code"))
+        .orderBy("p_partkey")),
+
+    // ---- F12: per-supplier base price, null/≤0 → 0.0 (the shifted
+    // retail price goes negative for low keys, exercising the guard) ----
+    "f12_base_price" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          round(Cleaning.basePriceOrZero(col("p_retailprice") - 950), 4)
+            .as("base_price_or_zero"))
         .orderBy("p_partkey"))
   )
 
@@ -167,6 +176,13 @@ object FunctionQueries {
     "f8_unified_code" ->
       s"""WITH t AS (SELECT p_partkey, $madeNameSql AS made_name FROM part)
          |SELECT p_partkey, ${Cleaning.unifiedCodeSql("made_name")} AS unified_code
-         |FROM t ORDER BY p_partkey""".stripMargin
+         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "f12_base_price" ->
+      """SELECT p_partkey,
+        | round(COALESCE(CASE WHEN p_retailprice - 950 > 0
+        |                     THEN p_retailprice - 950 END, 0.0), 4)
+        |   AS base_price_or_zero
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

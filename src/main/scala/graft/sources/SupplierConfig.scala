@@ -72,4 +72,32 @@ object ConfigLoader {
     else if (up.contains("BASE") || up.contains("БАЗА")) "base"
     else "auto"
   }
+
+  /** P15 — supplier-side (article, price) column roles per active config
+    * (main.py:1752-1768). */
+  def roleColumns(configName: String): (String, String) = configName match {
+    case "vitya" => ("article_vitya", "price_usd")
+    case "dimi" => ("article_dimi", "price_usd")
+    case _ => ("article", "price")
+  }
+
+  /** P15 — the BASE table's per-supplier price column
+    * (main.py:1770-1786). */
+  def basePriceColumn(configName: String): String = configName match {
+    case "vitya" => "price_vitya_usd"
+    case "dimi" => "price_dimi_usd"
+    case _ => "price"
+  }
+
+  /** P16 — product-name column resolution: `name` if present, else the
+    * config-specific fallback, else none (main.py:1976-2035). */
+  def nameColumn(columns: Seq[String], configName: String): Option[String] = {
+    val fallback = configName match {
+      case "vitya" => Seq("name", "product_name", "наименование")
+      case "dimi" => Seq("name", "product_name", "наименование")
+      case _ => Seq("name", "наименование")
+    }
+    fallback.find(f => columns.exists(_.equalsIgnoreCase(f)))
+      .flatMap(f => columns.find(_.equalsIgnoreCase(f)))
+  }
 }

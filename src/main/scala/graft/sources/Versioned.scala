@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S9 — the reference's timestamped-backup-then-mutate pattern
+  * (main.py:6958-7005) re-architected for an append-only engine:
+  * the base is a VERSIONED dataset (`root/v=N/`), every mutation writes
+  * a new version, and "backup" is free because versions are immutable.
+  * `restorePoint` is the version to re-read if a mutation needs rolling
+  * back — no file copying involved.
+  *
+  * Scale notes: a version is an ordinary partitioned parquet write —
+  * parallel, atomic at the directory level (Spark's commit protocol),
+  * no rewrite of history. Version listing is a driver-side metadata
+  * operation; at real scale the listing would live in a table catalog,
+  * but the layout is identical.
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Existing version numbers, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toInt }
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Int] =
+    versions(spark, root).lastOption
+
+  /** Write the frame as the next version; returns the version written. */
+  def write(df: DataFrame, root: String): Int = {
+    val next = latestVersion(df.sparkSession, root).getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Read a specific version, or the latest. */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no versions under $root"))
+    spark.read.parquet(s"$root/v=$v")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.{ConfigLoader, Versioned}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sinks + column-role resolution (S4, S9, P15, P16). */
+class SinkSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sfDir}
+
+  test("P15/P16 column-role resolution follows the reference dispatch") {
+    assert(ConfigLoader.roleColumns("vitya") === ("article_vitya", "price_usd"))
+    assert(ConfigLoader.roleColumns("dimi") === ("article_dimi", "price_usd"))
+    assert(ConfigLoader.roleColumns("base") === ("article", "price"))
+    assert(ConfigLoader.basePriceColumn("vitya") === "price_vitya_usd")
+    assert(ConfigLoader.basePriceColumn("dimi") === "price_dimi_usd")
+    assert(ConfigLoader.nameColumn(Seq("Article", "NAME", "x"), "vitya") === Some("NAME"))
+    assert(ConfigLoader.nameColumn(Seq("Артикул", "Наименование"), "base") === Some("Наименование"))
+    assert(ConfigLoader.nameColumn(Seq("a", "b"), "vitya") === None)
+  }
+
+  test("S4: processed-data CSV sink roundtrips with header") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val out = Tables.part(spark, sfDir).select("p_partkey", "p_name", "p_retailprice").limit(50)
+    out.write.mode("overwrite").option("header", "true").csv(s"$dir/processed")
+    val back = spark.read.option("header", "true")
+      .schema(out.schema).csv(s"$dir/processed")
+    assert(back.count() === 50)
+    assert(back.columns.toSeq === out.columns.toSeq)
+    val a = out.orderBy("p_partkey").collect().map(_.toSeq)
+    val b = back.orderBy("p_partkey").collect().map(_.toSeq)
+    assert(a === b)
+  }
+
+  test("S9: versioned base — write, mutate to a new version, read both") {
+    val root = Files.createTempDirectory("graft_versions").toString + "/base"
+    val v0 = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_retailprice"))
+    assert(Versioned.latestVersion(spark, root).isEmpty)
+    val v1 = Versioned.write(v0, root)
+    assert(v1 === 1)
+    // mutation = join-rewrite producing version 2; version 1 is the backup
+    val updated = Versioned.read(spark, root)
+      .withColumn("p_retailprice", col("p_retailprice") * 1.1)
+    val v2 = Versioned.write(updated, root)
+    assert(v2 === 2)
+    assert(Versioned.versions(spark, root) === Seq(1, 2))
+    val oldSum = Versioned.read(spark, root, Some(1)).agg(sum("p_retailprice")).first().getDouble(0)
+    val newSum = Versioned.read(spark, root).agg(sum("p_retailprice")).first().getDouble(0)
+    assert(math.abs(newSum - oldSum * 1.1) < 1e-6)
+  }
+}
