@@ -22,6 +22,7 @@ object SparkEntry {
     (MatchQueries.queries, MatchQueries.oracle),
     (MutationQueries.queries, MutationQueries.oracle),
     (SourceQueries.queries, SourceQueries.oracle),
+    (PreprocessQueries.queries, PreprocessQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
     (AnnQueries.queries, AnnQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle))

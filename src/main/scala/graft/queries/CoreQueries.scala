@@ -64,6 +64,17 @@ object CoreQueries {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- P12: non-null key filter before matching (dropna subset) ----
+    "p12_nonnull_keys" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("l_partkey")).as("article"),
+          when(col("l_linenumber") % 4 === 0, lit(null).cast("double"))
+            .otherwise(col("l_extendedprice")).as("price"))
+        .na.drop(Seq("article", "price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- P13: anti-filter by found set (left_anti) ----
     "p13_anti_join" -> ((s, dir) => {
       val sold = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
@@ -235,6 +246,15 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_returnflag IS DISTINCT FROM 'R'
         |  AND l_linestatus IS DISTINCT FROM 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p12_nonnull_keys" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_partkey END AS article,
+        | CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_extendedprice END AS price
+        |FROM lineitem
+        |WHERE (CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_partkey END) IS NOT NULL
+        |  AND (CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_extendedprice END) IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "p13_anti_join" ->

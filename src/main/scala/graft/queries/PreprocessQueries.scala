@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import graft.preprocess.Preprocess
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E1 — the composed supplier preprocessing pipelines, end to end over a
+  * constructed "raw supplier frame": dirty article strings (apostrophe +
+  * 000 prefix), nullable/zero prices, and localized stock-status columns
+  * derived deterministically from lineitem keys — mirrored exactly in
+  * the DuckDB oracle so the whole P8→P9/P10→F2/F3→P11 chain is
+  * hash-checked. */
+object PreprocessQueries {
+
+  // Raw vitya frame: every 13th row a null price, every 17th a
+  // below-threshold price; four stock statuses cycling on the order key.
+  private def rawVitya(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      concat(lit("'000"), col("l_partkey").cast("string")).as("article_vitya"),
+      when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+        .when(col("l_orderkey") % 17 === 0, lit(0.005))
+        .otherwise(col("l_extendedprice")).as("price_usd"),
+      elt((col("l_orderkey") % 4 + 1).cast("int"),
+        lit("Имеются в нал."), lit("Распродажа"), lit("Ожидается"), lit("нет в наличии"))
+        .as("balance"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  private val rawVityaSql =
+    """SELECT '''000' || CAST(l_partkey AS VARCHAR) AS article_vitya,
+      |  CASE WHEN l_orderkey % 13 = 0 THEN NULL
+      |       WHEN l_orderkey % 17 = 0 THEN 0.005
+      |       ELSE l_extendedprice END AS price_usd,
+      |  list_extract(['Имеются в нал.', 'Распродажа', 'Ожидается', 'нет в наличии'],
+      |               CAST(l_orderkey % 4 + 1 AS INT)) AS balance,
+      |  l_orderkey, l_linenumber
+      |FROM lineitem""".stripMargin
+
+  // Raw dimi frame: two balance columns; either can be "Ожидается".
+  private def rawDimi(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      concat(lit("D-"), col("l_partkey").cast("string")).as("article_dimi"),
+      when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice")).as("price_usd"),
+      when(col("l_orderkey") % 5 === 0, lit("Ожидается")).otherwise(lit("в наличии"))
+        .as("balance"),
+      when(col("l_linenumber") % 3 === 0, lit("Ожидается")).otherwise(lit("ок"))
+        .as("balance1"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  private val rawDimiSql =
+    """SELECT 'D-' || CAST(l_partkey AS VARCHAR) AS article_dimi,
+      |  CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_extendedprice END AS price_usd,
+      |  CASE WHEN l_orderkey % 5 = 0 THEN 'Ожидается' ELSE 'в наличии' END AS balance,
+      |  CASE WHEN l_linenumber % 3 = 0 THEN 'Ожидается' ELSE 'ок' END AS balance1,
+      |  l_orderkey, l_linenumber
+      |FROM lineitem""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "e1_preprocess_vitya" -> ((s, dir) =>
+      Preprocess(rawVitya(s, dir), "vitya")
+        .select("l_orderkey", "l_linenumber", "article_vitya", "price_usd",
+          "balance", "supplier_name")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "e1_preprocess_dimi" -> ((s, dir) =>
+      Preprocess(rawDimi(s, dir), "dimi")
+        .select("l_orderkey", "l_linenumber", "article_dimi", "price_usd",
+          "supplier_name")
+        .orderBy("l_orderkey", "l_linenumber"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // F2 twin: strip apostrophes + one leading 000 + delete non-digits →
+    // BIGINT (the raw values are always "'000<digits>", so no 0-fallback
+    // branch fires here).
+    "e1_preprocess_vitya" ->
+      s"""WITH raw AS ($rawVityaSql)
+         |SELECT l_orderkey, l_linenumber,
+         | COALESCE(TRY_CAST(regexp_replace(regexp_replace(regexp_replace(
+         |     trim(article_vitya), '''', '', 'g'), '^000', ''), '[^0-9]', '', 'g')
+         |   AS BIGINT), 0) AS article_vitya,
+         | price_usd, balance, 'Витя' AS supplier_name
+         |FROM raw
+         |WHERE price_usd IS NOT NULL AND price_usd > 0.01
+         |  AND balance IN ('Имеются в нал.', 'Распродажа')
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "e1_preprocess_dimi" ->
+      s"""WITH raw AS ($rawDimiSql)
+         |SELECT l_orderkey, l_linenumber,
+         | regexp_replace(regexp_replace(trim(article_dimi), '''', '', 'g'), '^000', '')
+         |   AS article_dimi,
+         | price_usd, 'Дима' AS supplier_name
+         |FROM raw
+         |WHERE price_usd IS NOT NULL AND price_usd > 0.01
+         |  AND balance IS DISTINCT FROM 'Ожидается'
+         |  AND balance1 IS DISTINCT FROM 'Ожидается'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
