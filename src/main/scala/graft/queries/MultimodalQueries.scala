@@ -49,13 +49,48 @@ object MultimodalQueries {
         .select(col("doc_id"),
           length(col("text").cast("binary")).as("n_bytes"),
           (length(col("text").cast("binary")) - length(col("text"))).as("multibyte_overhead"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- M3: frame sampling — treat the media bytes as a "video" and
+    // cut fixed-size frames at a fixed stride (one input row → many
+    // frame rows). Pure byte slicing, so the whole explode is
+    // expression-level (codegen'd) and hash-gated; a real codec would
+    // slot into the same shape via mapPartitions (see M1). ----
+    "m3_frame_sample" -> ((s, dir) => {
+      val frameSize = 32
+      val stride = 100
+      val media = col("text").cast("binary")
+      val nFrames = greatest(
+        floor((length(media) - frameSize) / stride) + 1, lit(0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), media.as("media"), nFrames.as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"),
+          // fingerprint the frame via its hex encoding — DuckDB 1.0 has
+          // no BLOB substring, but both engines agree on uppercase hex,
+          // so md5(hex(bytes)) is cross-engine comparable
+          posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+            i => md5(hex(col("media").substr(i * stride + 1, lit(frameSize)))))))
+        .toDF("doc_id", "frame_no", "frame_md5")
+        .orderBy("doc_id", "frame_no")
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "m2_media_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | octet_length(encode(text)) - length(text) AS multibyte_overhead
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS media_hex,
+        |    greatest(CAST(floor((octet_length(encode(text)) - 32) / 100) AS BIGINT) + 1, 0)
+        |      AS n_frames
+        |  FROM documents),
+        | f AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_no, media_hex
+        |   FROM m WHERE n_frames > 0)
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        | md5(substring(media_hex, CAST(frame_no * 200 + 1 AS INT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin
   )
 }
