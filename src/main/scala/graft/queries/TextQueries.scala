@@ -88,6 +88,28 @@ object TextQueries {
         .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_doc_id")),
 
+    // ---- rolling-hash fingerprinting: whole-doc polynomial hash plus
+    // the minimum 8-gram window hash (winnowing-style selection) — all
+    // modular arithmetic bounded under 2^63 so both engines compute the
+    // identical BIGINT values (DuckDB errors on overflow, it doesn't
+    // wrap) ----
+    "t5_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(
+            """aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+              |  0L, (h, c) -> (h * 31 + c) % 1000000007L)""".stripMargin)
+            .as("doc_hash"),
+          // guarded: an 8-gram needs at least 8 chars (OOB substr
+          // semantics differ between engines)
+          expr(
+            """CASE WHEN length(text) >= 8 THEN
+              |  array_min(transform(sequence(1, length(text) - 7),
+              |    i -> aggregate(transform(sequence(i, i + 7), j -> ascii(substr(text, j, 1))),
+              |      0L, (h, c) -> (h * 31 + c) % 1000000007L))) END""".stripMargin)
+            .as("min_gram_hash"))
+        .orderBy("doc_id")),
+
     // ---- events: tumbling-window counts (batch analog of the streaming
     // ingest in graft.streaming) ----
     "e_window_counts" -> ((s, dir) =>
@@ -154,6 +176,18 @@ object TextQueries {
     "e_window_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum("value"), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "t5_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0,
+        |   list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |   (h, c) -> (h * 31 + c) % 1000000007) AS doc_hash,
+        | CASE WHEN length(text) >= 8 THEN
+        |   list_min(list_transform(range(1, length(text) - 6),
+        |     i -> list_reduce(list_prepend(0,
+        |       list_transform(range(i, i + 8), j -> CAST(ascii(text[j]) AS BIGINT))),
+        |       (h, c) -> (h * 31 + c) % 1000000007))) END AS min_gram_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

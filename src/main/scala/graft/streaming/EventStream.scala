@@ -50,6 +50,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon — the streaming twin of the batch
+    * dedup suite (at-least-once sources → effectively-once downstream).
+    * State is bounded by the watermark: ids older than the horizon are
+    * evicted, so memory is O(events per horizon), not O(stream). */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

@@ -63,6 +63,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_ev").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "click"), (2L, ts(1), "view"),
+        (1L, ts(2), "click"), (3L, ts(3), "view"), (2L, ts(4), "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L), s"duplicates not dropped: $ids")
+    } finally q.stop()
+  }
+
   test("file-source streaming read of the fixture matches the batch row count") {
     val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
     assert(stream.isStreaming)
