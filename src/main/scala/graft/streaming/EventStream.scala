@@ -50,6 +50,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * (batch) dimension table on the user key — the streaming analog of
+    * the engine's dimension joins. Spark re-plans the static side per
+    * micro-batch, so a versioned dimension ([[graft.sources.Versioned]])
+    * picks up new versions between batches; the broadcast keeps the
+    * stream un-shuffled. */
+  def enrichEvents(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim(dimKey), "left")
+
   /** Streaming dedup: drop events whose `event_id` was already seen
     * within the watermark horizon — the streaming twin of the batch
     * dedup suite (at-least-once sources → effectively-once downstream).

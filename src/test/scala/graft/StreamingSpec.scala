@@ -80,6 +80,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Event]
+    val dim = spark.createDataFrame(Seq((1L, "gold"), (2L, "basic")))
+      .toDF("uid", "tier")
+    val q = EventStream.enrichEvents(input.toDF(), dim, "uid")
+      .select("user_id", "event_type", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 2, "view", 2.0),
+        Event(ts(2), 9, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)))).toSet
+      assert(rows === Set((1L, Some("gold")), (2L, Some("basic")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("file-source streaming read of the fixture matches the batch row count") {
     val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
     assert(stream.isStreaming)
