@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Cleaning, ProductCode}
+import graft.functions.Cleaning
 import org.apache.spark.sql.functions._
 
 /** Scalar-function operators (SURVEY.md §2.3) exercised over fixture
@@ -13,8 +13,6 @@ import org.apache.spark.sql.functions._
   * hash-checkable.
   */
 object FunctionQueries {
-
-  private val productCodeUdf = udf((s: String) => Option(ProductCode.findInName(s)))
 
   // Dirty article strings built from part keys: one third gets the
   // apostrophe+000 prefix, one third embedded letters, one third a
