@@ -147,6 +147,37 @@ object CoreQueries {
         .filter(col("dup_count") > 1)
         .orderBy("o_custkey")),
 
+    // ---- A1 multi-column variant: the reference's duplicate QA scans
+    // each of several article columns (article, article_vitya, …) and
+    // reports duplicates per column (main.py:8085-8209). Dup-prone
+    // per-supplier columns are constructed from the part key. ----
+    "a1_multi_dup" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      def dupsOf(colName: String, value: org.apache.spark.sql.Column) =
+        p.select(value.as("value")).groupBy("value")
+          .agg(count(lit(1)).as("dup_count"))
+          .filter(col("dup_count") > 1)
+          .select(lit(colName).as("column_name"), col("value"), col("dup_count"))
+      dupsOf("article", col("p_partkey") % 700)
+        .unionByName(dupsOf("article_vitya", col("p_partkey") % 450))
+        .unionByName(dupsOf("article_mila", col("p_partkey") % 997))
+        .orderBy("column_name", "value")
+    }),
+
+    // ---- SQL-API surface: the same engine driven through spark.sql
+    // over registered views (every other query uses the DataFrame API) ----
+    "q2_sql_api" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      s.sql(
+        """SELECT p.p_brand, count(*) AS n_items,
+          |       round(sum(l.l_extendedprice), 2) AS revenue
+          |FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+          |WHERE l.l_quantity > 10
+          |GROUP BY p.p_brand
+          |ORDER BY p.p_brand""".stripMargin)
+    }),
+
     // ---- A2: max key + 1 (auto-numbering for inserts) ----
     "a2_max_article" -> ((s, dir) =>
       Tables.part(s, dir).agg((max("p_partkey") + 1).as("next_article"))),
@@ -307,6 +338,27 @@ object CoreQueries {
 
     "a2_max_article" ->
       "SELECT max(p_partkey) + 1 AS next_article FROM part",
+
+    "a1_multi_dup" ->
+      """SELECT * FROM (
+        |  SELECT 'article' AS column_name, p_partkey % 700 AS value,
+        |         count(*) AS dup_count
+        |  FROM part GROUP BY 2 HAVING count(*) > 1
+        |  UNION ALL
+        |  SELECT 'article_vitya', p_partkey % 450, count(*)
+        |  FROM part GROUP BY 2 HAVING count(*) > 1
+        |  UNION ALL
+        |  SELECT 'article_mila', p_partkey % 997, count(*)
+        |  FROM part GROUP BY 2 HAVING count(*) > 1)
+        |ORDER BY column_name, value""".stripMargin,
+
+    "q2_sql_api" ->
+      """SELECT p.p_brand, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity > 10
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
 
     "a4_top10" ->
       """SELECT o_custkey, count(*) AS cnt FROM orders
