@@ -131,6 +131,45 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
+    // ---- D6: benchmark decontamination — flag "training" docs that
+    // near-duplicate a "benchmark" doc (doc_id % 20 == 0 plays the
+    // held-out set). Same lossless prefix-filter machinery as d3, but
+    // candidates cross the two sets instead of self-joining. ----
+    "d6_decontaminate" -> ((s, dir) => {
+      val docs = docShingles(s, dir).cache()
+      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
+      val pref = tok.join(freq, "t")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
+        .select(col("t"), col("doc_id"), col("sz"))
+      val bench = pref.filter(col("doc_id") % 20 === 0)
+      val train = pref.filter(col("doc_id") % 20 =!= 0)
+      val cand = train.as("a").join(bench.as("b"),
+          col("a.t") === col("b.t") &&
+            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      verifyJaccard(cand, docs, T)
+        .select(col("doc1").as("train_doc"), col("doc2").as("benchmark_doc"), col("jaccard"))
+        .orderBy("train_doc", "benchmark_doc")
+    }),
+
+    // ---- D7: deterministic stratified sampling — ~20% per source via
+    // Knuth multiplicative hashing of the doc id (stable across runs
+    // and engines; no rand()) ----
+    "d7_stratified_sample" -> ((s, dir) => {
+      val keep = (col("doc_id") * 2654435761L) % 100 < 20
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_docs"),
+          count(when(keep, 1)).as("sampled_docs"),
+          array_join(transform(sort_array(collect_list(when(keep, col("doc_id")))),
+            x => x.cast("string")), ",").as("sampled_ids"))
+        .orderBy("source")
+    }),
+
     // ---- D5: embedding-cosine near-dup pairs. The dot product is a
     // primitive JVM loop with strictly sequential fold order, matching
     // DuckDB's list_reduce bit-for-bit → hash-gated oracle. ----
@@ -172,6 +211,38 @@ object DedupQueries {
          |               JOIN sized y ON c.doc2 = y.doc_id)
          |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
          |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin,
+
+    "d6_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | tok AS (SELECT doc_id, sz, unnest(sh) AS t FROM sized),
+         | freq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         | ranked AS (SELECT tok.t, tok.doc_id, tok.sz,
+         |     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.df ASC, tok.t ASC) AS rk
+         |   FROM tok JOIN freq f ON tok.t = f.t),
+         | pref AS (SELECT t, doc_id, sz FROM ranked
+         |   WHERE rk <= floor((1.0 - $T) * sz) + 1),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |   FROM pref a JOIN pref b ON a.t = b.t
+         |    AND a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+         |    AND a.sz >= $T * b.sz AND b.sz >= $T * a.sz),
+         | verified AS (SELECT c.doc1, c.doc2,
+         |     len(list_intersect(x.sh, y.sh)) * 1.0 /
+         |       (x.sz + y.sz - len(list_intersect(x.sh, y.sh))) AS j
+         |   FROM cand c JOIN sized x ON c.doc1 = x.doc_id
+         |               JOIN sized y ON c.doc2 = y.doc_id)
+         |SELECT doc1 AS train_doc, doc2 AS benchmark_doc, round(j, 4) AS jaccard
+         |FROM verified WHERE j >= $T ORDER BY train_doc, benchmark_doc""".stripMargin,
+
+    "d7_stratified_sample" ->
+      """SELECT source, count(*) AS total_docs,
+        | count(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 END) AS sampled_docs,
+        | COALESCE(string_agg(
+        |     CASE WHEN (doc_id * 2654435761) % 100 < 20
+        |          THEN CAST(doc_id AS VARCHAR) END, ','
+        |     ORDER BY doc_id), '') AS sampled_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).
