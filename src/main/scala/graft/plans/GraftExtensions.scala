@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.similarityFunction)
+    ext.injectOptimizerRule(_ => SimilarityJoinRule)
     ext.injectOptimizerRule(_ => SimilarityBandRule)
+    ext.injectPlannerStrategy(_ => SimilarityJoinStrategy)
   }
 }
 

@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.{GraftExtensions, SimilarityJoinRule, SimilarityJoinStrategy}
+import graft.queries.Fixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The whole-operator extension path: declarative crossJoin + threshold
+  * filter transparently rewritten (Rule) into the custom logical node and
+  * planned (Strategy) into the native blocked similarity-join exec. */
+class SimilarityJoinSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sfDir}
+
+  private def declarativeQuery() = {
+    GraftExtensions.register(spark)
+    val cands = Fixture.supplierSide(spark, sfDir)
+      .filter(col("article") % 97 === 0)
+      .select(col("article"), Fixture.supplierName(col("article")).as("cname"))
+    val base = Fixture.baseSide(spark, sfDir)
+      .select(col("article").as("base_article"),
+        Fixture.baseName(col("article"), col("name")).as("bname"))
+    cands.crossJoin(base)
+      .where(expr("graft_similarity(cname, bname) >= 0.62"))
+      .select("article", "base_article")
+  }
+
+  private def withNativeJoin[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SimilarityJoinRule
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ SimilarityJoinStrategy
+    try body finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SimilarityJoinRule)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == SimilarityJoinStrategy)
+    }
+  }
+
+  test("rule + strategy plan the declarative shape into the native exec") {
+    withNativeJoin {
+      val df = declarativeQuery()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SimilarityJoinExec") || plan.contains("SimilarityJoin"),
+        s"native operator not planned:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"cross join survived the rewrite:\n$plan")
+    }
+  }
+
+  test("native similarity join returns exactly the expression-filtered cross join") {
+    val expected = declarativeQuery() // no extras: plain BNL join + expression filter
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "threshold too high — test would be vacuous")
+    val native = withNativeJoin {
+      declarativeQuery().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(native === expected)
+  }
+
+  test("residual conjuncts survive as a filter above the native join") {
+    withNativeJoin {
+      val cands = Fixture.supplierSide(spark, sfDir)
+        .filter(col("article") % 97 === 0)
+        .select(col("article"), Fixture.supplierName(col("article")).as("cname"))
+      val base = Fixture.baseSide(spark, sfDir)
+        .select(col("article").as("base_article"),
+          Fixture.baseName(col("article"), col("name")).as("bname"))
+      val df = cands.crossJoin(base)
+        .where(expr("graft_similarity(cname, bname) >= 0.62 AND base_article % 2 = 0"))
+        .select("article", "base_article")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SimilarityJoin"), s"no native join:\n$plan")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.forall(_._2 % 2 == 0), "residual predicate dropped")
+    }
+  }
+}
