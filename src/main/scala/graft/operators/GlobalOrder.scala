@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global numbering: assigns a dense 1..N position by a sort
+  * key WITHOUT an unpartitioned `row_number` window (which funnels every
+  * row through a single task — the classic scale-killer for large
+  * batches).
+  *
+  * Plan shape:
+  *   1. range-repartition on the sort key (parallel sampling + shuffle),
+  *   2. per-partition local `row_number` (window partitioned by the
+  *      range shard id → every shard numbers in parallel),
+  *   3. per-shard row counts → cumulative offsets via a triangular
+  *      broadcast self-join over the counts (one row per shard, ≤
+  *      spark.sql.shuffle.partitions rows — O(P²) pairs of trivial
+  *      rows, and deliberately NOT a global window so no
+  *      Exchange SinglePartition appears anywhere in the plan),
+  *   4. broadcast the offsets back and add.
+  *
+  * Equivalent to `row_number() OVER (ORDER BY sortCols)` because range
+  * partitioning guarantees shard i's keys all precede shard i+1's.
+  * Ties in the sort key are broken nondeterministically (exactly like
+  * the global window); pass a unique tiebreaker column for full
+  * determinism.
+  */
+object GlobalOrder {
+
+  def withPosition(df: DataFrame, posCol: String, sortCols: Column*): DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("_go_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_go_pid")).orderBy(sortCols: _*)
+    val local = sorted.withColumn("_go_local", row_number().over(localW))
+    val counts = sorted.groupBy("_go_pid").agg(count(lit(1)).as("_go_cnt"))
+    val countsB = counts.select(
+      col("_go_pid").as("_go_pid_b"), col("_go_cnt").as("_go_cnt_b"))
+    val offsets = counts
+      .join(broadcast(countsB), col("_go_pid_b") < col("_go_pid"), "left")
+      .groupBy("_go_pid")
+      .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
+    local.join(broadcast(offsets), Seq("_go_pid"))
+      .withColumn(posCol, (col("_go_local") + col("_go_offset")).cast("int"))
+      .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
+  }
+}

@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
   * The salt is derived from stable row content (a hash of the big
   * side's whole row), NOT from rand(): deterministic across retries, so
   * task re-execution cannot duplicate or lose rows.
+  *
+  * Supported join types: inner, left/left_outer, left_semi, left_anti
+  * (big side on the left). Right/full-outer are rejected: the small
+  * side is replicated once per salt shard, so an UNMATCHED small-side
+  * row would surface `saltFactor` duplicate rows.
   */
 object SaltedJoin {
+
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
 
   def join(
       big: DataFrame, small: DataFrame,
       key: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"SaltedJoin supports inner/left/left_semi/left_anti, not '$joinType': " +
+        "replicating the small side breaks right/full-outer semantics")
     val salted = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
     val replicated = small

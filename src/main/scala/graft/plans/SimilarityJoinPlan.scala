@@ -19,7 +19,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class SimilarityJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftName: Expression, rightName: Expression,
-    threshold: Double) extends BinaryNode {
+    threshold: Double, strict: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -40,7 +40,7 @@ case class SimilarityJoin(
 case class SimilarityJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftName: Expression, rightName: Expression,
-    threshold: Double) extends BinaryExecNode {
+    threshold: Double, strict: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -58,6 +58,7 @@ case class SimilarityJoinExec(
     val rightBound = BindReferences.bindReference(rightName, right.output)
     val attrs = output
     val thr = threshold
+    val isStrict = strict
     right.execute().mapPartitions { iter =>
       val lhs = bLeft.value
       val joiner = new JoinedRow
@@ -74,9 +75,16 @@ case class SimilarityJoinExec(
             else {
               val la = lLower.length
               if (la + lb == 0 || 2.0 * math.min(la, lb) / (la + lb) < thr) Iterator.empty
-              else if (Similarity.lowercasedRatioAtLeast(lLower, rLower, thr) >= thr)
-                Iterator.single(proj(joiner(lRow, rRow)).copy())
-              else Iterator.empty
+              else {
+                // The cascade returns a (cheap) upper BOUND only when it is
+                // already < thr, so both comparators see exact ratios at and
+                // above the threshold — `strict` preserves a user-written
+                // `> t` exactly (ties at t excluded), `>= t` includes them.
+                val r = Similarity.lowercasedRatioAtLeast(lLower, rLower, thr)
+                val keep = if (isStrict) r > thr else r >= thr
+                if (keep) Iterator.single(proj(joiner(lRow, rRow)).copy())
+                else Iterator.empty
+              }
             }
           }
         }

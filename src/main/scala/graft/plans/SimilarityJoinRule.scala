@@ -18,10 +18,25 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def threshold(e: Expression): Option[(GraftSimilarity, Double)] = e match {
-    case GreaterThanOrEqual(s: GraftSimilarity, Literal(t: Double, DoubleType)) if t > 0 => Some((s, t))
-    case GreaterThan(s: GraftSimilarity, Literal(t: Double, DoubleType)) if t > 0 => Some((s, t))
+  // (similarity, threshold, strict): a user-written `> t` must stay
+  // strict through the rewrite — ratios are rationals 2M/(la+lb), so
+  // exact ties at round thresholds are realistic.
+  private def threshold(e: Expression): Option[(GraftSimilarity, Double, Boolean)] = e match {
+    case GreaterThanOrEqual(s: GraftSimilarity, Literal(t: Double, DoubleType)) if t > 0 => Some((s, t, false))
+    case GreaterThan(s: GraftSimilarity, Literal(t: Double, DoubleType)) if t > 0 => Some((s, t, true))
     case _ => None
+  }
+
+  // The exec collects its build (left) side on the driver, exactly like
+  // BroadcastExchange — so it must respect the same size contract.
+  // When the build side's estimated size exceeds
+  // spark.sql.autoBroadcastJoinThreshold (or broadcasting is disabled
+  // with -1), the rewrite is skipped and the crossJoin + band-filtered
+  // similarity predicate plan stands ([[SimilarityBandRule]] keeps that
+  // plan correct and pruned) instead of a silent driver OOM.
+  private def buildSideFits(l: LogicalPlan): Boolean = {
+    val cap = conf.autoBroadcastJoinThreshold
+    cap > 0 && l.stats.sizeInBytes <= BigInt(cap)
   }
 
   // Only the aligned orientation rewrites (first arg from the left
@@ -29,12 +44,13 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   // (autojunk applies to the second argument), so flipping sides to
   // match a swapped predicate could change results.
   private def rewrite(cond: Expression, l: LogicalPlan, r: LogicalPlan): Option[LogicalPlan] = {
+    if (!buildSideFits(l)) return None
     val conjuncts = splitConjunctivePredicates(cond)
     conjuncts.iterator.map(c => (c, threshold(c))).collectFirst {
-      case (c, Some((sim, t)))
+      case (c, Some((sim, t, strict)))
           if sim.left.references.subsetOf(l.outputSet) &&
             sim.right.references.subsetOf(r.outputSet) =>
-        (c, SimilarityJoin(l, r, sim.left, sim.right, t))
+        (c, SimilarityJoin(l, r, sim.left, sim.right, t, strict))
     }.map { case (consumed, node) =>
       val rest = conjuncts.filterNot(_ eq consumed)
       if (rest.isEmpty) node else Filter(rest.reduce(And), node)
@@ -55,8 +71,8 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 /** Plans the logical [[SimilarityJoin]] into [[SimilarityJoinExec]]. */
 object SimilarityJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case SimilarityJoin(l, r, a, b, t) =>
-      SimilarityJoinExec(planLater(l), planLater(r), a, b, t) :: Nil
+    case SimilarityJoin(l, r, a, b, t, strict) =>
+      SimilarityJoinExec(planLater(l), planLater(r), a, b, t, strict) :: Nil
     case _ => Nil
   }
 }

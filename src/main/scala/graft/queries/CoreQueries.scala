@@ -237,6 +237,26 @@ object CoreQueries {
       open.unionByName(done).orderBy("id")
     }),
 
+    // ---- J9: skew-resistant salted join. The skew key collapses a
+    // third of lineitem onto the single hot key 1 — the shape where a
+    // plain hash join leaves one straggler reducer holding 33% of the
+    // table. SaltedJoin spreads the hot key over 8 deterministic shards;
+    // the oracle is the PLAIN join in DuckDB, so the gate itself proves
+    // salt-equivalence end-to-end. ----
+    "j9_salted_skew" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_partkey") % 1000).as("skew_key"),
+        col("l_quantity"))
+      val dim = Tables.part(s, dir).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey").as("skew_key"), col("p_brand").as("brand"))
+      graft.operators.SaltedJoin.join(big, dim, "skew_key", saltFactor = 8)
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("brand")
+    }),
+
     // ---- F13: row-wise min positive price ----
     "f13_min_price" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -406,6 +426,16 @@ object CoreQueries {
         |  SELECT o_orderkey AS id, o_totalprice AS price, 'finished' AS src
         |  FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY id""".stripMargin,
+
+    "j9_salted_skew" ->
+      """WITH big AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+        |    ELSE l_partkey % 1000 END AS skew_key, l_quantity FROM lineitem),
+        | dim AS (SELECT p_partkey AS skew_key, p_brand AS brand
+        |   FROM part WHERE p_partkey < 1000)
+        |SELECT brand, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM big JOIN dim USING (skew_key)
+        |GROUP BY brand ORDER BY brand""".stripMargin,
 
     "f13_min_price" ->
       """SELECT l_orderkey, l_linenumber,

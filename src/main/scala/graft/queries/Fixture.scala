@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Fixture {
 
+  /** Release the cached matching-cascade intermediates built over this
+    * fixture dir (delegates to [[MatchQueries.release]]) — call when a
+    * long-lived session is done with one dir. */
+  def release(s: SparkSession, dir: String, blocking: Boolean = false): Int =
+    MatchQueries.release(s, dir, blocking)
+
   // ---------------------------------------------------------------- supplier
   /** Supplier price list: lineitem keyed by l_partkey with deterministic
     * row identity and the reference's last-wins dict-overwrite dedup

@@ -83,6 +83,30 @@ object MatchQueries {
   private def ctx(s: SparkSession, dir: String): CascadeCtx =
     ctxCache.computeIfAbsent((s, dir), _ => new CascadeCtx(s, dir))
 
+  /** Cache lifecycle: drop and unpersist the cascade intermediates for
+    * one (session, fixture dir). A long-lived session serving many
+    * fixture dirs calls this when a dir's run is done, so old caches
+    * don't pin executor storage forever. Returns the number of
+    * unpersisted frames (0 when nothing was cached). */
+  def release(s: SparkSession, dir: String, blocking: Boolean = false): Int = {
+    val c = ctxCache.remove((s, dir))
+    if (c == null) 0
+    else {
+      val frames = Seq(c.supplierSide, c.baseSide, c.supCoded, c.baseCoded,
+        c.bracketBest, c.unifiedBest)
+      frames.foreach(_.unpersist(blocking))
+      frames.size
+    }
+  }
+
+  /** Release every cached cascade context of a session. */
+  def releaseAll(s: SparkSession, blocking: Boolean = false): Int = {
+    import scala.jdk.CollectionConverters._
+    ctxCache.keySet().asScala.toSeq.collect {
+      case k @ (ks, _) if ks eq s => release(ks, k._2, blocking)
+    }.sum
+  }
+
   private def newItems(s: SparkSession, dir: String): DataFrame = ctx(s, dir).newItems
   private def supCoded(s: SparkSession, dir: String): DataFrame = ctx(s, dir).supCoded
   private def baseCoded(s: SparkSession, dir: String): DataFrame = ctx(s, dir).baseCoded

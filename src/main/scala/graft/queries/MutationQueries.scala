@@ -1,7 +1,7 @@
 package graft.queries
 
+import graft.operators.GlobalOrder
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's base-mutation surface (SURVEY.md §2.1 S6–S9, §3 E3)
@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *  - the rewrite is one broadcast-hash join keyed on the base's own key
   *    (updates side is small) — the base never shuffles and the write is
   *    a full-scan rewrite, the normal pattern for versioned datasets;
-  *  - auto-numbering inserts only sequences the NEW rows (a window over
-  *    the small side); the base contributes just max(article) — no
-  *    global sort of the big side;
+  *  - auto-numbering inserts only sequences the NEW rows, and does so
+  *    with range-partitioned numbering ([[graft.operators.GlobalOrder]])
+  *    rather than a single-task global window, so even a huge insert
+  *    batch numbers in parallel; the base contributes just
+  *    max(article) — no global sort of the big side;
   *  - the final "file order" is a merge of two streams sorted on the
   *    same key, i.e. range-partitionable; nothing requires a single
   *    partition.
@@ -77,13 +79,14 @@ object MutationQueries {
     }),
 
     // ---- O3: insertion-order plan — new items sorted by anchor row,
-    // positions assigned (main.py:6196-6210) ----
+    // positions assigned (main.py:6196-6210). Numbering is
+    // range-partitioned ([[graft.operators.GlobalOrder]]), not a global
+    // single-task window, so a large insert batch scales. ----
     "o3_insert_order" -> ((s, dir) => {
       val newItems = Fixture.supplierSide(s, dir)
         .join(broadcast(Fixture.baseSide(s, dir).select("article")), Seq("article"), "left_anti")
-      val w = Window.orderBy(col("anchor"), col("article"))
-      newItems.withColumn("anchor", col("article") % 1000)
-        .withColumn("insert_pos", row_number().over(w))
+        .withColumn("anchor", col("article") % 1000)
+      GlobalOrder.withPosition(newItems, "insert_pos", col("anchor"), col("article"))
         .select("insert_pos", "anchor", "article", "supplier_price")
         .orderBy("insert_pos")
     }),
@@ -97,11 +100,11 @@ object MutationQueries {
       // max(article) joins in as a broadcast scalar — keeps the plan lazy
       // (no driver-side collect) and the big side un-shuffled.
       val maxArt = base.agg(max("article").as("max_article"))
-      val w = Window.orderBy(col("anchor"), col("article"))
-      val inserted = newItems
+      val inserted = GlobalOrder.withPosition(
+          newItems.withColumn("anchor", col("article") % 1000),
+          "_pos", col("anchor"), col("article"))
         .crossJoin(broadcast(maxArt))
-        .withColumn("anchor", col("article") % 1000)
-        .withColumn("new_article", col("max_article") + row_number().over(w))
+        .withColumn("new_article", col("max_article") + col("_pos"))
         .select(
           col("anchor").as("sort_main"), lit(1).as("sort_sub"),
           col("new_article").as("article"), col("supplier_price").as("price"),

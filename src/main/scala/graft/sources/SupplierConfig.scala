@@ -61,7 +61,13 @@ object ConfigLoader {
       requiredColumns = strSeq(validation.flatMap(v => Option(v.get("required_columns")))),
       priceMin = validation.flatMap(v => Option(v.get("price_min"))).map(_.asDouble()).getOrElse(0.0),
       priceMax = validation.flatMap(v => Option(v.get("price_max"))).map(_.asDouble()).getOrElse(Double.MaxValue),
-      skipEmptyRows = Option(root.at("/settings/skip_empty_rows")).exists(n => !n.isMissingNode && n.asBoolean()))
+      skipEmptyRows = {
+        // Reference defaults this to TRUE when absent (loader.py:464
+        // `.get("skip_empty_rows", True)`); only an explicit false keeps
+        // all-null rows.
+        val n = root.at("/settings/skip_empty_rows")
+        if (n.isMissingNode) true else n.asBoolean(true)
+      })
   }
 
   /** Config auto-selection from a data file name (F10, main.py:1565-1589). */

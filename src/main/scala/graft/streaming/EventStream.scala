@@ -91,7 +91,13 @@ object EventStream {
                 math.min(a.startMs, e.ts.getTime), math.max(a.lastMs, e.ts.getTime))
             }
             state.update(acc)
-            state.setTimeoutTimestamp(acc.lastMs + gapMinutes * 60 * 1000L)
+            // Clamp to just above the current watermark: a batch of
+            // late-but-admitted events can have lastMs + gap below the
+            // watermark, which Spark rejects (IllegalArgumentException)
+            // and would fail the whole streaming query.
+            state.setTimeoutTimestamp(math.max(
+              acc.lastMs + gapMinutes * 60 * 1000L,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

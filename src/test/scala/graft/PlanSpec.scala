@@ -46,4 +46,35 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("p13_anti_join")
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
+
+  test("GlobalOrder numbers a large batch with no single-partition exchange") {
+    import org.apache.spark.sql.functions._
+    // A "large synthetic insert batch": 100k rows — big enough that a
+    // global row_number window would be the wrong plan.
+    val big = spark.range(100000).select(
+      (col("id") % 97).as("anchor"), col("id").as("article"))
+    val numbered = graft.operators.GlobalOrder.withPosition(
+      big, "pos", col("anchor"), col("article"))
+    numbered.collect() // finalize adaptive plan
+    val plan = numbered.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global numbering funnelled through one partition:\n$plan")
+    // Equivalence with the single-task global window on the same data.
+    val rows = numbered.orderBy("pos")
+      .select("pos", "anchor", "article").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 100000))
+    val keys = rows.map(r => (r.getLong(1), r.getLong(2)))
+    assert(keys.sameElements(keys.sorted), "positions disagree with (anchor, article) order")
+  }
+
+  test("o3 numbering plan contains no single-partition exchange") {
+    // s8 shares the same GlobalOrder numbering but also computes the
+    // scalar max(article), whose FINAL agg stage is legitimately a
+    // single partition over per-task partial rows — so the clean
+    // assertion is made on o3, which has no scalar aggregate.
+    val df = SparkEntry.queries("o3_insert_order")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"o3 numbering not partitioned:\n$plan")
+  }
 }

@@ -33,6 +33,17 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(shards.length > 4, "expected the hot key to use most of the 8 shards")
   }
 
+  test("right/full-outer join types are rejected (salt would duplicate unmatched small rows)") {
+    val big = Tables.lineitem(spark, sfDir).limit(10)
+      .select(col("l_partkey").as("k"))
+    val small = Tables.part(spark, sfDir).limit(10)
+      .select(col("p_partkey").as("k"))
+    Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException](SaltedJoin.join(big, small, "k", 4, jt))
+      assert(e.getMessage.contains("SaltedJoin"), s"wrong error for $jt")
+    }
+  }
+
   test("left join keeps unmatched big-side rows exactly once") {
     val big = Tables.lineitem(spark, sfDir).limit(500)
       .select(col("l_partkey").as("k"), col("l_extendedprice").as("v"))

@@ -58,6 +58,42 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(native === expected)
   }
 
+  test("build side over autoBroadcastJoinThreshold falls back to the banded cross join") {
+    val expected = declarativeQuery() // plain BNL join + expression filter
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withNativeJoin {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // nothing fits
+      try {
+        val df = declarativeQuery()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SimilarityJoinExec"),
+          s"driver-collect build side must not plan over the broadcast cap:\n$plan")
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows === expected, "fallback plan changed results")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("strict > excludes exact-threshold ties; >= keeps them") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // ratio("abcd","abcf") = 2*3/(4+4) = 0.75 exactly
+    val l = Seq("abcd").toDF("cname")
+    val r = Seq("abcf").toDF("bname")
+    def q(op: String) =
+      l.crossJoin(r).where(expr(s"graft_similarity(cname, bname) $op 0.75"))
+    withNativeJoin {
+      val ge = q(">=")
+      assert(ge.queryExecution.executedPlan.toString.contains("SimilarityJoin"))
+      assert(ge.count() === 1L, ">= 0.75 must keep the exact-tie pair")
+      val gt = q(">")
+      assert(gt.queryExecution.executedPlan.toString.contains("SimilarityJoin"),
+        "strict > should still plan natively (with the strict flag)")
+      assert(gt.count() === 0L, "> 0.75 must exclude the exact-tie pair")
+    }
+  }
+
   test("residual conjuncts survive as a filter above the native join") {
     withNativeJoin {
       val cands = Fixture.supplierSide(spark, sfDir)

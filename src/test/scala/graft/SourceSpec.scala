@@ -38,7 +38,12 @@ class SourceSpec extends AnyFunSuite {
 
   test("ConfigLoader defaults for missing sections (fallback config)") {
     val cfg = ConfigLoader.fromJson("""{"name": "x"}""")
-    assert(cfg.columnMapping.isEmpty && cfg.requiredColumns.isEmpty && !cfg.skipEmptyRows)
+    // skip_empty_rows defaults TRUE like the reference (loader.py:464);
+    // only an explicit false keeps all-null rows.
+    assert(cfg.columnMapping.isEmpty && cfg.requiredColumns.isEmpty && cfg.skipEmptyRows)
+    val explicitFalse =
+      ConfigLoader.fromJson("""{"name": "x", "settings": {"skip_empty_rows": false}}""")
+    assert(!explicitFalse.skipEmptyRows)
   }
 
   test("detectByFilename follows the reference rules") {
