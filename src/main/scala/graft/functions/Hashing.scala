@@ -101,6 +101,19 @@ object VectorOps extends Serializable {
       (Hashing.splitmix64(p.toLong * 131071L + i) % 1000003L).toDouble / 1000003.0
     }
 
+  /** Oracle-expressible hyperplanes: small-integer weights
+    * w(p,i) = ((i·(p+3) + p) mod 7) − 3 ∈ {−3…3}. Integers are exact in
+    * doubles and the projection is a strictly sequential fold, so a SQL
+    * engine evaluating the same formula reproduces every projection — and
+    * therefore every sign bucket — bit-for-bit. Dispersion is adequate
+    * for bucketing (each plane cycles a different residue pattern over
+    * the dimensions); use [[planes]] when cross-engine parity is not
+    * needed. */
+  final def intPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      (((i * (p + 3) + p) % 7) - 3).toDouble
+    }
+
   /** Sign-LSH bucket: one bit per plane (sign of the projection). */
   final def signBucket(v: Seq[Double], ps: Array[Array[Double]]): Long = {
     var out = 0L

@@ -92,10 +92,13 @@ object DedupQueries {
       verifyJaccard(cand, docs, T)
     }),
 
-    // ---- D2: MinHash + LSH banding (engine-internal hashes → rows-only
-    // gate; DedupSpec proves ≡ exact pairs at the same threshold). The
-    // signature is one primitive JVM pass per doc (32 derived hashes per
-    // shingle), not an interpreted nested-lambda expression. ----
+    // ---- D2: MinHash + LSH banding. The signature is one primitive JVM
+    // pass per doc (32 derived hashes per shingle), not an interpreted
+    // nested-lambda expression. The oracle is the EXHAUSTIVE exact
+    // Jaccard ≥ 0.8 pair set (DuckDB), so the gate asserts 100% LSH
+    // recall on this fixture — honest, because the planted dups sit at
+    // J ≥ 0.9 where the per-pair miss probability is (1−J⁴)⁸ ≈ 2·10⁻⁴;
+    // a hash mismatch here would flag genuine signature drift. ----
     "d2_minhash_lsh" -> ((s, dir) => {
       val docs = docShingles(s, dir).cache()
       val banded = docs.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
@@ -244,6 +247,25 @@ object DedupQueries {
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // Exhaustive exact-Jaccard twin of the LSH pipeline (see the d2 query
+    // comment: the gate asserts full recall at the fixture's similarity
+    // level). The size band is lossless for t=0.8, so the oracle stays
+    // exact while skipping most of the quadratic pair space.
+    "d2_minhash_lsh" ->
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
+         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
+         | verified AS (SELECT doc1, doc2,
+         |     len(list_intersect(sh1, sh2)) * 1.0 /
+         |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
+         |   FROM cand)
+         |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
+         |WHERE j >= 0.8 ORDER BY doc1, doc2""".stripMargin,
+
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).
     "d5_embedding_dup" ->
@@ -257,7 +279,8 @@ object DedupQueries {
         |   FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, round(cosine, 4) AS cosine FROM pairs
         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin
-    // d2/d4: engine-internal hashing → rows-only (DedupSpec proves
-    // equivalence to exact recomputation instead).
+    // d4: engine-internal simhash (FNV + splitmix64 needs wrapping 64-bit
+    // arithmetic DuckDB doesn't have) → rows-only; DedupSpec proves
+    // equivalence to exact recomputation instead.
   )
 }

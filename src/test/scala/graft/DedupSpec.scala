@@ -49,6 +49,13 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked === exact)
   }
 
+  test("x4 IVF multi-probe recall@5 averages >= 0.9") {
+    val rows = AnnQueries.queries("x4_ann_ivf_recall")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no query vectors in fixture")
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(avg >= 0.9, s"nprobe=8 IVF recall too low: $avg")
+  }
+
   test("x2 LSH neighbors are true bucket-mates with exact cosines from x1's metric") {
     val x2 = AnnQueries.queries("x2_ann_lsh")(spark, sfDir).collect()
     assert(x2.nonEmpty)
