@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{Canonicalize, SupplierConfig}
+import graft.sources.{Canonicalize, ConfigLoader, SupplierConfig}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
@@ -52,10 +52,46 @@ object SourceQueries {
     """CASE WHEN p_partkey % 11 = 0 THEN 'N/A'
       |     ELSE CAST(p_retailprice AS VARCHAR) END""".stripMargin
 
+  /** The REAL front-door shape: `fixtures/vitya_config.json` is
+    * byte-identical to the reference's shipped config
+    * (/root/reference/excel_loader/configs/vitya_config.json — SourceSpec
+    * cmp-asserts this), and `fixtures/raw_vitya.csv` reproduces the
+    * workbook exactly as pandas surfaces it (loader.py:442): a banner
+    * service header with embedded newlines (dropped by substring ignore),
+    * `Unnamed: N` positional headers, one named column (курс), all-empty
+    * rows, unparsable numerics, leading-zero articles. */
+  val refConfigPath = "/root/repo/fixtures/vitya_config.json"
+  val refCsvPath = "/root/repo/fixtures/raw_vitya.csv"
+
+  lazy val refConfig: SupplierConfig = ConfigLoader.fromJson(
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refConfigPath)), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def refCanonical(s: org.apache.spark.sql.SparkSession) =
+    Canonicalize(
+      s.read.option("header", "true").option("multiLine", "true").csv(refCsvPath),
+      refConfig)
+
   val queries: Map[String, QueryFn] = Map(
     // ---- S1+P1–P7: canonicalization of a messy schema-less read ----
     "s1_canonicalize" -> ((s, dir) =>
       Canonicalize(rawFrame(s, dir), testConfig).orderBy("article")),
+
+    // ---- S1/S3 with the VERBATIM reference config over the real raw
+    // workbook shape (see refConfigPath doc above) ----
+    "s3_ref_config_csv" -> ((s, _) => refCanonical(s).orderBy("name")),
+
+    // ---- E1 over the reference-config read: config-driven column roles
+    // (P15) + price filter (P8) + supplier tag (P11) ----
+    "e1_ref_pipeline" -> ((s, _) => {
+      val (artCol, priceCol) = ConfigLoader.roleColumns("vitya")
+      refCanonical(s)
+        .filter(col(priceCol).isNotNull && col(priceCol) > 0.01 &&
+          col(artCol).isNotNull)
+        .withColumn("supplier", lit("vitya"))
+        .select(col(artCol), col("name"), col(priceCol), col("supplier"))
+        .orderBy(artCol)
+    }),
 
     // ---- P6: price-range validation metrics (warn-only, non-dropping) ----
     "p6_price_validation" -> ((s, dir) =>
@@ -90,6 +126,37 @@ object SourceQueries {
 
     // lineitem is the largest table at every scale factor (TPC-H shape).
     "s2_pick_largest" ->
-      "SELECT 'lineitem.parquet' AS picked, count(*) AS n_rows FROM lineitem"
+      "SELECT 'lineitem.parquet' AS picked, count(*) AS n_rows FROM lineitem",
+
+    // all_varchar mirrors Spark's non-inferring CSV read, so TRY_CAST
+    // sees the same raw text in both engines.
+    "s3_ref_config_csv" ->
+      """WITH raw AS (SELECT * FROM
+        |   read_csv('/root/repo/fixtures/raw_vitya.csv', header=true, all_varchar=true)),
+        | canon AS (SELECT "Unnamed: 1" AS name, "Unnamed: 2" AS color,
+        |     TRY_CAST("Unnamed: 3" AS DOUBLE) AS price_usd,
+        |     TRY_CAST("Unnamed: 4" AS DOUBLE) AS price_rub,
+        |     TRY_CAST("курс" AS BIGINT) AS article_vitya,
+        |     "Unnamed: 6" AS balance,
+        |     "Unnamed: 7" AS comment
+        |   FROM raw)
+        |SELECT * FROM canon
+        |WHERE NOT (name IS NULL AND color IS NULL AND price_usd IS NULL
+        |  AND price_rub IS NULL AND article_vitya IS NULL
+        |  AND balance IS NULL AND comment IS NULL)
+        |ORDER BY name""".stripMargin,
+
+    "e1_ref_pipeline" ->
+      """WITH raw AS (SELECT * FROM
+        |   read_csv('/root/repo/fixtures/raw_vitya.csv', header=true, all_varchar=true)),
+        | canon AS (SELECT "Unnamed: 1" AS name,
+        |     TRY_CAST("Unnamed: 3" AS DOUBLE) AS price_usd,
+        |     TRY_CAST("курс" AS BIGINT) AS article_vitya
+        |   FROM raw)
+        |SELECT article_vitya, name, price_usd, 'vitya' AS supplier
+        |FROM canon
+        |WHERE price_usd IS NOT NULL AND price_usd > 0.01
+        |  AND article_vitya IS NOT NULL
+        |ORDER BY article_vitya""".stripMargin
   )
 }

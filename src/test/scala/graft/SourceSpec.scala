@@ -46,6 +46,21 @@ class SourceSpec extends AnyFunSuite {
     assert(!explicitFalse.skipEmptyRows)
   }
 
+  test("fixtures/vitya_config.json is byte-identical to the reference shipped config") {
+    import java.nio.file.{Files, Paths}
+    val ref = Paths.get("/root/reference/excel_loader/configs/vitya_config.json")
+    assume(Files.exists(ref), "reference checkout not present")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(ref),
+      Files.readAllBytes(Paths.get(graft.queries.SourceQueries.refConfigPath))),
+      "fixture config drifted from the reference file")
+    // and it parses into the expected reference shape
+    val cfg = graft.queries.SourceQueries.refConfig
+    assert(cfg.columnMapping("курс") === "article_vitya")
+    assert(cfg.skipEmptyRows)
+    assert(cfg.requiredColumns === Seq("article_vitya", "name", "price_usd"))
+  }
+
   test("detectByFilename follows the reference rules") {
     assert(ConfigLoader.detectByFilename("JHT_Xiaomi_31.07.xlsx") === "vitya")
     assert(ConfigLoader.detectByFilename("DiMi_Opt_Price.xlsx") === "dimi")
