@@ -112,17 +112,46 @@ object Cleaning {
   // iterates matches of a pattern before falling to the next —
   // main.py:1591-1638). regexp_extract_all + filter + get expresses that
   // without a UDF, so the DuckDB oracle can mirror it exactly
-  // (list_filter + list_extract). Both engines use ASCII word boundaries
-  // (Java default \b == RE2 \b); [[ProductCode.findInName]] keeps full
-  // Unicode-boundary parity with Python for Cyrillic codes.
-  private[graft] val nameCodePatterns: Seq[String] = Seq(
-    "\\b[A-Z0-9]+(?:-[A-Z0-9]+)+\\b", // dash codes: AC-M25-SC, P27QDA-RGP
-    "\\b[A-Z]{2,}[0-9]{2,}[A-Z]*\\b", // letters-digits(-letters): XM123
-    "\\b[0-9]{3,}[A-Z]{1,3}\\b",      // digits-letters: 123XM
-    "\\b[A-Z][0-9]{4,}[A-Z][0-9]+\\b", // M2319E1 style
-    "\\b[A-Z]{4,8}\\b",               // bare 4-8 letter brands
-    "\\b[A-Z][0-9]{1,3}\\b",          // C60, C20, D30
-    "\\b[А-Я][0-9]{1,3}\\b")          // Cyrillic С20, Д30
+  // (list_filter + list_extract).
+  //
+  // Boundary handling: Python's \b is Unicode-aware; Java's default \b
+  // and RE2's \b are ASCII-only, which silently kills the Cyrillic
+  // pattern (no "boundary" ever borders a Cyrillic letter) and invents
+  // boundaries where Latin codes touch Cyrillic words. RE2 has no
+  // lookarounds to emulate \b, so the expression/oracle pair uses
+  // explicit delimiter groups around a capturing core — identical
+  // scanning in both engines, Unicode-correct on Cyrillic. Known
+  // deviation from Python's zero-width \b: a delimiter char is consumed
+  // by the preceding match, so of two SAME-pattern matches separated by
+  // exactly one delimiter the second is not listed; the first-acceptable
+  // -match-wins rule makes the WINNER agree with Python unless the first
+  // match was excluded AND swallowed its successor's only delimiter —
+  // MatchSpec pins the behavior on Cyrillic and stop-word-adjacent
+  // inputs. [[ProductCode.findInName]] keeps exact zero-width-\b Python
+  // parity (java.util.regex + UNICODE_CHARACTER_CLASS).
+  private[graft] val nameCodeCores: Seq[String] = Seq(
+    "[A-Z0-9]+(?:-[A-Z0-9]+)+", // dash codes: AC-M25-SC, P27QDA-RGP
+    "[A-Z]{2,}[0-9]{2,}[A-Z]*", // letters-digits(-letters): XM123
+    "[0-9]{3,}[A-Z]{1,3}",      // digits-letters: 123XM
+    "[A-Z][0-9]{4,}[A-Z][0-9]+", // M2319E1 style
+    "[A-Z]{4,8}",               // bare 4-8 letter brands
+    "[A-Z][0-9]{1,3}",          // C60, C20, D30
+    "[А-Я][0-9]{1,3}")          // Cyrillic С20, Д30
+
+  /** Zero-width-\b forms for [[ProductCode]] (Python parity under
+    * UNICODE_CHARACTER_CLASS). */
+  private[graft] val nameCodePatterns: Seq[String] =
+    nameCodeCores.map(c => "\\b" + c + "\\b")
+
+  /** Word characters for the RE2-safe boundary emulation (Latin +
+    * Cyrillic incl. Ё + digits + underscore). */
+  private val wordClass = "A-Za-zА-Яа-яЁё0-9_"
+
+  /** Delimiter-group forms shared by the Spark expression and the DuckDB
+    * oracle; the code itself is capture group 1. */
+  private[graft] val nameCodeBoundedPatterns: Seq[String] =
+    nameCodeCores.map(c =>
+      "(?:^|[^" + wordClass + "])(" + c + ")(?:[^" + wordClass + "]|$)")
 
   private val specRe = "^\\d+(mah|wh|w|ma)$"
   private val longDigitsRe = "^\\d{5,}$"
@@ -134,8 +163,8 @@ object Cleaning {
     val up = upper(name)
     def keep(x: Column): Column =
       !(lower(x).rlike(specRe) || x.rlike(longDigitsRe) || x.isin(nameCodeStops: _*))
-    val firsts = nameCodePatterns.map { p =>
-      get(filter(regexp_extract_all(up, lit(p), lit(0)), keep _), lit(0))
+    val firsts = nameCodeBoundedPatterns.map { p =>
+      get(filter(regexp_extract_all(up, lit(p), lit(1)), keep _), lit(0))
     }
     coalesce(firsts: _*)
   }
@@ -145,8 +174,8 @@ object Cleaning {
     val keep = (x: String) =>
       s"NOT (regexp_matches(lower($x), '$specRe') OR regexp_matches($x, '$longDigitsRe')" +
         s" OR $x IN (${nameCodeStops.map(w => s"'$w'").mkString(", ")}))"
-    val firsts = nameCodePatterns.map { p =>
-      s"list_extract(list_filter(regexp_extract_all(upper($n), '$p'), x -> ${keep("x")}), 1)"
+    val firsts = nameCodeBoundedPatterns.map { p =>
+      s"list_extract(list_filter(regexp_extract_all(upper($n), '$p', 1), x -> ${keep("x")}), 1)"
     }
     s"COALESCE(${firsts.mkString(",\n    ")})"
   }

@@ -76,12 +76,18 @@ class MatchSpec extends AnyFunSuite {
     }
   }
 
-  test("nameCode expression ≡ ProductCode UDF on Latin inputs") {
+  test("nameCode expression ≡ ProductCode UDF (Latin AND Cyrillic inputs)") {
     val names = Seq(
       "Powerbank GREENOE Portable Power bank 60000mah 100w (C25)",
       "Cable AC-M25-SC black (x)", "XIAOMI charger 12 mah",
       "Adapter M2319E1 fast", "plain thing", "C60 hub", "12345 spec",
-      "USB-C POWER PORTABLE CHARGER BANK", "item 900MA x", null)
+      "USB-C POWER PORTABLE CHARGER BANK", "item 900MA x", null,
+      // Cyrillic: pattern 7 codes must actually match (ASCII \b never
+      // borders a Cyrillic letter — the bug this list pins), and Latin
+      // codes glued to Cyrillic words must NOT gain fake boundaries.
+      "Повербанк С20 чёрный", "Зарядка д30 для Mi9",
+      "КабельC60 обычный",       // Latin C60 glued to Cyrillic word: no boundary
+      "Хаб (А123) с25 порты")
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(names.zipWithIndex.map { case (n, i) => org.apache.spark.sql.Row(i, n) }),
       org.apache.spark.sql.types.StructType(Seq(
