@@ -73,6 +73,51 @@ object Hashing extends Serializable {
     while (b >= 0) { out = (out << 1) | (if (counts(b) > 0) 1L else 0L); b -= 1 }
     out
   }
+
+  /** Oracle-expressible feature hashing: four independent polynomial
+    * hashes of the UTF-16 code units, each mod the Mersenne prime 2³¹−1.
+    * Every intermediate stays below 2³⁹, so the SAME arithmetic is exact
+    * in a signed 64-bit integer in any SQL engine — no wrapping-overflow
+    * semantics needed (the reason [[hashString]]/[[splitmix64]] cannot
+    * carry a DuckDB oracle). 16 bits are drawn from each hash → 64
+    * well-dispersed signature bits. */
+  private val PolyM = 2147483647L // 2^31 - 1
+  private val PolyMuls = Array(131L, 137L, 139L, 149L)
+
+  final def polyHashes(s: String): Array[Long] = {
+    val hs = new Array[Long](4)
+    var k = 0
+    while (k < 4) {
+      val m = PolyMuls(k)
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * m + s.charAt(i)) % PolyM; i += 1 }
+      hs(k) = h
+      k += 1
+    }
+    hs
+  }
+
+  /** [[simhash]] over [[polyHashes]] bits: global bit b is the majority
+    * vote of hash (b >> 4)'s bit (b & 15), so the signature's 16-bit
+    * blocking chunk c is built purely from hash c — the layout the
+    * DuckDB twin reproduces chunk by chunk. */
+  final def simhashPoly(features: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    val it = features.iterator
+    while (it.hasNext) {
+      val hs = polyHashes(it.next())
+      var b = 0
+      while (b < 64) {
+        if (((hs(b >> 4) >>> (b & 15)) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 63
+    while (b >= 0) { out = (out << 1) | (if (counts(b) > 0) 1L else 0L); b -= 1 }
+    out
+  }
 }
 
 /** Primitive-loop vector kernels shared by the embedding operators. The

@@ -53,7 +53,7 @@ object DedupQueries {
   private val bandKeysUdf =
     udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))
   private[graft] val simhashUdf =
-    udf((sh: Seq[String]) => graft.functions.Hashing.simhash(sh))
+    udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh))
   private val dotUdf = udf(graft.functions.VectorOps.dot _)
   private val norm2Udf = udf(graft.functions.VectorOps.norm2 _)
 
@@ -111,11 +111,14 @@ object DedupQueries {
       verifyJaccard(cand, docs, 0.8)
     }),
 
-    // ---- D4: SimHash + pigeonhole chunk blocking (rows-only gate).
-    // Features are the word 3-gram SHINGLES, not unigrams: on a small
-    // shared vocabulary every doc contains nearly every word, so a
-    // unigram simhash is almost constant; shingle features separate
-    // planted near-dups from the background. ----
+    // ---- D4: SimHash + pigeonhole chunk blocking. Features are the
+    // word 3-gram SHINGLES, not unigrams: on a small shared vocabulary
+    // every doc contains nearly every word, so a unigram simhash is
+    // almost constant; shingle features separate planted near-dups from
+    // the background. The signature uses Hashing.simhashPoly — four
+    // polynomial-mod-2³¹−1 feature hashes whose arithmetic never leaves
+    // signed-64-bit range, so the DuckDB oracle recomputes the IDENTICAL
+    // signature and the whole pipeline is hash-gated. ----
     "d4_simhash" -> ((s, dir) => {
       val sim = docShingles(s, dir)
         .select(col("doc_id"), simhashUdf(col("sh")).as("simhash"))
@@ -128,7 +131,7 @@ object DedupQueries {
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("doc1", "doc2")
@@ -247,6 +250,43 @@ object DedupQueries {
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // d4: the polynomial simhash recomputed chunk-by-chunk in SQL — the
+    // fold (a·m + c) mod 2³¹−1 never leaves signed-64-bit range, so both
+    // engines compute the IDENTICAL signature; candidates come from the
+    // same 16-bit pigeonhole equi-join and hamming sums bit_count over
+    // the 4 chunk XORs (chunks partition the 64 bits).
+    "d4_simhash" -> {
+      def fold(m: Int) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(s, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+          s"(a, b) -> (a * $m + b) % 2147483647)"
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | feats AS (SELECT doc_id, list_transform(sh, s ->
+         |     [${fold(131)}, ${fold(137)}, ${fold(139)}, ${fold(149)}]) AS hs
+         |   FROM docs),
+         | sig AS (SELECT doc_id, list_transform(range(0, 4), c ->
+         |     CAST(list_sum(list_transform(range(0, 16), i ->
+         |       CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h[CAST(c + 1 AS INT)] >> CAST(i AS INT)) & 1 = 1
+         |                THEN 1 ELSE -1 END)) > 0
+         |       THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)) AS chunks
+         |   FROM feats),
+         | ck AS (SELECT doc_id, chunks, unnest([0, 1, 2, 3]) AS c FROM sig),
+         | ckv AS (SELECT doc_id, chunks, c, chunks[c + 1] AS v FROM ck),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |   FROM ckv a JOIN ckv b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id),
+         | ham AS (SELECT c.doc1, c.doc2,
+         |     CAST(bit_count(xor(x.chunks[1], y.chunks[1])) +
+         |          bit_count(xor(x.chunks[2], y.chunks[2])) +
+         |          bit_count(xor(x.chunks[3], y.chunks[3])) +
+         |          bit_count(xor(x.chunks[4], y.chunks[4])) AS BIGINT) AS hamming
+         |   FROM cand c JOIN sig x ON c.doc1 = x.doc_id
+         |               JOIN sig y ON c.doc2 = y.doc_id)
+         |SELECT doc1, doc2, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+
     // Exhaustive exact-Jaccard twin of the LSH pipeline (see the d2 query
     // comment: the gate asserts full recall at the fixture's similarity
     // level). The size band is lossless for t=0.8, so the oracle stays
@@ -279,8 +319,5 @@ object DedupQueries {
         |   FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, round(cosine, 4) AS cosine FROM pairs
         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin
-    // d4: engine-internal simhash (FNV + splitmix64 needs wrapping 64-bit
-    // arithmetic DuckDB doesn't have) → rows-only; DedupSpec proves
-    // equivalence to exact recomputation instead.
   )
 }
