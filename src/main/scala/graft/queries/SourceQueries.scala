@@ -81,6 +81,16 @@ object SourceQueries {
     // workbook shape (see refConfigPath doc above) ----
     "s3_ref_config_csv" -> ((s, _) => refCanonical(s).orderBy("name")),
 
+    // ---- S1 through the REAL front door: the same workbook content as
+    // an actual .xlsx, decoded by sources.Xlsx (JDK-only ZIP+StAX) and
+    // canonicalized with the verbatim reference config. The oracle reads
+    // the content-identical CSV — the gate fails if the xlsx codec and
+    // the CSV text ever disagree on a single cell. ----
+    "s1_xlsx_read" -> ((s, _) =>
+      Canonicalize(
+        graft.sources.Xlsx.read(s, "/root/repo/fixtures/raw_vitya.xlsx"),
+        refConfig).orderBy("name")),
+
     // ---- E1 over the reference-config read: config-driven column roles
     // (P15) + price filter (P8) + supplier tag (P11) ----
     "e1_ref_pipeline" -> ((s, _) => {
@@ -127,6 +137,25 @@ object SourceQueries {
     // lineitem is the largest table at every scale factor (TPC-H shape).
     "s2_pick_largest" ->
       "SELECT 'lineitem.parquet' AS picked, count(*) AS n_rows FROM lineitem",
+
+    // The xlsx fixture carries identical content to the CSV (generated
+    // by graft.tools.MakeXlsxFixture) — the oracle for the xlsx read IS
+    // the CSV read, so codec drift on any cell fails the hash gate.
+    "s1_xlsx_read" ->
+      """WITH raw AS (SELECT * FROM
+        |   read_csv('/root/repo/fixtures/raw_vitya.csv', header=true, all_varchar=true)),
+        | canon AS (SELECT "Unnamed: 1" AS name, "Unnamed: 2" AS color,
+        |     TRY_CAST("Unnamed: 3" AS DOUBLE) AS price_usd,
+        |     TRY_CAST("Unnamed: 4" AS DOUBLE) AS price_rub,
+        |     TRY_CAST("курс" AS BIGINT) AS article_vitya,
+        |     "Unnamed: 6" AS balance,
+        |     "Unnamed: 7" AS comment
+        |   FROM raw)
+        |SELECT * FROM canon
+        |WHERE NOT (name IS NULL AND color IS NULL AND price_usd IS NULL
+        |  AND price_rub IS NULL AND article_vitya IS NULL
+        |  AND balance IS NULL AND comment IS NULL)
+        |ORDER BY name""".stripMargin,
 
     // all_varchar mirrors Spark's non-inferring CSV read, so TRY_CAST
     // sees the same raw text in both engines.
