@@ -65,7 +65,12 @@ object FuzzyJoin {
     // null name can never reach a positive threshold anyway).
     val band = lit(2.0) * least(col("_cand_len"), col("_base_len")) /
       (col("_cand_len") + col("_base_len")) >= lit(threshold)
-    val scored = broadcast(c).join(b, band, "inner")
+    // Score with only the 3 columns the scorer needs: every surviving
+    // band pair materializes a joined row, so carrying the full candidate
+    // row through the O(cands·base) join would copy all its columns per
+    // pair; the wide columns re-attach in the final join-back below.
+    val cSlim = c.select(col("_cand_id"), col("_cand_lc"), col("_cand_len"))
+    val scored = broadcast(cSlim).join(b, band, "inner")
       .withColumn("_sim", simUdf(col("_cand_lc"), col("_base_lc"), lit(threshold)))
       .filter(col("_sim") >= threshold)
     val w = Window.partitionBy("_cand_id")

@@ -51,6 +51,37 @@ object MultimodalQueries {
           (length(col("text").cast("binary")) - length(col("text"))).as("multibyte_overhead"))
         .orderBy("doc_id")),
 
+    // ---- M4: magic-byte format sniffing — classify each media blob by
+    // its binary signature prefix (the integrity check a 100 TB media
+    // pipeline runs to catch mislabeled/corrupt blobs before decode).
+    // The fixture plants real container signatures (JPEG/PNG/GIF/RIFF/
+    // PDF) cycled by doc_id, with every 17th blob left unsigned to
+    // exercise the corrupt branch; sniffing compares the hex prefix —
+    // pure codegen'd expressions, hash-gated. ----
+    "m4_format_sniff" -> ((s, dir) => {
+      // planted signature per doc (full header bytes written)...
+      val plant = Seq("FFD8FFE0" -> "jpeg", "89504E47" -> "png",
+        "47494638" -> "gif", "52494646" -> "riff", "25504446" -> "pdf")
+      // ...sniffed by each format's REAL minimal magic (jpeg/gif are
+      // 3-byte signatures; the 4th byte varies across subformats)
+      val sniff = Seq("FFD8FF" -> "jpeg", "89504E47" -> "png",
+        "474946" -> "gif", "52494646" -> "riff", "25504446" -> "pdf")
+      val declared = element_at(
+        array(plant.map(p => lit(p._2)): _*), (col("doc_id") % 5 + 1).cast("int"))
+      val sigHex = element_at(
+        array(plant.map(p => lit(p._1)): _*), (col("doc_id") % 5 + 1).cast("int"))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(sigHex), col("text").cast("binary")))
+      val h = hex(media)
+      val detected = sniff.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+        case ((magic, fmt), acc) => when(h.startsWith(magic), lit(fmt)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), declared.as("declared"), detected.as("detected"),
+          (declared === detected).as("signature_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- M3: frame sampling — treat the media bytes as a "video" and
     // cut fixed-size frames at a fixed stride (one input row → many
     // frame rows). Pure byte slicing, so the whole explode is
@@ -77,6 +108,29 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "m4_format_sniff" ->
+      """WITH m AS (SELECT doc_id,
+        |   list_extract(['jpeg','png','gif','riff','pdf'],
+        |     CAST(doc_id % 5 + 1 AS INT)) AS declared,
+        |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+        |        ELSE list_extract(['FFD8FFE0','89504E47','47494638','52494646','25504446'],
+        |               CAST(doc_id % 5 + 1 AS INT)) || hex(encode(text)) END AS h
+        |  FROM documents)
+        |SELECT doc_id, declared,
+        | CASE WHEN starts_with(h, 'FFD8FF') THEN 'jpeg'
+        |      WHEN starts_with(h, '89504E47') THEN 'png'
+        |      WHEN starts_with(h, '474946') THEN 'gif'
+        |      WHEN starts_with(h, '52494646') THEN 'riff'
+        |      WHEN starts_with(h, '25504446') THEN 'pdf'
+        |      ELSE 'unknown' END AS detected,
+        | declared = (CASE WHEN starts_with(h, 'FFD8FF') THEN 'jpeg'
+        |      WHEN starts_with(h, '89504E47') THEN 'png'
+        |      WHEN starts_with(h, '474946') THEN 'gif'
+        |      WHEN starts_with(h, '52494646') THEN 'riff'
+        |      WHEN starts_with(h, '25504446') THEN 'pdf'
+        |      ELSE 'unknown' END) AS signature_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "m2_media_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | octet_length(encode(text)) - length(text) AS multibyte_overhead

@@ -110,6 +110,18 @@ object TextQueries {
             .as("min_gram_hash"))
         .orderBy("doc_id")),
 
+    // ---- T6: top-k n-gram frequency — the vocabulary/boilerplate
+    // analysis a corpus pipeline runs before dedup thresholds are set.
+    // One explode + one hash groupBy with map-side partial aggregation,
+    // then TakeOrdered for the limit — no global sort materializes. ----
+    "t6_topk_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(DedupQueries.shingles(col("text"))).as("ngram"))
+        .filter(col("ngram").isNotNull)
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(20)),
+
     // ---- events: tumbling-window counts (batch analog of the streaming
     // ingest in graft.streaming) ----
     "e_window_counts" -> ((s, dir) =>
@@ -177,6 +189,13 @@ object TextQueries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum("value"), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "t6_topk_ngrams" ->
+      s"""WITH docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh
+         |              FROM documents),
+         | tok AS (SELECT unnest(sh) AS ngram FROM docs)
+         |SELECT ngram, count(*) AS cnt FROM tok WHERE ngram IS NOT NULL
+         |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "t5_rolling_hash" ->
       """SELECT doc_id,
