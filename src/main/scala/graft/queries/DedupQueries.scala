@@ -176,6 +176,21 @@ object DedupQueries {
         .orderBy("source")
     }),
 
+    // ---- D8: per-stratum exact-k sample — each source contributes its
+    // k=5 docs with the smallest multiplicative-hash key (deterministic
+    // reservoir equivalent: stable across runs, engines, and
+    // partitionings; no rand()). Window is partitioned by source, so
+    // every stratum samples in parallel. ----
+    "d8_group_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy(col("hkey").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000003L)
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 5)
+        .select(col("source"), col("pick"), col("doc_id"))
+        .orderBy("source", "pick")
+    }),
+
     // ---- D5: embedding-cosine near-dup pairs. The dot product is a
     // primitive JVM loop with strictly sequential fold order, matching
     // DuckDB's list_reduce bit-for-bit → hash-gated oracle. ----
@@ -249,6 +264,14 @@ object DedupQueries {
         |          THEN CAST(doc_id AS VARCHAR) END, ','
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d8_group_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    (doc_id * 2654435761) % 1000003 AS hkey FROM documents),
+        | r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY hkey, doc_id) AS pick FROM h)
+        |SELECT source, pick, doc_id FROM r WHERE pick <= 5
+        |ORDER BY source, pick""".stripMargin,
 
     // d4: the polynomial simhash recomputed chunk-by-chunk in SQL — the
     // fold (a·m + c) mod 2³¹−1 never leaves signed-64-bit range, so both

@@ -122,6 +122,31 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),
 
+    // ---- events: batch sessionization — the driver-gated twin of
+    // streaming.EventStream.sessionize: per-user sessions closed after
+    // 30 min of inactivity, expressed as lag-gap flags + running sum
+    // (the classic windowed formulation; state is partitioned by user,
+    // exactly like the streaming state store). ----
+    "e_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          expr("(max(us) - min(us)) div 1000000").as("duration_sec"))
+        .orderBy("user_id", "sess_no")
+    }),
+
     // ---- events: tumbling-window counts (batch analog of the streaming
     // ingest in graft.streaming) ----
     "e_window_counts" -> ((s, dir) =>
@@ -196,6 +221,20 @@ object TextQueries {
          | tok AS (SELECT unnest(sh) AS ngram FROM docs)
          |SELECT ngram, count(*) AS cnt FROM tok WHERE ngram IS NOT NULL
          |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "e_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, "value", epoch_us(ts) AS us,
+        |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |   FROM events),
+        | n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |     THEN 1 ELSE 0 END AS new_sess FROM g),
+        | s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+        |   FROM n)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        | round(sum("value"), 2) AS sum_value,
+        | (max(us) - min(us)) // 1000000 AS duration_sec
+        |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
 
     "t5_rolling_hash" ->
       """SELECT doc_id,
