@@ -47,6 +47,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("d1 exact dedup aggregates with map-side partial combine") {
+    val df = SparkEntry.queries("d1_dedup_exact")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("u2 semi-join membership broadcasts (no shuffle of the probe side)") {
+    val df = SparkEntry.queries("u2_semi_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("Broadcast"), s"semi join did not broadcast:\n$plan")
+  }
+
   test("GlobalOrder numbers a large batch with no single-partition exchange") {
     import org.apache.spark.sql.functions._
     // A "large synthetic insert batch": 100k rows — big enough that a
