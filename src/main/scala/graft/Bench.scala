@@ -40,8 +40,19 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    ordered.foreach { case (_, fn) =>
+    val warmSecs = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    // The difflib-parity UDF loops need ~3 executions before C2 settles
+    // (45 → 20 → 5 s historically); one extra warmup for anything still
+    // slow after the first keeps the measured minimum honest instead of
+    // JIT-state-dependent across bench invocations.
+    ordered.foreach { case (name, fn) =>
+      if (warmSecs.getOrElse(name, 0.0) > 2.0) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
     }
 
     val best = scala.collection.mutable.Map.empty[String, Double]

@@ -29,15 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Distinct word 3-gram shingles. Mirrors the DuckDB twin exactly:
-    * concat() (NULL-propagating, like SQL ||) over get() so a <3-word doc
-    * yields a single NULL shingle rather than an error. */
-  private[graft] def shingles(text: Column): Column = {
-    val words = split(text, " ")
+  /** Distinct word 3-gram shingles from a PRE-SPLIT words column.
+    * Mirrors the DuckDB twin exactly: concat() (NULL-propagating, like
+    * SQL ||) over get() so a <3-word doc yields a single NULL shingle
+    * rather than an error.
+    *
+    * Callers must bind `words` to a NAMED column (see [[docShingles]]):
+    * inlining `split(text)` here would copy the split expression into
+    * every `get` inside the lambda, re-splitting the text per element
+    * (~300× per row — measured 4 s instead of ~1 s for the shingle
+    * queries at sf0.1). */
+  private[graft] def shinglesFromWords(words: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(words) - 2, lit(1))),
       i => concat(get(words, i - 1), lit("_"), get(words, i), lit("_"), get(words, i + 1))))
-  }
+
+  /** Convenience form for specs/small inputs — see the note above for
+    * why the query path pre-splits instead. */
+  private[graft] def shingles(text: Column): Column =
+    shinglesFromWords(split(text, " "))
+
+  /** documents → (doc_id, sh, sz) with the split materialized ONCE per
+    * row in its own projection (CollapseProject keeps it: the alias is
+    * non-cheap and multiply referenced). */
+  private[graft] def docShinglesOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("_w"))
+      .select(col("doc_id"), shinglesFromWords(col("_w")).as("sh"))
+      .withColumn("sz", size(col("sh")))
 
   private[queries] val shinglesSql: String =
     """list_distinct(list_transform(
@@ -46,9 +64,7 @@ object DedupQueries {
       |        string_split(text, ' ')[i+1] || '_' || string_split(text, ' ')[i+2]))""".stripMargin
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sz", size(col("sh")))
+    docShinglesOf(Tables.documents(s, dir))
 
   private val bandKeysUdf =
     udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))

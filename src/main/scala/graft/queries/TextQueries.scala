@@ -115,8 +115,8 @@ object TextQueries {
     // One explode + one hash groupBy with map-side partial aggregation,
     // then TakeOrdered for the limit — no global sort materializes. ----
     "t6_topk_ngrams" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(DedupQueries.shingles(col("text"))).as("ngram"))
+      DedupQueries.docShinglesOf(Tables.documents(s, dir))
+        .select(explode(col("sh")).as("ngram"))
         .filter(col("ngram").isNotNull)
         .groupBy("ngram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ngram").asc)
