@@ -98,6 +98,26 @@ object Hashing extends Serializable {
     hs
   }
 
+  /** Merge-intersection count over two SORTED long arrays — the
+    * primitive verify kernel for set-similarity joins: O(m+n), no
+    * per-pair hash-set allocation (ArrayIntersect on string arrays
+    * re-hashes every element for every candidate pair). */
+  final def sortedIntersectCount(a: Seq[Long], b: Seq[Long]): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val la = a.length
+    val lb = b.length
+    while (i < la && j < lb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** [[simhash]] over [[polyHashes]] bits: global bit b is the majority
     * vote of hash (b >> 4)'s bit (b & 15), so the signature's 16-bit
     * blocking chunk c is built purely from hash c — the layout the

@@ -75,12 +75,24 @@ object DedupQueries {
 
   private val T = 0.5 // Jaccard threshold for d3 (planted dups are ≥0.9)
 
-  /** Exact-Jaccard verification of candidate (doc1, doc2) pairs. */
+  private val intersectUdf =
+    udf((a: Seq[Long], b: Seq[Long]) => graft.functions.Hashing.sortedIntersectCount(a, b))
+
+  /** Exact-Jaccard verification of candidate (doc1, doc2) pairs.
+    * Shingles are interned to SORTED xxhash64 arrays once per doc, so
+    * each of the (many) candidate pairs costs one primitive merge scan
+    * instead of a per-pair string hash set (at sf0.1 d3 verifies ~310k
+    * candidate pairs — this stage dominated its runtime before).
+    * |A∩B| over 64-bit hashes equals the string intersection except
+    * under an xxhash64 collision inside one pair's union (~10⁻¹⁴ per
+    * pair) — the standard trade for set-similarity verify at scale. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame, t: Double): DataFrame = {
-    val a = docs.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("sz").as("sz1"))
-    val b = docs.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("sz").as("sz2"))
+    val interned = docs.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("shi"), col("sz"))
+    val a = interned.select(col("doc_id").as("doc1"), col("shi").as("shi1"), col("sz").as("sz1"))
+    val b = interned.select(col("doc_id").as("doc2"), col("shi").as("shi2"), col("sz").as("sz2"))
     cand.join(a, "doc1").join(b, "doc2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", intersectUdf(col("shi1"), col("shi2")))
       .withColumn("jaccard",
         col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= t)
