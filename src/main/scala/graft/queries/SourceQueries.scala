@@ -72,6 +72,25 @@ object SourceQueries {
       s.read.option("header", "true").option("multiLine", "true").csv(refCsvPath),
       refConfig)
 
+  /** Second shipped supplier config, also byte-identical
+    * (/root/reference/excel_loader/configs/dimi_config.json): a 15-column
+    * workbook whose article header cell is a SINGLE SPACE (mapped via the
+    * trimmed-key match), string-typed articles (the F3 cleaning path),
+    * a "Курс" named header among the Unnamed positions (ignored by
+    * substring), and category-only section rows that survive
+    * skip_empty_rows. */
+  val dimiConfigPath = "/root/repo/fixtures/dimi_config.json"
+  val dimiCsvPath = "/root/repo/fixtures/raw_dimi.csv"
+
+  lazy val dimiConfig: SupplierConfig = ConfigLoader.fromJson(
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dimiConfigPath)), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def dimiCanonical(s: org.apache.spark.sql.SparkSession) =
+    Canonicalize(
+      s.read.option("header", "true").option("multiLine", "true").csv(dimiCsvPath),
+      dimiConfig)
+
   val queries: Map[String, QueryFn] = Map(
     // ---- S1+P1–P7: canonicalization of a messy schema-less read ----
     "s1_canonicalize" -> ((s, dir) =>
@@ -90,6 +109,24 @@ object SourceQueries {
       Canonicalize(
         graft.sources.Xlsx.read(s, "/root/repo/fixtures/raw_vitya.xlsx"),
         refConfig).orderBy("name")),
+
+    // ---- S3 with the verbatim DIMI config: space-keyed article mapping,
+    // passthrough column, string articles, section rows ----
+    "s3_ref_dimi_csv" -> ((s, _) => dimiCanonical(s).orderBy("name", "category")),
+
+    // ---- E1 dimi flow over the verbatim config: role columns (P15) +
+    // F3 article cleaning + price filter (P8) + supplier tag (P11) ----
+    "e1_ref_dimi" -> ((s, _) => {
+      val (artCol, priceCol) = ConfigLoader.roleColumns("dimi")
+      dimiCanonical(s)
+        .withColumn("article_clean",
+          graft.functions.Cleaning.cleanArticleDimi(col(artCol)))
+        .filter(col(priceCol).isNotNull && col(priceCol) > 0.01 &&
+          col("article_clean").isNotNull)
+        .withColumn("supplier", lit("dimi"))
+        .select(col("article_clean"), col("name"), col(priceCol), col("supplier"))
+        .orderBy("article_clean")
+    }),
 
     // ---- E1 over the reference-config read: config-driven column roles
     // (P15) + price filter (P8) + supplier tag (P11) ----
@@ -156,6 +193,42 @@ object SourceQueries {
         |  AND price_rub IS NULL AND article_vitya IS NULL
         |  AND balance IS NULL AND comment IS NULL)
         |ORDER BY name""".stripMargin,
+
+    // Positional `names=` because DuckDB auto-renames the single-space
+    // header to C1; Spark preserves it and the trimmed-key mapping
+    // resolves it — the oracle addresses the same columns by position.
+    "s3_ref_dimi_csv" ->
+      s"""WITH raw AS (SELECT * FROM read_csv('/root/repo/fixtures/raw_dimi.csv',
+         |   header=true, all_varchar=true,
+         |   names=['u0','art','u2','u3','u4','u5','u6','u7','u8','u9','u10','u11','kurs','u13','u14'])),
+         | canon AS (SELECT u0 AS category, art AS article_dimi, u2 AS article_dimi2,
+         |     u3 AS name, u4 AS color, TRY_CAST(u5 AS BIGINT) AS col_in_box,
+         |     u7 AS balance, u8 AS balance1,
+         |     TRY_CAST(u9 AS DOUBLE) AS price_usd, TRY_CAST(u10 AS DOUBLE) AS price_rub,
+         |     u14 AS comment
+         |   FROM raw)
+         |SELECT * FROM canon
+         |WHERE NOT (category IS NULL AND article_dimi IS NULL AND article_dimi2 IS NULL
+         |  AND name IS NULL AND color IS NULL AND col_in_box IS NULL
+         |  AND balance IS NULL AND balance1 IS NULL AND price_usd IS NULL
+         |  AND price_rub IS NULL AND comment IS NULL)
+         |ORDER BY name, category""".stripMargin,
+
+    "e1_ref_dimi" ->
+      s"""WITH raw AS (SELECT * FROM read_csv('/root/repo/fixtures/raw_dimi.csv',
+         |   header=true, all_varchar=true,
+         |   names=['u0','art','u2','u3','u4','u5','u6','u7','u8','u9','u10','u11','kurs','u13','u14'])),
+         | canon AS (SELECT art AS article_dimi, u3 AS name,
+         |     TRY_CAST(u9 AS DOUBLE) AS price_usd FROM raw),
+         | cleaned AS (SELECT *,
+         |     CASE WHEN article_dimi IS NULL OR trim(article_dimi) = ''
+         |            OR lower(trim(article_dimi)) = 'nan' THEN NULL
+         |       ELSE NULLIF(regexp_replace(regexp_replace(trim(article_dimi),
+         |              '''', '', 'g'), '^000', ''), '') END AS article_clean
+         |   FROM canon)
+         |SELECT article_clean, name, price_usd, 'dimi' AS supplier FROM cleaned
+         |WHERE price_usd IS NOT NULL AND price_usd > 0.01 AND article_clean IS NOT NULL
+         |ORDER BY article_clean""".stripMargin,
 
     // all_varchar mirrors Spark's non-inferring CSV read, so TRY_CAST
     // sees the same raw text in both engines.

@@ -59,6 +59,17 @@ class SourceSpec extends AnyFunSuite {
     assert(cfg.columnMapping("курс") === "article_vitya")
     assert(cfg.skipEmptyRows)
     assert(cfg.requiredColumns === Seq("article_vitya", "name", "price_usd"))
+    // same contract for the dimi config
+    val dimiRef = Paths.get("/root/reference/excel_loader/configs/dimi_config.json")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(dimiRef),
+      Files.readAllBytes(Paths.get(graft.queries.SourceQueries.dimiConfigPath))),
+      "dimi fixture config drifted from the reference file")
+    val dimi = graft.queries.SourceQueries.dimiConfig
+    assert(dimi.columnMapping(" ") === "article_dimi")
+    assert(dimi.normalizedMapping("") === "article_dimi",
+      "single-space mapping key must match a blank trimmed header")
+    assert(dimi.dataTypes("article_dimi") === "string")
   }
 
   test("detectByFilename follows the reference rules") {
