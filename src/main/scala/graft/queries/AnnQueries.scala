@@ -135,6 +135,30 @@ object AnnQueries {
         .orderBy("qid")
     }),
 
+    // ---- X5: symmetric int8 scalar quantization — the memory-
+    // compression stage that makes a 100 TB vector corpus fit an ANN
+    // serving tier (4× smaller than float32, 8× than the double work
+    // rep). Per vector: scale = 127/max|x|, q_i = floor(x_i·scale+0.5)
+    // clamped to ±127, plus reconstruction RMSE. floor(x+0.5) instead
+    // of round() keeps the halfway-tie behavior a single deterministic
+    // double expression both engines evaluate identically; the RMSE
+    // fold is strictly sequential, matching DuckDB's list_reduce. ----
+    "x5_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+        .withColumn("qv", transform(col("v"),
+          x => greatest(least(floor(x * col("scale") + lit(0.5)), lit(127L)), lit(-127L))))
+      e.select(col("vec_id"),
+          round(col("scale"), 4).as("scale"),
+          size(filter(col("qv"), q => abs(q) === 127)).as("n_clipped"),
+          round(sqrt(
+            aggregate(zip_with(col("v"), col("qv"),
+                (x, q) => (x - q / col("scale")) * (x - q / col("scale"))),
+              lit(0.0), (acc, d) => acc + d) / size(col("v"))), 6).as("rmse"))
+        .orderBy("vec_id")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -216,6 +240,26 @@ object AnnQueries {
         |  round(CAST(COALESCE(h.hits, 0) AS BIGINT) / 5.0, 4) AS recall
         |FROM (SELECT DISTINCT qid FROM btop) q LEFT JOIN hits h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin,
+
+    // Same floor(x·scale + 0.5) expression and sequential squared-error
+    // fold as the Spark plan — integer-valued doubles stay exact, so
+    // the quantized codes and the RMSE agree bit-for-bit.
+    "x5_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | m AS (SELECT vec_id, v,
+        |     127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        | q AS (SELECT vec_id, v, scale,
+        |     list_transform(v, x ->
+        |       greatest(least(floor(x * scale + 0.5), 127), -127)) AS qv FROM m),
+        | r AS (SELECT vec_id, scale, qv,
+        |     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(list_zip(v, qv), p -> (p[1] - p[2] / scale) * (p[1] - p[2] / scale))),
+        |       (a, b) -> a + b) / len(v)) AS rmse FROM q)
+        |SELECT vec_id, round(scale, 4) AS scale,
+        | len(list_filter(qv, x -> abs(x) = 127)) AS n_clipped,
+        | round(rmse, 6) AS rmse
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "x1_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -75,6 +75,21 @@ object DedupQueries {
 
   private val T = 0.5 // Jaccard threshold for d3 (planted dups are ≥0.9)
 
+  /** PPJoin positional filter — lossless tightening of the prefix
+    * candidate join. A shared prefix token at 1-based ranks (i, j) in
+    * the (df, token) global order caps the overlap at
+    * 1 + min(|A|−i, |B|−j) (every common token sits at rank ≥ i in A
+    * and ≥ j in B), while J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|).
+    * If J ≥ t the FIRST common token's row pair always passes, so the
+    * distinct candidate set keeps every true pair; rows that cannot
+    * reach the minimum overlap are pruned before the (expensive)
+    * verify. The 1e-9 slack guards the double rounding of the exact
+    * rational bound from ever rounding UP past an integer (over-pruning
+    * would break losslessness; over-admitting just costs one verify). */
+  private def positionalBound(szA: Column, rkA: Column, szB: Column, rkB: Column): Column =
+    lit(1) + least(szA - rkA, szB - rkB) >=
+      ceil(lit(T / (1.0 + T)) * (szA + szB) - lit(1e-9))
+
   private val intersectUdf =
     udf((a: Seq[Long], b: Seq[Long]) => graft.functions.Hashing.sortedIntersectCount(a, b))
 
@@ -110,11 +125,12 @@ object DedupQueries {
       val pref = tok.join(freq, "t")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
-        .select(col("t"), col("doc_id"), col("sz"))
+        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
             // lossless size band: J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|)
-            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz"))
+            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz") &&
+            positionalBound(col("a.sz"), col("a.rk"), col("b.sz"), col("b.rk")))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
       verifyJaccard(cand, docs, T)
@@ -177,12 +193,13 @@ object DedupQueries {
       val pref = tok.join(freq, "t")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
-        .select(col("t"), col("doc_id"), col("sz"))
+        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
       val bench = pref.filter(col("doc_id") % 20 === 0)
       val train = pref.filter(col("doc_id") % 20 =!= 0)
       val cand = train.as("a").join(bench.as("b"),
           col("a.t") === col("b.t") &&
-            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz"))
+            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz") &&
+            positionalBound(col("a.sz"), col("a.rk"), col("b.sz"), col("b.rk")))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
       verifyJaccard(cand, docs, T)

@@ -110,6 +110,70 @@ object TextQueries {
             .as("min_gram_hash"))
         .orderBy("doc_id")),
 
+    // ---- T7: composite quality-rule filter — the published
+    // Gopher/C4-style heuristic gate a corpus pipeline applies before
+    // training: word-count bounds, mean-word-length bounds, lexical
+    // diversity, and stopword presence, with the FIRST failed rule as
+    // the drop reason. Pure per-row Column expressions (codegen'd,
+    // embarrassingly parallel — the 100 TB shape is a mapper). The
+    // bounds compare the ROUNDED statistics so both engines take the
+    // same branch at rule boundaries. ----
+    "t7_quality_rules" -> ((s, dir) => {
+      val t = toks(lower(col("text")))
+      val nW = size(t)
+      val meanLen = round(
+        aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x) *
+          lit(1.0) / nW, 4)
+      val diversity = round(size(array_distinct(t)) * lit(1.0) / nW, 4)
+      val nStop = countIn(t, stopwords)
+      val verdict = when(nW < 30 || nW > 90, lit("word_count"))
+        .when(meanLen < 3.0 || meanLen > 8.0, lit("mean_word_len"))
+        .when(diversity < 0.4, lit("low_diversity"))
+        .when(nStop === 0, lit("no_stopwords"))
+        .otherwise(lit("ok"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+          diversity.as("distinct_ratio"), nStop.as("n_stopwords"),
+          verdict.as("drop_reason"), (verdict === "ok").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- T8: repetition scoring — duplicate-bigram fraction and top-
+    // bigram share per document (the Gopher repetition signals that
+    // catch boilerplate/looping text). One explode + two hash groupBys,
+    // both partial-aggregated map-side; no window, no sort until the
+    // final presentation orderBy. ----
+    "t8_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("_w"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("_w")) - 1, lit(1))),
+          i => concat(get(col("_w"), i - 1), lit("_"), get(col("_w"), i)))).as("bg"))
+        .filter(col("bg").isNotNull)
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          round(col("top_count") * lit(1.0) / col("n_bigrams"), 4).as("top_share"),
+          round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_bigrams"), 4)
+            .as("dup_ratio"))
+        .orderBy("doc_id")),
+
+    // ---- events: typed JSON metadata extraction — the ingest stage
+    // that lifts semi-structured payloads into columns (get_json_object
+    // is codegen'd; at scale this is a pure mapper feeding the same
+    // hash-aggregate as any relational groupBy). ----
+    "e_props_parse" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // ---- T6: top-k n-gram frequency — the vocabulary/boilerplate
     // analysis a corpus pipeline runs before dedup thresholds are set.
     // One explode + one hash groupBy with map-side partial aggregation,
@@ -214,6 +278,48 @@ object TextQueries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum("value"), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "t7_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |           FROM documents),
+         | st AS (SELECT doc_id, len(toks) AS n_words,
+         |     round(CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) * 1.0 /
+         |       len(toks), 4) AS mean_word_len,
+         |     round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+         |     len(list_filter(toks, x -> x IN ($stopSql))) AS n_stopwords
+         |   FROM t),
+         | v AS (SELECT *, CASE
+         |     WHEN n_words < 30 OR n_words > 90 THEN 'word_count'
+         |     WHEN mean_word_len < 3.0 OR mean_word_len > 8.0 THEN 'mean_word_len'
+         |     WHEN distinct_ratio < 0.4 THEN 'low_diversity'
+         |     WHEN n_stopwords = 0 THEN 'no_stopwords'
+         |     ELSE 'ok' END AS drop_reason FROM st)
+         |SELECT doc_id, n_words, mean_word_len, distinct_ratio, n_stopwords,
+         | drop_reason, drop_reason = 'ok' AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "t8_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, greatest(len(w) - 1, 1) + 1),
+        |     i -> w[i] || '_' || w[i+1])) AS bg FROM w),
+        | f AS (SELECT doc_id, bg, count(*) AS c FROM bg
+        |   WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+        | a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |     count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+        |   FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        | round(top_count * 1.0 / n_bigrams, 4) AS top_share,
+        | round(1.0 - n_distinct * 1.0 / n_bigrams, 4) AS dup_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "e_props_parse" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t6_topk_ngrams" ->
       s"""WITH docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh

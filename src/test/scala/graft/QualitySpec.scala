@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.{AnnQueries, TextQueries}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality-rule composite (t7), repetition scoring (t8), and int8
+  * quantization (x5): branch coverage on planted documents plus the
+  * quantizer's analytic error bound on the real fixture. */
+class QualitySpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sfDir}
+  import spark.implicits._
+
+  /** Writes a documents.parquet with the given texts into a temp dir. */
+  private def docsDir(texts: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_quality").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t7 fires each rule branch in priority order") {
+    val fill = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct mid-length words
+    val dir = docsDir(Seq(
+      "too short",                                   // n_words=2 -> word_count
+      (1 to 40).map(_ => "antidisestablishmentarianism").mkString(" "), // mean_word_len (high)
+      (1 to 40).map(_ => "x").mkString(" "),          // mean_word_len=1 fires BEFORE diversity
+      ("the " * 20 + "cat " * 20).trim,               // meanLen ok, diversity 2/40=0.05 -> low_diversity
+      fill,                                           // no stopword, diverse -> no_stopwords
+      s"the ${fill}"))                                // 41 words incl 'the' -> ok
+    val out = TextQueries.queries("t7_quality_rules")(spark, dir)
+      .orderBy("doc_id").select("drop_reason", "keep")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out === Array(
+      ("word_count", false), ("mean_word_len", false), ("mean_word_len", false),
+      ("low_diversity", false), ("no_stopwords", false), ("ok", true)))
+  }
+
+  test("t8 scores planted repetition exactly") {
+    // "a b a b a b": bigrams a_b, b_a, a_b, b_a, a_b -> total 5, distinct 2,
+    // top a_b = 3 -> top_share 0.6, dup_ratio 1 - 2/5 = 0.6
+    val dir = docsDir(Seq("a b a b a b"))
+    val r = TextQueries.queries("t8_repetition")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_bigrams") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 2L)
+    assert(r.getAs[Double]("top_share") === 0.6)
+    assert(r.getAs[Double]("dup_ratio") === 0.6)
+  }
+
+  test("x5 quantization meets the analytic error bound") {
+    val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val rmse = r.getAs[Double]("rmse")
+      // per-element |x - q/scale| <= 0.5/scale (+ rounding-of-display slack)
+      assert(rmse <= 0.5 / scale + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: rmse $rmse exceeds bound ${0.5 / scale}")
+      // the max-|x| element always lands exactly on ±127
+      assert(r.getAs[Int]("n_clipped") >= 1)
+    }
+  }
+}
