@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Similarity
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,11 +29,6 @@ import org.apache.spark.sql.functions._
   *     graft.queries.DedupQueries) at the cost of exactness.
   */
 object FuzzyJoin {
-
-  // Scores PRE-LOWERCASED columns: the case fold happens once per row in
-  // the plan (codegen'd lower()), not once per pair in the UDF.
-  private val simUdf = udf((aLc: String, bLc: String, t: Double) =>
-    Similarity.lowercasedRatioAtLeast(aLc, bLc, t))
 
   /** Best fuzzy match per candidate: returns `cands`' columns plus
     * `<prefix>_key`, `<prefix>_name`, `<prefix>_sim` of the best base row
@@ -70,9 +65,23 @@ object FuzzyJoin {
     // row through the O(cands·base) join would copy all its columns per
     // pair; the wide columns re-attach in the final join-back below.
     val cSlim = c.select(col("_cand_id"), col("_cand_lc"), col("_cand_len"))
-    val scored = broadcast(cSlim).join(b, band, "inner")
-      .withColumn("_sim", simUdf(col("_cand_lc"), col("_base_lc"), lit(threshold)))
-      .filter(col("_sim") >= threshold)
+    // Declarative similarity-join shape: crossJoin + threshold filter on
+    // the native graft_similarity expression. In a session with
+    // GraftExtensions installed (Verify/Bench), SimilarityJoinRule
+    // rewrites this into the whole-operator SimilarityJoinExec — the
+    // candidate side is collected ONCE (it is small by construction and
+    // size-guarded by autoBroadcastJoinThreshold) and names are
+    // lowercased once per ROW, not once per pair. Elsewhere the plan
+    // stays a nested-loop join whose And(band, sim ≥ t) short-circuits
+    // the quadratic ratio behind the codegen'd length band. The ratio
+    // returned at or above the threshold is exact in both paths, so
+    // `_sim` and the argmax agree with the UDF formulation this
+    // replaces (MatchSpec pins that equivalence).
+    GraftExtensions.register(cands.sparkSession)
+    val simCol = expr("graft_similarity(_cand_lc, _base_lc)")
+    val scored = cSlim.crossJoin(b)
+      .where(band && simCol >= lit(threshold))
+      .withColumn("_sim", simCol)
     val w = Window.partitionBy("_cand_id")
       .orderBy(col("_sim").desc, col(s"${prefix}_key").asc)
     val best = scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)

@@ -94,6 +94,20 @@ class SimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("j2's gated fuzzy-probe shape plans the native exec under the engine rules") {
+    withNativeJoin {
+      val df = graft.queries.MatchQueries.queries("j2_fuzzy_probe")(spark, sfDir)
+      // SparkPlan.nodeName strips the Exec suffix, so the physical node
+      // renders as "SimilarityJoin" too — assert the cross join is gone.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SimilarityJoin"),
+        s"FuzzyJoin's declarative shape must go native in an engine session:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"cross join survived the rewrite:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("residual conjuncts survive as a filter above the native join") {
     withNativeJoin {
       val cands = Fixture.supplierSide(spark, sfDir)
