@@ -236,6 +236,44 @@ object DedupQueries {
         .orderBy("source", "pick")
     }),
 
+    // ---- D9: duplicate-cluster connected components — the canonical
+    // post-dedup step: near-dup PAIRS (d2's verified J ≥ 0.8 edge set)
+    // become clusters via min-label propagation to fixpoint, keeping
+    // each cluster's smallest doc_id as canonical. The driver loop is
+    // the standard BSP iteration (GraphX/Pregel's shape) — each round
+    // is one key-hash join + partial-aggregated groupBy, and labels
+    // converge in O(cluster diameter) rounds, which for near-dup
+    // clusters is 2-3; at 100 TB the large-star/small-star variant of
+    // the same joins bounds the round count at O(log n). Deterministic
+    // exact fixpoint → hash-gated via a DuckDB recursive CTE over the
+    // identical edge set. ----
+    "d9_dup_clusters" -> ((s, dir) => {
+      val pairs = queries("d2_minhash_lsh")(s, dir).select("doc1", "doc2").cache()
+      val edges = pairs.unionByName(
+        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).cache()
+      var labels = edges.select(col("doc1").as("doc_id")).distinct()
+        .withColumn("lab", col("doc_id")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val nmin = edges.join(labels, edges("doc2") === labels("doc_id"))
+          .groupBy(edges("doc1").as("nid")).agg(min("lab").as("nmin"))
+        val next = labels.join(nmin, labels("doc_id") === nmin("nid"), "left")
+          .select(labels("doc_id"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .cache()
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.lab") < col("o.lab")).count()
+        labels.unpersist()
+        labels = next
+      }
+      val out = labels
+        .select(col("doc_id"), col("lab").as("cluster_id"),
+          (col("doc_id") === col("lab")).as("is_canonical"))
+        .orderBy("doc_id")
+      pairs.unpersist(); edges.unpersist()
+      out
+    }),
+
     // ---- D5: embedding-cosine near-dup pairs. The dot product is a
     // primitive JVM loop with strictly sequential fold order, matching
     // DuckDB's list_reduce bit-for-bit → hash-gated oracle. ----
@@ -373,6 +411,32 @@ object DedupQueries {
          |   FROM cand)
          |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
          |WHERE j >= 0.8 ORDER BY doc1, doc2""".stripMargin,
+
+    // Connected components as a recursive CTE: reach(node, lab)
+    // enumerates every label reachable from each node over the SAME
+    // exhaustive exact-Jaccard ≥ 0.8 edge set d2's oracle uses; the
+    // cluster id is the minimum reachable label — exactly the Spark
+    // loop's fixpoint.
+    "d9_dup_clusters" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
+         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
+         | pairs AS (SELECT doc1, doc2 FROM cand
+         |   WHERE len(list_intersect(sh1, sh2)) * 1.0 /
+         |     (sz1 + sz2 - len(list_intersect(sh1, sh2))) >= 0.8),
+         | edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+         |   UNION SELECT doc2, doc1 FROM pairs),
+         | reach(node, lab) AS (
+         |   SELECT DISTINCT a, a FROM edges
+         |   UNION
+         |   SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT node AS doc_id, min(lab) AS cluster_id,
+         | node = min(lab) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).

@@ -174,6 +174,40 @@ object TextQueries {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // ---- E3: the composed corpus-curation funnel — quality gate (t7's
+    // rules) → exact dedup among survivors (d1's fingerprint, keep the
+    // smallest doc_id) → deterministic 20% sample (d7's hash) → per-
+    // source funnel counts. One pipeline showing the operators compose:
+    // per-row scoring is a mapper, dedup is one fingerprint window,
+    // stats one groupBy — three shuffles total at any scale. ----
+    "e3_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = toks(lower(col("text")))
+      val nW = size(t)
+      val meanLen = round(
+        aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x) *
+          lit(1.0) / nW, 4)
+      val diversity = round(size(array_distinct(t)) * lit(1.0) / nW, 4)
+      val keep = nW >= 30 && nW <= 90 && meanLen >= 3.0 && meanLen <= 8.0 &&
+        diversity >= 0.4 && countIn(t, stopwords) > 0
+      val fp = md5(lower(Cleaning.cleanInvisibleChars(col("text"))))
+      val docs = Tables.documents(s, dir)
+      val kept = docs.filter(keep)
+        .withColumn("rn", row_number().over(Window.partitionBy(fp).orderBy("doc_id")))
+        .withColumn("canon", col("rn") === 1)
+        .withColumn("samp", col("canon") && (col("doc_id") * 2654435761L) % 100 < 20)
+      val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val funnel = kept.groupBy("source").agg(
+        count(lit(1)).as("nq"), count(when(col("canon"), 1)).as("nd"),
+        count(when(col("samp"), 1)).as("ns"))
+      raw.join(funnel, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("nq"), lit(0L)).as("n_quality"),
+          coalesce(col("nd"), lit(0L)).as("n_deduped"),
+          coalesce(col("ns"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     // ---- T6: top-k n-gram frequency — the vocabulary/boilerplate
     // analysis a corpus pipeline runs before dedup thresholds are set.
     // One explode + one hash groupBy with map-side partial aggregation,
@@ -312,6 +346,35 @@ object TextQueries {
         | round(top_count * 1.0 / n_bigrams, 4) AS top_share,
         | round(1.0 - n_distinct * 1.0 / n_bigrams, 4) AS dup_ratio
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "e3_curation" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |     string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         | st AS (SELECT doc_id, source, text, len(toks) AS n_words,
+         |     round(CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) * 1.0 /
+         |       len(toks), 4) AS mean_word_len,
+         |     round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+         |     len(list_filter(toks, x -> x IN ($stopSql))) AS n_stopwords
+         |   FROM t),
+         | q AS (SELECT doc_id, source, text FROM st
+         |   WHERE n_words >= 30 AND n_words <= 90
+         |     AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+         |     AND distinct_ratio >= 0.4 AND n_stopwords > 0),
+         | k AS (SELECT doc_id, source,
+         |     row_number() OVER (PARTITION BY
+         |       md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))
+         |       ORDER BY doc_id) AS rn
+         |   FROM q),
+         | f AS (SELECT source, count(*) AS nq,
+         |     count(CASE WHEN rn = 1 THEN 1 END) AS nd,
+         |     count(CASE WHEN rn = 1 AND (doc_id * 2654435761) % 100 < 20 THEN 1 END) AS ns
+         |   FROM k GROUP BY source),
+         | raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source)
+         |SELECT raw.source, raw.n_raw,
+         | CAST(COALESCE(f.nq, 0) AS BIGINT) AS n_quality,
+         | CAST(COALESCE(f.nd, 0) AS BIGINT) AS n_deduped,
+         | CAST(COALESCE(f.ns, 0) AS BIGINT) AS n_sampled
+         |FROM raw LEFT JOIN f ON raw.source = f.source ORDER BY raw.source""".stripMargin,
 
     "e_props_parse" ->
       """SELECT event_type, count(*) AS n,
