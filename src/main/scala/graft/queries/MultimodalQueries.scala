@@ -82,6 +82,34 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- M5: container-header metadata parse — the planted blobs carry
+    // a REAL PNG header (8-byte signature + IHDR chunk with big-endian
+    // width/height/bit-depth derived from doc_id), and the query parses
+    // the dimensions back out of the raw bytes: signature check, then
+    // base-16 field extraction at the IHDR offsets. This is the honest
+    // no-codec slice of image decode — header metadata really is parsed
+    // like this at scale (pure codegen'd expressions, no UDF) — while
+    // pixel decode stays the declared m1 stub. Every 17th blob is left
+    // headerless to exercise the corrupt branch (null dims). ----
+    "m5_image_dims" -> ((s, dir) => {
+      val w = (lit(100) + col("doc_id") % 1900).cast("int")
+      val hgt = (lit(100) + col("doc_id") % 1000).cast("int")
+      // 89504E470D0A1A0A = PNG signature; 0000000D = IHDR length;
+      // 49484452 = "IHDR"; then width(4) height(4) depth(1) color(1)
+      val header = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(hgt), 8, "0"), lit("0806"))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      val hs = hex(media)
+      val isPng = hs.startsWith("89504E470D0A1A0A")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), isPng.as("is_png"),
+          when(isPng, conv(hs.substr(33, 8), 16, 10).cast("long")).as("width"),
+          when(isPng, conv(hs.substr(41, 8), 16, 10).cast("long")).as("height"),
+          when(isPng, conv(hs.substr(49, 2), 16, 10).cast("long")).as("bit_depth"))
+        .orderBy("doc_id")
+    }),
+
     // ---- M3: frame sampling — treat the media bytes as a "video" and
     // cut fixed-size frames at a fixed stride (one input row → many
     // frame rows). Pure byte slicing, so the whole explode is
@@ -130,6 +158,31 @@ object MultimodalQueries {
         |      WHEN starts_with(h, '25504446') THEN 'pdf'
         |      ELSE 'unknown' END) AS signature_ok
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Base-16 field extraction without conv(): fold the hex digits
+    // through a*16 + strpos-indexed value (hex() is uppercase in both
+    // engines, so the digit lookup is exact).
+    "m5_image_dims" -> {
+      def fold(start: Int, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range($start, ${start + n}), i -> " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |        ELSE '89504E470D0A1A0A0000000D49484452' ||
+         |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 8, '0') ||
+         |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 8, '0') ||
+         |          '0806' || hex(encode(text)) END AS hs
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs,
+         |   starts_with(hs, '89504E470D0A1A0A') AS is_png FROM m)
+         |SELECT doc_id, is_png,
+         | CASE WHEN is_png THEN ${fold(33, 8)} END AS width,
+         | CASE WHEN is_png THEN ${fold(41, 8)} END AS height,
+         | CASE WHEN is_png THEN ${fold(49, 2)} END AS bit_depth
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     "m2_media_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

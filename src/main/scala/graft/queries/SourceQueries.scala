@@ -145,6 +145,27 @@ object SourceQueries {
       Canonicalize.priceRangeViolations(
         Canonicalize(rawFrame(s, dir), testConfig), testConfig)),
 
+    // ---- S13: JSONL ingestion — the training-pipeline front door for
+    // text corpora (newline-delimited JSON with nested objects and
+    // arrays). Schema is EXPLICIT: schema-on-read inference costs a
+    // full extra pass over the data, which at 100 TB is the difference
+    // between one scan and two. Nested fields project straight out of
+    // the struct; the DuckDB twin reads the same file via read_json. ----
+    "s13_jsonl_read" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user", StructType(Seq(
+          StructField("id", LongType), StructField("segment", StringType)))),
+        StructField("tags", ArrayType(StringType)),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).json("/root/repo/fixtures/events_sample.jsonl")
+        .select(col("event_id"), col("user.id").as("user_id"),
+          col("user.segment").as("segment"), size(col("tags")).as("n_tags"),
+          array_join(col("tags"), ",").as("tags_joined"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // ---- S2: directory scan, pick-largest, load (loader.py:489-551) ----
     "s2_pick_largest" -> ((s, dir) => {
       val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -174,6 +195,12 @@ object SourceQueries {
     // lineitem is the largest table at every scale factor (TPC-H shape).
     "s2_pick_largest" ->
       "SELECT 'lineitem.parquet' AS picked, count(*) AS n_rows FROM lineitem",
+
+    "s13_jsonl_read" ->
+      """SELECT event_id, "user".id AS user_id, "user".segment AS segment,
+        | len(tags) AS n_tags, array_to_string(tags, ',') AS tags_joined, "value"
+        |FROM read_json('/root/repo/fixtures/events_sample.jsonl')
+        |ORDER BY event_id""".stripMargin,
 
     // The xlsx fixture carries identical content to the CSV (generated
     // by graft.tools.MakeXlsxFixture) — the oracle for the xlsx read IS

@@ -245,6 +245,30 @@ object TextQueries {
         .orderBy("user_id", "sess_no")
     }),
 
+    // ---- events: click→purchase attribution — the batch twin of the
+    // stream-stream join (streaming.EventStream.attribute): for each
+    // purchase, the latest same-user click at most 30 min older, with
+    // a deterministic tie-break. An equi-join on user_id with a range
+    // residual + per-purchase argmax window — both shuffles key-hash
+    // partitioned, no global sort until presentation. ----
+    "e_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("us").as("cus"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+      val w = Window.partitionBy("purchase_id").orderBy(col("cus").desc, col("click_id").desc)
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("cus") <= col("pus") && col("cus") >= col("pus") - 1800L * 1000000)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          expr("(pus - cus) div 1000000").as("gap_sec"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- events: tumbling-window counts (batch analog of the streaming
     // ingest in graft.streaming) ----
     "e_window_counts" -> ((s, dir) =>
@@ -307,6 +331,20 @@ object TextQueries {
       s"""SELECT md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), ''))) AS fp,
          | min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "e_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        | c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |   WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e
+        |   WHERE event_type = 'purchase'),
+        | j AS (SELECT p.purchase_id, p.user_id, c.click_id, p.pus, c.cus,
+        |     row_number() OVER (PARTITION BY p.purchase_id
+        |       ORDER BY c.cus DESC, c.click_id DESC) AS rn
+        |   FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cus <= p.pus AND c.cus >= p.pus - 1800000000)
+        |SELECT purchase_id, user_id, click_id, (pus - cus) // 1000000 AS gap_sec
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "e_window_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,

@@ -70,6 +70,27 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream inner join: click→purchase attribution — purchases
+    * matched to same-user clicks at most `windowMinutes` older. Both
+    * sides carry watermarks and the join condition carries the event-
+    * time range, so Spark can bound BOTH join state stores (clicks
+    * older than the watermark + window are evicted, purchases at the
+    * watermark): state is O(events per horizon), the canonical scalable
+    * stream-stream join shape. Emits every qualifying pair (append
+    * mode); the pick-best-click argmax is a downstream batch concern —
+    * see the `e_attribution` batch twin, which adds it. */
+  def attribute(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 30): DataFrame =
+    clicks.select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+      .join(
+        purchases.select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour"),
+        expr(s"""user_id = p_user AND click_ts <= purchase_ts
+                 AND click_ts >= purchase_ts - interval $windowMinutes minutes"""))
+      .select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

@@ -99,6 +99,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join emits exactly the batch pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, user_id) rows — attribute() needs ids, which the
+    // Event case class doesn't carry
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def named(s: MemoryStream[(Long, Timestamp, Long)]) =
+      s.toDS().toDF("event_id", "ts", "user_id")
+    val q = EventStream.attribute(named(clicks), named(purchases), 30)
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // user 1: clicks at t0/t20 qualify for the t25 purchase; the t100
+      // click is later than the purchase → excluded.
+      // user 2: click at t0 is outside the 30-min window of the t45 purchase.
+      val clickRows = Seq((1L, ts(0), 1L), (2L, ts(20), 1L), (3L, ts(100), 1L),
+        (4L, ts(0), 2L))
+      val purchaseRows = Seq((10L, ts(25), 1L), (11L, ts(45), 2L))
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStream.attribute(
+        clickRows.toDF("event_id", "ts", "user_id"),
+        purchaseRows.toDF("event_id", "ts", "user_id"), 30)
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((10L, 1L), (10L, 2L)), s"batch twin semantics drifted: $batch")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("file-source streaming read of the fixture matches the batch row count") {
     val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
     assert(stream.isStreaming)
