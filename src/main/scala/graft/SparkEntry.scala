@@ -25,7 +25,8 @@ object SparkEntry {
     (PreprocessQueries.queries, PreprocessQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
     (AnnQueries.queries, AnnQueries.oracle),
-    (MultimodalQueries.queries, MultimodalQueries.oracle))
+    (MultimodalQueries.queries, MultimodalQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP analytics surface over the fixture tables: as-of join, pivot,
+  * cube rollups, order-deterministic moving aggregates, and exact
+  * distributional quantiles — the reporting layer a corpus/metrics
+  * pipeline runs after ingest.
+  *
+  * Cross-engine exactness notes: the moving average works in integer
+  * CENTS (sliding double sums are incrementally maintained — add/
+  * retract — so their floating error depends on the engine; integer
+  * sums don't). Cube averages divide exact integer sums. Quantiles use
+  * percentile_disc (an ELEMENT of the set, no interpolation
+  * arithmetic). All hash-gated.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- E7: as-of join — each purchase looks up the user's most
+    // recent prior-or-equal click, unbounded lookback. See
+    // operators.AsOfJoin for why this is a union+window, not a range
+    // join; the DuckDB oracle is the native ASOF LEFT JOIN. ----
+    "e7_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("us").as("cus"))
+      AsOfJoin.join(purchases, clicks, Seq("user_id"),
+          col("pus"), col("cus"), Seq("click_id", "cus"), col("click_id"), "click")
+        .select(col("purchase_id"), col("user_id"),
+          col("click.click_id").as("click_id"),
+          expr("CASE WHEN click.click_id IS NOT NULL THEN (pus - click.cus) div 1000000 END")
+            .as("gap_sec"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- E5: pivot — event counts per user bucket × event type. The
+    // pivot values are EXPLICIT (no extra distinct-scan to discover
+    // them — at scale that pass costs a full shuffle); absent cells
+    // coalesce to 0. ----
+    "e5_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_bucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_bucket")
+    }),
+
+    // ---- T10: cube — doc counts and average length over all
+    // (source, lang) grouping sets in one pass (partial-aggregated
+    // like any hash aggregate; grouping-set expansion is map-side). ----
+    "t10_cube" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("n_chars") * lit(1.0) / count(lit(1)), 4).as("avg_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
+    // ---- E6: moving aggregate — 4-row trailing average of event value
+    // per user, in integer cents so the sliding sum is exact in both
+    // engines (incremental double sums are not). ----
+    "e6_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("mavg", round(
+          sum("cents").over(w) / lit(100.0) / count(lit(1)).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("mavg"))
+        .orderBy("event_id")
+    }),
+
+    // ---- T9: exact distribution quantiles of document length per
+    // source via percentile_disc (order statistics, not interpolation —
+    // the returned values are corpus ELEMENTS, so both engines agree
+    // exactly). At 100 TB the one-pass approx_percentile sketch replaces
+    // this; the exact form is the oracle-checkable twin. ----
+    "t9_quantiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").as("p90"),
+          max("n_chars").as("p100"))
+        .orderBy("source"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e7_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        | p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |   WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, c.click_id,
+        | CASE WHEN c.click_id IS NOT NULL THEN (p.pus - c.cus) // 1000000 END AS gap_sec
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pus >= c.cus
+        |ORDER BY purchase_id""".stripMargin,
+
+    "e5_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "t10_cube" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | round(CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "e6_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |     CAST(round("value" * 100) AS BIGINT) AS cents FROM events),
+        | m AS (SELECT event_id, user_id,
+        |     round(CAST(sum(cents) OVER w AS BIGINT) / 100.0 /
+        |       count(*) OVER w, 4) AS mavg
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "t9_quantiles" ->
+      """SELECT source,
+        | quantile_disc(n_chars, 0.25) AS p25,
+        | quantile_disc(n_chars, 0.5) AS p50,
+        | quantile_disc(n_chars, 0.9) AS p90,
+        | max(n_chars) AS p100
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
