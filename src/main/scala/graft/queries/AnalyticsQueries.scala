@@ -81,6 +81,36 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // ---- T12: custom typed Aggregator — exact integer-moment variance
+    // and stddev per source (see functions.IntMomentsAggregator for why
+    // integer moments are the cross-engine-exact formulation). The udaf
+    // participates in partial aggregation like any built-in (map-side
+    // combine, one reduce shuffle). ----
+    "t12_moments" -> ((s, dir) => {
+      val mom = udaf(graft.functions.IntMomentsAggregator)
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(mom(col("n_chars")).as("m"))
+        .select(col("source"), col("m.n").as("n_docs"), col("m.sum").as("sum_chars"),
+          round((col("m.sumSq") * col("m.n") - col("m.sum") * col("m.sum")) * lit(1.0) /
+            (col("m.n") * col("m.n")), 4).as("var_pop"),
+          round(sqrt((col("m.sumSq") * col("m.n") - col("m.sum") * col("m.sum")) * lit(1.0) /
+            (col("m.n") * col("m.n"))), 4).as("stddev_pop"))
+        .orderBy("source")
+    }),
+
+    // ---- T11: exact per-source vocabulary size (count distinct over
+    // exploded tokens — one hash shuffle with map-side partial distinct).
+    // The 100 TB path is the HLL sketch (approx_count_distinct);
+    // QualitySpec asserts the sketch lands within 5% of this exact
+    // result, and the exact form is the oracle gate. ----
+    "t11_distinct_counts" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+        .groupBy("source")
+        .agg(countDistinct("t").as("n_vocab"), count(lit(1)).as("n_tokens"))
+        .orderBy("source")),
+
     // ---- T9: exact distribution quantiles of document length per
     // source via percentile_disc (order statistics, not interpolation —
     // the returned values are corpus ELEMENTS, so both engines agree
@@ -134,6 +164,23 @@ object AnalyticsQueries {
         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "t12_moments" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | round((CAST(sum(n_chars * n_chars) AS BIGINT) * count(*) -
+        |     CAST(sum(n_chars) AS BIGINT) * CAST(sum(n_chars) AS BIGINT)) * 1.0 /
+        |   (count(*) * count(*)), 4) AS var_pop,
+        | round(sqrt((CAST(sum(n_chars * n_chars) AS BIGINT) * count(*) -
+        |     CAST(sum(n_chars) AS BIGINT) * CAST(sum(n_chars) AS BIGINT)) * 1.0 /
+        |   (count(*) * count(*))), 4) AS stddev_pop
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t11_distinct_counts" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |           FROM documents)
+        |SELECT source, count(DISTINCT t) AS n_vocab, count(*) AS n_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "t9_quantiles" ->
       """SELECT source,

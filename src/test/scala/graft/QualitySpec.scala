@@ -50,6 +50,20 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_ratio") === 0.6)
   }
 
+  test("approx_count_distinct (the 100 TB sketch path) lands within 5% of exact t11") {
+    val exact = graft.queries.AnalyticsQueries.queries("t11_distinct_counts")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("source").agg(approx_count_distinct("t").as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (src, e) =>
+      assert(math.abs(approx(src) - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$src: approx ${approx(src)} vs exact $e")
+    }
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()
