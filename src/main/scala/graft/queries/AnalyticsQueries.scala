@@ -81,6 +81,29 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // ---- E8: conversion funnel — per user, the earliest signup, the
+    // earliest click strictly after it, and the earliest purchase
+    // strictly after that (ordered sequence mining, the product-
+    // analytics staple). Three key-hash aggregations, each with map-side
+    // partial min; no window over the full event stream. ----
+    "e8_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val s2 = s1.join(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("us").as("cus")), Seq("user_id"), "left")
+        .groupBy("user_id", "signup_us")
+        .agg(min(when(col("cus") > col("signup_us"), col("cus"))).as("click_us"))
+      val s3 = s2.join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("us").as("pus")), Seq("user_id"), "left")
+        .groupBy("user_id", "signup_us", "click_us")
+        .agg(min(when(col("pus") > col("click_us"), col("pus"))).as("purchase_us"))
+      s3.select(col("user_id"), col("signup_us"), col("click_us"), col("purchase_us"),
+          col("purchase_us").isNotNull.as("converted"))
+        .orderBy("user_id")
+    }),
+
     // ---- T12: custom typed Aggregator — exact integer-moment variance
     // and stddev per source (see functions.IntMomentsAggregator for why
     // integer moments are the cross-engine-exact formulation). The udaf
@@ -164,6 +187,22 @@ object AnalyticsQueries {
         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "e8_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        | s1 AS (SELECT user_id, min(us) AS signup_us FROM e
+        |   WHERE event_type = 'signup' GROUP BY user_id),
+        | s2 AS (SELECT s1.user_id, s1.signup_us,
+        |     min(CASE WHEN c.us > s1.signup_us THEN c.us END) AS click_us
+        |   FROM s1 LEFT JOIN e c ON c.user_id = s1.user_id AND c.event_type = 'click'
+        |   GROUP BY s1.user_id, s1.signup_us),
+        | s3 AS (SELECT s2.user_id, s2.signup_us, s2.click_us,
+        |     min(CASE WHEN p.us > s2.click_us THEN p.us END) AS purchase_us
+        |   FROM s2 LEFT JOIN e p ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+        |   GROUP BY s2.user_id, s2.signup_us, s2.click_us)
+        |SELECT user_id, signup_us, click_us, purchase_us,
+        | purchase_us IS NOT NULL AS converted
+        |FROM s3 ORDER BY user_id""".stripMargin,
 
     "t12_moments" ->
       """SELECT source, count(*) AS n_docs,

@@ -63,6 +63,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"semi join did not broadcast:\n$plan")
   }
 
+  test("e7 as-of join is join-free: one key shuffle, no pair explosion") {
+    val df = SparkEntry.queries("e7_asof_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    // AQE renders the final plan followed by "== Initial Plan ==" — count
+    // shuffles in the final section only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(keyShuffles == 1,
+      s"expected exactly one key-hash shuffle, found $keyShuffles:\n$finalPlan")
+  }
+
+  test("e5 pivot aggregates with map-side partial combine over explicit values") {
+    val df = SparkEntry.queries("e5_pivot")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
   test("GlobalOrder numbers a large batch with no single-partition exchange") {
     import org.apache.spark.sql.functions._
     // A "large synthetic insert batch": 100k rows — big enough that a
