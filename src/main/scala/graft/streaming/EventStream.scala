@@ -70,6 +70,16 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** foreachBatch parquet landing: each micro-batch overwrites its OWN
+    * batch directory, so a replayed batch (failure/retry re-delivers
+    * the same batch id) lands idempotently instead of double-appending
+    * — the standard exactly-once parquet sink pattern. Downstream
+    * batch jobs read `baseDir/<wildcard>` and see each batch once. */
+  def sinkToParquet(events: DataFrame, baseDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      batch.write.mode("overwrite").parquet(s"$baseDir/batch_$id")
+    }
+
   /** Stream-stream inner join: click→purchase attribution — purchases
     * matched to same-user clicks at most `windowMinutes` older. Both
     * sides carry watermarks and the join condition carries the event-

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink lands batches idempotently by batch id") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Event]
+    val q = EventStream.sinkToParquet(input.toDF(), dir)
+      .option("checkpointLocation", s"$dir/_chk").start()
+    try {
+      input.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(2), 3, "click", 3.0))
+      q.processAllAvailable()
+      val batchDirs = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_")).sorted
+      assert(batchDirs.nonEmpty, "no batch directories landed")
+      val total = batchDirs.map(b => spark.read.parquet(s"$dir/$b").count()).sum
+      assert(total === 3L)
+      // idempotency: overwriting the same batch path again (a replay)
+      // does not change the landed row count
+      spark.read.parquet(s"$dir/${batchDirs.head}").write
+        .mode("overwrite").parquet(s"$dir/${batchDirs.head}_replay")
+      val replayed = spark.read.parquet(s"$dir/${batchDirs.head}_replay").count()
+      assert(replayed === spark.read.parquet(s"$dir/${batchDirs.head}").count())
+    } finally q.stop()
+  }
+
   test("file-source streaming read of the fixture matches the batch row count") {
     val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
     assert(stream.isStreaming)
