@@ -81,6 +81,36 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // ---- E9: interval join — events counted into 24 OVERLAPPING 2-hour
+    // maintenance windows. Deliberately NOT a range join (a BNL range
+    // join touches every (event, window) pair): each window explodes
+    // into the hour BINS it covers, events key to their single bin, and
+    // a broadcast equi-join on bin + residual range check does the rest
+    // — O(events) work, the standard time-bucketed interval join. An
+    // event in a 2-bin window joins exactly one (window, bin) row, so
+    // no dedup is needed. The DuckDB oracle is the plain range join. ----
+    "e9_interval_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000
+      val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+      val wins = s.range(0, 24).select(col("id").as("w_id"),
+        (lit(baseUs) + col("id") * hourUs).as("start_us"),
+        (lit(baseUs) + (col("id") + 2) * hourUs).as("end_us"))
+      val binned = wins.select(col("w_id"), col("start_us"), col("end_us"),
+        explode(sequence(expr("start_us div " + hourUs),
+          expr("(end_us - 1) div " + hourUs))).as("bin"))
+      val ev = Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("bin", expr("us div " + hourUs))
+      val counts = broadcast(binned).join(ev, Seq("bin"))
+        .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+      wins.select("w_id").join(counts, Seq("w_id"), "left")
+        .select(col("w_id"), coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy("w_id")
+    }),
+
     // ---- E8: conversion funnel — per user, the earliest signup, the
     // earliest click strictly after it, and the earliest purchase
     // strictly after that (ordered sequence mining, the product-
@@ -187,6 +217,19 @@ object AnalyticsQueries {
         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "e9_interval_join" ->
+      """WITH w AS (SELECT range AS w_id,
+        |     1704067200000000 + range * 3600000000 AS start_us,
+        |     1704067200000000 + (range + 2) * 3600000000 AS end_us
+        |   FROM range(0, 24)),
+        | e AS (SELECT epoch_us(ts) AS us, "value" FROM events),
+        | j AS (SELECT w.w_id, count(e.us) AS n, round(sum(e."value"), 2) AS sv
+        |   FROM w LEFT JOIN e ON e.us >= w.start_us AND e.us < w.end_us
+        |   GROUP BY w.w_id)
+        |SELECT w_id, CAST(n AS BIGINT) AS n_events,
+        | COALESCE(sv, 0.0) AS sum_value
+        |FROM j ORDER BY w_id""".stripMargin,
 
     "e8_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -251,20 +251,28 @@ object DedupQueries {
       val pairs = queries("d2_minhash_lsh")(s, dir).select("doc1", "doc2").cache()
       val edges = pairs.unionByName(
         pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).cache()
+      // the label frame is tiny (nodes appearing in ≥1 dup pair), so the
+      // loop runs on a handful of partitions — round latency, not data,
+      // is the cost; at real scale the same loop keeps the session's
+      // shuffle width and adds periodic checkpoints to cut lineage
       var labels = edges.select(col("doc1").as("doc_id")).distinct()
-        .withColumn("lab", col("doc_id")).cache()
+        .withColumn("lab", col("doc_id")).repartition(4).cache()
+      var prevCache = labels // unpersist target: the CACHED frame, not a projection
       var changed = 1L
       while (changed > 0) {
         val nmin = edges.join(labels, edges("doc2") === labels("doc_id"))
           .groupBy(edges("doc1").as("nid")).agg(min("lab").as("nmin"))
+        // carry the moved flag through the round so convergence reads off
+        // the SAME frame — one action, no extra old-vs-new join
         val next = labels.join(nmin, labels("doc_id") === nmin("nid"), "left")
           .select(labels("doc_id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+            (col("nmin") < col("lab")).as("moved"))
           .cache()
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.lab") < col("o.lab")).count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter(col("moved")).count()
+        prevCache.unpersist()
+        prevCache = next
+        labels = next.drop("moved")
       }
       val out = labels
         .select(col("doc_id"), col("lab").as("cluster_id"),

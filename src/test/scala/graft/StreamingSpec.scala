@@ -157,6 +157,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes without reprocessing landed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val input = MemoryStream[Event]
+    def start() = EventStream.sinkToParquet(input.toDF(), s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk").start()
+    val q1 = start()
+    try {
+      input.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 2, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // same checkpoint: committed batch 0 must not replay
+    try {
+      input.addData(Event(ts(2), 3, "click", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val landed = spark.read.parquet(s"$dir/out/batch_*")
+    assert(landed.count() === 3L, "restart duplicated or dropped events")
+    assert(landed.select("value").distinct().count() === 3L)
+  }
+
   test("file-source streaming read of the fixture matches the batch row count") {
     val stream = EventStream.readEvents(spark, SparkTestBase.sfDir)
     assert(stream.isStreaming)
