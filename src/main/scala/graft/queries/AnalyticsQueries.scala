@@ -81,6 +81,32 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Q5: TPC-H-style multi-join rollup — revenue by region/nation
+    // through the lineitem→orders→customer→nation→region chain. The two
+    // dimension tables broadcast (no shuffle of the fact chain for
+    // them); lineitem↔orders↔customer shuffle on their join keys with
+    // AQE free to re-plan. Revenue is computed in exact integer
+    // hundredths-of-cents (price and discount are 2-decimal, so
+    // cents × discount-pct is an exact long product) with ONE final
+    // division — engine-exact, like e6/t12. ----
+    "q5_region_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      val revE4 = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1.0) - col("l_discount")) * 100).cast("long")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(round(sum(revE4) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("region", "nation")
+    }),
+
     // ---- E9: interval join — events counted into 24 OVERLAPPING 2-hour
     // maintenance windows. Deliberately NOT a range join (a BNL range
     // join touches every (event, window) pair): each window explodes
@@ -217,6 +243,19 @@ object AnalyticsQueries {
         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name AS region, n_name AS nation,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0, 2)
+        |   AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin,
 
     "e9_interval_join" ->
       """WITH w AS (SELECT range AS w_id,
