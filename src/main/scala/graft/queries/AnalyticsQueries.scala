@@ -199,9 +199,12 @@ object AnalyticsQueries {
       Tables.documents(s, dir)
         .groupBy("source")
         .agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("p25"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").as("p90"),
+          // percentile_disc returns DOUBLE in Spark but the order
+          // statistic of a BIGINT column IS a bigint — cast so the
+          // schema matches DuckDB's quantile_disc exactly
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p90"),
           max("n_chars").as("p100"))
         .orderBy("source"))
   )

@@ -48,4 +48,20 @@ object Versioned {
       .getOrElse(throw new IllegalStateException(s"no versions under $root"))
     spark.read.parquet(s"$root/v=$v")
   }
+
+  /** Compaction: rewrite the latest version into ⌈rows / targetRowsPerFile⌉
+    * files as a NEW version (history stays immutable — rollback is
+    * `read(root, Some(prev))`). The small-files problem is the classic
+    * operational failure of long-running 100 TB ingest: thousands of
+    * KB-sized parquet files per partition destroy scan parallelism
+    * granularity (one task per file) and metadata servers. Sizing by row
+    * count here stands in for byte-based sizing; the repartition is a
+    * round-robin shuffle, so output files are uniformly sized regardless
+    * of input skew. Returns the new version number. */
+  def compact(spark: SparkSession, root: String, targetRowsPerFile: Long): Int = {
+    val cur = read(spark, root)
+    val n = cur.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    write(cur.repartition(files), root)
+  }
 }

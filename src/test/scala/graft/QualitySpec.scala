@@ -64,6 +64,21 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile (the 100 TB sketch path) matches exact t9 at spec scale") {
+    // At accuracy 10000 over a few-hundred-row group the KLL-style sketch
+    // is exact, so it must reproduce percentile_disc's order statistics.
+    val exact = graft.queries.AnalyticsQueries.queries("t9_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(percentile_approx(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.9)),
+        lit(10000)).as("q"))
+      .collect().map { r =>
+        val q = r.getSeq[Long](1); r.getString(0) -> ((q(0), q(1), q(2)))
+      }.toMap
+    assert(exact === approx)
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()

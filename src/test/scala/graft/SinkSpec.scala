@@ -49,4 +49,22 @@ class SinkSpec extends AnyFunSuite {
     val newSum = Versioned.read(spark, root).agg(sum("p_retailprice")).first().getDouble(0)
     assert(math.abs(newSum - oldSum * 1.1) < 1e-6)
   }
+
+  test("compaction rewrites a fragmented version into few uniform files, history intact") {
+    val root = Files.createTempDirectory("graft_compact").toString + "/base"
+    val frag = Tables.part(spark, sfDir).select("p_partkey", "p_retailprice")
+      .repartition(20) // the small-files problem: 20 files for a tiny table
+    Versioned.write(frag, root)
+    def parquetFiles(v: Int) =
+      new java.io.File(s"$root/v=$v").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(1) === 20)
+    val rows = Versioned.read(spark, root).count()
+    val v2 = Versioned.compact(spark, root, targetRowsPerFile = rows) // -> 1 file
+    assert(v2 === 2)
+    assert(parquetFiles(2) === 1)
+    // content identical, fragmented history still readable
+    val a = Versioned.read(spark, root, Some(1)).orderBy("p_partkey").collect().map(_.toSeq)
+    val b = Versioned.read(spark, root, Some(2)).orderBy("p_partkey").collect().map(_.toSeq)
+    assert(a === b)
+  }
 }
