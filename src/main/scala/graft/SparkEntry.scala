@@ -26,7 +26,8 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracle),
     (AnnQueries.queries, AnnQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
-    (AnalyticsQueries.queries, AnalyticsQueries.oracle))
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline surface, round 4: CDC-style merge/upsert,
+  * weekly cohort retention, integer-exact TF-IDF ranking, a bigram
+  * next-word model, PII-style identifier masking, and a partition-pruned
+  * landing-zone read.
+  *
+  * Cross-engine exactness: all scores/sums are BIGINT (prices in cents,
+  * TF-IDF in integer millionths via integer division), so the DuckDB
+  * hash gate is exact — no float accumulation order dependence.
+  *
+  * Scale notes per query are inline; the shared principles: merge joins
+  * shuffle by the natural key once and reuse that partitioning for the
+  * last-wins window; term-level aggregations partial-aggregate map-side
+  * before the term shuffle; the landing read prunes partitions at the
+  * file listing, not per-row.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- S14: CDC merge (Delta-style MERGE INTO re-expressed as a
+    // declarative plan): a change feed with upsert/delete ops and a
+    // monotone sequence collapses last-wins per key, then full-outer
+    // merges into the base — inserts (key only in feed), updates (both
+    // sides), deletes (dropped), kept rows (base only) in ONE pass.
+    // The feed is derived deterministically from lineitem (keys with
+    // l_partkey % 50 == 0 are shifted out of the base's key range to
+    // exercise the not-matched-insert branch). Scale: both sides
+    // shuffle by the merge key once; the last-wins window reuses the
+    // feed's hash partitioning (no second exchange — PlanSpec pins
+    // this), which is exactly how a log-structured table compaction
+    // runs at 100 TB. ----
+    "s14_merge_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("base_cents"))
+      val ch = Tables.lineitem(s, dir).select(
+        when(col("l_partkey") % 50 === 0, col("l_orderkey") + 100000000L)
+          .otherwise(col("l_orderkey")).as("okey"),
+        when((col("l_orderkey") + col("l_linenumber")) % 10 < 2, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        round(col("l_extendedprice") * 100).cast("long").as("new_cents"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("seq"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture, so seq
+      // alone ties; op/new_cents break the tie deterministically (rows
+      // still tied after that are byte-identical — pick is invariant).
+      val w = Window.partitionBy("okey")
+        .orderBy(col("seq").desc, col("op").desc, col("new_cents").desc)
+      val last = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("okey", "op", "new_cents")
+      base.join(last, Seq("okey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("okey"),
+          when(col("op") === "upsert", col("new_cents"))
+            .otherwise(col("base_cents")).as("cents"),
+          when(col("op").isNull, "kept")
+            .when(col("base_cents").isNull, "inserted")
+            .otherwise("updated").as("src"))
+        .orderBy("okey")
+    }),
+
+    // ---- E10: weekly cohort retention — users bucketed by first-seen
+    // week, activity counted at each week offset. Day arithmetic is
+    // integer µs-since-epoch division (no engine week/tz semantics).
+    // Scale: the first-seen aggregate and the activity join both hash
+    // by user_id — one shuffle, reused; the cohort matrix itself is
+    // tiny (weeks × offsets). ----
+    "e10_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .select(col("user_id"), expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // ---- T13: TF-IDF term ranking, integer-exact: score = tf ×
+    // ((1e6 × N) div df) keeps the classic tf·log-free idf ORDERING
+    // (idf is monotone in N/df) in pure BIGINT arithmetic both engines
+    // compute identically. Top-3 terms per doc. Scale: tf partial-
+    // aggregates map-side before the (doc,term) shuffle; df reuses
+    // tf's output (already one row per (doc,term) — a count, not a
+    // distinct-count); N broadcasts as a 1-row frame. ----
+    "t13_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      tf.join(df, Seq("term")).crossJoin(broadcast(total))
+        .withColumn("score", expr("tf * ((1000000 * n_total) div df)"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- T14: bigram next-word model — the most likely successor of
+    // every word (argmax count, ties to the lexicographically smallest
+    // successor). zip_with over offset slices builds pairs without a
+    // per-row loop; slice of an empty tail yields [] so 1-token docs
+    // contribute nothing. ----
+    "t14_bigram_next" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2").asc)))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("w2").as("next_word"), col("cnt"))
+        .orderBy("w1")),
+
+    // ---- T15: PII-style masking — digit-run identifiers (ids, phone
+    // fragments, zip codes) replaced with a <NUM> sentinel plus a
+    // per-row mask count, the pre-training redaction pass. The pattern
+    // is RE2-safe so the DuckDB twin is exact (DuckDB needs the 'g'
+    // flag — its regexp_replace is first-match by default). The input
+    // deliberately mixes corpus text with appended numeric fields so
+    // the mask has real work on this synthetic corpus. ----
+    "t15_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(" uid:"),
+            col("doc_id").cast("string"), lit(" len:"),
+            col("n_chars").cast("string")).as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(col("raw"), "[0-9]+", "<NUM>").as("masked"),
+          size(expr("regexp_extract_all(raw, '[0-9]+', 0)")).cast("long").as("n_masked"))
+        .orderBy("doc_id")),
+
+    // ---- S15: partitioned landing zone + pruned read — events land
+    // partitioned by day (the standard date-partitioned lake layout),
+    // then a week's slice is read back with a partition filter that
+    // prunes at FILE LISTING time (PlanSpec asserts PartitionFilters
+    // reaches the scan). At 100 TB this is the difference between
+    // scanning 7 days and scanning 3 years. ----
+    "s15_partition_prune" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s15_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .filter(col("day").between(19730, 19736))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s14_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS okey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS base_cents FROM orders),
+        | ch AS (SELECT
+        |   CASE WHEN l_partkey % 50 = 0 THEN l_orderkey + 100000000 ELSE l_orderkey END AS okey,
+        |   CASE WHEN (l_orderkey + l_linenumber) % 10 < 2 THEN 'delete' ELSE 'upsert' END AS op,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS new_cents,
+        |   l_orderkey * 8 + l_linenumber AS seq FROM lineitem),
+        | last AS (SELECT okey, op, new_cents FROM
+        |   (SELECT *, row_number() OVER
+        |      (PARTITION BY okey ORDER BY seq DESC, op DESC, new_cents DESC) AS rn FROM ch)
+        |   WHERE rn = 1),
+        | m AS (SELECT coalesce(b.okey, l.okey) AS okey, b.base_cents, l.op, l.new_cents
+        |   FROM base b FULL OUTER JOIN last l ON b.okey = l.okey)
+        |SELECT okey,
+        | CASE WHEN op = 'upsert' THEN new_cents ELSE base_cents END AS cents,
+        | CASE WHEN op IS NULL THEN 'kept'
+        |      WHEN base_cents IS NULL THEN 'inserted' ELSE 'updated' END AS src
+        |FROM m WHERE op IS NULL OR op <> 'delete' ORDER BY okey""".stripMargin,
+
+    "e10_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day // 7 AS cohort_week, (day - cohort_day) // 7 AS week_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t13_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |   FROM toks WHERE term <> '' GROUP BY 1, 2),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        | sc AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n_total) // df) AS score
+        |   FROM tf JOIN df USING (term) CROSS JOIN tot),
+        | r AS (SELECT *, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank" FROM sc)
+        |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "t14_bigram_next" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        | bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i + 1]])) AS p FROM w),
+        | c AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM bg WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rn FROM c)
+        |SELECT w1, w2 AS next_word, cnt FROM r WHERE rn = 1 ORDER BY w1""".stripMargin,
+
+    "t15_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |   substr(text, 1, 40) || ' uid:' || CAST(doc_id AS VARCHAR) ||
+        |   ' len:' || CAST(n_chars AS VARCHAR) AS raw FROM documents)
+        |SELECT doc_id, regexp_replace(raw, '[0-9]+', '<NUM>', 'g') AS masked,
+        | CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "s15_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
