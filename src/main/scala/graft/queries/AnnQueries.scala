@@ -159,6 +159,37 @@ object AnnQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- X6: product quantization — the codebook stage after X5's
+    // scalar quantization on the 100 TB memory-compression path: 64
+    // dims → 4 subspaces × 16 codes ≈ 2 bytes/vector for the coarse
+    // rep. Codebook = the 16 lowest-id vectors' quantized subvectors (a
+    // deterministic "training sample"; a k-means refinement would keep
+    // the identical assignment plan shape). All-integer distances so
+    // the DuckDB twin hash-matches: vectors pre-quantized to BIGINT
+    // grid points, argmin by (L2², code). Scale: the codebook (64 rows)
+    // broadcasts; assignment is a map-side pass over the corpus — no
+    // shuffle until the tiny per-vector regroup. ----
+    "x6_pq_assign" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+      val subs = q.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("s"), col("sub").as("csub"))
+      val w = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("code").asc)
+      subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d", expr(
+          "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("vec_id").agg(
+          max(when(col("s") === 0, col("code"))).as("c0"),
+          max(when(col("s") === 1, col("code"))).as("c1"),
+          max(when(col("s") === 2, col("code"))).as("c2"),
+          max(when(col("s") === 3, col("code"))).as("c3"),
+          sum("d").as("err"))
+        .orderBy("vec_id")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -260,6 +291,28 @@ object AnnQueries {
         | len(list_filter(qv, x -> abs(x) = 127)) AS n_clipped,
         | round(rmse, 6) AS rmse
         |FROM r ORDER BY vec_id""".stripMargin,
+
+    // Same integer grid, slices, and (L2², code) argmin as the Spark
+    // plan — every distance is BIGINT, so the hash gate is exact.
+    "x6_pq_assign" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+        | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
+        |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
+        | cb AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
+        | d AS (SELECT v.vec_id, v.s, c.code,
+        |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+        |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |   FROM sub v JOIN cb c USING (s)),
+        | b AS (SELECT *, row_number() OVER
+        |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM d)
+        |SELECT vec_id,
+        | max(CASE WHEN s = 0 THEN code END) AS c0,
+        | max(CASE WHEN s = 1 THEN code END) AS c1,
+        | max(CASE WHEN s = 2 THEN code END) AS c2,
+        | max(CASE WHEN s = 3 THEN code END) AS c3,
+        | CAST(sum(d) AS BIGINT) AS err
+        |FROM b WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "x1_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
