@@ -39,11 +39,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Dev-only subset filter (unset for the driver's full runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
 
     val warmSecs = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     // The difflib-parity UDF loops need ~3 executions before C2 settles
@@ -52,7 +56,7 @@ object Bench {
     // JIT-state-dependent across bench invocations.
     ordered.foreach { case (name, fn) =>
       if (warmSecs.getOrElse(name, 0.0) > 2.0) {
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => }
       }
     }
 
@@ -60,7 +64,7 @@ object Bench {
     (1 to MeasuredPasses).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => }
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
       }

@@ -14,9 +14,28 @@ import scala.collection.mutable
   */
 object Similarity extends Serializable {
 
+  /** Per-thread 1-entry memo for [[ratio]]: in the fused best-match
+    * plan the exact ratio of each surviving pair is computed twice on
+    * the same thread back-to-back — once deciding the join filter, once
+    * projecting the score into the argmax struct. Value-equality keys
+    * (the two sites hold different string instances); the O(|a|+|b|)
+    * equals is noise next to the O(|a|·|b|) match search it skips. */
+  private final class Memo { var a: String = _; var b: String = _; var r: Double = 0.0 }
+  private val tlMemo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
   /** difflib.SequenceMatcher(None, a, b).ratio() */
   def ratio(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
+    val memo = tlMemo.get()
+    if (a == memo.a && b == memo.b) return memo.r
+    val r = ratioUncached(a, b)
+    memo.a = a; memo.b = b; memo.r = r
+    r
+  }
+
+  private def ratioUncached(a: String, b: String): Double = {
     val la = a.length
     val lb = b.length
     if (la + lb == 0) return 1.0

@@ -81,15 +81,24 @@ object FuzzyJoin {
     val simCol = expr("graft_similarity(_cand_lc, _base_lc)")
     val scored = cSlim.crossJoin(b)
       .where(band && simCol >= lit(threshold))
-      .withColumn("_sim", simCol)
-    val w = Window.partitionBy("_cand_id")
-      .orderBy(col("_sim").desc, col(s"${prefix}_key").asc)
-    val best = scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .withColumn(s"${prefix}_sim", round(col("_sim"), 4))
-      .drop("_sim", "_rn", "_base_len")
-    c.join(best.select(col("_cand_id").as("_best_id"), col(s"${prefix}_key"),
-        col(s"${prefix}_name"), col(s"${prefix}_sim")),
-        col("_cand_id") === col("_best_id"), "left")
+    // Argmax as a PARTIAL-AGGREGATING max over a lexicographic struct
+    // (sim desc, then smallest base key via the negated key), NOT a
+    // row_number window: the window formulation shuffles and sorts
+    // EVERY surviving pair (O(cands·base) rows through an exchange);
+    // the hash aggregate folds pairs map-side into one row per
+    // candidate inside the join's own stage, so the only exchange is
+    // |cands| × partitions combiner rows. The threshold's exact-ratio
+    // contract is unchanged — `simCol` re-evaluates per surviving pair
+    // (memoized against the join filter's computation, see
+    // Similarity.ratio), and ties on (sim, key) can only differ in
+    // `name`, where max picks deterministically.
+    val best = scored.groupBy("_cand_id").agg(max(struct(
+        simCol.as("s"), (-col(s"${prefix}_key")).as("nk"),
+        col(s"${prefix}_key").as("k"), col(s"${prefix}_name").as("n"))).as("_b"))
+      .select(col("_cand_id").as("_best_id"),
+        col("_b.k").as(s"${prefix}_key"), col("_b.n").as(s"${prefix}_name"),
+        round(col("_b.s"), 4).as(s"${prefix}_sim"))
+    c.join(best, col("_cand_id") === col("_best_id"), "left")
       .drop("_cand_id", "_best_id", "_cand_name", "_cand_lc", "_cand_len")
   }
 }

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.similarityFunction)
     ext.injectOptimizerRule(_ => SimilarityJoinRule)
+    ext.injectOptimizerRule(_ => BestSimilarityMatchRule)
     ext.injectOptimizerRule(_ => SimilarityBandRule)
     ext.injectPlannerStrategy(_ => SimilarityJoinStrategy)
   }

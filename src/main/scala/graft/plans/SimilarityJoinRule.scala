@@ -68,11 +68,15 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Plans the logical [[SimilarityJoin]] into [[SimilarityJoinExec]]. */
+/** Plans the logical [[SimilarityJoin]] / [[PartialBestSimilarityJoin]]
+  * nodes into their execs. */
 object SimilarityJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case SimilarityJoin(l, r, a, b, t, strict) =>
       SimilarityJoinExec(planLater(l), planLater(r), a, b, t, strict) :: Nil
+    case PartialBestSimilarityJoin(l, r, a, b, t, strict, resid, ord) =>
+      PartialBestSimilarityJoinExec(
+        planLater(l), planLater(r), a, b, t, strict, resid, ord) :: Nil
     case _ => Nil
   }
 }
