@@ -6,8 +6,10 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint: runs every registered query on
-  * `SPARK_GRAFT_SF_DIR` and emits ONE compact JSON line (also written to
-  * `bench_results.json`) of per-query steady-state seconds.
+  * `SPARK_GRAFT_SF_DIR`, writes the full per-query steady-state seconds
+  * map to `bench_results.json`, and prints a SHORT summary JSON line
+  * (total, query count, slowest-5) to stdout — short enough that the
+  * driver's captured record parses intact.
   *
   * Methodology (JMH-style):
   *   1. one untimed warmup pass over all queries — absorbs codegen + JIT
@@ -75,10 +77,20 @@ object Bench {
       s"\"$name\":${fmt(best(name))}"
     }.mkString("{", ",", "}")
     val total = best.values.sum
-    val line =
+    val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench_results.json"), full.getBytes(StandardCharsets.UTF_8))
 
-    Files.write(Paths.get("bench_results.json"), line.getBytes(StandardCharsets.UTF_8))
+    // Stdout gets a SHORT line (total + count + slowest-5) that survives
+    // the driver's line-length limit intact — the full per-query map is
+    // in the committed bench_results.json. (Rounds 2-4 printed the full
+    // map and the driver's record truncated mid-JSON: "parsed": null.)
+    val slowest = best.toSeq.sortBy(-_._2).take(5)
+      .map { case (n, v) => s"""{"query":"$n","sec":${fmt(v)}}""" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${best.size},"slowest":$slowest,"sf":"$sfDir",""" +
+      s""""detail":"bench_results.json"}"""
     println(line)
     spark.stop()
   }

@@ -42,13 +42,20 @@ object Cleaning {
     * article. Ref: main.py:1285-1318. */
   def cleanArticleVitya(c: Column): Column = {
     val s = trim(c.cast("string"))
-    val noApos = regexp_replace(s, "'", "")
-    val noPrefix = regexp_replace(noApos, "^000", "")
+    // translate (char-map delete) and startswith+substr replace the
+    // all-apostrophes and one-leading-"000" regexes — same semantics,
+    // no regex engine in the per-row hot path (E1 runs this on every
+    // surviving supplier row).
+    val noApos = translate(s, "'", "")
     // re.findall(r"\d+") + join == deleting every non-digit char.
-    val digits = regexp_replace(noPrefix, "[^0-9]", "")
+    val digits = regexp_replace(stripOnce000(noApos), "[^0-9]", "")
     when(c.isNull || s === "" || lower(s) === "nan", lit(null).cast("long"))
       .otherwise(coalesce(digitsToLong(digits), lit(0L)))
   }
+
+  /** Strip ONE leading "000" without the anchored-regex pass. */
+  private def stripOnce000(c: Column): Column =
+    when(c.startsWith("000"), c.substr(lit(4), length(c))).otherwise(c)
 
   /** ANSI-safe digits→long: empty / non-digit / >18-digit strings → null
     * (the rlike guard keeps CaseWhen short-circuiting under ANSI mode). */
@@ -60,8 +67,8 @@ object Cleaning {
     * cleaning (e.g. "'000") → null too (`return cleaned if cleaned else
     * None`). Ref: main.py:1508-1526. */
   def cleanArticleDimi(c: Column): Column = {
+    val cleaned = stripOnce000(translate(trim(c.cast("string")), "'", ""))
     val s = trim(c.cast("string"))
-    val cleaned = regexp_replace(regexp_replace(s, "'", ""), "^000", "")
     when(c.isNull || s === "" || lower(s) === "nan" || cleaned === "",
       lit(null).cast("string")).otherwise(cleaned)
   }

@@ -138,6 +138,42 @@ object Hashing extends Serializable {
     while (b >= 0) { out = (out << 1) | (if (counts(b) > 0) 1L else 0L); b -= 1 }
     out
   }
+
+  /** T5's rolling-hash pair in one O(L) pass: the whole-document
+    * polynomial hash and the minimum 8-gram window hash (winnowing-style
+    * selection), both `(h·31 + c) mod 1000000007` folds over the text's
+    * code points — EXACTLY the values of the SQL formulation
+    * `aggregate(codes, 0, (h,c) -> (h*31+c) % 1000000007)` per window,
+    * which is what the DuckDB oracle computes, just without the 10M+
+    * interpreted-lambda struct allocations (3 s → ~0.1 s at sf0.1).
+    * The window rolls: the leaving char is subtracted as c·31⁷ mod p
+    * (512613922 = 31^7 mod 1000000007), re-centered positive before the
+    * multiply so no intermediate exceeds 2^51. Code-point iteration
+    * matches `split(text,'') → ascii` (Spark's ascii is codePointAt on
+    * the first char). Returns (docHash, minGramHash, hasGram): fewer
+    * than 8 code points → hasGram false (SQL CASE guard → null). */
+  final def rollingHash8(s: String): (Long, Long, Boolean) = {
+    val P = 1000000007L
+    val Pow7 = 512613922L
+    var doc = 0L
+    var h8 = 0L
+    var mn = Long.MaxValue
+    val ring = new Array[Long](8)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val c = cp.toLong
+      doc = (doc * 31 + c) % P
+      if (n < 8) h8 = (h8 * 31 + c) % P
+      else h8 = (((h8 - ring(n % 8) * Pow7 % P + P) % P) * 31 + c) % P
+      ring(n % 8) = c
+      n += 1
+      if (n >= 8 && h8 < mn) mn = h8
+    }
+    (doc, mn, n >= 8)
+  }
 }
 
 /** Primitive-loop vector kernels shared by the embedding operators. The

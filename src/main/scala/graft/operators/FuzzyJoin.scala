@@ -36,11 +36,20 @@ object FuzzyJoin {
     * keep nulls). `candKey` must be unique per candidate row (it anchors
     * the argmax window and the join-back). Deterministic tie-break:
     * highest sim, then smallest base key — the reference's
-    * first-in-file-order argmax (main.py:2877-2903). */
+    * first-in-file-order argmax (main.py:2877-2903).
+    *
+    * `baseKey` MUST be numeric: the smallest-key tie-break rides the
+    * max-struct aggregate as the NEGATED key, and negating a string key
+    * would cast to null (non-ANSI) or error (ANSI) — silently flipping
+    * the documented ordering. Enforced eagerly below. */
   def bestMatch(
       cands: DataFrame, candKey: Column, candName: Column,
       base: DataFrame, baseKey: Column, baseName: Column,
       threshold: Double, prefix: String = "match"): DataFrame = {
+    val keyType = base.select(baseKey).schema.head.dataType
+    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"FuzzyJoin.bestMatch: baseKey must be numeric for the negated-key " +
+        s"smallest-key tie-break (got $keyType)")
     val c = cands.withColumn("_cand_name", candName)
       .withColumn("_cand_lc", lower(candName))
       .withColumn("_cand_len", length(lower(candName)))

@@ -103,7 +103,11 @@ object BestSimilarityMatchRule extends Rule[LogicalPlan] {
               case _ => false
             }) &&
             structs.head.valExprs.forall(v =>
-              orderable(v.dataType) && v.references.subsetOf(sj.outputSet)) &&
+              orderable(v.dataType) && v.references.subsetOf(sj.outputSet) &&
+                // the rewrite changes how many times struct fields are
+                // evaluated per pair — a nondeterministic field (rand())
+                // would diverge from the unrewritten plan
+                v.deterministic) &&
             cond.forall(_.references.subsetOf(sj.outputSet)) &&
             !cond.exists(_.exists(!_.deterministic))
           if (shapeOk) {
@@ -140,7 +144,10 @@ case class PartialBestSimilarityJoinExec(
         if (an != bn) return bn // non-null > null
       } else {
         val c = fields(i) match {
-          case DoubleType => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+          case DoubleType =>
+            // + 0.0 collapses -0.0 to 0.0: Spark SQL comparison treats
+            // them equal, java.lang.Double.compare orders -0.0 < 0.0.
+            java.lang.Double.compare(a.getDouble(i) + 0.0, b.getDouble(i) + 0.0)
           case LongType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
           case IntegerType => java.lang.Integer.compare(a.getInt(i), b.getInt(i))
           case StringType =>
@@ -178,6 +185,12 @@ case class PartialBestSimilarityJoinExec(
       val bestKeys = new Array[InternalRow](n)
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(attrs, attrs)
+      // Deep-copies the incumbent struct: CreateNamedStruct.eval returns
+      // a GenericInternalRow whose UTF8String fields POINT INTO the
+      // reused stream-side UnsafeRow buffer — a shallow .copy() keeps
+      // those pointers, so a later probe row would silently mutate a
+      // stored StringType field before the structGt tie-break reads it.
+      val keyProj = UnsafeProjection.create(fieldTypes)
       while (iter.hasNext) {
         nRight += 1
         val rRow = iter.next()
@@ -199,7 +212,7 @@ case class PartialBestSimilarityJoinExec(
                 if (residBound.forall(p => p.eval(j) == true)) {
                   val sv = structBound.eval(j).asInstanceOf[InternalRow]
                   if (bk == null || structGt(fieldTypes, sv, bk)) {
-                    bestKeys(i) = sv.copy()
+                    bestKeys(i) = keyProj(sv).copy()
                     bestRows(i) = proj(j).copy()
                   }
                 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.similarityFunction)
+    ext.injectFunction(GraftExtensions.rollingHashFunction)
     ext.injectOptimizerRule(_ => SimilarityJoinRule)
     ext.injectOptimizerRule(_ => BestSimilarityMatchRule)
     ext.injectOptimizerRule(_ => SimilarityBandRule)
@@ -34,11 +35,19 @@ object GraftExtensions {
         GraftSimilarity(children.head, children(1))
       })
 
-  /** Register the SQL function on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = similarityFunction
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[plans] val rollingHashFunction =
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[GraftRollingHash].getCanonicalName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_rolling_hash(text) takes exactly 1 argument")
+        GraftRollingHash(children.head)
+      })
+
+  /** Register the SQL functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    Seq(similarityFunction, rollingHashFunction).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** Optimizer rule: a filter `graft_similarity(a, b) >= t` (or `>`) with a

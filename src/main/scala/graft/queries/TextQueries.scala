@@ -92,23 +92,21 @@ object TextQueries {
     // the minimum 8-gram window hash (winnowing-style selection) — all
     // modular arithmetic bounded under 2^63 so both engines compute the
     // identical BIGINT values (DuckDB errors on overflow, it doesn't
-    // wrap) ----
-    "t5_rolling_hash" -> ((s, dir) =>
+    // wrap). Runs as the native codegen'd GraftRollingHash expression —
+    // one O(L) rolling pass per document (graft.plans.GraftRollingHash;
+    // the round-4 substr(text,i,1) formulation was O(L²) per doc and the
+    // interpreted higher-order-function rewrite still allocated a struct
+    // per code point). The expression stages in its own projection so
+    // the two-field split reads the materialized array. ----
+    "t5_rolling_hash" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
       Tables.documents(s, dir)
+        .select(col("doc_id"), expr("graft_rolling_hash(text)").as("_rh"))
         .select(col("doc_id"),
-          expr(
-            """aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
-              |  0L, (h, c) -> (h * 31 + c) % 1000000007L)""".stripMargin)
-            .as("doc_hash"),
-          // guarded: an 8-gram needs at least 8 chars (OOB substr
-          // semantics differ between engines)
-          expr(
-            """CASE WHEN length(text) >= 8 THEN
-              |  array_min(transform(sequence(1, length(text) - 7),
-              |    i -> aggregate(transform(sequence(i, i + 7), j -> ascii(substr(text, j, 1))),
-              |      0L, (h, c) -> (h * 31 + c) % 1000000007L))) END""".stripMargin)
-            .as("min_gram_hash"))
-        .orderBy("doc_id")),
+          expr("_rh[0]").as("doc_hash"),
+          expr("_rh[1]").as("min_gram_hash"))
+        .orderBy("doc_id")
+    }),
 
     // ---- T7: composite quality-rule filter — the published
     // Gopher/C4-style heuristic gate a corpus pipeline applies before
@@ -119,21 +117,29 @@ object TextQueries {
     // bounds compare the ROUNDED statistics so both engines take the
     // same branch at rule boundaries. ----
     "t7_quality_rules" -> ((s, dir) => {
-      val t = toks(lower(col("text")))
+      // Tokens materialize once per row (the lower+split pass), then the
+      // four statistics read the array attribute, then the verdict reads
+      // the stat attributes — without the staged projections each
+      // derived column re-ran its own split and the verdict re-ran every
+      // aggregate (codegen CSE does not reliably merge lambda-bearing
+      // subtrees, and CollapseProject keeps multiply-referenced
+      // non-cheap producers staged).
+      val t = col("_t")
       val nW = size(t)
-      val meanLen = round(
-        aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x) *
-          lit(1.0) / nW, 4)
-      val diversity = round(size(array_distinct(t)) * lit(1.0) / nW, 4)
-      val nStop = countIn(t, stopwords)
-      val verdict = when(nW < 30 || nW > 90, lit("word_count"))
-        .when(meanLen < 3.0 || meanLen > 8.0, lit("mean_word_len"))
-        .when(diversity < 0.4, lit("low_diversity"))
-        .when(nStop === 0, lit("no_stopwords"))
+      val verdict = when(col("n_words") < 30 || col("n_words") > 90, lit("word_count"))
+        .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 8.0, lit("mean_word_len"))
+        .when(col("distinct_ratio") < 0.4, lit("low_diversity"))
+        .when(col("n_stopwords") === 0, lit("no_stopwords"))
         .otherwise(lit("ok"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
-          diversity.as("distinct_ratio"), nStop.as("n_stopwords"),
+        .select(col("doc_id"), toks(lower(col("text"))).as("_t"))
+        .select(col("doc_id"), nW.as("n_words"),
+          round(aggregate(transform(t, w => length(w).cast("long")), lit(0L),
+            (a, x) => a + x) * lit(1.0) / nW, 4).as("mean_word_len"),
+          round(size(array_distinct(t)) * lit(1.0) / nW, 4).as("distinct_ratio"),
+          countIn(t, stopwords).as("n_stopwords"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("distinct_ratio"), col("n_stopwords"),
           verdict.as("drop_reason"), (verdict === "ok").as("keep"))
         .orderBy("doc_id")
     }),
@@ -182,17 +188,25 @@ object TextQueries {
     // stats one groupBy — three shuffles total at any scale. ----
     "e3_curation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val t = toks(lower(col("text")))
+      // Same staged-tokens shape as t7: one split pass, stats read the
+      // array attribute, the gate reads the stat attributes.
+      val t = col("_t")
       val nW = size(t)
       val meanLen = round(
         aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x) *
           lit(1.0) / nW, 4)
       val diversity = round(size(array_distinct(t)) * lit(1.0) / nW, 4)
-      val keep = nW >= 30 && nW <= 90 && meanLen >= 3.0 && meanLen <= 8.0 &&
-        diversity >= 0.4 && countIn(t, stopwords) > 0
       val fp = md5(lower(Cleaning.cleanInvisibleChars(col("text"))))
       val docs = Tables.documents(s, dir)
-      val kept = docs.filter(keep)
+      val kept = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          toks(lower(col("text"))).as("_t"))
+        .select(col("doc_id"), col("source"), col("text"), nW.as("_nw"),
+          meanLen.as("_mean"), diversity.as("_div"),
+          countIn(t, stopwords).as("_nstop"))
+        .filter(col("_nw") >= 30 && col("_nw") <= 90 &&
+          col("_mean") >= 3.0 && col("_mean") <= 8.0 &&
+          col("_div") >= 0.4 && col("_nstop") > 0)
         .withColumn("rn", row_number().over(Window.partitionBy(fp).orderBy("doc_id")))
         .withColumn("canon", col("rn") === 1)
         .withColumn("samp", col("canon") && (col("doc_id") * 2654435761L) % 100 < 20)
