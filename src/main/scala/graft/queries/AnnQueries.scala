@@ -162,25 +162,51 @@ object AnnQueries {
     // ---- X6: product quantization — the codebook stage after X5's
     // scalar quantization on the 100 TB memory-compression path: 64
     // dims → 4 subspaces × 16 codes ≈ 2 bytes/vector for the coarse
-    // rep. Codebook = the 16 lowest-id vectors' quantized subvectors (a
-    // deterministic "training sample"; a k-means refinement would keep
-    // the identical assignment plan shape). All-integer distances so
-    // the DuckDB twin hash-matches: vectors pre-quantized to BIGINT
-    // grid points, argmin by (L2², code). Scale: the codebook (64 rows)
+    // rep. Codebook training is a deterministic k-means: seeds = the 16
+    // lowest-id vectors' quantized subvectors, then TWO fixed Lloyd
+    // iterations whose centroids stay on the integer grid
+    // (floor(mean + 0.5) — the cross-engine-exact rounding idiom), so
+    // the DuckDB twin reproduces every centroid and assignment
+    // bit-for-bit; empty clusters keep their previous centroid.
+    // All-integer distances (vectors pre-quantized to BIGINT grid
+    // points), argmin by (L2², code). Scale: each Lloyd round is one
+    // broadcast assignment pass + a 64-key centroid aggregate (the
+    // classic distributed k-means shape); the final codebook (64 rows)
     // broadcasts; assignment is a map-side pass over the corpus — no
-    // shuffle until the tiny per-vector regroup. ----
+    // shuffle until the tiny per-vector regroup. AnnSpec pins that the
+    // refined codebook's total reconstruction error improves on the
+    // seed codebook's. ----
     "x6_pq_assign" -> ((s, dir) => {
       val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
       val subs = q.select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
-      val cb = subs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("code"), col("s"), col("sub").as("csub"))
       val w = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("code").asc)
-      subs.join(broadcast(cb), Seq("s"))
-        .withColumn("d", expr(
-          "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // Best (smallest-L2², then smallest-code) codebook entry per
+      // (vector, subspace) — the shared assignment step.
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb), Seq("s"))
+          .withColumn("d", expr(
+            "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // One Lloyd step: assign, then per-(subspace, code, dim) integer
+      // mean, reassembled in dim order; codes with no members keep the
+      // old centroid.
+      def lloyd(cb: DataFrame): DataFrame = {
+        val means = assign(cb)
+          .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
+          .groupBy("s", "code", "i")
+          .agg(floor(sum("x") * lit(1.0) / count(lit(1)) + lit(0.5)).cast("long").as("nd"))
+          .groupBy("s", "code")
+          .agg(expr("transform(array_sort(collect_list(named_struct('i', i, 'v', nd)))," +
+            " p -> p.v)").as("nsub"))
+        cb.join(means, Seq("s", "code"), "left")
+          .select(col("s"), col("code"), coalesce(col("nsub"), col("csub")).as("csub"))
+      }
+      val cb0 = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("s"), col("sub").as("csub"))
+      val cb2 = lloyd(lloyd(cb0))
+      assign(cb2)
         .groupBy("vec_id").agg(
           max(when(col("s") === 0, col("code"))).as("c0"),
           max(when(col("s") === 1, col("code"))).as("c1"),
@@ -294,25 +320,45 @@ object AnnQueries {
 
     // Same integer grid, slices, and (L2², code) argmin as the Spark
     // plan — every distance is BIGINT, so the hash gate is exact.
-    "x6_pq_assign" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding,
-        |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-        | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
-        |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
-        | cb AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
-        | d AS (SELECT v.vec_id, v.s, c.code,
-        |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
-        |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-        |   FROM sub v JOIN cb c USING (s)),
-        | b AS (SELECT *, row_number() OVER
-        |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM d)
-        |SELECT vec_id,
-        | max(CASE WHEN s = 0 THEN code END) AS c0,
-        | max(CASE WHEN s = 1 THEN code END) AS c1,
-        | max(CASE WHEN s = 2 THEN code END) AS c2,
-        | max(CASE WHEN s = 3 THEN code END) AS c3,
-        | CAST(sum(d) AS BIGINT) AS err
-        |FROM b WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Twin of the 2-iteration integer Lloyd refinement: the assignment
+    // and centroid-update CTE pair repeats per iteration (argmin by
+    // (L2², code); centroid dim = floor(mean + 0.5); empty code keeps
+    // its previous centroid via the LEFT JOIN COALESCE).
+    "x6_pq_assign" -> {
+      def assignSql(cb: String, out: String) =
+        s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
+           |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+           |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+           |   FROM sub v JOIN $cb c USING (s)),
+           | $out AS (SELECT * FROM (SELECT *, row_number() OVER
+           |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
+           |   WHERE rn = 1)""".stripMargin
+      def lloydSql(a: String, cbPrev: String, cbNext: String) =
+        s"""${cbNext}_m AS (SELECT s, code, di.i AS i,
+           |     CAST(floor(sum(sub[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
+           |   FROM $a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) di
+           |   GROUP BY s, code, di.i),
+           | $cbNext AS (SELECT c.s, c.code, COALESCE(m.ns, c.csub) AS csub
+           |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
+           |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+         | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
+         |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
+         | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
+         | ${assignSql("cb0", "a1")},
+         | ${lloydSql("a1", "cb0", "cb1")},
+         | ${assignSql("cb1", "a2")},
+         | ${lloydSql("a2", "cb1", "cb2")},
+         | ${assignSql("cb2", "af")}
+         |SELECT vec_id,
+         | max(CASE WHEN s = 0 THEN code END) AS c0,
+         | max(CASE WHEN s = 1 THEN code END) AS c1,
+         | max(CASE WHEN s = 2 THEN code END) AS c2,
+         | max(CASE WHEN s = 3 THEN code END) AS c3,
+         | CAST(sum(d) AS BIGINT) AS err
+         |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "x1_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -4,41 +4,58 @@ import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (builder brief): media as opaque binary
-  * columns with typed metadata. The decode step is a clearly-marked
-  * deterministic STUB (no image/audio libraries in this environment) —
-  * what is real and tested is the Spark-side plumbing: binary columns,
-  * typed Dataset batch processing via mapPartitions (the JVM analog of a
-  * vectorized-batch UDF: one iterator per partition, amortized setup),
-  * schema, and partitioning.
+  * columns with typed metadata. The fixture plants REAL container bytes
+  * (a PNG signature + IHDR chunk, same construction as m5), and the
+  * decode step parses them back out of the raw byte array in a typed
+  * Dataset `mapPartitions` batch — one iterator per partition, where a
+  * real codec would amortize its setup. No image libraries exist in
+  * this environment, so decode stops at the container header (the m5
+  * expression query proves the same parse in pure SQL; pixel decode
+  * would slot into the identical mapPartitions shape).
   */
 object MultimodalQueries {
 
-  /** Decoded-media metadata record (what a real image decode would
-    * yield; here derived deterministically from the bytes). */
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, phash: Long)
+  /** Decoded-media metadata record: container validity, total bytes,
+    * and the IHDR dimensions (null when the container is corrupt). */
+  case class MediaDecoded(doc_id: Long, n_bytes: Long, is_png: Boolean,
+      width: Option[Long], height: Option[Long], bit_depth: Option[Long])
 
-  /** STUB decode: a real implementation would parse the container header
-    * (JPEG/PNG/WAV...). Deterministic fake so the pipeline is testable:
-    * dimensions and a perceptual-hash stand-in derived from the bytes. */
-  private[queries] def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    var h = 1125899906842597L // FNV-ish deterministic fold over the bytes
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Real container-header decode over the raw bytes: PNG signature
+    * check, then big-endian IHDR width(16-19)/height(20-23)/depth(24).
+    * Mirrors m5's expression-level parse (MultimodalQueries m5) so the
+    * DuckDB twin gates it exactly. */
+  private[queries] def decodePng(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+    var ok = bytes.length >= 26
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    MediaMeta(docId, bytes.length, 64 + (math.abs(h) % 1536).toInt,
-      64 + (math.abs(h / 7) % 1024).toInt, h)
+    while (ok && i < PngSig.length) { ok = bytes(i) == PngSig(i); i += 1 }
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    if (ok) MediaDecoded(docId, bytes.length.toLong, is_png = true,
+      Some(be32(16)), Some(be32(20)), Some((bytes(24) & 0xFF).toLong))
+    else MediaDecoded(docId, bytes.length.toLong, is_png = false, None, None, None)
   }
 
   val queries: Map[String, QueryFn] = Map(
-    // ---- M1: binary media column → per-partition batch decode →
-    // typed metadata (rows-only gate; MultimodalSpec pins values) ----
+    // ---- M1: binary media column → per-partition batch decode of the
+    // planted PNG container → typed metadata, hash-gated against the
+    // DuckDB hex-parse twin. Every 17th blob is left headerless to
+    // exercise the corrupt branch (is_png false, null dims). ----
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      val w = (lit(100) + col("doc_id") % 1900).cast("int")
+      val hgt = (lit(100) + col("doc_id") % 1000).cast("int")
+      val header = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(hgt), 8, "0"), lit("0806"))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), media.as("media"))
         .as[(Long, Array[Byte])]
-      // mapPartitions: one iterator per partition — where a real decoder
-      // would amortize codec/model setup across the batch.
-      media.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
@@ -136,6 +153,30 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // m1's twin parses the same planted container from its hex encoding
+    // (same fold-the-hex-digits field extraction as m5's).
+    "m1_media_meta" -> {
+      def fold(start: Int, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range($start, ${start + n}), i -> " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |        ELSE '89504E470D0A1A0A0000000D49484452' ||
+         |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 8, '0') ||
+         |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 8, '0') ||
+         |          '0806' || hex(encode(text)) END AS hs
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs, CAST(length(hs) // 2 AS BIGINT) AS n_bytes,
+         |   starts_with(hs, '89504E470D0A1A0A') AS is_png FROM m)
+         |SELECT doc_id, n_bytes, is_png,
+         | CASE WHEN is_png THEN ${fold(33, 8)} END AS width,
+         | CASE WHEN is_png THEN ${fold(41, 8)} END AS height,
+         | CASE WHEN is_png THEN ${fold(49, 2)} END AS bit_depth
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     "m4_format_sniff" ->
       """WITH m AS (SELECT doc_id,
         |   list_extract(['jpeg','png','gif','riff','pdf'],

@@ -74,16 +74,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("m1 media decode stub is deterministic and byte-accurate") {
+  test("m1 container decode recovers the planted IHDR fields byte-accurately") {
     val m1a = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()
     val m1b = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()
     assert(m1a.map(_.toSeq).toSeq === m1b.map(_.toSeq).toSeq, "deterministic across runs")
     val nBytes = Tables.documents(spark, sfDir)
       .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1a.exists(!_.getAs[Boolean]("is_png")), "corrupt branch exercised")
     m1a.foreach { r =>
-      assert(r.getAs[Int]("n_bytes") === nBytes(r.getAs[Long]("doc_id")))
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64)
+      val id = r.getAs[Long]("doc_id")
+      if (id % 17 == 0) { // headerless: raw text bytes, no dims
+        assert(!r.getAs[Boolean]("is_png"))
+        assert(r.getAs[Long]("n_bytes") === nBytes(id).toLong)
+        assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("height")))
+      } else { // planted 26-byte PNG header + payload
+        assert(r.getAs[Boolean]("is_png"))
+        assert(r.getAs[Long]("n_bytes") === nBytes(id).toLong + 26L)
+        assert(r.getAs[Long]("width") === 100L + id % 1900)
+        assert(r.getAs[Long]("height") === 100L + id % 1000)
+        assert(r.getAs[Long]("bit_depth") === 8L)
+      }
     }
   }
 }

@@ -79,6 +79,29 @@ class QualitySpec extends AnyFunSuite {
     assert(exact === approx)
   }
 
+  test("x6 Lloyd-refined codebook beats the seed codebook's reconstruction error") {
+    import org.apache.spark.sql.expressions.Window
+    // Seed-codebook (the pre-refinement "first 16 vectors") assignment,
+    // reproduced here: total err of x6's refined assignment must improve
+    // on it — the point of carrying k-means iterations at all.
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
+    val cb0 = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("s"), col("sub").as("csub"))
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("code").asc)
+    val seedErr = subs.join(broadcast(cb0), Seq("s"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(sum("d")).as[Long].head()
+    val refinedErr = AnnQueries.queries("x6_pq_assign")(spark, sfDir)
+      .agg(sum("err")).as[Long].head()
+    assert(refinedErr < seedErr,
+      s"refined codebook err $refinedErr did not improve on seed err $seedErr")
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()
