@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Scalar string/numeric functions of the reference, re-expressed as
   * codegen-friendly Spark Column expressions (SURVEY.md §2.3 F1–F8,
   * F11–F13). Everything here composes `org.apache.spark.sql.functions`
-  * built-ins — no UDFs — so whole-stage codegen covers the hot path and
-  * filters built from these still push down.
+  * built-ins or the engine's own native Catalyst expressions (F2/F3 —
+  * see graft.plans.GraftCleanArticle) — no UDFs — so whole-stage
+  * codegen covers the hot path and filters built from these still push
+  * down.
   *
   * Reference behavior (studied, not copied): /root/reference/main.py
   * 1262-1750.
@@ -41,21 +43,15 @@ object Cleaning {
     * precision int returns the full value — out of range for any real
     * article. Ref: main.py:1285-1318. */
   def cleanArticleVitya(c: Column): Column = {
-    val s = trim(c.cast("string"))
-    // translate (char-map delete) and startswith+substr replace the
-    // all-apostrophes and one-leading-"000" regexes — same semantics,
-    // no regex engine in the per-row hot path (E1 runs this on every
-    // surviving supplier row).
-    val noApos = translate(s, "'", "")
-    // re.findall(r"\d+") + join == deleting every non-digit char.
-    val digits = regexp_replace(stripOnce000(noApos), "[^0-9]", "")
-    when(c.isNull || s === "" || lower(s) === "nan", lit(null).cast("long"))
-      .otherwise(coalesce(digitsToLong(digits), lit(0L)))
+    // Native single-pass expression (graft.plans.GraftCleanArticleInt):
+    // a Column-chain CASE re-evaluates the shared trim/strip subtrees
+    // per branch — up to six passes per row on the E1 hot path. The
+    // kernel (functions.ArticleClean) carries the exact semantics
+    // contract; CleaningSpec pins the branches.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.GraftCleanArticleInt(ColumnBridge.expression(c.cast("string"))))
   }
-
-  /** Strip ONE leading "000" without the anchored-regex pass. */
-  private def stripOnce000(c: Column): Column =
-    when(c.startsWith("000"), c.substr(lit(4), length(c))).otherwise(c)
 
   /** ANSI-safe digits→long: empty / non-digit / >18-digit strings → null
     * (the rlike guard keeps CaseWhen short-circuiting under ANSI mode). */
@@ -67,10 +63,9 @@ object Cleaning {
     * cleaning (e.g. "'000") → null too (`return cleaned if cleaned else
     * None`). Ref: main.py:1508-1526. */
   def cleanArticleDimi(c: Column): Column = {
-    val cleaned = stripOnce000(translate(trim(c.cast("string")), "'", ""))
-    val s = trim(c.cast("string"))
-    when(c.isNull || s === "" || lower(s) === "nan" || cleaned === "",
-      lit(null).cast("string")).otherwise(cleaned)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.GraftCleanArticleStr(ColumnBridge.expression(c.cast("string"))))
   }
 
   /** F4 — color normalization: null → "", else lower(trim).

@@ -177,42 +177,74 @@ object AnnQueries {
     // refined codebook's total reconstruction error improves on the
     // seed codebook's. ----
     "x6_pq_assign" -> ((s, dir) => {
+      import s.implicits._
       val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
       val subs = q.select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
-      val w = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("code").asc)
-      // Best (smallest-L2², then smallest-code) codebook entry per
-      // (vector, subspace) — the shared assignment step.
-      def assign(cb: DataFrame): DataFrame =
-        subs.join(broadcast(cb), Seq("s"))
-          .withColumn("d", expr(
-            "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      // One Lloyd step: assign, then per-(subspace, code, dim) integer
-      // mean, reassembled in dim order; codes with no members keep the
-      // old centroid.
-      def lloyd(cb: DataFrame): DataFrame = {
-        val means = assign(cb)
-          .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
-          .groupBy("s", "code", "i")
-          .agg(floor(sum("x") * lit(1.0) / count(lit(1)) + lit(0.5)).cast("long").as("nd"))
-          .groupBy("s", "code")
-          .agg(expr("transform(array_sort(collect_list(named_struct('i', i, 'v', nd)))," +
-            " p -> p.v)").as("nsub"))
-        cb.join(means, Seq("s", "code"), "left")
-          .select(col("s"), col("code"), coalesce(col("nsub"), col("csub")).as("csub"))
+      // Codebook TRAINING runs on the driver over a bounded
+      // deterministic sample (vec_id < 4096 → ≤16k subvector rows
+      // collected) — the standard PQ design at any scale: k-means trains
+      // on a sample, the corpus only ever sees the final broadcast
+      // assignment pass. (The previous all-DataFrame Lloyd launched a
+      // broadcast job per iteration whose build side re-executed every
+      // prior round — job latency, not compute, dominated.) Arithmetic
+      // is the cross-engine contract: argmin by (L2², code), centroid
+      // dim = floor(sum·1.0/cnt + 0.5), empty cluster keeps its
+      // centroid — the DuckDB twin replays the same two rounds
+      // bit-for-bit.
+      val train = subs.filter(col("vec_id") < 4096)
+        .select(col("vec_id"), col("s"), col("sub"))
+        .as[(Long, Int, Array[Long])].collect()
+      val dim = 16
+      def l2(a: Array[Long], b: Array[Long]): Long = {
+        var t = 0L; var i = 0
+        while (i < dim) { val d = a(i) - b(i); t += d * d; i += 1 }
+        t
       }
-      val cb0 = subs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("code"), col("s"), col("sub").as("csub"))
-      val cb2 = lloyd(lloyd(cb0))
-      assign(cb2)
+      // seeds: the 16 lowest-id vectors' subvectors, code = vec_id
+      // (cloned — the update step mutates centroids in place and must
+      // not corrupt the training rows they were seeded from)
+      val cent: Array[Array[Array[Long]]] = Array.tabulate(4) { sp =>
+        train.filter(t => t._2 == sp && t._1 < 16).sortBy(_._1).map(_._3.clone)
+      }
+      for (_ <- 1 to 2; sp <- 0 until 4) {
+        val sums = Array.fill(16)(new Array[Long](dim))
+        val cnts = new Array[Long](16)
+        train.foreach { case (_, tsp, sub) =>
+          if (tsp == sp) {
+            var best = 0; var bd = l2(sub, cent(sp)(0)); var c = 1
+            while (c < 16) { // ascending code: ties keep the smaller
+              val d = l2(sub, cent(sp)(c)); if (d < bd) { bd = d; best = c }; c += 1
+            }
+            cnts(best) += 1
+            var i = 0
+            while (i < dim) { sums(best)(i) += sub(i); i += 1 }
+          }
+        }
+        for (c <- 0 until 16 if cnts(c) > 0; i <- 0 until dim)
+          cent(sp)(c)(i) = math.floor(sums(c)(i) * 1.0 / cnts(c) + 0.5).toLong
+      }
+      val cb = (for (sp <- 0 until 4; c <- 0 until 16)
+        yield (sp, c.toLong, cent(sp)(c).toSeq)).toDF("s", "code", "csub")
+      // Final assignment: ONE broadcast pass over the corpus; argmin as
+      // a partial-aggregating min-struct (map-side fold of the 16 codes
+      // — no window shuffle of the vectors×codes pairs), distance via
+      // the native graft_l2sq expression (the interpreted
+      // zip_with/aggregate lambda pair cost ~1 s per pass at sf0.1).
+      subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d", org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.GraftL2Sq(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sub")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("csub")))))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("code"))).as("_b"))
         .groupBy("vec_id").agg(
-          max(when(col("s") === 0, col("code"))).as("c0"),
-          max(when(col("s") === 1, col("code"))).as("c1"),
-          max(when(col("s") === 2, col("code"))).as("c2"),
-          max(when(col("s") === 3, col("code"))).as("c3"),
-          sum("d").as("err"))
+          max(when(col("s") === 0, col("_b.code"))).as("c0"),
+          max(when(col("s") === 1, col("_b.code"))).as("c1"),
+          max(when(col("s") === 2, col("_b.code"))).as("c2"),
+          max(when(col("s") === 3, col("_b.code"))).as("c3"),
+          sum("_b.d").as("err"))
         .orderBy("vec_id")
     }),
 
@@ -321,15 +353,18 @@ object AnnQueries {
     // Same integer grid, slices, and (L2², code) argmin as the Spark
     // plan — every distance is BIGINT, so the hash gate is exact.
     // Twin of the 2-iteration integer Lloyd refinement: the assignment
-    // and centroid-update CTE pair repeats per iteration (argmin by
-    // (L2², code); centroid dim = floor(mean + 0.5); empty code keeps
-    // its previous centroid via the LEFT JOIN COALESCE).
+    // and centroid-update CTE pair repeats per iteration over the
+    // bounded training sample `subt` (vec_id < 4096 — the same sample
+    // the engine collects to the driver); the final assignment runs
+    // over the full corpus `sub`. Argmin by (L2², code); centroid dim =
+    // floor(mean + 0.5); empty code keeps its previous centroid via the
+    // LEFT JOIN COALESCE.
     "x6_pq_assign" -> {
-      def assignSql(cb: String, out: String) =
+      def assignSql(src: String, cb: String, out: String) =
         s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
            |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
            |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-           |   FROM sub v JOIN $cb c USING (s)),
+           |   FROM $src v JOIN $cb c USING (s)),
            | $out AS (SELECT * FROM (SELECT *, row_number() OVER
            |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
            |   WHERE rn = 1)""".stripMargin
@@ -345,12 +380,13 @@ object AnnQueries {
          |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
          | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
          |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
+         | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
          | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
-         | ${assignSql("cb0", "a1")},
+         | ${assignSql("subt", "cb0", "a1")},
          | ${lloydSql("a1", "cb0", "cb1")},
-         | ${assignSql("cb1", "a2")},
+         | ${assignSql("subt", "cb1", "a2")},
          | ${lloydSql("a2", "cb1", "cb2")},
-         | ${assignSql("cb2", "af")}
+         | ${assignSql("sub", "cb2", "af")}
          |SELECT vec_id,
          | max(CASE WHEN s = 0 THEN code END) AS c0,
          | max(CASE WHEN s = 1 THEN code END) AS c1,

@@ -105,21 +105,22 @@ object PipelineQueries {
     // ((1e6 × N) div df) keeps the classic tf·log-free idf ORDERING
     // (idf is monotone in N/df) in pure BIGINT arithmetic both engines
     // compute identically. Top-3 terms per doc. Scale: tf partial-
-    // aggregates map-side before the (doc,term) shuffle; df attaches as
-    // a full-frame window count over term — tf is one row per
-    // (doc,term), so the window count IS the document frequency, and
-    // unlike the groupBy+self-join formulation the split/explode/
-    // aggregate subtree runs ONCE (a DataFrame reused on both sides of
-    // a join is recomputed, not shared); N broadcasts as a 1-row
-    // frame. ----
+    // aggregates map-side before the (doc,term) shuffle; df is one
+    // count-per-term hash aggregate over tf (one row per (doc,term) —
+    // a count, not a distinct-count) BROADCAST back onto tf: the
+    // duplicate run of the cheap tf subtree on the build side costs
+    // less than sort-exchanging the full tf for a window over term,
+    // and the probe side flows with no exchange; N broadcasts as a
+    // 1-row frame. ----
     "t13_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val total = docs.agg(count(lit(1)).as("n_total"))
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      tf.join(broadcast(df), Seq("term"))
         .crossJoin(broadcast(total))
         .withColumn("score", expr("tf * ((1000000 * n_total) div df)"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)

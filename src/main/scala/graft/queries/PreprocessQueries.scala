@@ -15,16 +15,20 @@ object PreprocessQueries {
 
   // Raw vitya frame: every 13th row a null price, every 17th a
   // below-threshold price; four stock statuses cycling on the order key.
+  // (l_partkey rides along so the gated query can defer the article
+  // string construction past its presentation sort.)
+  private val vityaBalance =
+    elt((col("l_orderkey") % 4 + 1).cast("int"),
+      lit("Имеются в нал."), lit("Распродажа"), lit("Ожидается"), lit("нет в наличии"))
+
   private def rawVitya(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       concat(lit("'000"), col("l_partkey").cast("string")).as("article_vitya"),
       when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
         .when(col("l_orderkey") % 17 === 0, lit(0.005))
         .otherwise(col("l_extendedprice")).as("price_usd"),
-      elt((col("l_orderkey") % 4 + 1).cast("int"),
-        lit("Имеются в нал."), lit("Распродажа"), lit("Ожидается"), lit("нет в наличии"))
-        .as("balance"),
-      col("l_orderkey"), col("l_linenumber"))
+      vityaBalance.as("balance"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
 
   private val rawVityaSql =
     """SELECT '''000' || CAST(l_partkey AS VARCHAR) AS article_vitya,
@@ -46,7 +50,7 @@ object PreprocessQueries {
         .as("balance"),
       when(col("l_linenumber") % 3 === 0, lit("Ожидается")).otherwise(lit("ок"))
         .as("balance1"),
-      col("l_orderkey"), col("l_linenumber"))
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
 
   private val rawDimiSql =
     """SELECT 'D-' || CAST(l_partkey AS VARCHAR) AS article_dimi,
@@ -58,27 +62,34 @@ object PreprocessQueries {
 
   // The gated twins compose the same P8→P9/P10→F2/F3→P11 stages as
   // Preprocess() (whose dispatch path is separately gated by
-  // e1_ref_pipeline), but project the article-cleaning AFTER the
+  // e1_ref_pipeline), but project EVERY derived column AFTER the
   // presentation sort: a range exchange SAMPLES its child to pick
-  // bounds, so an expensive projection below it executes twice over
-  // every row and ships wider rows through the exchange — deferring it
-  // above the Sort cut e1_vitya from 2.9 s to 0.1 s at sf0.1, and is
-  // exactly the plan you'd want at 100 TB.
+  // bounds, so anything projected below it executes twice over every
+  // row and ships through the exchange — the sort's child carries only
+  // the filter predicates and the four base columns the deferred
+  // projection needs ("ship narrow, project late", the plan you'd want
+  // at 100 TB). Cut e1_vitya 2.9 s → ~0.5 s at sf0.1.
+  private def deferredSort(raw: DataFrame, keep: DataFrame => DataFrame): DataFrame =
+    keep(raw)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "price_usd")
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, QueryFn] = Map(
     "e1_preprocess_vitya" -> ((s, dir) =>
-      Preprocess.vityaStockFilter(Preprocess.priceFilter(rawVitya(s, dir)))
-        .orderBy("l_orderkey", "l_linenumber")
+      deferredSort(rawVitya(s, dir),
+        r => Preprocess.vityaStockFilter(Preprocess.priceFilter(r)))
         .select(col("l_orderkey"), col("l_linenumber"),
-          graft.functions.Cleaning.cleanArticleVitya(col("article_vitya"))
-            .as("article_vitya"),
-          col("price_usd"), col("balance"), lit("Витя").as("supplier_name"))),
+          graft.functions.Cleaning.cleanArticleVitya(
+            concat(lit("'000"), col("l_partkey").cast("string"))).as("article_vitya"),
+          col("price_usd"), vityaBalance.as("balance"),
+          lit("Витя").as("supplier_name"))),
 
     "e1_preprocess_dimi" -> ((s, dir) =>
-      Preprocess.dimiStockFilter(Preprocess.priceFilter(rawDimi(s, dir)))
-        .orderBy("l_orderkey", "l_linenumber")
+      deferredSort(rawDimi(s, dir),
+        r => Preprocess.dimiStockFilter(Preprocess.priceFilter(r)))
         .select(col("l_orderkey"), col("l_linenumber"),
-          graft.functions.Cleaning.cleanArticleDimi(col("article_dimi"))
-            .as("article_dimi"),
+          graft.functions.Cleaning.cleanArticleDimi(
+            concat(lit("D-"), col("l_partkey").cast("string"))).as("article_dimi"),
           col("price_usd"), lit("Дима").as("supplier_name")))
   )
 
