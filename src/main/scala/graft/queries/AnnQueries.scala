@@ -39,6 +39,81 @@ object AnnQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", norm2Udf(col("v")))
 
+  /** Native integer squared-L2 between two BIGINT arrays (codegen'd;
+    * the interpreted zip_with/aggregate lambda pair cost ~1 s per
+    * bench pass at sf0.1). */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftL2Sq(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Shared PQ pipeline front half for x6/x7: the corpus quantized to
+    * the integer grid and exploded to (vec_id, s, sub) subvector rows,
+    * plus the trained 64-row codebook (s, code, csub).
+    *
+    * Codebook TRAINING runs on the driver over a bounded deterministic
+    * sample (vec_id < 4096 → ≤16k subvector rows collected) — the
+    * standard PQ design at any scale: k-means trains on a sample, the
+    * corpus only ever sees the final broadcast assignment pass. (An
+    * all-DataFrame Lloyd launched a broadcast job per iteration whose
+    * build side re-executed every prior round — job latency, not
+    * compute, dominated.) Arithmetic is the cross-engine contract:
+    * seeds = the 16 lowest-id vectors' subvectors, TWO Lloyd rounds,
+    * argmin by (L2², code), centroid dim = floor(sum·1.0/cnt + 0.5),
+    * empty cluster keeps its centroid — the DuckDB twin replays the
+    * same two rounds bit-for-bit. */
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+    val subs = q.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
+    val train = subs.filter(col("vec_id") < 4096)
+      .select(col("vec_id"), col("s"), col("sub"))
+      .as[(Long, Int, Array[Long])].collect()
+    val dim = 16
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var t = 0L; var i = 0
+      while (i < dim) { val d = a(i) - b(i); t += d * d; i += 1 }
+      t
+    }
+    // seeds cloned — the update step mutates centroids in place and
+    // must not corrupt the training rows they were seeded from
+    val cent: Array[Array[Array[Long]]] = Array.tabulate(4) { sp =>
+      train.filter(t => t._2 == sp && t._1 < 16).sortBy(_._1).map(_._3.clone)
+    }
+    for (_ <- 1 to 2; sp <- 0 until 4) {
+      val sums = Array.fill(16)(new Array[Long](dim))
+      val cnts = new Array[Long](16)
+      train.foreach { case (_, tsp, sub) =>
+        if (tsp == sp) {
+          var best = 0; var bd = l2(sub, cent(sp)(0)); var c = 1
+          while (c < 16) { // ascending code: ties keep the smaller
+            val d = l2(sub, cent(sp)(c)); if (d < bd) { bd = d; best = c }; c += 1
+          }
+          cnts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += sub(i); i += 1 }
+        }
+      }
+      for (c <- 0 until 16 if cnts(c) > 0; i <- 0 until dim)
+        cent(sp)(c)(i) = math.floor(sums(c)(i) * 1.0 / cnts(c) + 0.5).toLong
+    }
+    val cb = (for (sp <- 0 until 4; c <- 0 until 16)
+      yield (sp, c.toLong, cent(sp)(c).toSeq)).toDF("s", "code", "csub")
+    (subs, cb)
+  }
+
+  /** Broadcast PQ code assignment: one map-side pass over the corpus
+    * subvectors, argmin by (L2², code) as a partial-aggregating
+    * min-struct — returns (vec_id, s, code, d). */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d", l2sq(col("sub"), col("csub")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("code"))).as("_b"))
+      .select(col("vec_id"), col("s"), col("_b.code").as("code"), col("_b.d").as("d"))
+
   private def topK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     joined
@@ -177,75 +252,53 @@ object AnnQueries {
     // refined codebook's total reconstruction error improves on the
     // seed codebook's. ----
     "x6_pq_assign" -> ((s, dir) => {
-      import s.implicits._
-      val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
-      val subs = q.select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
-      // Codebook TRAINING runs on the driver over a bounded
-      // deterministic sample (vec_id < 4096 → ≤16k subvector rows
-      // collected) — the standard PQ design at any scale: k-means trains
-      // on a sample, the corpus only ever sees the final broadcast
-      // assignment pass. (The previous all-DataFrame Lloyd launched a
-      // broadcast job per iteration whose build side re-executed every
-      // prior round — job latency, not compute, dominated.) Arithmetic
-      // is the cross-engine contract: argmin by (L2², code), centroid
-      // dim = floor(sum·1.0/cnt + 0.5), empty cluster keeps its
-      // centroid — the DuckDB twin replays the same two rounds
-      // bit-for-bit.
-      val train = subs.filter(col("vec_id") < 4096)
-        .select(col("vec_id"), col("s"), col("sub"))
-        .as[(Long, Int, Array[Long])].collect()
-      val dim = 16
-      def l2(a: Array[Long], b: Array[Long]): Long = {
-        var t = 0L; var i = 0
-        while (i < dim) { val d = a(i) - b(i); t += d * d; i += 1 }
-        t
-      }
-      // seeds: the 16 lowest-id vectors' subvectors, code = vec_id
-      // (cloned — the update step mutates centroids in place and must
-      // not corrupt the training rows they were seeded from)
-      val cent: Array[Array[Array[Long]]] = Array.tabulate(4) { sp =>
-        train.filter(t => t._2 == sp && t._1 < 16).sortBy(_._1).map(_._3.clone)
-      }
-      for (_ <- 1 to 2; sp <- 0 until 4) {
-        val sums = Array.fill(16)(new Array[Long](dim))
-        val cnts = new Array[Long](16)
-        train.foreach { case (_, tsp, sub) =>
-          if (tsp == sp) {
-            var best = 0; var bd = l2(sub, cent(sp)(0)); var c = 1
-            while (c < 16) { // ascending code: ties keep the smaller
-              val d = l2(sub, cent(sp)(c)); if (d < bd) { bd = d; best = c }; c += 1
-            }
-            cnts(best) += 1
-            var i = 0
-            while (i < dim) { sums(best)(i) += sub(i); i += 1 }
-          }
-        }
-        for (c <- 0 until 16 if cnts(c) > 0; i <- 0 until dim)
-          cent(sp)(c)(i) = math.floor(sums(c)(i) * 1.0 / cnts(c) + 0.5).toLong
-      }
-      val cb = (for (sp <- 0 until 4; c <- 0 until 16)
-        yield (sp, c.toLong, cent(sp)(c).toSeq)).toDF("s", "code", "csub")
+      val (subs, cb) = pqParts(s, dir)
       // Final assignment: ONE broadcast pass over the corpus; argmin as
       // a partial-aggregating min-struct (map-side fold of the 16 codes
       // — no window shuffle of the vectors×codes pairs), distance via
       // the native graft_l2sq expression (the interpreted
       // zip_with/aggregate lambda pair cost ~1 s per pass at sf0.1).
-      subs.join(broadcast(cb), Seq("s"))
-        .withColumn("d", org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.plans.GraftL2Sq(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("sub")),
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("csub")))))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d"), col("code"))).as("_b"))
+      pqAssign(subs, cb)
         .groupBy("vec_id").agg(
-          max(when(col("s") === 0, col("_b.code"))).as("c0"),
-          max(when(col("s") === 1, col("_b.code"))).as("c1"),
-          max(when(col("s") === 2, col("_b.code"))).as("c2"),
-          max(when(col("s") === 3, col("_b.code"))).as("c3"),
-          sum("_b.d").as("err"))
+          max(when(col("s") === 0, col("code"))).as("c0"),
+          max(when(col("s") === 1, col("code"))).as("c1"),
+          max(when(col("s") === 2, col("code"))).as("c2"),
+          max(when(col("s") === 3, col("code"))).as("c3"),
+          sum("d").as("err"))
         .orderBy("vec_id")
+    }),
+
+    // ---- X7: PQ asymmetric-distance (ADC) top-5 search — the payoff
+    // of x6's compression: the corpus is reduced to its 4 one-byte
+    // codes, and each query precomputes a 4×16 distance TABLE to the
+    // codebook; scanning a candidate then costs 4 integer table
+    // lookups instead of a 64-dim kernel, which is what makes a
+    // 100 TB corpus scannable from the compressed representation
+    // alone. Plan shape: the distance tables (|queries|·64 rows of
+    // three ints) BROADCAST; the corpus's (vec_id, s, code) long form
+    // equi-joins them on (s, code) — a map-side hash join, no corpus
+    // shuffle — and a partial-aggregating sum folds the 4 subspace
+    // lookups per (query, candidate) pair before the single regroup
+    // exchange. All-integer distances end-to-end → hash-gated against
+    // the DuckDB twin, which replays training + assignment + the same
+    // table-lookup join. AnnSpec pins ADC-vs-exact rank agreement. ----
+    "x7_pq_adc" -> ((s, dir) => {
+      val (subs, cb) = pqParts(s, dir)
+      val codes = pqAssign(subs, cb)
+        .select(col("vec_id").as("nid"), col("s"), col("code"))
+      // per-query distance table: query subvectors × 64 codebook rows
+      val dt = subs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("s"), col("sub"))
+        .join(broadcast(cb), Seq("s"))
+        .select(col("qid"), col("s"), col("code"), l2sq(col("sub"), col("csub")).as("d"))
+      val w = Window.partitionBy("qid").orderBy(col("adc_d").asc, col("nid").asc)
+      codes.join(broadcast(dt), Seq("s", "code"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy("qid", "nid").agg(sum("d").as("adc_d"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), col("adc_d"))
+        .orderBy("qid", "rank")
     }),
 
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
@@ -394,6 +447,50 @@ object AnnQueries {
          | max(CASE WHEN s = 3 THEN code END) AS c3,
          | CAST(sum(d) AS BIGINT) AS err
          |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // Twin of the ADC search: replays x6's training (same two Lloyd
+    // rounds over the vec_id < 4096 sample) and corpus assignment,
+    // then the per-query distance table and the 4-lookup ADC sum.
+    "x7_pq_adc" -> {
+      def assignSql(src: String, cb: String, out: String) =
+        s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
+           |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+           |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+           |   FROM $src v JOIN $cb c USING (s)),
+           | $out AS (SELECT * FROM (SELECT *, row_number() OVER
+           |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
+           |   WHERE rn = 1)""".stripMargin
+      def lloydSql(a: String, cbPrev: String, cbNext: String) =
+        s"""${cbNext}_m AS (SELECT s, code, di.i AS i,
+           |     CAST(floor(sum(sub[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
+           |   FROM $a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) di
+           |   GROUP BY s, code, di.i),
+           | $cbNext AS (SELECT c.s, c.code, COALESCE(m.ns, c.csub) AS csub
+           |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
+           |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+         | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
+         |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
+         | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
+         | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
+         | ${assignSql("subt", "cb0", "a1")},
+         | ${lloydSql("a1", "cb0", "cb1")},
+         | ${assignSql("subt", "cb1", "a2")},
+         | ${lloydSql("a2", "cb1", "cb2")},
+         | ${assignSql("sub", "cb2", "af")},
+         | dt AS (SELECT v.vec_id AS qid, v.s, c.code,
+         |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+         |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |   FROM sub v JOIN cb2 c USING (s) WHERE v.vec_id % 50 = 0),
+         | adc AS (SELECT dt.qid, af.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adc_d
+         |   FROM af JOIN dt ON dt.s = af.s AND dt.code = af.code
+         |   WHERE dt.qid <> af.vec_id GROUP BY dt.qid, af.vec_id),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS rank FROM adc)
+         |SELECT qid, rank, nid, adc_d FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
     "x1_ann_brute" ->

@@ -127,6 +127,56 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- M6: audio container metadata — the fixture plants a REAL
+    // 44-byte RIFF/WAVE header (PCM fmt chunk with little-endian
+    // channels/sample-rate/bits derived from doc_id, data size = the
+    // payload's byte length) and the query parses the fields back out:
+    // signature checks at RIFF(0)/WAVE(8), then LE multi-byte reads at
+    // the fmt-chunk offsets, plus the derived duration_ms =
+    // samples·1000 div rate — all pure codegen'd expressions over the
+    // hex encoding (the audio twin of m5's PNG IHDR parse; a sample
+    // decoder would slot into m1's mapPartitions shape). Every 17th
+    // blob is headerless to exercise the corrupt branch. ----
+    "m6_wav_meta" -> ((s, dir) => {
+      def le16(v: org.apache.spark.sql.Column) =
+        concat(lpad(hex(v % 256), 2, "0"), lpad(hex((v.cast("long") / 256).cast("long") % 256), 2, "0"))
+      def le32(v: org.apache.spark.sql.Column) = {
+        val x = v.cast("long")
+        concat(lpad(hex(x % 256), 2, "0"),
+          lpad(hex((x / 256).cast("long") % 256), 2, "0"),
+          lpad(hex((x / 65536).cast("long") % 256), 2, "0"),
+          lpad(hex((x / 16777216).cast("long") % 256), 2, "0"))
+      }
+      val channels = lit(1) + col("doc_id") % 2
+      val rate = lit(8000) * (lit(1) + col("doc_id") % 5)
+      val blockAlign = channels * 2 // 16-bit PCM
+      val byteRate = rate * blockAlign
+      val dataSize = length(col("text").cast("binary"))
+      val header = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16(channels),
+        le32(rate), le32(byteRate), le16(blockAlign), le16(lit(16)),
+        lit("64617461"), le32(dataSize))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      val hs = hex(media)
+      // LE reads from the hex string: byte o (0-based) starts at char
+      // o*2+1; value = Σ byte_i · 256^i
+      def rb(byteOff: Int) = conv(hs.substr(byteOff * 2 + 1, 2), 16, 10).cast("long")
+      def rle16(o: Int) = rb(o) + rb(o + 1) * 256
+      def rle32(o: Int) = rb(o) + rb(o + 1) * 256 + rb(o + 2) * 65536 + rb(o + 3) * 16777216
+      val isWav = hs.startsWith("52494646") && hs.substr(17, 8) === lit("57415645")
+      // duration_ms = (dataSize div blockAlign) · 1000 div rate — all
+      // integer-exact (floorDiv on positives ≡ truncation)
+      val nSamples = floor(rle32(40) / rle16(32)).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), isWav.as("is_wav"),
+          when(isWav, rle16(22)).as("channels"),
+          when(isWav, rle32(24)).as("sample_rate"),
+          when(isWav, rle16(34)).as("bits"),
+          when(isWav, floor(nSamples * 1000 / rle32(24)).cast("long")).as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // ---- M3: frame sampling — treat the media bytes as a "video" and
     // cut fixed-size frames at a fixed stride (one input row → many
     // frame rows). Pure byte slicing, so the whole explode is
@@ -222,6 +272,44 @@ object MultimodalQueries {
          | CASE WHEN is_png THEN ${fold(33, 8)} END AS width,
          | CASE WHEN is_png THEN ${fold(41, 8)} END AS height,
          | CASE WHEN is_png THEN ${fold(49, 2)} END AS bit_depth
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // WAV twin: plants the same 44-byte LE header from doc_id and
+    // parses it back with the per-byte strpos-fold (hex() of a BIGINT
+    // is uppercase-no-leading-zeros in both engines, so the planted
+    // strings are identical).
+    "m6_wav_meta" -> {
+      def byteAt(o: Int) = // byte o (0-based) of hs, via 2-hex-digit fold
+        s"(CAST(strpos('0123456789ABCDEF', substring(hs, ${o * 2 + 1}, 1)) - 1 AS BIGINT) * 16 + " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, ${o * 2 + 2}, 1)) - 1 AS BIGINT))"
+      def rle16(o: Int) = s"(${byteAt(o)} + ${byteAt(o + 1)} * 256)"
+      def rle32(o: Int) = s"(${byteAt(o)} + ${byteAt(o + 1)} * 256 + " +
+        s"${byteAt(o + 2)} * 65536 + ${byteAt(o + 3)} * 16777216)"
+      def le16(v: String) = s"lpad(hex(($v) % 256), 2, '0') || lpad(hex(($v) // 256 % 256), 2, '0')"
+      def le32(v: String) = s"lpad(hex(($v) % 256), 2, '0') || lpad(hex(($v) // 256 % 256), 2, '0') || " +
+        s"lpad(hex(($v) // 65536 % 256), 2, '0') || lpad(hex(($v) // 16777216 % 256), 2, '0')"
+      s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS dsz,
+         |   1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 5) AS rate,
+         |   hex(encode(text)) AS payload FROM documents),
+         | le AS (SELECT doc_id, payload, dsz, ch, rate,
+         |   2 * ch AS ba, rate * 2 * ch AS br FROM d),
+         | m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN payload
+         |     ELSE '52494646' || ${le32("dsz + 36")} ||
+         |       '57415645' || '666D7420' || '10000000' || '0100' ||
+         |       ${le16("ch")} || ${le32("rate")} || ${le32("br")} ||
+         |       ${le16("ba")} || ${le16("16")} || '64617461' || ${le32("dsz")} || payload
+         |   END AS hs FROM le),
+         | p AS (SELECT doc_id, hs,
+         |   starts_with(hs, '52494646') AND substring(hs, 17, 8) = '57415645' AS is_wav
+         |   FROM m)
+         |SELECT doc_id, is_wav,
+         | CASE WHEN is_wav THEN ${rle16(22)} END AS channels,
+         | CASE WHEN is_wav THEN ${rle32(24)} END AS sample_rate,
+         | CASE WHEN is_wav THEN ${rle16(34)} END AS bits,
+         | CASE WHEN is_wav THEN (${rle32(40)} // ${rle16(32)}) * 1000 // ${rle32(24)} END
+         |   AS duration_ms
          |FROM p ORDER BY doc_id""".stripMargin
     },
 

@@ -41,6 +41,29 @@ object PipelineQueries {
       out
     })
 
+  /** S16's two-schema-version landing files, written ONCE per
+    * (JVM, source dir) — same contract as [[landingFor]]: the gated
+    * query body is only the mergeSchema read. v1 files carry
+    * (okey, cents); v2 adds `status`. */
+  private val s16Roots = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def evolutionFor(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    s16Roots.computeIfAbsent(dir, _ => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s16_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("status"))
+      orders.filter(col("okey") % 2 === 0).drop("status")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      orders.filter(col("okey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/v2")
+      Seq(s"$base/v1", s"$base/v2")
+    })
+
   val queries: Map[String, QueryFn] = Map(
     // ---- S14: CDC merge (Delta-style MERGE INTO re-expressed as a
     // declarative plan): a change feed with upsert/delete ops and a
@@ -179,10 +202,132 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy("event_type")
+    }),
+
+    // ---- E11: z-score outlier detection — the row-level anomaly gate
+    // a training pipeline runs before aggregating telemetry (drop the
+    // fat-fingered 1000× values before they poison a mean). Per-type
+    // moments (n, Σ, Σ²) are ONE hash aggregate to a handful of rows,
+    // broadcast back onto the stream, so flagging is a map-side filter
+    // — no second shuffle at any scale. The 3σ test is the algebraic
+    // form (n·v − S)² > 9·(n·S2 − S²), i.e. (v − μ)² > 9σ² with both
+    // sides × n²: the BIGINT moments convert exactly to double and
+    // both engines evaluate the identical IEEE expression, so the gate
+    // is hash-exact (BIGINT products would overflow at ~1e20 — DuckDB
+    // errors, Spark wraps — so the comparison itself must be double). ----
+    "e11_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("cents").cast("double").as("sm"),
+        sum(col("cents") * col("cents")).cast("double").as("s2"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter((col("n") * col("cents") - col("sm")) * (col("n") * col("cents") - col("sm"))
+          > lit(9.0) * (col("n") * col("s2") - col("sm") * col("sm")))
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy("event_id")
+    }),
+
+    // ---- T16: bigram-LM familiarity bucketing — the CCNet-style
+    // curation split: score each document by how familiar its bigrams
+    // are under the corpus's own bigram counts, then bucket head /
+    // middle / tail against the corpus mean. Integer-exact: familiarity
+    // = Σ corpus-count(bigram), avg = familiarity div n_bigrams, and
+    // the bucket thresholds (≥ 2× / ≥ 1× the corpus-wide mean) stay in
+    // BIGINT cross-multiplied form. Scale: one shuffle on the bigram
+    // key (counts partial-aggregate map-side), one regroup by doc, and
+    // the corpus mean is a broadcast single row — the same shape at
+    // 100 TB (a real pipeline would swap the exact counts for a
+    // count-min sketch; the join plumbing is identical). ----
+    "t16_lm_familiarity" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val perDoc = bg.join(counts, Seq("w1", "w2"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+        .withColumn("avg_fam", expr("fam_sum div n_bigrams"))
+      val corpus = perDoc.agg(sum("fam_sum").as("tot_fam"), sum("n_bigrams").as("tot_n"))
+      perDoc.crossJoin(broadcast(corpus))
+        .withColumn("corpus_avg", expr("tot_fam div tot_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("fam_sum"), col("avg_fam"),
+          when(col("avg_fam") >= lit(2) * col("corpus_avg"), "head")
+            .when(col("avg_fam") >= col("corpus_avg"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- S16: schema-evolution read — the lake reality that a landing
+    // zone accumulates files written under different schema versions
+    // (here: a v2 writer added a `status` column). The fixture writes
+    // both versions ONCE per (JVM, dir) — same memoization contract as
+    // s15 — and the query reads them back with mergeSchema, so v1 rows
+    // surface NULL status, then aggregates per effective status. At
+    // 100 TB mergeSchema's footer-union runs on the driver over file
+    // metadata only; the data never rewrites — which is the point of
+    // the pattern vs a migration. ----
+    "s16_schema_evolution" -> ((s, dir) => {
+      val roots = evolutionFor(s, dir)
+      s.read.option("mergeSchema", "true").parquet(roots: _*)
+        .groupBy(coalesce(col("status"), lit("none")).as("status"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("status")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same algebraic 3σ form, same cast-to-double points, identical
+    // IEEE expression order — the comparison is bit-exact cross-engine.
+    "e11_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |   CAST(round("value" * 100) AS BIGINT) AS cents FROM events),
+        | st AS (SELECT event_type,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(cents) AS DOUBLE) AS sm,
+        |   CAST(sum(cents * cents) AS DOUBLE) AS s2
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, event_type, cents
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (n * cents - sm) * (n * cents - sm) > 9.0 * (n * s2 - sm * sm)
+        |ORDER BY event_id""".stripMargin,
+
+    "t16_lm_familiarity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | bg AS (SELECT doc_id,
+        |     unnest(list_transform(range(1, len(w)), i -> [w[i], w[i + 1]])) AS p FROM w),
+        | b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg
+        |   WHERE p[1] <> '' AND p[2] <> ''),
+        | c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        | pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |     CAST(sum(cnt) AS BIGINT) AS fam_sum
+        |   FROM b JOIN c USING (w1, w2) GROUP BY 1),
+        | pa AS (SELECT doc_id, n_bigrams, fam_sum,
+        |     fam_sum // n_bigrams AS avg_fam FROM pd),
+        | tot AS (SELECT sum(fam_sum) // sum(n_bigrams) AS corpus_avg FROM pa)
+        |SELECT doc_id, n_bigrams, fam_sum, avg_fam,
+        | CASE WHEN avg_fam >= 2 * corpus_avg THEN 'head'
+        |      WHEN avg_fam >= corpus_avg THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM pa CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+
+    // The evolved files derive deterministically from orders, so the
+    // twin reconstructs the merged view straight from the base table.
+    "s16_schema_evolution" ->
+      """WITH m AS (SELECT o_orderkey AS okey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        |  FROM orders)
+        |SELECT COALESCE(status, 'none') AS status,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s14_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey AS okey,
         |   CAST(round(o_totalprice * 100) AS BIGINT) AS base_cents FROM orders),

@@ -102,6 +102,64 @@ class QualitySpec extends AnyFunSuite {
       s"refined codebook err $refinedErr did not improve on seed err $seedErr")
   }
 
+  test("x7 ADC ranks are monotone and its top-5 beats the corpus-average true distance") {
+    val adc = AnnQueries.queries("x7_pq_adc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(adc.nonEmpty)
+    adc.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length),
+        s"qid $qid ranks not dense")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted,
+        s"qid $qid adc_d not monotone in rank")
+    }
+    // Signal check: ADC is lossy, but picking by it must clearly beat
+    // picking at random — the mean TRUE (quantized-grid) distance of
+    // the ADC top-5 must be below the corpus mean for every query.
+    val grid = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def trueD(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    adc.groupBy(_._1).foreach { case (qid, rs) =>
+      val q = grid(qid)
+      val all = grid.collect { case (id, v) if id != qid => trueD(q, v) }
+      val corpusMean = all.sum.toDouble / all.size
+      val top5Mean = rs.map(r => trueD(q, grid(r._3))).sum.toDouble / rs.size
+      assert(top5Mean < corpusMean,
+        s"qid $qid: ADC top-5 true-dist mean $top5Mean not below corpus mean $corpusMean")
+    }
+  }
+
+  test("e11 flags exactly the rows an independent 3-sigma recomputation flags") {
+    val flagged = graft.queries.PipelineQueries.queries("e11_anomaly")(spark, sfDir)
+      .collect().map(r => r.getLong(0)).toSet
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length.toDouble
+      val sm = rows.map(_._3).sum.toDouble
+      val s2 = rows.map(r => r._3 * r._3).sum.toDouble
+      rows.toSeq.collect { case (id, _, v)
+        if (n * v - sm) * (n * v - sm) > 9.0 * (n * s2 - sm * sm) => id }
+    }.toSet
+    assert(flagged === expected)
+  }
+
+  test("t16 familiarity scores and buckets match the hand-computed fixture") {
+    val dir = docsDir(Seq("a b a b", "a b c", "z z", "q q q q q q q q"))
+    // corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 (z,z)=1 (q,q)=7
+    // fams: d0=3+1+3=7/3bg, d1=3+1=4/2, d2=1/1, d3=49/7
+    // corpus_avg = 61 div 13 = 4 -> d3 middle (7>=4), rest tail
+    val out = graft.queries.PipelineQueries.queries("t16_lm_familiarity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 7L, 2L, "tail"), (1L, 2L, 4L, 2L, "tail"),
+      (2L, 1L, 1L, 1L, "tail"), (3L, 7L, 49L, 7L, "middle")))
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()
