@@ -301,6 +301,46 @@ object AnnQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ---- X8: two-stage PQ retrieve → exact re-rank — the standard
+    // serving pattern that fixes ADC's lossiness: stage 1 scans the
+    // compressed corpus for a generous ADC top-20 (x7's plan, lookup
+    // tables broadcast, WindowGroupLimit caps the exchange), stage 2
+    // fetches ONLY those ≤ 20·|queries| candidates' full vectors and
+    // re-ranks by exact cosine to a final top-5. At 100 TB stage 2's
+    // fetch is a broadcast of the tiny candidate list onto the vector
+    // store — the full-precision corpus is touched for a few hundred
+    // rows per query, never scanned. Exact arithmetic end-to-end
+    // (integer ADC, then the same sequential-fold cosine as x1) →
+    // hash-gated. ----
+    "x8_pq_rerank" -> ((s, dir) => {
+      val (subs, cb) = pqParts(s, dir)
+      val codes = pqAssign(subs, cb)
+        .select(col("vec_id").as("nid"), col("s"), col("code"))
+      val dt = subs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("s"), col("sub"))
+        .join(broadcast(cb), Seq("s"))
+        .select(col("qid"), col("s"), col("code"), l2sq(col("sub"), col("csub")).as("d"))
+      val aw = Window.partitionBy("qid").orderBy(col("adc_d").asc, col("nid").asc)
+      val cand = codes.join(broadcast(dt), Seq("s", "code"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy("qid", "nid").agg(sum("d").as("adc_d"))
+        .withColumn("arn", row_number().over(aw))
+        .filter(col("arn") <= 20)
+        .select(col("qid"), col("nid"))
+      val e = vecs(s, dir)
+      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      val nv = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
+      val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+      broadcast(cand).join(nv, Seq("nid"))
+        .join(broadcast(qv), Seq("qid"))
+        .withColumn("cosine", dotUdf(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
+        .select(col("qid"), col("nid"), col("cosine"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -317,6 +357,43 @@ object AnnQueries {
         col("qsig") === col("nsig") && col("qid") =!= col("nid")), 5)
     })
   )
+
+  /** Shared DuckDB-twin CTE builders for the PQ oracle family
+    * (x6/x7/x8): one code-assignment pass and one integer-Lloyd
+    * centroid update, replayed identically to the engine's training. */
+  private def assignSql(src: String, cb: String, out: String) =
+    s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
+       |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+       |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |   FROM $src v JOIN $cb c USING (s)),
+       | $out AS (SELECT * FROM (SELECT *, row_number() OVER
+       |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
+       |   WHERE rn = 1)""".stripMargin
+
+  private def lloydSql(a: String, cbPrev: String, cbNext: String) =
+    s"""${cbNext}_m AS (SELECT s, code, di.i AS i,
+       |     CAST(floor(sum(sub[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
+       |   FROM $a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) di
+       |   GROUP BY s, code, di.i),
+       | $cbNext AS (SELECT c.s, c.code, COALESCE(m.ns, c.csub) AS csub
+       |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
+       |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
+
+  /** The shared PQ-oracle prologue: grid quantization, subvector
+    * explode, sample, seed codebook, two Lloyd rounds (-> cb2), full
+    * corpus assignment (-> af). */
+  private val pqPrologueSql: String =
+    s"""q AS (SELECT vec_id, list_transform(embedding,
+       |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+       | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
+       |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
+       | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
+       | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
+       | ${assignSql("subt", "cb0", "a1")},
+       | ${lloydSql("a1", "cb0", "cb1")},
+       | ${assignSql("subt", "cb1", "a2")},
+       | ${lloydSql("a2", "cb1", "cb2")},
+       | ${assignSql("sub", "cb2", "af")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Integer-weight sign-LSH: the signature is recomputed in SQL from
@@ -413,33 +490,7 @@ object AnnQueries {
     // floor(mean + 0.5); empty code keeps its previous centroid via the
     // LEFT JOIN COALESCE.
     "x6_pq_assign" -> {
-      def assignSql(src: String, cb: String, out: String) =
-        s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
-           |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
-           |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-           |   FROM $src v JOIN $cb c USING (s)),
-           | $out AS (SELECT * FROM (SELECT *, row_number() OVER
-           |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
-           |   WHERE rn = 1)""".stripMargin
-      def lloydSql(a: String, cbPrev: String, cbNext: String) =
-        s"""${cbNext}_m AS (SELECT s, code, di.i AS i,
-           |     CAST(floor(sum(sub[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
-           |   FROM $a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) di
-           |   GROUP BY s, code, di.i),
-           | $cbNext AS (SELECT c.s, c.code, COALESCE(m.ns, c.csub) AS csub
-           |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
-           |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-         | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
-         |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
-         | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
-         | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
-         | ${assignSql("subt", "cb0", "a1")},
-         | ${lloydSql("a1", "cb0", "cb1")},
-         | ${assignSql("subt", "cb1", "a2")},
-         | ${lloydSql("a2", "cb1", "cb2")},
-         | ${assignSql("sub", "cb2", "af")}
+      s"""WITH ${pqPrologueSql}
          |SELECT vec_id,
          | max(CASE WHEN s = 0 THEN code END) AS c0,
          | max(CASE WHEN s = 1 THEN code END) AS c1,
@@ -453,33 +504,7 @@ object AnnQueries {
     // rounds over the vec_id < 4096 sample) and corpus assignment,
     // then the per-query distance table and the 4-lookup ADC sum.
     "x7_pq_adc" -> {
-      def assignSql(src: String, cb: String, out: String) =
-        s"""${out}_d AS (SELECT v.vec_id, v.s, v.sub, c.code,
-           |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
-           |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-           |   FROM $src v JOIN $cb c USING (s)),
-           | $out AS (SELECT * FROM (SELECT *, row_number() OVER
-           |     (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${out}_d)
-           |   WHERE rn = 1)""".stripMargin
-      def lloydSql(a: String, cbPrev: String, cbNext: String) =
-        s"""${cbNext}_m AS (SELECT s, code, di.i AS i,
-           |     CAST(floor(sum(sub[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
-           |   FROM $a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) di
-           |   GROUP BY s, code, di.i),
-           | $cbNext AS (SELECT c.s, c.code, COALESCE(m.ns, c.csub) AS csub
-           |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
-           |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-         | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
-         |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
-         | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
-         | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
-         | ${assignSql("subt", "cb0", "a1")},
-         | ${lloydSql("a1", "cb0", "cb1")},
-         | ${assignSql("subt", "cb1", "a2")},
-         | ${lloydSql("a2", "cb1", "cb2")},
-         | ${assignSql("sub", "cb2", "af")},
+      s"""WITH ${pqPrologueSql},
          | dt AS (SELECT v.vec_id AS qid, v.s, c.code,
          |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
          |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
@@ -490,6 +515,34 @@ object AnnQueries {
          | ranked AS (SELECT *, row_number() OVER
          |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS rank FROM adc)
          |SELECT qid, rank, nid, adc_d FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // Twin of the two-stage retrieve: x7's CTE chain through the ADC
+    // top-20, then exact-cosine re-rank of just those candidates.
+    "x8_pq_rerank" -> {
+      s"""WITH ${pqPrologueSql},
+         | dt AS (SELECT v.vec_id AS qid, v.s, c.code,
+         |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+         |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |   FROM sub v JOIN cb2 c USING (s) WHERE v.vec_id % 50 = 0),
+         | adc AS (SELECT dt.qid, af.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adc_d
+         |   FROM af JOIN dt ON dt.s = af.s AND dt.code = af.code
+         |   WHERE dt.qid <> af.vec_id GROUP BY dt.qid, af.vec_id),
+         | cand AS (SELECT qid, nid FROM (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS arn FROM adc)
+         |   WHERE arn <= 20),
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | scored AS (SELECT c.qid, c.nid,
+         |     list_reduce(list_transform(list_zip(qe.v, ne.v), p -> p[1] * p[2]),
+         |       (a, b) -> a + b) / sqrt(qe.n2 * ne.n2) AS cosine
+         |   FROM cand c JOIN n ne ON c.nid = ne.vec_id JOIN n qe ON c.qid = qe.vec_id),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM scored)
+         |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 

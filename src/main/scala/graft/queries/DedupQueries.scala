@@ -207,6 +207,41 @@ object DedupQueries {
         .orderBy("train_doc", "benchmark_doc")
     }),
 
+    // ---- D10: boilerplate-span coverage — the C4/Dolma curation pass
+    // that measures, per document, how much of it is covered by spans
+    // the whole corpus repeats (navigation chrome, license footers,
+    // templated headers). Spans = contiguous token bigrams with
+    // corpus-wide document frequency ≥ 10; a token is "boilerplate"
+    // when any such span covers its position, and coverage merges
+    // overlapping spans by counting DISTINCT covered positions, not
+    // span hits. All counts BIGINT; ratio as integer percent via div.
+    // Scale: one shuffle on the span key (df partial-aggregates
+    // map-side), the df table joins back (broadcast here, plain hash
+    // join at 100 TB), and coverage is a (doc, position) distinct — a
+    // second key-partitioned agg. No windows, no driver loops. ----
+    "d10_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+      val grams = docs
+        .select(col("doc_id"), posexplode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, '_', b))")).as(Seq("p", "g")))
+      val df = grams.select(col("g"), col("doc_id")).distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 10)
+      val covered = grams.join(df, Seq("g"))
+        .select(col("doc_id"), explode(array(col("p"), col("p") + 1)).as("pos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("covered_pct", expr("(100 * n_covered) div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D7: deterministic stratified sampling — ~20% per source via
     // Knuth multiplicative hashing of the doc id (stable across runs
     // and engines; no rand()) ----
@@ -302,6 +337,25 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d10_boilerplate" ->
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | sized AS (SELECT doc_id, len(w) AS n_tokens FROM dd),
+        | ge AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM
+        |   (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |      i -> {'p': i - 1, 'g': w[i] || '_' || w[i + 1]})) AS pg FROM dd)),
+        | df AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM ge)
+        |   GROUP BY g HAVING count(*) >= 10),
+        | cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM
+        |   (SELECT DISTINCT doc_id, pos FROM
+        |     (SELECT ge.doc_id, unnest([ge.p, ge.p + 1]) AS pos
+        |      FROM ge JOIN df USING (g)))
+        |   GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+        | (100 * CAST(COALESCE(n_covered, 0) AS BIGINT)) // CAST(n_tokens AS BIGINT)
+        |   AS covered_pct
+        |FROM sized s LEFT JOIN cov USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+
     "d3_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
          |              FROM documents),

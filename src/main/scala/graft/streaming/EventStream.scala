@@ -70,6 +70,32 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming 3σ anomaly gate — the stream twin of the batch
+    * `e11_anomaly` query: per-type moments (n, Σ, Σ²) come from a
+    * STATIC reference frame (yesterday's corpus — recomputing a
+    * running σ on the stream itself would flag nothing during a
+    * drifting incident, which is exactly when the gate matters) and
+    * broadcast onto the stream, so flagging is a stateless map-side
+    * filter: no state store, no shuffle, works identically on batch
+    * frames. The test is the same algebraic (n·v − S)² > 9(n·S2 − S²)
+    * double form as the batch twin. Spark re-plans the static side
+    * per micro-batch, so a refreshed stats table takes effect on the
+    * next batch. */
+  def flagAnomalies(events: DataFrame, statsSource: DataFrame): DataFrame = {
+    val stats = statsSource
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("cents").cast("double").as("sm"),
+        sum(col("cents") * col("cents")).cast("double").as("s2"))
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .join(org.apache.spark.sql.functions.broadcast(stats), Seq("event_type"))
+      .filter((col("n") * col("cents") - col("sm")) * (col("n") * col("cents") - col("sm"))
+        > lit(9.0) * (col("n") * col("s2") - col("sm") * col("sm")))
+      .select(col("event_id"), col("event_type"), col("cents"))
+  }
+
   /** foreachBatch parquet landing: each micro-batch overwrites its OWN
     * batch directory, so a replayed batch (failure/retry re-delivers
     * the same batch id) lands idempotently instead of double-appending

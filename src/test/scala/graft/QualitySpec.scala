@@ -132,6 +132,44 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("x8 rerank top-5 dominates x7's ADC top-5 in exact cosine (rerank can only help)") {
+    // x8 picks the best 5 of the ADC top-20 by exact cosine, so its
+    // mean exact cosine must be >= the exact cosine of ANY other
+    // 5-subset of those candidates — in particular x7's ADC top-5.
+    val vecsMap = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def meanTopCos(rows: Array[(Long, Long)]): Map[Long, Double] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => cos(vecsMap(q), vecsMap(r._2))).sum / rs.length
+      }
+    val adc5 = meanTopCos(AnnQueries.queries("x7_pq_adc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    val rr5 = meanTopCos(AnnQueries.queries("x8_pq_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))))
+    assert(adc5.keySet === rr5.keySet)
+    adc5.foreach { case (q, m) =>
+      assert(rr5(q) >= m - 1e-12, s"qid $q: rerank mean ${rr5(q)} < ADC mean $m")
+    }
+  }
+
+  test("d10 boilerplate coverage merges overlapping spans on a planted fixture") {
+    // 10 docs share both bigrams (df=10 >= threshold); the 11th has
+    // unique bigrams -> full vs zero coverage.
+    val dir = docsDir((1 to 10).map(_ => "the cat sat") :+ "dog runs fast")
+    val out = graft.queries.DedupQueries.queries("d10_boilerplate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 11)
+    out.filter(_._1 < 10).foreach { case (id, n, c, pct) =>
+      assert((n, c, pct) === ((3L, 3L, 100L)), s"doc $id")
+    }
+    assert(out.find(_._1 == 10L).get === ((10L, 3L, 0L, 0L)))
+  }
+
   test("e11 flags exactly the rows an independent 3-sigma recomputation flags") {
     val flagged = graft.queries.PipelineQueries.queries("e11_anomaly")(spark, sfDir)
       .collect().map(r => r.getLong(0)).toSet

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming 3-sigma anomaly gate flags the planted outlier, matching its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // static reference corpus: 20 steady values + one gross outlier per
+    // type (the outlier must be IN the stats source too — the gate's
+    // contract is yesterday's corpus, warts included)
+    val ref = ((1 to 20).map(i => (i.toLong, ts(i), "click", 10.0 + (i % 3))) :+
+      (99L, ts(30), "click", 1000.0)) ++ (1 to 10).map(i => (200L + i, ts(i), "view", 5.0))
+    val refDf = ref.toDF("event_id", "ts", "event_type", "value")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventStream.flagAnomalies(
+        input.toDS().toDF("event_id", "ts", "event_type", "value"), refDf)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      input.addData(ref: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStream.flagAnomalies(refDf, refDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((99L, "click", 100000L)), s"flag set drifted: $streamed")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink lands batches idempotently by batch id") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
