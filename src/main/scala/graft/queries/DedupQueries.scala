@@ -271,6 +271,43 @@ object DedupQueries {
         .orderBy("source", "pick")
     }),
 
+    // ---- D12: fixed-iteration PageRank — iterative distributed graph
+    // compute beyond d9's reachability: node importance over the
+    // order↔part bipartite graph (both directions, so no dangling
+    // nodes), 5 synchronous rounds of r' = 0.15 + 0.85·Σ r/deg. All
+    // arithmetic is BIGINT on a 10⁶-scaled rank with integer division
+    // at each contribution — deterministic under ANY summation order,
+    // which is what lets a multi-round double-free PageRank hash-gate
+    // against the DuckDB twin (5 unrolled CTE rounds). Scale: each
+    // round is one hash join (ranks×edges on src) + one key aggregate
+    // (dst) — the standard BSP shape; degrees compute once; node ids
+    // disambiguate the two partitions arithmetically (2k / 2k+1), no
+    // strings shuffled. Top-20 via partial TakeOrdered. ----
+    "d12_pagerank" -> ((s, dir) => {
+      val edges1 = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct().cache()
+      val edges = edges1.unionByName(
+        edges1.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(deg, Seq("src")).cache()
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 5) {
+        val contrib = edgesDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        ranks = contrib.select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * inflow) div 100")).as("rank"))
+      }
+      val out = ranks
+        .select(col("node"), when(col("node") % 2 === 0, "order").otherwise("part").as("node_type"),
+          (col("node") / 2).cast("long").as("entity_id"), col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+        .select("node_type", "entity_id", "rank")
+      out
+    }),
+
     // ---- D9: duplicate-cluster connected components — the canonical
     // post-dedup step: near-dup PAIRS (d2's verified J ≥ 0.8 edge set)
     // become clusters via min-label propagation to fixpoint, keeping
@@ -337,6 +374,29 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Twin of the 5-round integer PageRank: one CTE pair per round,
+    // identical integer-division points.
+    "d12_pagerank" -> {
+      def round(prev: String, next: String) =
+        s"""$next AS (SELECT e.dst AS node,
+           |     CAST(150000 + (85 * sum(r.rank // e.deg)) // 100 AS BIGINT) AS rank
+           |   FROM ed e JOIN $prev r ON r.node = e.src GROUP BY e.dst)""".stripMargin
+      s"""WITH e1 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |   FROM lineitem),
+         | e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+         | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+         | r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         | ${round("r0", "r1")},
+         | ${round("r1", "r2")},
+         | ${round("r2", "r3")},
+         | ${round("r3", "r4")},
+         | ${round("r4", "r5")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'order' ELSE 'part' END AS node_type,
+         | node // 2 AS entity_id, rank
+         |FROM r5 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+    },
+
     "d10_boilerplate" ->
       """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | sized AS (SELECT doc_id, len(w) AS n_tokens FROM dd),

@@ -226,6 +226,65 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ---- T18: per-document token entropy — the information-density
+    // curation signal (low-entropy docs are templated/repetitive even
+    // when t8's bigram tests pass). Entropy is a DOUBLE, so the
+    // cross-engine contract is summation ORDER: token counts are
+    // collected per doc, sorted lexicographically by token, and folded
+    // SEQUENTIALLY (aggregate over a sort_array ↔ list_reduce over a
+    // list(... ORDER BY)), so both engines add the identical IEEE
+    // terms in the identical order — a bare SUM() would be
+    // partition-order-dependent and could differ in the last ulp.
+    // Scale: one (doc, token) count shuffle, one per-doc regroup; the
+    // fold is map-side arithmetic. ----
+    "t18_token_entropy" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sort_array(collect_list(struct(col("t"), col("c")))).as("tc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(expr(
+            """aggregate(tc, CAST(0.0 AS DOUBLE),
+              |  (acc, x) -> acc - (x.c / CAST(n_tokens AS DOUBLE))
+              |    * log2(x.c / CAST(n_tokens AS DOUBLE)))""".stripMargin), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- T17: population-stability drift — per-bin PSI contributions
+    // between the corpus's two halves (the data-quality monitor that
+    // catches a drifting upstream before it poisons training). Doc
+    // length bins are fixed-width (integer div — no quantile pass);
+    // counts are exact BIGINT; each bin's PSI term (pa−pb)·ln(pa/pb)
+    // is computed per ROW (one deterministic IEEE expression — no
+    // cross-row double summation, which would be partition-order
+    // dependent; the consumer sums the handful of bins). Bins missing
+    // from a half are Laplace-smoothed with count+1 in the ratio, the
+    // standard PSI guard against ln(0). Scale: two broadcast single-row
+    // totals + one tiny bin aggregate. ----
+    "t17_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("n_chars div 40").as("bin"),
+          (col("doc_id") % 2 === 0).as("in_a"))
+      val bins = docs.groupBy("bin").agg(
+        count(when(col("in_a"), 1)).as("ca"),
+        count(when(!col("in_a"), 1)).as("cb"))
+      val tot = docs.agg(
+        count(when(col("in_a"), 1)).as("na"),
+        count(when(!col("in_a"), 1)).as("nb"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("ca"), col("cb"),
+          round(expr(
+            """((ca + 1) / CAST(na + 1 AS DOUBLE) - (cb + 1) / CAST(nb + 1 AS DOUBLE))
+              | * ln(((ca + 1) / CAST(na + 1 AS DOUBLE)) / ((cb + 1) / CAST(nb + 1 AS DOUBLE)))"""
+              .stripMargin), 8).as("psi_term"))
+        .orderBy("bin")
+    }),
+
     // ---- T6: top-k n-gram frequency — the vocabulary/boilerplate
     // analysis a corpus pipeline runs before dedup thresholds are set.
     // One explode + one hash groupBy with map-side partial aggregation,
@@ -439,6 +498,36 @@ object TextQueries {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same lexicographic fold order as the Spark aggregate — the
+    // prepended 0.0 is the init accumulator, then one term per token
+    // ascending, so the IEEE additions run in the identical sequence.
+    "t18_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        | tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok
+        |   WHERE t <> '' GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |     CAST(count(*) AS BIGINT) AS n_distinct,
+        |     list(c ORDER BY t) AS cs FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+        |   (acc, c) -> acc - (c / CAST(n_tokens AS DOUBLE))
+        |     * log2(c / CAST(n_tokens AS DOUBLE))), 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "t17_psi_drift" ->
+      """WITH d AS (SELECT doc_id, n_chars // 40 AS bin, doc_id % 2 = 0 AS in_a
+        |           FROM documents),
+        | bins AS (SELECT bin,
+        |     CAST(count(*) FILTER (in_a) AS BIGINT) AS ca,
+        |     CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS cb FROM d GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) FILTER (in_a) AS BIGINT) AS na,
+        |     CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS nb FROM d)
+        |SELECT bin, ca, cb,
+        | round(((ca + 1) / CAST(na + 1 AS DOUBLE) - (cb + 1) / CAST(nb + 1 AS DOUBLE))
+        |   * ln(((ca + 1) / CAST(na + 1 AS DOUBLE)) / ((cb + 1) / CAST(nb + 1 AS DOUBLE))), 8)
+        |   AS psi_term
+        |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin,
 
     "t6_topk_ngrams" ->
       s"""WITH docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh

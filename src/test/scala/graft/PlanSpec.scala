@@ -103,6 +103,36 @@ class PlanSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "positions disagree with (anchor, article) order")
   }
 
+  test("e11 anomaly gate is a broadcast map-side filter (one stats shuffle only)") {
+    val df = SparkEntry.queries("e11_anomaly")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast:\n$plan")
+    // the probe (events) side must flow into the join with no exchange:
+    // the only hash exchange allowed is the stats aggregate's. Count
+    // within the FINAL adaptive plan only — toString appends the
+    // initial plan too, which would double-count every exchange.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"probe side shuffled:\n$finalPlan")
+  }
+
+  test("x7 ADC search caps the rank exchange with WindowGroupLimit pushdown") {
+    val df = SparkEntry.queries("x7_pq_adc")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"top-k not pushed below the exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"distance tables not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"ADC sum not partial-aggregated map-side:\n$plan")
+  }
+
+  test("s15 partition filter prunes at the file listing (PartitionFilters non-empty)") {
+    val plan = executedPlan("s15_partition_prune")
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"no listing-time partition pruning:\n$plan")
+  }
+
   test("o3 numbering plan contains no single-partition exchange") {
     // s8 shares the same GlobalOrder numbering but also computes the
     // scalar max(article), whose FINAL agg stage is legitimately a

@@ -170,6 +170,40 @@ class QualitySpec extends AnyFunSuite {
     assert(out.find(_._1 == 10L).get === ((10L, 3L, 0L, 0L)))
   }
 
+  test("d12 PageRank matches an independent driver-side recomputation of the 5 rounds") {
+    val out = graft.queries.DedupQueries.queries("d12_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 20)
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.reverse, "ranks not descending")
+    // independent recomputation from the raw edge list
+    val e1 = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e1 ++ e1.map { case (s, d) => (d, s) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var rank = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => inflow(d) += rank(s) / deg(s) }
+      rank = inflow.map { case (n, f) => n -> (150000L + 85L * f / 100L) }.toMap
+    }
+    val expTop = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      .map { case (n, r) =>
+        (if (n % 2 == 0) "order" else "part", n / 2, r)
+      }
+    assert(out.toSeq === expTop)
+  }
+
+  test("t18 entropy is exact on planted token distributions") {
+    val dir = docsDir(Seq("a a b b", "x x x x", "a b c d"))
+    val out = graft.queries.TextQueries.queries("t18_token_entropy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, 4L, 2L, 1.0),   // two 50/50 symbols -> 1 bit
+      (1L, 4L, 1L, 0.0),   // constant -> 0 bits
+      (2L, 4L, 4L, 2.0)))  // four uniform symbols -> 2 bits
+  }
+
   test("e11 flags exactly the rows an independent 3-sigma recomputation flags") {
     val flagged = graft.queries.PipelineQueries.queries("e11_anomaly")(spark, sfDir)
       .collect().map(r => r.getLong(0)).toSet
