@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.similarityFunction)
     ext.injectFunction(GraftExtensions.rollingHashFunction)
+    ext.injectFunction(GraftExtensions.shinglesFunction)
     ext.injectOptimizerRule(_ => SimilarityJoinRule)
     ext.injectOptimizerRule(_ => BestSimilarityMatchRule)
     ext.injectOptimizerRule(_ => SimilarityBandRule)
@@ -43,10 +44,19 @@ object GraftExtensions {
         GraftRollingHash(children.head)
       })
 
+  private[plans] val shinglesFunction =
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[GraftShingles].getCanonicalName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_shingles(words) takes exactly 1 argument")
+        GraftShingles(children.head)
+      })
+
   /** Register the SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    Seq(similarityFunction, rollingHashFunction).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(similarityFunction, rollingHashFunction, shinglesFunction).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
 

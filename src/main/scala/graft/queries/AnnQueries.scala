@@ -353,6 +353,51 @@ object AnnQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ---- X9: IVF+PQ — the FAISS-style composition that IS the 100 TB
+    // ANN serving architecture: IVF cells bound WHICH candidates a
+    // query touches (multi-probe nprobe=4 over x3's centroids), PQ
+    // codes bound WHAT is read per candidate (x6's 2-byte codes, x7's
+    // ADC tables). The full-precision corpus appears only in the
+    // one-off index build; search touches cell-restricted code rows
+    // scored by 4 integer lookups. Plan: cell membership and probe
+    // lists come from the broadcast-centroid argmax (x3's shape), the
+    // probe list and ADC tables broadcast, candidates flow map-side
+    // into the partial-aggregated ADC sum. Cosine cell assignment is
+    // the same exact-double kernel as x3 and the ADC is all-BIGINT →
+    // hash-gated end-to-end. ----
+    "x9_ivf_pq" -> ((s, dir) => {
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = vecs(s, dir)
+      val cents = e.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val ranked = e.repartition(width).crossJoin(broadcast(cents))
+        .withColumn("ccos", dotUdf(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("arn", row_number().over(aw))
+      val assigned = ranked.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+      val probes = ranked.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val (subs, cb) = pqParts(s, dir)
+      val codes = pqAssign(subs, cb)
+        .select(col("vec_id").as("nid"), col("s"), col("code"))
+      val dt = subs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("s"), col("sub"))
+        .join(broadcast(cb), Seq("s"))
+        .select(col("qid"), col("s"), col("code"), l2sq(col("sub"), col("csub")).as("d"))
+      val cand = assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+      val w = Window.partitionBy("qid").orderBy(col("adc_d").asc, col("nid").asc)
+      cand.join(codes, Seq("nid"))
+        .join(broadcast(dt), Seq("qid", "s", "code"))
+        .groupBy("qid", "nid").agg(sum("d").as("adc_d"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), col("adc_d"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -557,6 +602,39 @@ object AnnQueries {
          |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    // Twin of the IVF+PQ composition: x3's cell-assignment CTEs +
+    // the PQ prologue + cell-restricted ADC scoring.
+    "x9_ivf_pq" ->
+      s"""WITH ${pqPrologueSql},
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
+         | ac AS (SELECT n.vec_id, c.cid,
+         |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
+         |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
+         |   FROM n CROSS JOIN cent c),
+         | ar AS (SELECT *, row_number() OVER
+         |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         | assigned AS (SELECT vec_id AS nid, cid FROM ar WHERE arn = 1),
+         | probes AS (SELECT vec_id AS qid, cid FROM ar
+         |   WHERE arn <= 4 AND vec_id % 50 = 0),
+         | dt AS (SELECT v.vec_id AS qid, v.s, c.code,
+         |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+         |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |   FROM sub v JOIN cb2 c USING (s) WHERE v.vec_id % 50 = 0),
+         | cand AS (SELECT p.qid, a.nid FROM assigned a JOIN probes p USING (cid)
+         |   WHERE p.qid <> a.nid),
+         | adc AS (SELECT c.qid, c.nid, CAST(sum(dt.d) AS BIGINT) AS adc_d
+         |   FROM cand c JOIN af ON af.vec_id = c.nid
+         |   JOIN dt ON dt.qid = c.qid AND dt.s = af.s AND dt.code = af.code
+         |   GROUP BY c.qid, c.nid),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS rank FROM adc)
+         |SELECT qid, rank, nid, adc_d FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "x1_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -74,6 +74,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_shingles ≡ the declarative HOF formulation, fixture and edge cases") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, "one"), (100002L, "two words"),
+        (100003L, "a b a b a"), (100004L, "")).toDF("doc_id", "text"))
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("_w"))
+    val native = w.select(col("doc_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_w")))).as("sh"))
+    val hof = w.select(col("doc_id"), DedupQueries.shinglesFromWords(col("_w")).as("sh"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n.keySet === h.keySet)
+    n.foreach { case (id, sh) => assert(sh === h(id), s"doc $id diverged") }
+    // short docs collapse to the single null shingle in both forms
+    assert(n(100001L) === Seq(null) && n(100002L) === Seq(null))
+    assert(n(100003L) === Seq("a_b_a", "b_a_b"))
+  }
+
   test("m1 container decode recovers the planted IHDR fields byte-accurately") {
     val m1a = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()
     val m1b = MultimodalQueries.queries("m1_media_meta")(spark, sfDir).collect()

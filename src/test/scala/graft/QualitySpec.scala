@@ -157,6 +157,30 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("x9 IVF+PQ honors cell discipline: every hit shares a probed cell with its query") {
+    val out = AnnQueries.queries("x9_ivf_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.nonEmpty)
+    // independent driver-side cell assignment (exact cosine argmax)
+    val vecsArr = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val cents = vecsArr.keys.filter(_ % 50 == 1).toSeq.sorted
+    def rankedCells(id: Long): Seq[Long] =
+      cents.map(c => (c, cos(vecsArr(id), vecsArr(c))))
+        .sortBy { case (c, sim) => (-sim, c) }.map(_._1)
+    out.foreach { case (qid, nid) =>
+      val probed = rankedCells(qid).take(4).toSet
+      val cell = rankedCells(nid).head
+      assert(probed.contains(cell),
+        s"hit $nid (cell $cell) outside qid $qid's probed cells $probed")
+    }
+  }
+
   test("d10 boilerplate coverage merges overlapping spans on a planted fixture") {
     // 10 docs share both bigrams (df=10 >= threshold); the 11th has
     // unique bigrams -> full vs zero coverage.
