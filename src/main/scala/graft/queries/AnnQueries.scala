@@ -398,6 +398,31 @@ object AnnQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ---- X10: IVF+PQ recall@5 — the measurement that makes the
+    // compressed serving path credible: per query, how many TRUE
+    // top-5 neighbors (x1's exact answer) does the x9 pipeline
+    // recover? Separates the two loss sources a 100 TB deployment
+    // tunes independently: cell misses (raise nprobe) vs ADC ranking
+    // error (raise code budget / rerank depth). Measured on this
+    // fixture: 0.2 avg — the fixture's embeddings are uniform random
+    // (no cluster structure), so probing 4/10 cells bounds recall at
+    // ~0.4 (x4 measures 0.46 for IVF-exact at comparable coverage) and
+    // the 2-byte ADC ranking inside the candidate set costs the rest;
+    // the production fix is exactly x8's rerank stage on x9's
+    // candidates. Pure join + count over two gated results →
+    // hash-gated itself. ----
+    "x10_pq_recall" -> ((s, dir) => {
+      val ivfpq = queries("x9_ivf_pq")(s, dir).select("qid", "nid")
+      val brute = queries("x1_ann_brute")(s, dir).select("qid", "nid")
+      val hits = brute.join(ivfpq, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      brute.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy("qid")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -635,6 +660,52 @@ object AnnQueries {
          |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS rank FROM adc)
          |SELECT qid, rank, nid, adc_d FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // x9's chain + x1's brute chain (sharing the e/n CTEs) + the
+    // per-query hit count.
+    "x10_pq_recall" ->
+      s"""WITH ${pqPrologueSql},
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
+         | ac AS (SELECT n.vec_id, c.cid,
+         |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
+         |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
+         |   FROM n CROSS JOIN cent c),
+         | ar AS (SELECT *, row_number() OVER
+         |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         | assigned AS (SELECT vec_id AS nid, cid FROM ar WHERE arn = 1),
+         | probes AS (SELECT vec_id AS qid, cid FROM ar
+         |   WHERE arn <= 4 AND vec_id % 50 = 0),
+         | dt AS (SELECT v.vec_id AS qid, v.s, c.code,
+         |     CAST(list_sum(list_transform(list_zip(v.sub, c.csub),
+         |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+         |   FROM sub v JOIN cb2 c USING (s) WHERE v.vec_id % 50 = 0),
+         | cand AS (SELECT p.qid, a.nid FROM assigned a JOIN probes p USING (cid)
+         |   WHERE p.qid <> a.nid),
+         | adc AS (SELECT c.qid, c.nid, CAST(sum(dt.d) AS BIGINT) AS adc_d
+         |   FROM cand c JOIN af ON af.vec_id = c.nid
+         |   JOIN dt ON dt.qid = c.qid AND dt.s = af.s AND dt.code = af.code
+         |   GROUP BY c.qid, c.nid),
+         | itop AS (SELECT qid, nid FROM (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY adc_d ASC, nid ASC) AS rank FROM adc)
+         |   WHERE rank <= 5),
+         | bq AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 50 = 0),
+         | bpairs AS (SELECT q.qid, c.vec_id AS nid,
+         |     list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
+         |       (a, b) -> a + b) / sqrt(q.qn2 * c.n2) AS cosine
+         |   FROM bq q JOIN n c ON q.qid <> c.vec_id),
+         | btop AS (SELECT qid, nid FROM (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM bpairs)
+         |   WHERE rank <= 5),
+         | hits AS (SELECT b.qid, count(*) AS hits FROM btop b
+         |   JOIN itop i ON b.qid = i.qid AND b.nid = i.nid GROUP BY b.qid)
+         |SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(COALESCE(h.hits, 0) AS BIGINT) / 5.0, 4) AS recall
+         |FROM (SELECT DISTINCT qid FROM btop) q LEFT JOIN hits h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
 
     "x1_ann_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

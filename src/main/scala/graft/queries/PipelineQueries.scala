@@ -264,6 +264,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- E12: fixed-width value histogram — the distribution profile
+    // a pipeline snapshots per ingest batch (drift shows up as mass
+    // moving between bins before any model metric degrades; t17's PSI
+    // consumes exactly this shape). Integer cents div a fixed bin
+    // width — no quantile pass, so the whole profile is ONE map-side
+    // partial-aggregated groupBy at any scale. ----
+    "e12_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) div 2500").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")),
+
+    // ---- T19: k-anonymity audit — the release gate before a dataset
+    // leaves the pipeline: group rows by their quasi-identifier tuple
+    // (event type × user id — the generalization k-anonymity tooling
+    // tunes), measure every equivalence class, and report per type how
+    // many classes fall below k (re-identifiable) and how many ROWS
+    // sit in those classes — the number that must be suppressed or
+    // generalized before release. Two hash aggregates (class sizes,
+    // then the per-type rollup), both map-side partial — the audit
+    // output is O(types) regardless of data size. ----
+    "t19_k_anonymity" -> ((s, dir) => {
+      val k = 5
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("class_size"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_classes"),
+          count(when(col("class_size") < k, 1)).as("n_violating"),
+          coalesce(sum(when(col("class_size") < k, col("class_size"))), lit(0L))
+            .as("rows_at_risk"),
+          min("class_size").as("min_class"))
+        .orderBy("event_type")
+    }),
+
     // ---- S16: schema-evolution read — the lake reality that a landing
     // zone accumulates files written under different schema versions
     // (here: a v2 writer added a `status` column). The fixture writes
@@ -316,6 +351,21 @@ object PipelineQueries {
         |      WHEN avg_fam >= corpus_avg THEN 'middle'
         |      ELSE 'tail' END AS bucket
         |FROM pa CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+
+    "e12_value_histogram" ->
+      """SELECT event_type, CAST(round("value" * 100) AS BIGINT) // 2500 AS bin,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t19_k_anonymity" ->
+      """WITH cls AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS class_size
+        |             FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(count(*) FILTER (class_size < 5) AS BIGINT) AS n_violating,
+        | CAST(COALESCE(sum(class_size) FILTER (class_size < 5), 0) AS BIGINT)
+        |   AS rows_at_risk,
+        | min(class_size) AS min_class
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The evolved files derive deterministically from orders, so the
     // twin reconstructs the merged view straight from the base table.
