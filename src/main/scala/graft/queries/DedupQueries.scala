@@ -52,6 +52,46 @@ object DedupQueries {
   /** documents → (doc_id, sh, sz) with the split materialized ONCE per
     * row in its own projection (CollapseProject keeps it: the alias is
     * non-cheap and multiply referenced). */
+  /** BSP min-label propagation to fixpoint over an undirected pair set
+    * (`doc1`, `doc2`) → (doc_id, cluster_id, is_canonical). Shared by
+    * d9 (shingle-Jaccard edges) and d13 (embedding-cosine edges).
+    *
+    * The label frame is tiny (nodes appearing in ≥1 dup pair), so the
+    * loop runs on a handful of partitions — round latency, not data, is
+    * the cost; at real scale the same loop keeps the session's shuffle
+    * width and adds periodic checkpoints to cut lineage. Labels
+    * converge in O(cluster diameter) rounds (2-3 for dup clusters); the
+    * large-star/small-star variant of the same joins bounds rounds at
+    * O(log n). Deterministic exact fixpoint → hash-gateable via a
+    * DuckDB recursive CTE over the identical edge set. */
+  private def minLabelClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.unionByName(
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).cache()
+    var labels = edges.select(col("doc1").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id")).repartition(4).cache()
+    var prevCache = labels // unpersist target: the CACHED frame, not a projection
+    var changed = 1L
+    while (changed > 0) {
+      val nmin = edges.join(labels, edges("doc2") === labels("doc_id"))
+        .groupBy(edges("doc1").as("nid")).agg(min("lab").as("nmin"))
+      // carry the moved flag through the round so convergence reads off
+      // the SAME frame — one action, no extra old-vs-new join
+      val next = labels.join(nmin, labels("doc_id") === nmin("nid"), "left")
+        .select(labels("doc_id"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          (col("nmin") < col("lab")).as("moved"))
+        .cache()
+      changed = next.filter(col("moved")).count()
+      prevCache.unpersist()
+      prevCache = next
+      labels = next.drop("moved")
+    }
+    val out = labels.select(col("doc_id"), col("lab").as("cluster_id"),
+      (col("doc_id") === col("lab")).as("is_canonical"))
+    edges.unpersist()
+    out
+  }
+
   /** Query-path shingling uses the native [[graft.plans.GraftShingles]]
     * expression — one codegen'd JVM loop per row instead of the
     * interpreted HOF chain (DedupSpec pins ≡ [[shinglesFromWords]]). */
@@ -335,36 +375,31 @@ object DedupQueries {
     // identical edge set. ----
     "d9_dup_clusters" -> ((s, dir) => {
       val pairs = queries("d2_minhash_lsh")(s, dir).select("doc1", "doc2").cache()
-      val edges = pairs.unionByName(
-        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).cache()
-      // the label frame is tiny (nodes appearing in ≥1 dup pair), so the
-      // loop runs on a handful of partitions — round latency, not data,
-      // is the cost; at real scale the same loop keeps the session's
-      // shuffle width and adds periodic checkpoints to cut lineage
-      var labels = edges.select(col("doc1").as("doc_id")).distinct()
-        .withColumn("lab", col("doc_id")).repartition(4).cache()
-      var prevCache = labels // unpersist target: the CACHED frame, not a projection
-      var changed = 1L
-      while (changed > 0) {
-        val nmin = edges.join(labels, edges("doc2") === labels("doc_id"))
-          .groupBy(edges("doc1").as("nid")).agg(min("lab").as("nmin"))
-        // carry the moved flag through the round so convergence reads off
-        // the SAME frame — one action, no extra old-vs-new join
-        val next = labels.join(nmin, labels("doc_id") === nmin("nid"), "left")
-          .select(labels("doc_id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
-            (col("nmin") < col("lab")).as("moved"))
-          .cache()
-        changed = next.filter(col("moved")).count()
-        prevCache.unpersist()
-        prevCache = next
-        labels = next.drop("moved")
-      }
-      val out = labels
-        .select(col("doc_id"), col("lab").as("cluster_id"),
-          (col("doc_id") === col("lab")).as("is_canonical"))
-        .orderBy("doc_id")
-      pairs.unpersist(); edges.unpersist()
+      val out = minLabelClusters(pairs).orderBy("doc_id")
+      pairs.unpersist()
+      out
+    }),
+
+    // ---- D13: semantic duplicate clusters — the embedding-space
+    // composition of d5 and d9: cosine-similar PAIRS (d5's exact edge
+    // set) become transitive clusters via the same BSP min-label
+    // fixpoint, which is how "semantically same article, different
+    // wording" groups are collapsed before sampling. One canonical
+    // member per cluster (smallest vec_id). The CLUSTERING is d9's
+    // scale-safe BSP shape; the edge GENERATION reuses d5's
+    // declared-exact quadratic scan (this fixture's cos ≥ 0.45
+    // threshold is below what 8-plane LSH bucketing can recall), so at
+    // 100 TB the edges would come from the x3 IVF candidates + exact
+    // verify instead — the clustering half is unchanged. DuckDB twin
+    // rebuilds the identical edge set and runs the recursive-CTE
+    // reachability. ----
+    "d13_semantic_clusters" -> ((s, dir) => {
+      val pairs = queries("d5_embedding_dup")(s, dir)
+        .select(col("id1").as("doc1"), col("id2").as("doc2")).cache()
+      val out = minLabelClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+        .orderBy("vec_id")
+      pairs.unpersist()
       out
     }),
 
@@ -576,6 +611,26 @@ object DedupQueries {
 
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).
+    // d5's exact cosine edge set + d9's recursive reachability.
+    "d13_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | pairs AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2
+        |   FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |   WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+        |       (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.45),
+        | edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+        |   UNION SELECT doc2, doc1 FROM pairs),
+        | reach(node, lab) AS (
+        |   SELECT DISTINCT a, a FROM edges
+        |   UNION
+        |   SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON r.node = e2.b)
+        |SELECT node AS vec_id, min(lab) AS cluster_id,
+        | node = min(lab) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
     "d5_embedding_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
