@@ -299,6 +299,34 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // ---- T20: content novelty — per document, the fraction of its
+    // bigrams whose FIRST corpus occurrence is this document (doc_id
+    // as ingest order). The curation signal that favors fresh content
+    // over rehashes: a doc whose bigrams all debuted earlier is a
+    // restatement even when no single source passes a dedup threshold.
+    // owner = min(doc_id) per bigram — one hash aggregate — joined
+    // back onto the per-doc bigram stream; DISTINCT bigram per doc
+    // first, so a repeated phrase inside one doc counts once. All
+    // BIGINT + integer-percent. Scale: two key-partitioned aggregates
+    // (bigram, then doc), the d10/t16 shape. ----
+    "t20_novelty" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+        .select(col("doc_id"), concat(col("p.w1"), lit("_"), col("p.w2")).as("g"))
+        .distinct()
+      val owner = bg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      bg.join(owner, Seq("g"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_distinct_bigrams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novelty_pct", expr("(100 * n_novel) div n_distinct_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // ---- S16: schema-evolution read — the lake reality that a landing
     // zone accumulates files written under different schema versions
     // (here: a v2 writer added a `status` column). The fixture writes
@@ -351,6 +379,19 @@ object PipelineQueries {
         |      WHEN avg_fam >= corpus_avg THEN 'middle'
         |      ELSE 'tail' END AS bucket
         |FROM pa CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+
+    "t20_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | bgp AS (SELECT doc_id,
+        |     unnest(list_transform(range(1, len(w)), i -> [w[i], w[i + 1]])) AS p FROM w),
+        | bg AS (SELECT DISTINCT doc_id, p[1] || '_' || p[2] AS g FROM bgp
+        |   WHERE p[1] <> '' AND p[2] <> ''),
+        | owner AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        | CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+        | (100 * CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT))
+        |   // CAST(count(*) AS BIGINT) AS novelty_pct
+        |FROM bg JOIN owner USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "e12_value_histogram" ->
       """SELECT event_type, CAST(round("value" * 100) AS BIGINT) // 2500 AS bin,

@@ -244,6 +244,16 @@ class QualitySpec extends AnyFunSuite {
     assert(flagged === expected)
   }
 
+  test("t20 novelty credits first occurrence and zeroes the rehash") {
+    val dir = docsDir(Seq("a b c", "a b c", "x y"))
+    val out = graft.queries.PipelineQueries.queries("t20_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, 100L),  // owns a_b and b_c
+      (1L, 2L, 0L, 0L),    // verbatim rehash of doc 0
+      (2L, 1L, 1L, 100L))) // fresh content
+  }
+
   test("t16 familiarity scores and buckets match the hand-computed fixture") {
     val dir = docsDir(Seq("a b a b", "a b c", "z z", "q q q q q q q q"))
     // corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 (z,z)=1 (q,q)=7
