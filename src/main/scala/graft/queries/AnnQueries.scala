@@ -340,7 +340,12 @@ object AnnQueries {
         .filter(col("arn") <= 20)
         .select(col("qid"), col("nid"))
       val e = vecs(s, dir)
-      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      // only the ~2% query rows broadcast — broadcasting the unfiltered
+      // corpus here would ship the full-precision vector table to every
+      // task at scale (the filter is also what the stage-2 comment
+      // below promises)
+      val qv = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
       val nv = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
       val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
       broadcast(cand).join(nv, Seq("nid"))

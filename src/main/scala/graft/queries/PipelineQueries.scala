@@ -253,6 +253,8 @@ object PipelineQueries {
       val perDoc = bg.join(counts, Seq("w1", "w2"))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+        // div vs DuckDB // agree here by contract: both operands are
+        // counts (>= 0), where truncation == floor
         .withColumn("avg_fam", expr("fam_sum div n_bigrams"))
       val corpus = perDoc.agg(sum("fam_sum").as("tot_fam"), sum("n_bigrams").as("tot_n"))
       perDoc.crossJoin(broadcast(corpus))
@@ -269,11 +271,16 @@ object PipelineQueries {
     // moving between bins before any model metric degrades; t17's PSI
     // consumes exactly this shape). Integer cents div a fixed bin
     // width — no quantile pass, so the whole profile is ONE map-side
-    // partial-aggregated groupBy at any scale. ----
+    // partial-aggregated groupBy at any scale. Binning is explicit
+    // FLOOR division on both engines: Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors, so a negative value would bin
+    // differently under the truncating pair — floor() keeps the twin
+    // exact for any sign (the fixture's values happen to be >= 0, but
+    // the contract shouldn't hang on that). ----
     "e12_value_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT) div 2500").as("bin"))
+          expr("CAST(floor(CAST(round(value * 100) AS BIGINT) / 2500) AS BIGINT)").as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")),
 
@@ -323,6 +330,7 @@ object PipelineQueries {
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_distinct_bigrams"),
           count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        // counts >= 0, so truncating div == DuckDB's flooring //
         .withColumn("novelty_pct", expr("(100 * n_novel) div n_distinct_bigrams"))
         .orderBy("doc_id")
     }),
@@ -394,7 +402,8 @@ object PipelineQueries {
         |FROM bg JOIN owner USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "e12_value_histogram" ->
-      """SELECT event_type, CAST(round("value" * 100) AS BIGINT) // 2500 AS bin,
+      """SELECT event_type,
+        | CAST(floor(CAST(round("value" * 100) AS BIGINT) / 2500) AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

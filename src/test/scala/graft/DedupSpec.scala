@@ -116,4 +116,22 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d14 IVF-candidate edges ≡ d5's exact all-pairs cos ≥ 0.45 set (100% recall)") {
+    val exact = DedupQueries.queries("d5_embedding_dup")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val ivf = DedupQueries.queries("d14_semantic_edges_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(ivf === exact, "IVF-candidate + exact-verify must equal the exact pair set")
+    assert(exact.nonEmpty, "fixture has planted semantic near-dups")
+  }
+
+  test("d14 and d13 plans carry no cartesian or nested-loop join") {
+    for (q <- Seq("d14_semantic_edges_ivf", "d13_semantic_clusters")) {
+      val plan = DedupQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop join:\n$plan")
+    }
+  }
 }
