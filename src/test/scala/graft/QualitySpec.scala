@@ -266,6 +266,23 @@ class QualitySpec extends AnyFunSuite {
       (2L, 1L, 1L, 1L, "tail"), (3L, 7L, 49L, 7L, "middle")))
   }
 
+  test("x11 IVF+PQ+rerank recall@5 vs x1 brute force averages >= 0.9 (sf0.01)") {
+    // sf0.001 has a single coarse cell (the assertion would be vacuous:
+    // full rerank ≡ brute force), so this gate runs on sf0.01 — 10
+    // cells, 500 vectors, the same fixture the driver's hash gate uses.
+    val dir = "/root/testdata/sf0.01"
+    val brute = AnnQueries.queries("x1_ann_brute")(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = AnnQueries.queries("x11_ivf_pq_rerank")(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = brute.groupBy(_._1)
+    val recalls = byQ.map { case (_, pairs) =>
+      pairs.count(served.contains).toDouble / pairs.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"recall@5 $avg below the production-path bar")
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()
