@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central lifecycle registry for the per-(JVM, fixture-dir) state the
+  * query modules memoize between invocations: cached DataFrames (BSP
+  * label frames, cascade intermediates, shingle/pair caches),
+  * driver-side trained artifacts (PQ codebooks, IVF coarse centroids),
+  * and materialized landing directories (s15/s16).
+  *
+  * The memos exist because a bench/serving session replays the same
+  * fixture dir many times — but a long-lived session iterating over
+  * MANY dirs would otherwise grow them without bound and pin executor
+  * storage (the round-5 audit's "operational leak"). This registry is
+  * the one entry point that returns a dir's footprint to baseline:
+  * modules register a cleanup thunk when they create a memo, and
+  * [[release]] drains them.
+  *
+  * Invalidation contract: memos are keyed by the fixture dir PATH and
+  * assume its files are immutable while memoized (the steady-state
+  * fixture contract). Regenerating files under a live JVM requires
+  * `Caches.release(spark, dir)` first — otherwise stale codebooks,
+  * centroids, or landing files are served and the oracle comparison
+  * diverges.
+  */
+object Caches {
+
+  private val tracked =
+    new java.util.concurrent.ConcurrentHashMap[String, List[() => Unit]]()
+
+  /** Register a cleanup thunk for a fixture dir, run (once) at
+    * [[release]]. Thunks must be idempotent and order-independent. */
+  def track(dir: String)(cleanup: () => Unit): Unit =
+    tracked.merge(dir, List(cleanup), (older, newer) => newer ::: older)
+
+  /** Cache `df` and register its unpersist for the dir's release —
+    * the pattern for query-internal frames that outlive one invocation
+    * (repeat invocations re-register; duplicate unpersists are no-ops
+    * on Spark's side). Returns the cached frame for chaining. */
+  def trackCached(dir: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    track(dir)(() => { cached.unpersist(); () })
+    cached
+  }
+
+  /** Delete a materialized landing directory at release (s15/s16). */
+  def trackPath(dir: String, path: java.io.File): Unit =
+    track(dir) { () =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(path)
+    }
+
+  /** Drop every memo registered for one (session, fixture dir):
+    * run+clear the tracked thunks and the match-cascade context.
+    * Returns the number of cleanups performed. */
+  def release(s: SparkSession, dir: String, blocking: Boolean = false): Int = {
+    val thunks = Option(tracked.remove(dir)).getOrElse(Nil)
+    thunks.foreach(_.apply())
+    thunks.size + MatchQueries.release(s, dir, blocking)
+  }
+
+  /** Release every dir's memos for a session. */
+  def releaseAll(s: SparkSession, blocking: Boolean = false): Int = {
+    import scala.jdk.CollectionConverters._
+    tracked.keySet().asScala.toSeq.map(release(s, _, blocking)).sum +
+      MatchQueries.releaseAll(s, blocking)
+  }
+}

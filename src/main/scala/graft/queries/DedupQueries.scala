@@ -66,8 +66,13 @@ object DedupQueries {
     * converge in O(cluster diameter) rounds (2-3 for dup clusters); the
     * large-star/small-star variant of the same joins bounds rounds at
     * O(log n). Deterministic exact fixpoint → hash-gateable via a
-    * DuckDB recursive CTE over the identical edge set. */
-  private def minLabelClusters(pairs: DataFrame): DataFrame = {
+    * DuckDB recursive CTE over the identical edge set.
+    *
+    * The FINAL round's cached label frame backs the returned (lazy)
+    * projection, so it cannot unpersist here — it is registered with
+    * [[Caches]] under `dir` and released with the dir's other memos
+    * (superseded rounds still unpersist in-loop). */
+  private def minLabelClusters(pairs: DataFrame, dir: String): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))).cache()
     var labels = edges.select(col("doc1").as("doc_id")).distinct()
@@ -89,6 +94,7 @@ object DedupQueries {
       prevCache = next
       labels = next.drop("moved")
     }
+    Caches.track(dir) { val last = prevCache; () => { last.unpersist(); () } }
     val out = labels.select(col("doc_id"), col("lab").as("cluster_id"),
       (col("doc_id") === col("lab")).as("is_canonical"))
     edges.unpersist()
@@ -133,7 +139,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double], Double)]]()
 
   private def centsFor(s: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
-    coarseCents.computeIfAbsent(dir, _ =>
+    coarseCents.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { coarseCents.remove(d); () })
       Tables.embeddings(s, dir)
         .filter(col("vec_id") % 50 === 1)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -142,7 +149,8 @@ object DedupQueries {
           val v = r.getSeq[Double](1).toArray
           (r.getLong(0), v, graft.functions.VectorOps.norm2(v))
         }
-        .sortBy(_._1))
+        .sortBy(_._1)
+    })
 
   /** The `p` nearest coarse cells for a vector, ordered by
     * (cosine desc, cid asc) — x3's argmax tie-break — computed as a
@@ -222,7 +230,7 @@ object DedupQueries {
   val queries: Map[String, QueryFn] = Map(
     // ---- D3: exact n-gram Jaccard dedup via prefix-filtered join ----
     "d3_ngram_jaccard" -> ((s, dir) => {
-      val docs = docShingles(s, dir).cache()
+      val docs = Caches.trackCached(dir, docShingles(s, dir))
       val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
       val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
@@ -248,7 +256,7 @@ object DedupQueries {
     // J ≥ 0.9 where the per-pair miss probability is (1−J⁴)⁸ ≈ 2·10⁻⁴;
     // a hash mismatch here would flag genuine signature drift. ----
     "d2_minhash_lsh" -> ((s, dir) => {
-      val docs = docShingles(s, dir).cache()
+      val docs = Caches.trackCached(dir, docShingles(s, dir))
       val banded = docs.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
         .toDF("doc_id", "band", "key")
       val cand = banded.as("a").join(banded.as("b"),
@@ -290,7 +298,7 @@ object DedupQueries {
     // held-out set). Same lossless prefix-filter machinery as d3, but
     // candidates cross the two sets instead of self-joining. ----
     "d6_decontaminate" -> ((s, dir) => {
-      val docs = docShingles(s, dir).cache()
+      val docs = Caches.trackCached(dir, docShingles(s, dir))
       val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
       val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
@@ -389,9 +397,9 @@ object DedupQueries {
     // disambiguate the two partitions arithmetically (2k / 2k+1), no
     // strings shuffled. Top-20 via partial TakeOrdered. ----
     "d12_pagerank" -> ((s, dir) => {
-      val edges1 = Tables.lineitem(s, dir)
+      val edges1 = Caches.trackCached(dir, Tables.lineitem(s, dir)
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct().cache()
+        .distinct())
       val edges = edges1.unionByName(
         edges1.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -400,7 +408,7 @@ object DedupQueries {
       // on src is reused by all 5 rounds — only the (tiny) rank frame
       // shuffles per round, not the 2.4M-row edge table (the classic
       // Pregel edge-partitioning optimization; ~5.4 s → ~3 s at sf0.1).
-      val edgesDeg = edges.join(deg, Seq("src")).repartition(col("src")).cache()
+      val edgesDeg = Caches.trackCached(dir, edges.join(deg, Seq("src")).repartition(col("src")))
       var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 5) {
         val contrib = edgesDeg.join(ranks, col("src") === col("node"))
@@ -409,9 +417,12 @@ object DedupQueries {
         // cache each round: the rank frame is tiny (one row per node)
         // but feeds the next round's broadcast build — uncached, round
         // k's lineage re-executes rounds 1..k-1, turning 5 rounds of
-        // work into 15 (the O(R²) BSP recompute trap d9 also avoids)
-        ranks = contrib.select(col("dst").as("node"),
-          (lit(150000L) + expr("(85 * inflow) div 100")).as("rank")).cache()
+        // work into 15 (the O(R²) BSP recompute trap d9 also avoids).
+        // Every round's frame must stay resident until the final action
+        // (unpersisting early reopens the trap), so release is deferred
+        // to the dir's Caches lifecycle.
+        ranks = Caches.trackCached(dir, contrib.select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * inflow) div 100")).as("rank")))
       }
       val out = ranks
         .select(col("node"), when(col("node") % 2 === 0, "order").otherwise("part").as("node_type"),
@@ -435,7 +446,7 @@ object DedupQueries {
     // identical edge set. ----
     "d9_dup_clusters" -> ((s, dir) => {
       val pairs = queries("d2_minhash_lsh")(s, dir).select("doc1", "doc2").cache()
-      val out = minLabelClusters(pairs).orderBy("doc_id")
+      val out = minLabelClusters(pairs, dir).orderBy("doc_id")
       pairs.unpersist()
       out
     }),
@@ -456,9 +467,9 @@ object DedupQueries {
       // the pair set stays cached across invocations (it is a few
       // hundred 16-byte rows) — same steady-state contract as the
       // cascade ctx and shingle caches; Caches.release drops it
-      val pairs = queries("d14_semantic_edges_ivf")(s, dir)
-        .select(col("id1").as("doc1"), col("id2").as("doc2")).cache()
-      minLabelClusters(pairs)
+      val pairs = Caches.trackCached(dir, queries("d14_semantic_edges_ivf")(s, dir)
+        .select(col("id1").as("doc1"), col("id2").as("doc2")))
+      minLabelClusters(pairs, dir)
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
         .orderBy("vec_id")
     }),

@@ -30,11 +30,15 @@ object PipelineQueries {
   private val s15Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def landingFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    s15Landing.computeIfAbsent(dir, _ => {
+    s15Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_s15_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      // landing files assume the source dir is immutable while memoized;
+      // Caches.release(dir) drops the memo AND the materialized files
+      Caches.track(d)(() => { s15Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
       Tables.events(s, dir)
         .withColumn("day", expr("unix_micros(ts) div 86400000000"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
@@ -48,11 +52,15 @@ object PipelineQueries {
   private val s16Roots = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   private def evolutionFor(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
-    s16Roots.computeIfAbsent(dir, _ => {
+    s16Roots.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_s16_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      // same invalidation contract as s15: Caches.release(dir) drops
+      // the memo and deletes the two-version landing tree
+      Caches.track(d)(() => { s16Roots.remove(d); () })
+      Caches.trackPath(d, new java.io.File(base))
       val orders = Tables.orders(s, dir)
         .select(col("o_orderkey").as("okey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"),
