@@ -68,4 +68,71 @@ class CleaningSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(r.toSeq == Seq(3.0, 0.0))
   }
+
+  // ---- ScalaCheck properties over the F2/F3 kernels (the exact code the
+  // native GraftCleanArticle expressions execute) -------------------------
+
+  import graft.functions.ArticleClean
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.scalacheck.{Gen, Prop}
+
+  private def vityaOf(s: String): java.lang.Long =
+    ArticleClean.vitya(UTF8String.fromString(s))
+  private def dimiOf(s: String): String = {
+    val r = ArticleClean.dimi(UTF8String.fromString(s))
+    if (r == null) null else r.toString
+  }
+
+  /** Valid-codepoint article-ish strings: Latin/Cyrillic/digit/space/
+    * apostrophe rich, plus "nan" fragments to hit the pandas-artifact
+    * guard (avoids lone surrogates, which cannot round-trip UTF-8). */
+  private val articleGen: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('а', 'б', 'Я', 'ё', '中', '€'),
+    3 -> Gen.oneOf(' ', '\'', '0'),
+    2 -> Gen.oneOf('n', 'a', 'N', 'A'))).map(_.mkString)
+
+  test("property: F2/F3 are total and honor the null/shape contract") {
+    PropCheck.check(Prop.forAll(articleGen) { s =>
+      val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val guard = trimmed.isEmpty || trimmed.equalsIgnoreCase("nan")
+      val v = vityaOf(s)
+      val d = dimiOf(s)
+      val vOk = if (guard) v == null else v != null && v.longValue >= 0L
+      // dimi additionally nulls when nothing survives apostrophe/000
+      // stripping; when non-null it never carries an apostrophe
+      val dOk = if (guard) d == null else d == null || (d.nonEmpty && !d.contains("'"))
+      vOk && dOk
+    })
+  }
+
+  test("property: F2/F3 are invariant under surrounding spaces") {
+    val pads = Gen.choose(0, 3)
+    PropCheck.check(Prop.forAll(articleGen, pads, pads) { (s, l, r) =>
+      val padded = (" " * l) + s + (" " * r)
+      vityaOf(padded) == vityaOf(s) && dimiOf(padded) == dimiOf(s)
+    })
+  }
+
+  test("property: F2/F3 are invariant under apostrophe insertion (space-free, non-guard inputs)") {
+    val base = articleGen.map(_.filter(_ != ' '))
+      .suchThat(s => s.nonEmpty && !s.equalsIgnoreCase("nan"))
+    PropCheck.check(Prop.forAll(base, Gen.choose(0, 100)) { (s, posSeed) =>
+      val i = posSeed % (s.length + 1)
+      val inserted = s.substring(0, i) + "'" + s.substring(i)
+      vityaOf(inserted) == vityaOf(s) && dimiOf(inserted) == dimiOf(s)
+    })
+  }
+
+  test("property: F3 is idempotent on fixed-point-shaped outputs") {
+    // Documented single-pass edges where a second clean legitimately
+    // differs (reference behaves identically — one strip per call):
+    // outputs still starting with "000", a literal "nan" exposed by
+    // apostrophe deletion, or interior spaces exposed at the ends.
+    PropCheck.check(Prop.forAll(articleGen) { s =>
+      val r = dimiOf(s)
+      r == null || r.startsWith("000") || r.equalsIgnoreCase("nan") ||
+        r != r.trim || dimiOf(r) == r
+    })
+  }
 }

@@ -32,4 +32,47 @@ class ProductCodeSpec extends AnyFunSuite {
     assert(ProductCode.findInName(null) == null)
     assert(ProductCode.findInName("просто текст без кода") == null)
   }
+
+  // ---- ScalaCheck properties -------------------------------------------
+
+  import graft.functions.Cleaning
+  import org.scalacheck.{Gen, Prop}
+
+  /** Product-name-ish strings: Latin/Cyrillic words, digits, dashes,
+    * brackets, spec-string fragments. */
+  private val nameGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('а', 'я', 'С', 'Д', 'ё'),
+    3 -> Gen.oneOf(' ', '-', '(', ')', '.'),
+    1 -> Gen.oneOf('m', 'a', 'h', 'w'))).map(_.mkString)
+
+  test("property: F5 is total and every hit is a sound, non-excluded pattern match") {
+    PropCheck.check(Prop.forAll(nameGen) { name =>
+      val r = ProductCode.findInName(name)
+      r == null || {
+        val up = name.toUpperCase(java.util.Locale.ROOT)
+        up.contains(r) &&
+          Cleaning.nameCodeCores.exists(c => r.matches(c)) &&
+          !r.toLowerCase(java.util.Locale.ROOT).matches("^\\d+(mah|wh|w|ma)$") &&
+          !r.matches("^\\d{5,}$") &&
+          !Cleaning.nameCodeStops.contains(r)
+      }
+    })
+  }
+
+  test("property: a planted dash code is recovered from Cyrillic filler") {
+    val seg = for {
+      n <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(n, Gen.frequency(3 -> Gen.alphaUpperChar, 2 -> Gen.numChar))
+    } yield cs.mkString
+    val code = for {
+      k <- Gen.choose(2, 4)
+      segs <- Gen.listOfN(k, seg)
+    } yield segs.mkString("-")
+    PropCheck.check(Prop.forAll(code.suchThat(c => !Cleaning.nameCodeStops.contains(c))) { c =>
+      // dash codes are the top-priority pattern and the Cyrillic filler
+      // words can't match any earlier pattern, so the plant must win
+      ProductCode.findInName(s"зарядное $c устройство") == c
+    })
+  }
 }
