@@ -39,9 +39,28 @@ object Xlsx {
   // ------------------------------------------------------------------ read
 
   /** Read worksheet `sheet` (1-based, default first — the reference
-    * always reads sheet 0) into an all-string DataFrame. */
+    * always reads sheet 0) into an all-string DataFrame.
+    *
+    * Front-door dispatch on MAGIC BYTES, not extension (the reference's
+    * directory scan globs both `*.xlsx` and `*.xls` and pandas picks an
+    * engine per file, loader.py:489-551): ZIP → OOXML path, OLE2/CFB →
+    * the [[Biff8]] legacy reader (first sheet only), anything else → a
+    * clear error instead of an opaque ZipFile failure. */
   def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
-    val grid = parseGrid(path, sheet)
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try { val b = new Array[Byte](8); val n = in.read(b); b.take(math.max(n, 0)) }
+      finally in.close()
+    }
+    val grid =
+      if (head.length >= 2 && head(0) == 'P'.toByte && head(1) == 'K'.toByte)
+        parseGrid(path, sheet)
+      else if (Biff8.isCfb(head)) {
+        require(sheet == 1, "legacy .xls: only the first sheet is supported")
+        Biff8.parseGrid(path)
+      } else throw new IllegalArgumentException(
+        s"$path is not an Excel file (neither ZIP/xlsx nor OLE2/xls magic) — " +
+          "convert it to .xlsx or parquet")
     require(grid.nonEmpty, s"empty worksheet: $path sheet $sheet")
     val header = grid.head
     val width = grid.map(_.length).max

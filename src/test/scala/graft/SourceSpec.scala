@@ -111,4 +111,53 @@ class SourceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Canonicalize(df, cfg))
     assert(e.getMessage.contains("article_vitya"))
   }
+
+  // ---- legacy .xls (BIFF8/CFB) front door --------------------------------
+
+  private def checkXlsGrid(path: String): org.apache.spark.sql.DataFrame = {
+    val df = graft.sources.Xlsx.read(spark, path)
+    assert(df.columns.take(4).toSeq ===
+      Seq("Артикул", "Название", "Цена", "Unnamed: 3"))
+    val rows = df.collect()
+    val r1 = rows(0)
+    assert(r1.getString(0) === "10001") // NUMBER, integral → no ".0"
+    assert(r1.getString(1) === "Кабель USB") // UTF-16 shared string
+    assert(r1.getString(2) === "99.9") // NUMBER, fractional
+    val r2 = rows(1)
+    assert(r2.getString(0) === "10002") // RK integer
+    assert(r2.getString(2) === "123.45") // RK ×100 integer
+    val r3 = rows(2)
+    assert(r3.getString(0) === "2.5") // RK double-bits
+    assert(r3.getString(1).startsWith("SplitMarker-")) // SST tail string
+    assert(r3.getString(1).length === "SplitMarker-".length + 40)
+    assert(r3.getString(2) === "7") // MULRK first
+    assert(r3.getString(3) === "9.99") // MULRK second
+    df
+  }
+
+  test("S1/.xls: mini-stream container (workbook < 4096 bytes) reads through Xlsx.read") {
+    val path = java.nio.file.Files.createTempFile("graft_small", ".xls").toString
+    graft.tools.MakeXlsFixture.write(path, big = false)
+    assert(new java.io.File(path).length() < 8192, "fixture should exercise the mini path")
+    val df = checkXlsGrid(path)
+    assert(df.count() === 3)
+  }
+
+  test("S1/.xls: regular-FAT container with an SST CONTINUE split") {
+    val path = java.nio.file.Files.createTempFile("graft_big", ".xls").toString
+    graft.tools.MakeXlsFixture.write(path, big = true)
+    val df = checkXlsGrid(path)
+    // 3 data rows + 300 pad rows (plus the all-null gap rows in between)
+    assert(df.count() > 300)
+    assert(df.collect().last.getString(0) === "299")
+  }
+
+  test("S1/.xls: non-Excel input fails with a clear front-door error") {
+    val path = java.nio.file.Files.createTempFile("graft_not_excel", ".xls").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "id,name\n1,x\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](graft.sources.Xlsx.read(spark, path))
+    assert(e.getMessage.contains("not an Excel file"))
+    assert(e.getMessage.contains("convert"))
+  }
 }

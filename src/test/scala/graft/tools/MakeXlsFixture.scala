@@ -1,0 +1,226 @@
+package graft.tools
+
+import java.io.ByteArrayOutputStream
+
+/** Test-side generator of legacy `.xls` fixtures: BIFF8 records inside
+  * a hand-built CFB container, following the public [MS-CFB]/[MS-XLS]
+  * layouts directly (no xls-writing library exists in this offline
+  * environment). Emits both container shapes the reader must handle:
+  * the mini-stream path (workbook < 4096 bytes) and the regular-FAT
+  * path, and can split an SST string across a CONTINUE record. */
+object MakeXlsFixture {
+
+  // ------------------------------------------------------------ LE writers
+
+  private final class Buf {
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Buf = { out.write(v & 0xFF); this }
+    def u16(v: Int): Buf = { u8(v); u8(v >> 8) }
+    def i32(v: Int): Buf = { u16(v); u16(v >> 16) }
+    def f64(v: Double): Buf = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => u8((bits >> (8 * i)).toInt))
+      this
+    }
+    def bytes(b: Array[Byte]): Buf = { out.write(b); this }
+    def ascii(s: String): Buf = bytes(s.getBytes("ISO-8859-1"))
+    def utf16(s: String): Buf = bytes(s.getBytes("UTF-16LE"))
+    def pad(to: Int): Buf = { while (out.size() < to) u8(0); this }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  private def rec(id: Int, payload: Array[Byte]): Array[Byte] =
+    new Buf().u16(id).u16(payload.length).bytes(payload).result()
+
+  // ------------------------------------------------------------ BIFF8 bits
+
+  private def bof(dt: Int): Array[Byte] =
+    rec(0x0809, new Buf().u16(0x0600).u16(dt).u16(0).u16(0).i32(0).i32(0).result())
+
+  private def eof(): Array[Byte] = rec(0x000A, Array.empty)
+
+  private def boundSheet(pos: Int, name: String): Array[Byte] =
+    rec(0x0085, new Buf().i32(pos).u16(0).u8(name.length).u8(0).ascii(name).result())
+
+  private def sstString(s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xFF)
+    val b = new Buf().u16(s.length).u8(if (wide) 1 else 0)
+    if (wide) b.utf16(s) else b.ascii(s)
+    b.result()
+  }
+
+  /** SST record for `strings`; when `splitLastAt` is set, the last
+    * string's character data is cut there and the tail goes into a
+    * CONTINUE record (restating the encoding grbit, per [MS-XLS]). */
+  private def sst(strings: Seq[String], splitLastAt: Option[Int]): Array[Byte] = {
+    val head = new Buf().i32(strings.length).i32(strings.length)
+    strings.dropRight(1).foreach(s => head.bytes(sstString(s)))
+    splitLastAt match {
+      case None =>
+        head.bytes(sstString(strings.last))
+        rec(0x00FC, head.result())
+      case Some(cut) =>
+        val s = strings.last
+        require(!s.exists(_ > 0xFF) && cut < s.length, "split fixture is ASCII")
+        head.u16(s.length).u8(0).ascii(s.substring(0, cut))
+        rec(0x00FC, head.result()) ++
+          rec(0x003C, new Buf().u8(0).ascii(s.substring(cut)).result())
+    }
+  }
+
+  private def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
+    rec(0x00FD, new Buf().u16(row).u16(col).u16(0).i32(isst).result())
+
+  private def number(row: Int, col: Int, v: Double): Array[Byte] =
+    rec(0x0203, new Buf().u16(row).u16(col).u16(0).f64(v).result())
+
+  private def rkRec(row: Int, col: Int, rk: Int): Array[Byte] =
+    rec(0x027E, new Buf().u16(row).u16(col).u16(0).i32(rk).result())
+
+  private def mulRk(row: Int, colFirst: Int, rks: Seq[Int]): Array[Byte] = {
+    val b = new Buf().u16(row).u16(colFirst)
+    rks.foreach(rk => b.u16(0).i32(rk))
+    b.u16(colFirst + rks.length - 1)
+    rec(0x00BD, b.result())
+  }
+
+  def rkInt(v: Int): Int = (v << 2) | 2
+  def rkInt100(centiV: Int): Int = (centiV << 2) | 3
+  def rkDouble(v: Double): Int =
+    ((java.lang.Double.doubleToLongBits(v) >>> 32) & 0xFFFFFFFCL).toInt
+
+  /** The BIFF8 workbook stream: globals (SST, BOUNDSHEET) + one sheet.
+    * `padRows` inflates the sheet with extra NUMBER rows to push the
+    * stream over the 4096-byte mini cutoff. */
+  def workbookStream(header: Seq[String], strings: Seq[(Int, Int, String)],
+      numbers: Seq[(Int, Int, Double)], rks: Seq[(Int, Int, Int)],
+      mulRks: Seq[(Int, Int, Seq[Int])], padRows: Int,
+      splitLastSstAt: Option[Int]): Array[Byte] = {
+    val sstStrings = (header ++ strings.map(_._3)).distinct
+    val sstIndex = sstStrings.zipWithIndex.toMap
+    val globalsTail = new Buf()
+    val sheet = new Buf()
+    sheet.bytes(bof(0x0010))
+    header.zipWithIndex.foreach { case (h, c) => sheet.bytes(labelSst(0, c, sstIndex(h))) }
+    strings.foreach { case (r, c, s) => sheet.bytes(labelSst(r, c, sstIndex(s))) }
+    numbers.foreach { case (r, c, v) => sheet.bytes(number(r, c, v)) }
+    rks.foreach { case (r, c, rk) => sheet.bytes(rkRec(r, c, rk)) }
+    mulRks.foreach { case (r, cf, xs) => sheet.bytes(mulRk(r, cf, xs)) }
+    (0 until padRows).foreach(i => sheet.bytes(number(1000 + i, 0, i.toDouble)))
+    sheet.bytes(eof())
+
+    // assemble: globals BOF + SST + BOUNDSHEET(pos) + EOF, then sheet —
+    // the BOUNDSHEET offset needs the globals length, which needs the
+    // BOUNDSHEET record length (fixed: 4-byte pos + 2 + 2 + name), so
+    // compute with a placeholder first
+    val sstRec = sst(sstStrings, splitLastSstAt)
+    def globals(pos: Int) =
+      bof(0x0005) ++ sstRec ++ boundSheet(pos, "Sheet1") ++ eof()
+    val pos = globals(0).length
+    globals(pos) ++ sheet.result()
+  }
+
+  // --------------------------------------------------------- CFB container
+
+  private val FATSECT = -3
+  private val END = -2
+  private val FREE = -1
+
+  private def cfbHeader(numFat: Int, firstDir: Int, firstMiniFat: Int,
+      numMiniFat: Int, fatSids: Seq[Int]): Array[Byte] = {
+    val b = new Buf()
+    b.bytes(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    b.pad(24) // CLSID
+    b.u16(0x003E).u16(0x0003) // minor/major (v3)
+    b.u16(0xFFFE) // little-endian
+    b.u16(9).u16(6) // sector 512, mini sector 64
+    b.pad(44) // reserved (34-40) + numDirSectors (40-44, 0 for v3)
+    b.i32(numFat)
+    b.i32(firstDir)
+    b.i32(0) // transaction
+    b.i32(4096) // mini cutoff
+    b.i32(firstMiniFat)
+    b.i32(numMiniFat)
+    b.i32(END) // first DIFAT sector
+    b.i32(0) // num DIFAT sectors
+    fatSids.foreach(b.i32)
+    (fatSids.length until 109).foreach(_ => b.i32(FREE))
+    b.result()
+  }
+
+  private def dirEntry(name: String, objType: Int, child: Int, start: Int,
+      size: Int): Array[Byte] = {
+    val b = new Buf()
+    b.utf16(name).pad(64)
+    b.u16(if (name.isEmpty) 0 else (name.length + 1) * 2)
+    b.u8(objType).u8(1) // black
+    b.i32(FREE).i32(FREE).i32(child)
+    b.pad(96 + 4) // CLSID + state
+    b.pad(116) // timestamps
+    b.i32(start)
+    b.i32(size).i32(0)
+    b.result()
+  }
+
+  private def sectors(payload: Array[Byte]): Int = (payload.length + 511) / 512
+
+  /** Wrap a workbook stream in a CFB container, picking the mini-stream
+    * or regular-FAT shape by the 4096-byte rule exactly like a real
+    * writer would. */
+  def cfb(workbook: Array[Byte]): Array[Byte] = {
+    val out = new Buf()
+    if (workbook.length < 4096) {
+      val miniCount = (workbook.length + 63) / 64
+      val containerSectors = sectors(new Array[Byte](miniCount * 64))
+      // plan: 0 FAT | 1 dir | 2 miniFAT | 3.. container
+      val fat = new Buf()
+      fat.i32(FATSECT).i32(END).i32(END)
+      (0 until containerSectors).foreach(i =>
+        fat.i32(if (i == containerSectors - 1) END else 3 + i + 1))
+      (3 + containerSectors until 128).foreach(_ => fat.i32(FREE))
+      val miniFat = new Buf()
+      (0 until miniCount).foreach(i => miniFat.i32(if (i == miniCount - 1) END else i + 1))
+      (miniCount until 128).foreach(_ => miniFat.i32(FREE))
+      val dir = new Buf()
+      dir.bytes(dirEntry("Root Entry", 5, 1, 3, miniCount * 64))
+      dir.bytes(dirEntry("Workbook", 2, FREE, 0, workbook.length))
+      dir.bytes(dirEntry("", 0, FREE, FREE, 0))
+      dir.bytes(dirEntry("", 0, FREE, FREE, 0))
+      out.bytes(cfbHeader(1, 1, 2, 1, Seq(0)))
+      out.bytes(fat.result()).bytes(dir.result()).bytes(miniFat.result())
+      out.bytes(workbook).pad(512 + (3 + containerSectors) * 512)
+    } else {
+      val wbSectors = sectors(workbook)
+      // plan: 0 FAT | 1 dir | 2.. workbook
+      require(2 + wbSectors <= 128, "fixture exceeds one FAT sector")
+      val fat = new Buf()
+      fat.i32(FATSECT).i32(END)
+      (0 until wbSectors).foreach(i =>
+        fat.i32(if (i == wbSectors - 1) END else 2 + i + 1))
+      (2 + wbSectors until 128).foreach(_ => fat.i32(FREE))
+      val dir = new Buf()
+      dir.bytes(dirEntry("Root Entry", 5, 1, END, 0))
+      dir.bytes(dirEntry("Workbook", 2, FREE, 2, workbook.length))
+      dir.bytes(dirEntry("", 0, FREE, FREE, 0))
+      dir.bytes(dirEntry("", 0, FREE, FREE, 0))
+      out.bytes(cfbHeader(1, 1, END, 0, Seq(0)))
+      out.bytes(fat.result()).bytes(dir.result())
+      out.bytes(workbook).pad(512 + (2 + wbSectors) * 512)
+    }
+    out.result()
+  }
+
+  /** Write a small price-list-shaped `.xls`; `big = true` forces the
+    * regular-FAT container and an SST CONTINUE split. */
+  def write(path: String, big: Boolean): Unit = {
+    val header = Seq("Артикул", "Название", "Цена")
+    val strings = Seq((1, 1, "Кабель USB"), (2, 1, "Адаптер 220В"), (3, 1, "SplitMarker-" + ("x" * 40)))
+    val numbers = Seq((1, 0, 10001.0), (1, 2, 99.9))
+    val rks = Seq((2, 0, rkInt(10002)), (2, 2, rkInt100(12345)), (3, 0, rkDouble(2.5)))
+    val mulRks = Seq((3, 2, Seq(rkInt(7), rkInt100(999))))
+    val wb = workbookStream(header, strings, numbers, rks, mulRks,
+      padRows = if (big) 300 else 0,
+      splitLastSstAt = if (big) Some(15) else None)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfb(wb))
+  }
+}
