@@ -285,4 +285,71 @@ object Xlsx {
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+
+  // --------------------------------------------------------------- rewrite
+
+  /** S6/S7 formatting-preserving in-place writeback — the reference
+    * updates price/article cells in an EXISTING workbook and openpyxl
+    * carries each cell's formatting through (main.py:7007-7244). Here:
+    * every zip part (styles.xml, themes, column widths, the other
+    * sheets) is copied byte-for-byte; only the target sheet's XML is
+    * DOM-patched, and a patched cell keeps ALL its attributes —
+    * crucially `s`, the style index that IS a cell's formatting in
+    * OOXML — while its value children are replaced. Untouched cells
+    * pass through the DOM round-trip with attributes intact
+    * (XlsxSpec pins styles.xml byte-equality and per-cell `s`
+    * survival on a styled fixture).
+    *
+    * `updates` maps A1-style cell refs to new NUMERIC values (the S6
+    * price path; string writeback would also have to edit
+    * sharedStrings — out of this seam's scope). Unknown refs fail
+    * loudly: a silent no-op price update is the one outcome a pricing
+    * flow must never have. */
+  def rewrite(src: String, dst: String, updates: Map[String, String], sheet: Int = 1): Unit = {
+    import scala.jdk.CollectionConverters._
+    val zf = new ZipFile(src)
+    try {
+      val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(dst)))
+      try {
+        for (e <- zf.entries().asScala) {
+          out.putNextEntry(new ZipEntry(e.getName))
+          val bytes = zf.getInputStream(e).readAllBytes()
+          if (e.getName == s"xl/worksheets/sheet$sheet.xml")
+            out.write(patchSheetXml(bytes, updates))
+          else out.write(bytes)
+          out.closeEntry()
+        }
+      } finally out.close()
+    } finally zf.close()
+  }
+
+  private def patchSheetXml(xml: Array[Byte], updates: Map[String, String]): Array[Byte] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(xml))
+    val cells = doc.getElementsByTagName("c")
+    val remaining = scala.collection.mutable.Set.empty[String] ++ updates.keySet
+    var i = 0
+    while (i < cells.getLength) {
+      val c = cells.item(i).asInstanceOf[org.w3c.dom.Element]
+      val ref = c.getAttribute("r")
+      updates.get(ref).foreach { v =>
+        c.removeAttribute("t") // numeric cell: no type attribute
+        while (c.hasChildNodes) c.removeChild(c.getFirstChild)
+        val ve = doc.createElement("v")
+        ve.setTextContent(v)
+        c.appendChild(ve)
+        remaining -= ref
+      }
+      i += 1
+    }
+    require(remaining.isEmpty,
+      s"rewrite targets not present in sheet: ${remaining.toSeq.sorted.mkString(", ")}")
+    val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+    tf.setOutputProperty(javax.xml.transform.OutputKeys.ENCODING, "UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    tf.transform(new javax.xml.transform.dom.DOMSource(doc),
+      new javax.xml.transform.stream.StreamResult(bos))
+    bos.toByteArray
+  }
 }
