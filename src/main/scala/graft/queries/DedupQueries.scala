@@ -227,26 +227,32 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** D3's candidate stage (prefix equi-join + lossless size band +
+    * positional bound), shared by the query and the scaling-growth
+    * measurement tool (BASELINE.md records the candidate-count
+    * exponent measured through this exact plan). */
+  private[graft] def d3Candidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = Caches.trackCached(dir, docShingles(s, dir))
+    val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
+    val pref = tok.join(freq, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
+      .select(col("t"), col("doc_id"), col("sz"), col("rk"))
+    pref.as("a").join(pref.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+          // lossless size band: J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|)
+          col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz") &&
+          positionalBound(col("a.sz"), col("a.rk"), col("b.sz"), col("b.rk")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // ---- D3: exact n-gram Jaccard dedup via prefix-filtered join ----
-    "d3_ngram_jaccard" -> ((s, dir) => {
-      val docs = Caches.trackCached(dir, docShingles(s, dir))
-      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
-      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
-      val pref = tok.join(freq, "t")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
-        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
-            // lossless size band: J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|)
-            col("a.sz") >= lit(T) * col("b.sz") && col("b.sz") >= lit(T) * col("a.sz") &&
-            positionalBound(col("a.sz"), col("a.rk"), col("b.sz"), col("b.rk")))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-      verifyJaccard(cand, docs, T)
-    }),
+    "d3_ngram_jaccard" -> ((s, dir) =>
+      verifyJaccard(d3Candidates(s, dir), Caches.trackCached(dir, docShingles(s, dir)), T)),
 
     // ---- D2: MinHash + LSH banding. The signature is one primitive JVM
     // pass per doc (32 derived hashes per shingle), not an interpreted
