@@ -43,6 +43,29 @@ object Caches {
     cached
   }
 
+  /** Eagerly localCheckpoint `df` — cutting its lineage to a
+    * LogicalRDD — and track the backing RDD for deterministic release.
+    *
+    * This is THE pattern for iterative BSP loops: a cache()-per-round
+    * loop keeps each round's plan nested inside the next round's (and
+    * a self-join references it twice), so Spark's per-action plan
+    * STRINGIFICATION walks an exponentially expanded tree even though
+    * execution reads caches — measured in d13's label loop as round
+    * costs growing 2.5 → 8.9 s on ~200-row frames, with explain
+    * strings taking minutes by round 6. A checkpoint bounds the plan
+    * at one node per round.
+    *
+    * After release the checkpointed data is gone AND unrecoverable
+    * (lineage was truncated) — release a dir only when its results are
+    * fully materialized, per this registry's contract. */
+  def checkpointed(dir: String, df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(rdd => track(dir)(() => { rdd.unpersist(blocking = false); () }))
+    cp
+  }
+
   /** Delete a materialized landing directory at release (s15/s16). */
   def trackPath(dir: String, path: java.io.File): Unit =
     track(dir) { () =>
