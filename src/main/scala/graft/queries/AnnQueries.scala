@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object AnnQueries {
 
-  private val dotUdf = udf(VectorOps.dot _)
+  /** Native codegen dot product ([[graft.plans.GraftDot]]) — identical
+    * sequential fold to VectorOps.dot (hash gates depend on it), minus
+    * the ScalaUDF's per-call Seq boxing on the pair-scoring hot path. */
+  private def dotExpr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftDot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   private val norm2Udf = udf(VectorOps.norm2 _)
 
   /** 8 deterministic hyperplanes over 64 dims (256 buckets — sized so a
@@ -144,7 +151,7 @@ object AnnQueries {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
     val ranked = e.repartition(width).crossJoin(broadcast(cents))
-      .withColumn("ccos", dotUdf(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+      .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
       .withColumn("arn", row_number().over(aw))
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id").as("nid"), col("cid"))
@@ -168,7 +175,7 @@ object AnnQueries {
   private def topK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     joined
-      .withColumn("cosine", dotUdf(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
+      .withColumn("cosine", dotExpr(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
       // project the vectors away BEFORE the rank window: the window's
       // hash exchange otherwise ships both 64-double arrays (~1 KB) per
       // candidate pair instead of 24 bytes — at sf0.1 that is the
@@ -205,7 +212,7 @@ object AnnQueries {
       // nearest centroid per vector (argmax cosine, smallest cid on ties)
       val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = e.repartition(width).crossJoin(broadcast(cents))
-        .withColumn("ccos", dotUdf(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
         .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
         .select(col("vec_id"), col("v"), col("n2"), col("cid"))
       val queriesDf = assigned.filter(col("vec_id") % 50 === 0)
@@ -232,7 +239,7 @@ object AnnQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
       val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val ranked = e.repartition(width).crossJoin(broadcast(cents))
-        .withColumn("ccos", dotUdf(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
         .withColumn("arn", row_number().over(aw))
       // corpus membership: every vector lives in its single nearest cell
       val assigned = ranked.filter(col("arn") === 1)
@@ -389,7 +396,7 @@ object AnnQueries {
       val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
       broadcast(cand).join(nv, Seq("nid"))
         .join(broadcast(qv), Seq("qid"))
-        .withColumn("cosine", dotUdf(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
+        .withColumn("cosine", dotExpr(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
         .select(col("qid"), col("nid"), col("cosine"))
         .withColumn("rank", row_number().over(rw))
         .filter(col("rank") <= 5)
@@ -447,7 +454,7 @@ object AnnQueries {
       val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
       broadcast(cand).join(nv, Seq("nid"))
         .join(broadcast(qv), Seq("qid"))
-        .withColumn("cosine", dotUdf(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
+        .withColumn("cosine", dotExpr(col("qv"), col("nv")) / sqrt(col("qn2") * col("nn2")))
         .select(col("qid"), col("nid"), col("cosine"))
         .withColumn("rank", row_number().over(rw))
         .filter(col("rank") <= 5)

@@ -134,7 +134,13 @@ object DedupQueries {
     udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))
   private[graft] val simhashUdf =
     udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh))
-  private val dotUdf = udf(graft.functions.VectorOps.dot _)
+  /** Native codegen dot product — see AnnQueries' note; d5 scores
+    * 12.5M pairs at sf0.1 through this kernel. */
+  private def dotExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftDot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   private val norm2Udf = udf(graft.functions.VectorOps.norm2 _)
 
   /** IVF coarse centroids for d14 (x3's deterministic subset:
@@ -226,7 +232,7 @@ object DedupQueries {
       val av = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
       val bv = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
       Caches.trackCached(d, cand.join(av, Seq("id1")).join(bv, Seq("id2"))
-        .withColumn("cosine", dotUdf(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
+        .withColumn("cosine", dotExpr(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
         .filter(col("cosine") >= 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine")))
     })
@@ -561,7 +567,7 @@ object DedupQueries {
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
       // spread the streamed side over all cores; broadcast the other
       a.repartition(width).join(broadcast(b), col("id1") < col("id2"))
-        .withColumn("cosine", dotUdf(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
+        .withColumn("cosine", dotExpr(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
         .filter(col("cosine") >= 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1", "id2")
