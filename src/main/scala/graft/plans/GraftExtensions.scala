@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.similarityFunction)
     ext.injectFunction(GraftExtensions.rollingHashFunction)
     ext.injectFunction(GraftExtensions.shinglesFunction)
+    ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.l2sqFunction)
     ext.injectOptimizerRule(_ => SimilarityJoinRule)
     ext.injectOptimizerRule(_ => BestSimilarityMatchRule)
     ext.injectOptimizerRule(_ => SimilarityBandRule)
@@ -52,9 +54,26 @@ object GraftExtensions {
         GraftShingles(children.head)
       })
 
+  private[plans] val dotFunction =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(a, b) takes exactly 2 arguments")
+        GraftDot(children.head, children(1))
+      })
+
+  private[plans] val l2sqFunction =
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[GraftL2Sq].getCanonicalName, "graft_l2sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_l2sq(a, b) takes exactly 2 arguments")
+        GraftL2Sq(children.head, children(1))
+      })
+
   /** Register the SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    Seq(similarityFunction, rollingHashFunction, shinglesFunction).foreach {
+    Seq(similarityFunction, rollingHashFunction, shinglesFunction,
+        dotFunction, l2sqFunction).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

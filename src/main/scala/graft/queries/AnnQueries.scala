@@ -31,7 +31,9 @@ object AnnQueries {
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  private val norm2Udf = udf(VectorOps.norm2 _)
+  /** norm² as graft_dot(v, v): VectorOps.norm2's Σx² has the identical
+    * sequential fold order, so the swap is bit-exact. */
+  private def norm2Expr(v: org.apache.spark.sql.Column) = dotExpr(v, v)
 
   /** 8 deterministic hyperplanes over 64 dims (256 buckets — sized so a
     * few-thousand-vector corpus still collides; more planes +
@@ -44,7 +46,7 @@ object AnnQueries {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", norm2Udf(col("v")))
+      .withColumn("n2", norm2Expr(col("v")))
 
   /** Native integer squared-L2 between two BIGINT arrays (codegen'd;
     * the interpreted zip_with/aggregate lambda pair cost ~1 s per

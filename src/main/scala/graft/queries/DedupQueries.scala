@@ -141,7 +141,8 @@ object DedupQueries {
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  private val norm2Udf = udf(graft.functions.VectorOps.norm2 _)
+  /** norm² as graft_dot(v, v) — identical sequential fold, bit-exact. */
+  private def norm2Expr(v: Column): Column = dotExpr(v, v)
 
   /** IVF coarse centroids for d14 (x3's deterministic subset:
     * vec_id % 50 == 1), collected once per (JVM, dir). Bounded
@@ -219,7 +220,7 @@ object DedupQueries {
       val probeU = udf((v: Seq[Double]) => nearestCells(v, cents, EdgeProbes))
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("n2", norm2Udf(col("v")))
+        .withColumn("n2", norm2Expr(col("v")))
         .withColumn("cells", probeU(col("v")))
       val assigned = e.select(col("vec_id"), element_at(col("cells"), 1).as("cid"))
       val probes = e.select(col("vec_id"), explode(col("cells")).as("cid"))
@@ -562,7 +563,7 @@ object DedupQueries {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("n2", norm2Udf(col("v")))
+        .withColumn("n2", norm2Expr(col("v")))
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
       // spread the streamed side over all cores; broadcast the other

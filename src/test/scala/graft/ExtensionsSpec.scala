@@ -62,4 +62,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }.map(_.getString(0)).toSet
     assert(unfiltered === manual)
   }
+
+  test("graft_dot and graft_l2sq evaluate through SQL, matching the JVM kernels") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.5d, 2.0d, -3.0d), array(2.0d, 0.5d, 1.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot === graft.functions.VectorOps.dot(
+      Seq(1.5, 2.0, -3.0), Seq(2.0, 0.5, 1.0)))
+    // min-length contract on ragged inputs, same as VectorOps.dot
+    val ragged = spark.sql(
+      "SELECT graft_dot(array(2.0d, 3.0d), array(10.0d)) AS d").collect()(0).getDouble(0)
+    assert(ragged === 20.0)
+    val l2 = spark.sql(
+      "SELECT graft_l2sq(array(1L, 5L, -2L), array(4L, 1L, 0L)) AS d")
+      .collect()(0).getLong(0)
+    assert(l2 === (9L + 16L + 4L))
+    assert(spark.sql("SELECT graft_dot(NULL, array(1.0d)) AS d").collect()(0).isNullAt(0))
+  }
 }
