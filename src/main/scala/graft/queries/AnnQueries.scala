@@ -489,6 +489,39 @@ object AnnQueries {
         .orderBy("qid")
     }),
 
+    // ---- X12: metadata-FILTERED ANN — the production serving pattern
+    // where a query carries a predicate over document metadata
+    // ("only src1-src5 results"). Ordering matters at scale: the
+    // predicate lands on the candidate stream BEFORE any scoring
+    // (pre-filter), so the probe budget is spent only on admissible
+    // neighbors — post-filtering a fixed top-k loses recall whenever
+    // the filter is selective. Shape: IVF multi-probe (nprobe=8, the
+    // coverage x4 measured ≥ 0.9) restricted by a semi-join against
+    // the allowed doc set (metadata joins on the corpus key — at
+    // 100 TB that is a broadcast of the filter's id set or a bucketed
+    // equi-join, never a scan of the vector table). Exact cosine on
+    // the surviving candidates → hash-gated end-to-end. ----
+    "x12_ann_filtered" -> ((s, dir) => {
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = vecs(s, dir)
+      val allowed = Tables.documents(s, dir)
+        .filter(col("source").isin("src1", "src2", "src3", "src4", "src5"))
+        .select(col("doc_id").as("nid"))
+      val cents = e.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val ranked = e.repartition(width).crossJoin(broadcast(cents))
+        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("arn", row_number().over(aw))
+      val assigned = ranked.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"), col("cid"))
+        .join(allowed, Seq("nid"), "left_semi")
+      val probes = ranked.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -782,6 +815,35 @@ object AnnQueries {
         |     list_reduce(list_transform(list_zip(q.qv, c.v),
         |       p -> p[1] * p[2]), (a, b) -> a + b) / sqrt(q.qn2 * c.n2) AS cosine
         |   FROM q JOIN n c ON q.qid <> c.vec_id),
+        | ranked AS (SELECT *, row_number() OVER
+        |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
+        |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // x3's cell-assignment chain + the allowed-source semi restriction
+    // on the corpus side + nprobe=8 probe lists.
+    "x12_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
+        | ac AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+        |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
+        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
+        |   FROM n CROSS JOIN cent c),
+        | ar AS (SELECT *, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+        | allowed AS (SELECT doc_id FROM documents
+        |   WHERE source IN ('src1', 'src2', 'src3', 'src4', 'src5')),
+        | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1
+        |   AND vec_id IN (SELECT doc_id FROM allowed)),
+        | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
+        |   WHERE arn <= 8 AND vec_id % 50 = 0),
+        | pairs AS (SELECT p.qid, c.vec_id AS nid,
+        |     list_reduce(list_transform(list_zip(p.qv, c.v), z -> z[1] * z[2]),
+        |       (a, b) -> a + b) / sqrt(p.qn2 * c.n2) AS cosine
+        |   FROM probes p JOIN assigned c ON p.cid = c.cid AND p.qid <> c.vec_id),
         | ranked AS (SELECT *, row_number() OVER
         |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
         |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked

@@ -283,6 +283,18 @@ class QualitySpec extends AnyFunSuite {
     assert(avg >= 0.9, s"recall@5 $avg below the production-path bar")
   }
 
+  test("x12 filtered ANN returns only allowed-source neighbors, for every query") {
+    val allowed = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("source")
+        .isin("src1", "src2", "src3", "src4", "src5"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = AnnQueries.queries("x12_ann_filtered")(spark, sfDir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.nonEmpty, "filtered search should find admissible neighbors")
+    val violating = hits.filterNot { case (_, nid) => allowed.contains(nid) }
+    assert(violating.isEmpty, s"inadmissible results served: ${violating.take(5).toSeq}")
+  }
+
   test("x5 quantization meets the analytic error bound") {
     val out = AnnQueries.queries("x5_quantize")(spark, sfDir)
     val rows = out.collect()
