@@ -15,7 +15,6 @@ run / fork := true
 // sbt's default LoggedOutput wraps every line in "[info] ", which broke
 // the driver's machine-parse of Bench's final JSON line (BENCH_r02-r05
 // all recorded parsed: {}).
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

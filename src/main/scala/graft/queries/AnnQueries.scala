@@ -48,6 +48,20 @@ object AnnQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", norm2Expr(col("v")))
 
+  /** Corpus vectors with per-vector coarse-cell probe lists, computed
+    * by the closure-shipped centroid kernel d14 introduced (the
+    * memoized codebook in [[DedupQueries.centsFor]]): one map-side
+    * pass, ordered (cosine desc, cid asc). Replaces the
+    * `crossJoin(broadcast(cents))` + N×K rank-window formulation the
+    * x-family used — same cells, same tie-break, identical double
+    * arithmetic (gates re-verified), but no nested-loop join node and
+    * no N×K window exchange in any serving plan. */
+  private def vecsWithCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val cents = DedupQueries.centsFor(s, dir)
+    val probeU = udf((v: Seq[Double]) => DedupQueries.nearestCells(v, cents, nprobe))
+    vecs(s, dir).withColumn("cells", probeU(col("v")))
+  }
+
   /** Native integer squared-L2 between two BIGINT arrays (codegen'd;
     * the interpreted zip_with/aggregate lambda pair cost ~1 s per
     * bench pass at sf0.1). */
@@ -141,24 +155,16 @@ object AnnQueries {
       .agg(min(struct(col("d"), col("code"))).as("_b"))
       .select(col("vec_id"), col("s"), col("_b.code").as("code"), col("_b.d").as("d"))
 
-  /** Shared IVF+PQ compressed-domain scan (x9/x11): cell assignment via
-    * the broadcast-centroid argmax (x3's shape), query probe lists of
-    * `nprobe` cells, per-query ADC distance tables broadcast onto the
-    * cell-restricted code rows, partial-aggregated 4-lookup sums.
+  /** Shared IVF+PQ compressed-domain scan (x9/x11): cell assignment and
+    * `nprobe`-wide query probe lists via the map-side centroid kernel
+    * ([[vecsWithCells]]), per-query ADC distance tables broadcast onto
+    * the cell-restricted code rows, partial-aggregated 4-lookup sums.
     * Returns (qid, nid, adc_d) — callers rank (x9) or rerank (x11). */
   private def ivfPqAdc(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = vecs(s, dir)
-    val cents = e.filter(col("vec_id") % 50 === 1)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = e.repartition(width).crossJoin(broadcast(cents))
-      .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-      .withColumn("arn", row_number().over(aw))
-    val assigned = ranked.filter(col("arn") === 1)
-      .select(col("vec_id").as("nid"), col("cid"))
-    val probes = ranked.filter(col("arn") <= nprobe && col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("cid"))
+    val ec = vecsWithCells(s, dir, nprobe)
+    val assigned = ec.select(col("vec_id").as("nid"), element_at(col("cells"), 1).as("cid"))
+    val probes = ec.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), explode(col("cells")).as("cid"))
     val (subs, cb) = pqParts(s, dir)
     val codes = pqAssign(subs, cb)
       .select(col("vec_id").as("nid"), col("s"), col("code"))
@@ -208,19 +214,14 @@ object AnnQueries {
     // DuckDB. nprobe=1 here; more probes = relax the cell equi-join. ----
     "x3_ann_ivf" -> ((s, dir) => {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = vecs(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      // nearest centroid per vector (argmax cosine, smallest cid on ties)
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = e.repartition(width).crossJoin(broadcast(cents))
-        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+      // nearest centroid per vector (argmax cosine, smallest cid on
+      // ties) via the map-side kernel — no corpus×centroids join node
+      val assigned = vecsWithCells(s, dir, nprobe = 1)
+        .select(col("vec_id"), col("v"), col("n2"), element_at(col("cells"), 1).as("cid"))
       val queriesDf = assigned.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
       val corpus = assigned.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("n2").as("nn2"), col("cid"))
+        col("n2").as("nn2"), col("cid")).repartition(width)
       topK(broadcast(queriesDf).join(corpus,
         Seq("cid")).filter(col("qid") =!= col("nid")), 5)
     }),
@@ -237,20 +238,15 @@ object AnnQueries {
     "x4_ann_ivf_recall" -> ((s, dir) => {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = vecs(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val ranked = e.repartition(width).crossJoin(broadcast(cents))
-        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(aw))
+      val ec = vecsWithCells(s, dir, nprobe = 8)
       // corpus membership: every vector lives in its single nearest cell
-      val assigned = ranked.filter(col("arn") === 1)
+      val assigned = ec
         .select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2"), col("cid"))
+          col("n2").as("nn2"), element_at(col("cells"), 1).as("cid"))
       // queries probe their nprobe nearest cells (multi-probe)
-      val probes = ranked.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
+      val probes = ec.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2"), col("cid"))
+          col("n2").as("qn2"), explode(col("cells")).as("cid"))
       val ivfTop = topK(broadcast(probes).join(assigned, Seq("cid"))
         .filter(col("qid") =!= col("nid")), 5)
       // exact answer (x1's plan)
@@ -502,22 +498,17 @@ object AnnQueries {
     // equi-join, never a scan of the vector table). Exact cosine on
     // the surviving candidates → hash-gated end-to-end. ----
     "x12_ann_filtered" -> ((s, dir) => {
-      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = vecs(s, dir)
       val allowed = Tables.documents(s, dir)
         .filter(col("source").isin("src1", "src2", "src3", "src4", "src5"))
         .select(col("doc_id").as("nid"))
-      val cents = e.filter(col("vec_id") % 50 === 1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val ranked = e.repartition(width).crossJoin(broadcast(cents))
-        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(aw))
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"), col("cid"))
+      val ec = vecsWithCells(s, dir, nprobe = 8)
+      val assigned = ec
+        .select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"),
+          element_at(col("cells"), 1).as("cid"))
         .join(allowed, Seq("nid"), "left_semi")
-      val probes = ranked.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
+      val probes = ec.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+          explode(col("cells")).as("cid"))
       topK(broadcast(probes).join(assigned, Seq("cid"))
         .filter(col("qid") =!= col("nid")), 5)
     }),

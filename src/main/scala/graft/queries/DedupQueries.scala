@@ -155,7 +155,7 @@ object DedupQueries {
   private[queries] val coarseCents =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double], Double)]]()
 
-  private def centsFor(s: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
+  private[queries] def centsFor(s: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
     coarseCents.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { coarseCents.remove(d); () })
       Tables.embeddings(s, dir)
@@ -177,7 +177,7 @@ object DedupQueries {
     * a BroadcastNestedLoopJoin; this is a plain projection, which is
     * what lets PlanSpec pin d14's plan free of any nested-loop or
     * cartesian operator. */
-  private def nearestCells(v: Seq[Double],
+  private[queries] def nearestCells(v: Seq[Double],
       cents: Array[(Long, Array[Double], Double)], p: Int): Seq[Long] = {
     val n2 = graft.functions.VectorOps.norm2(v)
     cents.map { case (cid, cv, cn2) =>

@@ -126,9 +126,12 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has planted semantic near-dups")
   }
 
-  test("d14 and d13 plans carry no cartesian or nested-loop join") {
-    for (q <- Seq("d14_semantic_edges_ivf", "d13_semantic_clusters")) {
-      val plan = DedupQueries.queries(q)(spark, sfDir)
+  test("IVF-family plans carry no cartesian or nested-loop join") {
+    // x1 (brute) and x2's oracle-parity formulations are the declared
+    // exact baselines; every SERVING path must be join-shape clean.
+    for (q <- Seq("d14_semantic_edges_ivf", "d13_semantic_clusters",
+        "x3_ann_ivf", "x9_ivf_pq", "x11_ivf_pq_rerank", "x12_ann_filtered")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop join:\n$plan")
