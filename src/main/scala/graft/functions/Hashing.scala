@@ -122,6 +122,16 @@ object Hashing extends Serializable {
     * vote of hash (b >> 4)'s bit (b & 15), so the signature's 16-bit
     * blocking chunk c is built purely from hash c — the layout the
     * DuckDB twin reproduces chunk by chunk. */
+  /** Distinct word n-gram shingles of a single-space split — the JVM
+    * twin of the batch shingle expression for stream-side use (<n
+    * words yields the empty set; the batch Column form's NULL-shingle
+    * edge contributes nothing to a simhash either way). */
+  final def wordShingles(text: String, n: Int): Seq[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Seq.empty
+    else (0 to w.length - n).map(i => w.slice(i, i + n).mkString("_")).distinct
+  }
+
   final def simhashPoly(features: Seq[String]): Long = {
     val counts = new Array[Int](64)
     val it = features.iterator

@@ -70,6 +70,27 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming near-duplicate admission gate — the stream twin of the
+    * batch d4 simhash dedup, for an INGEST pipeline: each arriving
+    * document's 64-bit simhash (polynomial feature hashes over its
+    * word-3-gram shingles, the exact kernel the batch suite gates) is
+    * the dedup key, and a doc is admitted iff no document with the
+    * SAME signature arrived within the watermark horizon. Exact-bucket
+    * matching admits hamming-distance-1 near-dups that d4's offline
+    * pigeonhole join would pair — the standard stream/batch split:
+    * the gate bounds the duplicate INFLOW cheaply with O(docs per
+    * horizon) state, and the batch pipeline owns the transitive
+    * near-dup clustering. Input needs (ts, doc_id, text). */
+  def admitNovelDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val simhash = org.apache.spark.sql.functions.udf(
+      (text: String) => graft.functions.Hashing.simhashPoly(
+        graft.functions.Hashing.wordShingles(text, 3)))
+    docs.withColumn("simhash", simhash(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Streaming 3σ anomaly gate — the stream twin of the batch
     * `e11_anomaly` query: per-type moments (n, Σ, Σ²) come from a
     * STATIC reference frame (yesterday's corpus — recomputing a

@@ -214,4 +214,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming near-dup gate ≡ first-doc-per-simhash batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docsSeq = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight"),
+      (3L, base), // exact repeat — guaranteed signature collision
+      (4L, "red green blue cyan magenta yellow black white"),
+      (5L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup: may or may not collide
+      (6L, base)) // another repeat
+    // batch twin: first doc per signature, arrival order
+    def sig(t: String) =
+      graft.functions.Hashing.simhashPoly(graft.functions.Hashing.wordShingles(t, 3))
+    val expected = docsSeq
+      .groupBy { case (_, t) => sig(t) }.values.map(_.map(_._1).min).toSeq.sorted
+    assert(expected.size < docsSeq.size, "fixture plants at least one collision")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.admitNovelDocs(docs)
+      .writeStream.format("memory").queryName("novel_docs").outputMode("append").start()
+    try {
+      input.addData(docsSeq.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }: _*)
+      q.processAllAvailable()
+      val admitted = spark.table("novel_docs").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(admitted === expected,
+        s"stream admissions $admitted must equal the batch twin $expected")
+    } finally q.stop()
+  }
 }
