@@ -553,6 +553,25 @@ object DedupQueries {
     "d14_semantic_edges_ivf" -> ((s, dir) =>
       d14EdgesFor(s, dir).orderBy("id1", "id2")),
 
+    // ---- D16: semantic decontamination — the embedding-space twin of
+    // d6's n-gram benchmark decontamination: flag training documents
+    // whose EMBEDDING is cosine-near a held-out benchmark document
+    // (doc_id % 20 == 0 plays the benchmark split, same as d6), the
+    // pass that catches paraphrased contamination n-gram overlap
+    // misses. Pure composition: d14's gated IVF-candidate edge set
+    // (100%-recall-proven vs the exact pair oracle) restricted to
+    // cross-split pairs — no new scan, no new kernel, and the oracle
+    // is the exact all-pairs SQL with the same split predicate. ----
+    "d16_semantic_decontaminate" -> ((s, dir) => {
+      val e = d14EdgesFor(s, dir)
+      val cross = e.filter((col("id1") % 20 === 0) =!= (col("id2") % 20 === 0))
+      cross.select(
+          when(col("id1") % 20 === 0, col("id2")).otherwise(col("id1")).as("train_vec"),
+          when(col("id1") % 20 === 0, col("id1")).otherwise(col("id2")).as("benchmark_vec"),
+          col("cosine"))
+        .orderBy("train_vec", "benchmark_vec")
+    }),
+
     // ---- D5: embedding-cosine near-dup pairs — the declared-EXACT
     // all-pairs baseline (x1_ann_brute's role for the dedup suite): it
     // anchors d14's 100%-recall hash gate and the DedupSpec recall
@@ -790,7 +809,23 @@ object DedupQueries {
     // IVF-candidate path recovers 100% of the cos ≥ 0.45 pair set on
     // the fixture (the oracle side may be brute force — it is the
     // definition of correct, not the production plan).
-    "d14_semantic_edges_ivf" -> exactPairsSql
+    "d14_semantic_edges_ivf" -> exactPairsSql,
+
+    // exact cross-split cosine pairs, train side first
+    "d16_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+        |       (x, y) -> x + y) / sqrt(a.n2 * b.n2) AS cosine
+        |   FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        | edges AS (SELECT id1, id2, round(cosine, 4) AS cosine FROM pairs
+        |   WHERE cosine >= 0.45 AND (id1 % 20 = 0) <> (id2 % 20 = 0))
+        |SELECT CASE WHEN id1 % 20 = 0 THEN id2 ELSE id1 END AS train_vec,
+        | CASE WHEN id1 % 20 = 0 THEN id1 ELSE id2 END AS benchmark_vec, cosine
+        |FROM edges ORDER BY train_vec, benchmark_vec""".stripMargin
   )
 
   /** The exact cosine ≥ 0.45 pair set over all embedding pairs — shared

@@ -60,6 +60,43 @@ class ProductCodeSpec extends AnyFunSuite {
     })
   }
 
+  test("property: F5 ≡ CPython re on generated names (differential, Unicode \\b)") {
+    // The reference's extractor is Python re; ProductCode claims exact
+    // parity via java.util.regex + UNICODE_CHARACTER_CLASS. This
+    // differential drives RANDOM names through both engines — the
+    // fixed examples can't cover the Unicode word-boundary edge space.
+    val py =
+      """import sys, re
+        |name = sys.stdin.read()
+        |pats = [r'\b[A-Z0-9]+(?:-[A-Z0-9]+)+\b', r'\b[A-Z]{2,}[0-9]{2,}[A-Z]*\b',
+        |        r'\b[0-9]{3,}[A-Z]{1,3}\b', r'\b[A-Z][0-9]{4,}[A-Z][0-9]+\b',
+        |        r'\b[A-Z]{4,8}\b', r'\b[A-Z][0-9]{1,3}\b', r'\b[А-Я][0-9]{1,3}\b']
+        |spec = re.compile(r'\d+(mah|wh|w|ma)')
+        |longd = re.compile(r'\d{5,}')
+        |stops = {'USB-C', 'POWER', 'PORTABLE', 'CHARGER', 'BANK'}
+        |up = name.upper()
+        |out = ''
+        |for p in pats:
+        |    hit = next((m.group() for m in re.finditer(p, up)
+        |                if not spec.fullmatch(m.group().lower())
+        |                and not longd.fullmatch(m.group())
+        |                and m.group() not in stops), None)
+        |    if hit is not None:
+        |        out = hit
+        |        break
+        |sys.stdout.write(out)
+        |""".stripMargin
+    PropCheck.check(Prop.forAll(nameGen) { name =>
+      val p = new ProcessBuilder("python3", "-c", py).start()
+      p.getOutputStream.write(name.getBytes("UTF-8"))
+      p.getOutputStream.close()
+      val expected = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      val got = Option(ProductCode.findInName(name)).getOrElse("")
+      got == expected
+    }, minSuccessful = 30)
+  }
+
   test("property: a planted dash code is recovered from Cyrillic filler") {
     val seg = for {
       n <- Gen.choose(1, 4)
