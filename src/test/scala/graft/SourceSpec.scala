@@ -123,6 +123,7 @@ class SourceSpec extends AnyFunSuite {
     assert(r1.getString(0) === "10001") // NUMBER, integral → no ".0"
     assert(r1.getString(1) === "Кабель USB") // UTF-16 shared string
     assert(r1.getString(2) === "99.9") // NUMBER, fractional
+    assert(r1.getString(3) === "Широкий-" + ("ω" * 27)) // wide SST (split in big)
     val r2 = rows(1)
     assert(r2.getString(0) === "10002") // RK integer
     assert(r2.getString(2) === "123.45") // RK ×100 integer
@@ -132,6 +133,10 @@ class SourceSpec extends AnyFunSuite {
     assert(r3.getString(1).length === "SplitMarker-".length + 40)
     assert(r3.getString(2) === "7") // MULRK first
     assert(r3.getString(3) === "9.99") // MULRK second
+    val r4 = rows(3)
+    assert(r4.getString(0) === "TRUE") // BOOLERR value cell
+    assert(r4.getString(1) === "Инлайн текст") // old-style inline LABEL, wide
+    assert(r4.getString(2) === "41.5") // FORMULA cached numeric result
     df
   }
 
@@ -140,7 +145,7 @@ class SourceSpec extends AnyFunSuite {
     graft.tools.MakeXlsFixture.write(path, big = false)
     assert(new java.io.File(path).length() < 8192, "fixture should exercise the mini path")
     val df = checkXlsGrid(path)
-    assert(df.count() === 3)
+    assert(df.count() === 4)
   }
 
   test("S1/.xls: regular-FAT container with an SST CONTINUE split") {

@@ -49,22 +49,32 @@ object MakeXlsFixture {
     b.result()
   }
 
-  /** SST record for `strings`; when `splitLastAt` is set, the last
-    * string's character data is cut there and the tail goes into a
-    * CONTINUE record (restating the encoding grbit, per [MS-XLS]). */
+  /** SST record for `strings`; when `splitLastAt` is set, the LAST TWO
+    * strings each spill into a CONTINUE record (restating the encoding
+    * grbit, per [MS-XLS]): the second-to-last as compressed ASCII, the
+    * last as wide UTF-16 — exercising both grbit restatements. */
   private def sst(strings: Seq[String], splitLastAt: Option[Int]): Array[Byte] = {
-    val head = new Buf().i32(strings.length).i32(strings.length)
-    strings.dropRight(1).foreach(s => head.bytes(sstString(s)))
     splitLastAt match {
       case None =>
-        head.bytes(sstString(strings.last))
+        val head = new Buf().i32(strings.length).i32(strings.length)
+        strings.foreach(s => head.bytes(sstString(s)))
         rec(0x00FC, head.result())
       case Some(cut) =>
-        val s = strings.last
-        require(!s.exists(_ > 0xFF) && cut < s.length, "split fixture is ASCII")
-        head.u16(s.length).u8(0).ascii(s.substring(0, cut))
+        val asciiSplit = strings(strings.length - 2)
+        val wideSplit = strings.last
+        require(!asciiSplit.exists(_ > 0xFF) && cut < asciiSplit.length &&
+          wideSplit.exists(_ > 0xFF) && cut < wideSplit.length, "split fixture shape")
+        val head = new Buf().i32(strings.length).i32(strings.length)
+        strings.dropRight(2).foreach(s => head.bytes(sstString(s)))
+        head.u16(asciiSplit.length).u8(0).ascii(asciiSplit.substring(0, cut))
+        // CONTINUE 1: rest of the ascii string (grbit 0), then the wide
+        // string's header + first chars
+        val cont1 = new Buf().u8(0).ascii(asciiSplit.substring(cut))
+          .u16(wideSplit.length).u8(1).utf16(wideSplit.substring(0, cut))
+        // CONTINUE 2: rest of the wide string (grbit restated as 1)
+        val cont2 = new Buf().u8(1).utf16(wideSplit.substring(cut))
         rec(0x00FC, head.result()) ++
-          rec(0x003C, new Buf().u8(0).ascii(s.substring(cut)).result())
+          rec(0x003C, cont1.result()) ++ rec(0x003C, cont2.result())
     }
   }
 
@@ -89,6 +99,24 @@ object MakeXlsFixture {
   def rkDouble(v: Double): Int =
     ((java.lang.Double.doubleToLongBits(v) >>> 32) & 0xFFFFFFFCL).toInt
 
+  private def boolErr(row: Int, col: Int, value: Boolean): Array[Byte] =
+    rec(0x0205, new Buf().u16(row).u16(col).u16(0)
+      .u8(if (value) 1 else 0).u8(0).result())
+
+  /** Old-style inline LABEL (pre-SST) — wide iff the text needs it. */
+  private def label(row: Int, col: Int, s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xFF)
+    val b = new Buf().u16(row).u16(col).u16(0).u16(s.length).u8(if (wide) 1 else 0)
+    if (wide) b.utf16(s) else b.ascii(s)
+    rec(0x0204, b.result())
+  }
+
+  /** FORMULA with a cached IEEE-double result (the only result kind the
+    * reader surfaces). */
+  private def formulaNum(row: Int, col: Int, cached: Double): Array[Byte] =
+    rec(0x0006, new Buf().u16(row).u16(col).u16(0).f64(cached)
+      .u16(0).i32(0).u16(0).result()) // grbit + chn + empty parsed expr
+
   /** The BIFF8 workbook stream: globals (SST, BOUNDSHEET) + one sheet.
     * `padRows` inflates the sheet with extra NUMBER rows to push the
     * stream over the 4096-byte mini cutoff. */
@@ -106,6 +134,10 @@ object MakeXlsFixture {
     numbers.foreach { case (r, c, v) => sheet.bytes(number(r, c, v)) }
     rks.foreach { case (r, c, rk) => sheet.bytes(rkRec(r, c, rk)) }
     mulRks.foreach { case (r, cf, xs) => sheet.bytes(mulRk(r, cf, xs)) }
+    // one of each remaining cell kind the reader supports
+    sheet.bytes(boolErr(4, 0, value = true))
+    sheet.bytes(label(4, 1, "Инлайн текст"))
+    sheet.bytes(formulaNum(4, 2, 41.5))
     (0 until padRows).foreach(i => sheet.bytes(number(1000 + i, 0, i.toDouble)))
     sheet.bytes(eof())
 
@@ -211,10 +243,12 @@ object MakeXlsFixture {
   }
 
   /** Write a small price-list-shaped `.xls`; `big = true` forces the
-    * regular-FAT container and an SST CONTINUE split. */
+    * regular-FAT container and splits the last two SST strings (one
+    * compressed, one wide) across CONTINUE records. */
   def write(path: String, big: Boolean): Unit = {
     val header = Seq("Артикул", "Название", "Цена")
-    val strings = Seq((1, 1, "Кабель USB"), (2, 1, "Адаптер 220В"), (3, 1, "SplitMarker-" + ("x" * 40)))
+    val strings = Seq((1, 1, "Кабель USB"), (2, 1, "Адаптер 220В"),
+      (3, 1, "SplitMarker-" + ("x" * 40)), (1, 3, "Широкий-" + ("ω" * 27)))
     val numbers = Seq((1, 0, 10001.0), (1, 2, 99.9))
     val rks = Seq((2, 0, rkInt(10002)), (2, 2, rkInt100(12345)), (3, 0, rkDouble(2.5)))
     val mulRks = Seq((3, 2, Seq(rkInt(7), rkInt100(999))))
