@@ -307,15 +307,18 @@ object Xlsx {
     * flow must never have. */
   def rewrite(src: String, dst: String, updates: Map[String, String], sheet: Int = 1): Unit = {
     import scala.jdk.CollectionConverters._
+    val target = s"xl/worksheets/sheet$sheet.xml"
     val zf = new ZipFile(src)
     try {
+      // fail BEFORE writing anything: a workbook without the target
+      // sheet part must not silently produce an unpatched copy
+      require(zf.getEntry(target) != null, s"$src has no $target — wrong sheet index?")
       val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(dst)))
       try {
         for (e <- zf.entries().asScala) {
           out.putNextEntry(new ZipEntry(e.getName))
           val bytes = zf.getInputStream(e).readAllBytes()
-          if (e.getName == s"xl/worksheets/sheet$sheet.xml")
-            out.write(patchSheetXml(bytes, updates))
+          if (e.getName == target) out.write(patchSheetXml(bytes, updates))
           else out.write(bytes)
           out.closeEntry()
         }

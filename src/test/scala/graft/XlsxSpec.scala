@@ -165,5 +165,9 @@ class XlsxSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Xlsx.rewrite(src, tmp("bad.xlsx"), Map("B2" -> "1", "Z99" -> "2")))
     assert(e.getMessage.contains("Z99"))
+    // ...and so must a missing sheet part (before any output is written)
+    val e2 = intercept[IllegalArgumentException](
+      Xlsx.rewrite(src, tmp("bad2.xlsx"), Map("B2" -> "1"), sheet = 7))
+    assert(e2.getMessage.contains("sheet7"))
   }
 }
