@@ -64,6 +64,7 @@ object Biff8 {
 
     def sector(sid: Int): Array[Byte] = {
       val off = 512 + sid * sectorSize
+      require(off >= 512 && off < bytes.length, s"corrupt CFB: sector $sid out of file")
       java.util.Arrays.copyOfRange(bytes, off, math.min(off + sectorSize, bytes.length))
     }
     val difat = (0 until 109).map(i => i32(bytes, 76 + 4 * i)).filter(_ >= 0)
@@ -76,6 +77,7 @@ object Biff8 {
       var sid = start
       var guard = 0
       while (sid != EndOfChain && sid != FreeSect && guard <= fat.length) {
+        require(sid >= 0 && sid < fat.length, s"corrupt CFB: FAT id $sid out of range")
         out.write(sector(sid)); sid = fat(sid); guard += 1
       }
       require(guard <= fat.length, "cyclic FAT chain")
@@ -109,6 +111,9 @@ object Biff8 {
       var sid = wb.start
       var guard = 0
       while (sid != EndOfChain && sid != FreeSect && guard <= miniFat.length) {
+        require(sid >= 0 && sid < miniFat.length &&
+          (sid + 1) * miniSectorSize <= container.length,
+          s"corrupt CFB: mini sector $sid out of range")
         out.write(container, sid * miniSectorSize, miniSectorSize)
         sid = miniFat(sid); guard += 1
       }
