@@ -157,6 +157,60 @@ class SourceSpec extends AnyFunSuite {
     assert(df.collect().last.getString(0) === "299")
   }
 
+  test("property: BIFF8 write→read roundtrip on random grids") {
+    import org.scalacheck.{Gen, Prop}
+    val cellStr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(4 -> Gen.alphaNumChar, 2 -> Gen.oneOf('я', 'Ж', 'ü'), 1 -> Gen.const(' '))))
+      .map(_.mkString)
+    val cellNum = Gen.oneOf(
+      Gen.choose(-999999L, 999999L).map(_.toDouble),
+      Gen.choose(-99999L, 99999L).map(_ / 4.0)) // exact halves/quarters
+    val cell: Gen[Option[Either[String, Double]]] = Gen.frequency(
+      3 -> Gen.const(None),
+      4 -> cellStr.map(s => Some(Left(s))),
+      3 -> cellNum.map(d => Some(Right(d))))
+    val gridGen = for {
+      nRows <- Gen.choose(1, 6)
+      nCols <- Gen.choose(1, 4)
+      header <- Gen.listOfN(nCols, cellStr)
+      data <- Gen.listOfN(nRows, Gen.listOfN(nCols, cell))
+    } yield (header, data)
+
+    def fmt(d: Double): String =
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+    PropCheck.check(Prop.forAll(gridGen) { case (header, data) =>
+      val strings = for {
+        (row, r) <- data.zipWithIndex
+        (Some(Left(s)), c) <- row.zipWithIndex
+      } yield (r + 1, c, s)
+      val numbers = for {
+        (row, r) <- data.zipWithIndex
+        (Some(Right(d)), c) <- row.zipWithIndex
+      } yield (r + 1, c, d)
+      val wb = graft.tools.MakeXlsFixture.workbookStream(
+        header, strings, numbers, Nil, Nil, padRows = 0,
+        splitLastSstAt = None, extras = false)
+      val path = java.nio.file.Files.createTempFile("graft_prop", ".xls")
+      java.nio.file.Files.write(path, graft.tools.MakeXlsFixture.cfb(wb))
+      val got = graft.sources.Biff8.parseGrid(path.toString)
+      java.nio.file.Files.delete(path)
+      // expected: header row + data rows, trailing all-empty rows/cols
+      // trimmed the way a sparse cell store renders them
+      val full: Seq[Seq[String]] = header.map(h => Option(h).orNull) +:
+        data.map(_.map {
+          case Some(Left(s)) => s
+          case Some(Right(d)) => fmt(d)
+          case None => null
+        })
+      val maxRow = full.lastIndexWhere(_.exists(_ != null))
+      val maxCol = full.map(_.lastIndexWhere(_ != null)).max
+      val expected = full.take(maxRow + 1).map(_.take(maxCol + 1))
+      val gotSeq = got.map(_.toSeq)
+      gotSeq == expected
+    }, minSuccessful = 60)
+  }
+
   test("S1/.xls: non-Excel input fails with a clear front-door error") {
     val path = java.nio.file.Files.createTempFile("graft_not_excel", ".xls").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -123,7 +123,7 @@ object MakeXlsFixture {
   def workbookStream(header: Seq[String], strings: Seq[(Int, Int, String)],
       numbers: Seq[(Int, Int, Double)], rks: Seq[(Int, Int, Int)],
       mulRks: Seq[(Int, Int, Seq[Int])], padRows: Int,
-      splitLastSstAt: Option[Int]): Array[Byte] = {
+      splitLastSstAt: Option[Int], extras: Boolean = true): Array[Byte] = {
     val sstStrings = (header ++ strings.map(_._3)).distinct
     val sstIndex = sstStrings.zipWithIndex.toMap
     val globalsTail = new Buf()
@@ -134,10 +134,11 @@ object MakeXlsFixture {
     numbers.foreach { case (r, c, v) => sheet.bytes(number(r, c, v)) }
     rks.foreach { case (r, c, rk) => sheet.bytes(rkRec(r, c, rk)) }
     mulRks.foreach { case (r, cf, xs) => sheet.bytes(mulRk(r, cf, xs)) }
-    // one of each remaining cell kind the reader supports
-    sheet.bytes(boolErr(4, 0, value = true))
-    sheet.bytes(label(4, 1, "Инлайн текст"))
-    sheet.bytes(formulaNum(4, 2, 41.5))
+    if (extras) { // one of each remaining cell kind the reader supports
+      sheet.bytes(boolErr(4, 0, value = true))
+      sheet.bytes(label(4, 1, "Инлайн текст"))
+      sheet.bytes(formulaNum(4, 2, 41.5))
+    }
     (0 until padRows).foreach(i => sheet.bytes(number(1000 + i, 0, i.toDouble)))
     sheet.bytes(eof())
 
