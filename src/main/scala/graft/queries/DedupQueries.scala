@@ -553,6 +553,37 @@ object DedupQueries {
     "d14_semantic_edges_ivf" -> ((s, dir) =>
       d14EdgesFor(s, dir).orderBy("id1", "id2")),
 
+    // ---- D17: dedup-yield summary — the one-row health metric a
+    // curation dashboard reports per corpus snapshot: how many docs,
+    // how many byte-exact duplicate groups (d1's keyspace), how many
+    // verified near-dup pairs and transitive clusters (d2/d9's
+    // machinery), and the final yield — docs surviving
+    // keep-one-per-cluster dedup. Pure composition of gated stages;
+    // every count is one aggregate over a frame the suite already
+    // hash-gates, so the rollup is cheap and exactly reproducible. ----
+    "d17_dedup_yield" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(count(lit(1)).as("n")).select(col("n"))
+      // grouped by the text VALUE for cross-engine exactness (DuckDB
+      // has no xxhash64); the at-scale form groups by a 128-bit
+      // content hash so only 16-byte keys shuffle — d1 gates that path
+      val exactGroups = docs.groupBy(col("text"))
+        .agg(count(lit(1)).as("k"))
+      val clusters = queries("d9_dup_clusters")(s, dir)
+      nDocs.crossJoin(broadcast(
+          exactGroups.agg(count(lit(1)).as("n_exact_distinct"),
+            sum(expr("k - 1")).as("n_exact_dropped"))))
+        .crossJoin(broadcast(queries("d2_minhash_lsh")(s, dir)
+          .agg(count(lit(1)).as("n_neardup_pairs"))))
+        .crossJoin(broadcast(clusters
+          .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+            count(when(!col("is_canonical"), 1)).as("n_cluster_dropped"))))
+        .select(col("n").as("n_docs"), col("n_exact_distinct"),
+          col("n_exact_dropped"), col("n_neardup_pairs"),
+          col("n_clusters"), col("n_cluster_dropped"),
+          (col("n") - col("n_cluster_dropped")).as("n_kept"))
+    }),
+
     // ---- D16: semantic decontamination — the embedding-space twin of
     // d6's n-gram benchmark decontamination: flag training documents
     // whose EMBEDDING is cosine-near a held-out benchmark document
@@ -740,46 +771,14 @@ object DedupQueries {
     // comment: the gate asserts full recall at the fixture's similarity
     // level). The size band is lossless for t=0.8, so the oracle stays
     // exact while skipping most of the quadratic pair space.
-    "d2_minhash_lsh" ->
-      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
-         |              FROM documents),
-         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
-         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
-         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
-         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
-         | verified AS (SELECT doc1, doc2,
-         |     len(list_intersect(sh1, sh2)) * 1.0 /
-         |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
-         |   FROM cand)
-         |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
-         |WHERE j >= 0.8 ORDER BY doc1, doc2""".stripMargin,
+    "d2_minhash_lsh" -> d2ExhaustiveSql,
 
     // Connected components as a recursive CTE: reach(node, lab)
     // enumerates every label reachable from each node over the SAME
     // exhaustive exact-Jaccard ≥ 0.8 edge set d2's oracle uses; the
     // cluster id is the minimum reachable label — exactly the Spark
     // loop's fixpoint.
-    "d9_dup_clusters" ->
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
-         |              FROM documents),
-         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
-         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
-         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
-         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
-         | pairs AS (SELECT doc1, doc2 FROM cand
-         |   WHERE len(list_intersect(sh1, sh2)) * 1.0 /
-         |     (sz1 + sz2 - len(list_intersect(sh1, sh2))) >= 0.8),
-         | edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
-         |   UNION SELECT doc2, doc1 FROM pairs),
-         | reach(node, lab) AS (
-         |   SELECT DISTINCT a, a FROM edges
-         |   UNION
-         |   SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
-         |SELECT node AS doc_id, min(lab) AS cluster_id,
-         | node = min(lab) AS is_canonical
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "d9_dup_clusters" -> d9ClustersSql,
 
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).
@@ -811,6 +810,25 @@ object DedupQueries {
     // definition of correct, not the production plan).
     "d14_semantic_edges_ivf" -> exactPairsSql,
 
+    // One-row rollup whose subqueries ARE the d2/d9 twins (CTE chains
+    // nested as derived tables) plus plain text-group counts.
+    "d17_dedup_yield" ->
+      s"""SELECT
+         | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         | (SELECT CAST(count(*) AS BIGINT)
+         |    FROM (SELECT text FROM documents GROUP BY text)) AS n_exact_distinct,
+         | (SELECT CAST(sum(k - 1) AS BIGINT)
+         |    FROM (SELECT count(*) AS k FROM documents GROUP BY text)) AS n_exact_dropped,
+         | (SELECT CAST(count(*) AS BIGINT)
+         |    FROM ($d2ExhaustiveSql)) AS n_neardup_pairs,
+         | (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
+         |    FROM ($d9ClustersSql)) AS n_clusters,
+         | (SELECT CAST(count(*) FILTER (NOT is_canonical) AS BIGINT)
+         |    FROM ($d9ClustersSql)) AS n_cluster_dropped,
+         | (SELECT CAST(count(*) AS BIGINT) FROM documents) -
+         |   (SELECT CAST(count(*) FILTER (NOT is_canonical) AS BIGINT)
+         |      FROM ($d9ClustersSql)) AS n_kept""".stripMargin,
+
     // exact cross-split cosine pairs, train side first
     "d16_semantic_decontaminate" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -827,6 +845,48 @@ object DedupQueries {
         | CASE WHEN id1 % 20 = 0 THEN id1 ELSE id2 END AS benchmark_vec, cosine
         |FROM edges ORDER BY train_vec, benchmark_vec""".stripMargin
   )
+
+  /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the
+    * d2 query comment: the gate asserts full recall at the fixture's
+    * similarity level; the size band is lossless for t=0.8) — shared by
+    * d2's gate and d17's rollup. */
+  private lazy val d2ExhaustiveSql: String =
+    s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+       |              FROM documents),
+       | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+       | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
+       |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+       |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
+       | verified AS (SELECT doc1, doc2,
+       |     len(list_intersect(sh1, sh2)) * 1.0 /
+       |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
+       |   FROM cand)
+       |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
+       |WHERE j >= 0.8 ORDER BY doc1, doc2""".stripMargin
+
+  /** Connected components as a recursive CTE over the same exhaustive
+    * edge set — the min reachable label is exactly the Spark loop's
+    * fixpoint. Shared by d9's gate and d17's rollup. */
+  private lazy val d9ClustersSql: String = s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
+         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
+         | pairs AS (SELECT doc1, doc2 FROM cand
+         |   WHERE len(list_intersect(sh1, sh2)) * 1.0 /
+         |     (sz1 + sz2 - len(list_intersect(sh1, sh2))) >= 0.8),
+         | edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+         |   UNION SELECT doc2, doc1 FROM pairs),
+         | reach(node, lab) AS (
+         |   SELECT DISTINCT a, a FROM edges
+         |   UNION
+         |   SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT node AS doc_id, min(lab) AS cluster_id,
+         | node = min(lab) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** The exact cosine ≥ 0.45 pair set over all embedding pairs — shared
     * twin of d5 (which computes it the same way) and d14 (which must
