@@ -178,6 +178,23 @@ object MatchQueries {
        | uni_best AS (SELECT article, code, base_article, score
        |   FROM uni_scored WHERE rn = 1)""".stripMargin
 
+  /** The exact (candidate × base) pair universe the fuzzy stages score,
+    * with the lowercased names the scorer sees. Dumped by
+    * [[graft.tools.DumpPairUniverseSql]] into `fixtures/pair_universe.sql`,
+    * which `fixtures/make_difflib_scores.py` evaluates in DuckDB and scores
+    * with CPython's difflib — producing the committed
+    * `fixtures/difflib_scores.parquet` that the j2/j5 oracle joins. The
+    * independence matters: the oracle's similarity numbers come from
+    * CPython itself, not from this library's JVM reimplementation, so the
+    * hash gate is a true differential test of the difflib-parity contract
+    * (reference behavior: main.py:2216-2254, 2804-2924). */
+  val pairUniverseSql: String =
+    s"""$ctePrefix
+       |SELECT s.article, lower(s.name) AS cand_lc,
+       |       b.base_article, lower(b.bname) AS base_lc
+       |FROM sup_coded s CROSS JOIN base_coded b
+       |ORDER BY s.article, b.base_article""".stripMargin
+
   // ---- queries -----------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -314,7 +331,41 @@ object MatchQueries {
       s"""WITH sup AS (${Fixture.supplierSideSql}), base AS (${Fixture.baseSideSql})
          |SELECT article, supplier_price FROM sup s
          |WHERE EXISTS (SELECT 1 FROM base b WHERE b.article = s.article)
+         |ORDER BY article""".stripMargin,
+
+    // ---- J2/J5: hash-gated against the committed CPython-difflib score
+    // fixture (fixtures/difflib_scores.parquet over pairUniverseSql; see
+    // fixtures/make_difflib_scores.py for regeneration). The fixture
+    // carries the EXACT CPython ratio (`sim`) — used for the threshold
+    // and the argmax, where exactness keeps ties consistent with the
+    // engine — and `sim_r4`, CPython-side replication of Spark's
+    // round(_, 4) (HALF_UP over Double.toString's shortest-decimal form)
+    // for the reported column. The length band is lossless
+    // (ratio ≤ 2·min/(sum)), so the oracle needs no band predicate.
+    "j2_fuzzy_probe" ->
+      s"""$ctePrefix,
+         | ranked AS (SELECT article, base_article AS s_base, sim_r4,
+         |     row_number() OVER (PARTITION BY article
+         |                        ORDER BY sim DESC, base_article ASC) AS rn
+         |   FROM read_parquet('/root/repo/fixtures/difflib_scores.parquet')
+         |   WHERE sim >= 0.33),
+         | best AS (SELECT r.article, r.s_base, b.bname, r.sim_r4
+         |   FROM ranked r JOIN base_coded b ON b.base_article = r.s_base
+         |   WHERE r.rn = 1)
+         |SELECT s.article, s.name, best.s_base AS fuzzy_base_article,
+         |  best.bname AS fuzzy_name, best.sim_r4 AS fuzzy_sim
+         |FROM sup_coded s LEFT JOIN best ON best.article = s.article
+         |ORDER BY s.article""".stripMargin,
+
+    "j5_fuzzy_batch" ->
+      s"""$ctePrefix,
+         | ranked AS (SELECT article, base_article AS s_base, sim, sim_r4,
+         |     row_number() OVER (PARTITION BY article
+         |                        ORDER BY sim DESC, base_article ASC) AS rn
+         |   FROM read_parquet('/root/repo/fixtures/difflib_scores.parquet')
+         |   WHERE sim >= 0.33)
+         |SELECT article, s_base AS fuzzy_base_article, sim_r4 AS fuzzy_sim
+         |FROM ranked WHERE rn = 1
          |ORDER BY article""".stripMargin
-    // j2_fuzzy_probe / j5_fuzzy_batch: difflib-parity UDF → rows-only.
   )
 }
