@@ -15,9 +15,10 @@ import java.nio.file.{Files, Paths}
   * NUMBER doubles, RK/MULRK packed numbers, BOOLERR — surfaced as the
   * same all-string grid the xlsx path produces. Formulas surface their
   * cached numeric value; charts/macros/protection are ignored.
-  * Containers: both regular-FAT streams and the mini-stream path
-  * (workbook < 4096 bytes) are supported; DIFAT overflow (files over
-  * ~6.8 MB) is rejected with a clear error rather than misread.
+  * Containers: regular-FAT streams, the mini-stream path (workbook
+  * < 4096 bytes), DIFAT-chained FATs (files over ~7 MB, whose FAT
+  * sector list overflows the 109 header slots), and both sector sizes
+  * ([MS-CFB] major version 3 at 512 bytes and version 4 at 4096).
   *
   * Layout constants follow the public [MS-CFB] and [MS-XLS] format
   * documents.
@@ -54,20 +55,41 @@ object Biff8 {
   private[sources] def workbookStream(bytes: Array[Byte]): Array[Byte] = {
     require(isCfb(bytes), "not an OLE2 compound file")
     val sectorSize = 1 << u16(bytes, 30)
+    require(sectorSize == 512 || sectorSize == 4096,
+      s"unsupported CFB sector size $sectorSize (major version ${u16(bytes, 26)})")
     val miniSectorSize = 1 << u16(bytes, 32)
     val numFatSectors = i32(bytes, 44)
     val firstDirSector = i32(bytes, 48)
     val miniCutoff = i32(bytes, 56)
     val firstMiniFat = i32(bytes, 60)
-    require(numFatSectors <= 109 && i32(bytes, 72) == 0,
-      "oversized .xls (DIFAT overflow) not supported — convert to .xlsx")
 
     def sector(sid: Int): Array[Byte] = {
-      val off = 512 + sid * sectorSize
-      require(off >= 512 && off < bytes.length, s"corrupt CFB: sector $sid out of file")
-      java.util.Arrays.copyOfRange(bytes, off, math.min(off + sectorSize, bytes.length))
+      // Sector 0 starts AFTER the 512-byte header rounded up to one
+      // sector — i.e. at offset sectorSize, so (sid + 1) * sectorSize
+      // per [MS-CFB] §2.1 (for v4's 4096-byte sectors the header pads
+      // out to the full first sector; 512 + sid * 4096 would be wrong).
+      val off = (sid + 1).toLong * sectorSize
+      require(off >= sectorSize && off < bytes.length,
+        s"corrupt CFB: sector $sid out of file")
+      java.util.Arrays.copyOfRange(bytes, off.toInt,
+        math.min(off.toInt + sectorSize, bytes.length))
     }
-    val difat = (0 until 109).map(i => i32(bytes, 76 + 4 * i)).filter(_ >= 0)
+    // FAT sector list: 109 header slots, then the DIFAT sector chain
+    // (each DIFAT sector holds sectorSize/4 - 1 FAT sids + a next
+    // pointer in its last 4 bytes).
+    val headerDifat = (0 until 109).map(i => i32(bytes, 76 + 4 * i))
+    val numDifat = i32(bytes, 72)
+    val chainedDifat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var dsid = i32(bytes, 68)
+    var dguard = 0
+    while (dsid != EndOfChain && dsid != FreeSect) {
+      dguard += 1
+      require(dguard <= numDifat, s"cyclic/overlong DIFAT chain at sector $dsid")
+      val s = sector(dsid)
+      chainedDifat ++= (0 until sectorSize / 4 - 1).map(i => i32(s, i * 4))
+      dsid = i32(s, sectorSize - 4)
+    }
+    val difat = (headerDifat ++ chainedDifat).filter(_ >= 0)
     require(difat.length == numFatSectors, s"FAT sector count mismatch: $numFatSectors")
     val fat: Array[Int] = difat.toArray.flatMap { sid =>
       val s = sector(sid); (0 until s.length / 4).map(i => i32(s, i * 4))
@@ -183,6 +205,10 @@ object Biff8 {
         val wide = (flags & 1) != 0
         val fit = if (wide) remaining / 2 else remaining
         val take = math.min(cch - read, fit)
+        // a wide read with 1 byte left in the piece would otherwise
+        // make no progress — corrupt input must throw, not hang
+        require(take > 0,
+          s"corrupt SST: string piece too short ($remaining bytes, wide=$wide)")
         var i = 0
         while (i < take) {
           val ch = if (wide) u16(stream, off + 2 * i) else u8(stream, off + i)
@@ -259,9 +285,15 @@ object Biff8 {
           put(u16(stream, o), u16(stream, o + 2), sst(i32(stream, o + 6)))
         case RecLabel =>
           val cch = u16(stream, o + 6)
-          val wide = (u8(stream, o + 8) & 1) != 0
-          val s = if (wide) new String(stream, o + 9, cch * 2, StandardCharsets.UTF_16LE)
-            else new String(stream, o + 9, cch, StandardCharsets.ISO_8859_1)
+          val grbit = u8(stream, o + 8)
+          val wide = (grbit & 1) != 0
+          // rich-text run count (2 B, grbit 0x08) and ext length (4 B,
+          // grbit 0x04) sit BETWEEN the grbit and the character data;
+          // their payloads follow the characters and need no skip here
+          val so = o + 9 + (if ((grbit & 0x08) != 0) 2 else 0) +
+            (if ((grbit & 0x04) != 0) 4 else 0)
+          val s = if (wide) new String(stream, so, cch * 2, StandardCharsets.UTF_16LE)
+            else new String(stream, so, cch, StandardCharsets.ISO_8859_1)
           put(u16(stream, o), u16(stream, o + 2), s)
         case RecNumber =>
           put(u16(stream, o), u16(stream, o + 2), fmtNum(f64(stream, o + 6)))

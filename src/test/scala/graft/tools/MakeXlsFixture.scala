@@ -111,6 +111,23 @@ object MakeXlsFixture {
     rec(0x0204, b.result())
   }
 
+  /** LABEL with rich-text runs AND an ext block: the 2-byte run count
+    * and 4-byte ext length sit between the grbit and the characters
+    * ([MS-XLS] XLUnicodeRichExtendedString); their payloads follow the
+    * characters. Readers that treat offset grbit+1 as character data
+    * misparse these. */
+  private def labelRich(row: Int, col: Int, s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xFF)
+    val b = new Buf().u16(row).u16(col).u16(0).u16(s.length)
+      .u8((if (wide) 1 else 0) | 0x08 | 0x04)
+      .u16(1) // cRun
+      .i32(2) // cbExtRst
+    if (wide) b.utf16(s) else b.ascii(s)
+    b.u16(0).u16(0) // the single FormatRun (ich, ifnt)
+    b.u16(0) // the 2-byte ExtRst payload
+    rec(0x0204, b.result())
+  }
+
   /** FORMULA with a cached IEEE-double result (the only result kind the
     * reader surfaces). */
   private def formulaNum(row: Int, col: Int, cached: Double): Array[Byte] =
@@ -123,7 +140,8 @@ object MakeXlsFixture {
   def workbookStream(header: Seq[String], strings: Seq[(Int, Int, String)],
       numbers: Seq[(Int, Int, Double)], rks: Seq[(Int, Int, Int)],
       mulRks: Seq[(Int, Int, Seq[Int])], padRows: Int,
-      splitLastSstAt: Option[Int], extras: Boolean = true): Array[Byte] = {
+      splitLastSstAt: Option[Int], extras: Boolean = true,
+      padCols: Int = 1): Array[Byte] = {
     val sstStrings = (header ++ strings.map(_._3)).distinct
     val sstIndex = sstStrings.zipWithIndex.toMap
     val globalsTail = new Buf()
@@ -138,8 +156,12 @@ object MakeXlsFixture {
       sheet.bytes(boolErr(4, 0, value = true))
       sheet.bytes(label(4, 1, "Инлайн текст"))
       sheet.bytes(formulaNum(4, 2, 41.5))
+      sheet.bytes(labelRich(4, 3, "Rich текст"))
     }
-    (0 until padRows).foreach(i => sheet.bytes(number(1000 + i, 0, i.toDouble)))
+    // BIFF8 rows are u16 (65536 max) — big sheets pad WIDE, not long
+    require(1000 + padRows <= 65536, "BIFF8 row index overflows u16")
+    (0 until padRows).foreach(i => (0 until padCols).foreach(c =>
+      sheet.bytes(number(1000 + i, c, (i.toLong * padCols + c).toDouble))))
     sheet.bytes(eof())
 
     // assemble: globals BOF + SST + BOUNDSHEET(pos) + EOF, then sheet —
@@ -155,29 +177,35 @@ object MakeXlsFixture {
 
   // --------------------------------------------------------- CFB container
 
+  private val DIFSECT = -4
   private val FATSECT = -3
   private val END = -2
   private val FREE = -1
 
-  private def cfbHeader(numFat: Int, firstDir: Int, firstMiniFat: Int,
-      numMiniFat: Int, fatSids: Seq[Int]): Array[Byte] = {
+  private def cfbHeader(sectorSize: Int, numFat: Int, firstDir: Int,
+      firstMiniFat: Int, numMiniFat: Int, fatSids: Seq[Int],
+      firstDifat: Int, numDifat: Int, numDirSectors: Int): Array[Byte] = {
+    val v4 = sectorSize == 4096
     val b = new Buf()
     b.bytes(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
     b.pad(24) // CLSID
-    b.u16(0x003E).u16(0x0003) // minor/major (v3)
+    b.u16(0x003E).u16(if (v4) 4 else 3) // minor/major
     b.u16(0xFFFE) // little-endian
-    b.u16(9).u16(6) // sector 512, mini sector 64
-    b.pad(44) // reserved (34-40) + numDirSectors (40-44, 0 for v3)
+    b.u16(if (v4) 12 else 9).u16(6) // sector shift, mini sector 64
+    b.pad(40) // reserved (34-40)
+    b.i32(if (v4) numDirSectors else 0) // numDirSectors (v4 only)
     b.i32(numFat)
     b.i32(firstDir)
     b.i32(0) // transaction
     b.i32(4096) // mini cutoff
     b.i32(firstMiniFat)
     b.i32(numMiniFat)
-    b.i32(END) // first DIFAT sector
-    b.i32(0) // num DIFAT sectors
-    fatSids.foreach(b.i32)
-    (fatSids.length until 109).foreach(_ => b.i32(FREE))
+    b.i32(firstDifat)
+    b.i32(numDifat)
+    fatSids.take(109).foreach(b.i32)
+    (math.min(fatSids.length, 109) until 109).foreach(_ => b.i32(FREE))
+    // a v4 header still occupies one whole 4096-byte sector
+    if (v4) b.pad(sectorSize)
     b.result()
   }
 
@@ -195,16 +223,20 @@ object MakeXlsFixture {
     b.result()
   }
 
-  private def sectors(payload: Array[Byte]): Int = (payload.length + 511) / 512
-
   /** Wrap a workbook stream in a CFB container, picking the mini-stream
     * or regular-FAT shape by the 4096-byte rule exactly like a real
-    * writer would. */
-  def cfb(workbook: Array[Byte]): Array[Byte] = {
+    * writer would. The regular path sizes its FAT for any workbook,
+    * spilling FAT sids past the 109 header slots into a DIFAT sector
+    * chain; `sectorSize = 4096` emits an [MS-CFB] major-version-4
+    * container (header padded to the full first sector). */
+  def cfb(workbook: Array[Byte], sectorSize: Int = 512): Array[Byte] = {
+    require(sectorSize == 512 || sectorSize == 4096, "CFB sector size")
+    val epf = sectorSize / 4 // FAT entries per sector
+    def nSectors(len: Int): Int = (len + sectorSize - 1) / sectorSize
     val out = new Buf()
-    if (workbook.length < 4096) {
+    if (workbook.length < 4096 && sectorSize == 512) {
       val miniCount = (workbook.length + 63) / 64
-      val containerSectors = sectors(new Array[Byte](miniCount * 64))
+      val containerSectors = nSectors(miniCount * 64)
       // plan: 0 FAT | 1 dir | 2 miniFAT | 3.. container
       val fat = new Buf()
       fat.i32(FATSECT).i32(END).i32(END)
@@ -219,34 +251,62 @@ object MakeXlsFixture {
       dir.bytes(dirEntry("Workbook", 2, FREE, 0, workbook.length))
       dir.bytes(dirEntry("", 0, FREE, FREE, 0))
       dir.bytes(dirEntry("", 0, FREE, FREE, 0))
-      out.bytes(cfbHeader(1, 1, 2, 1, Seq(0)))
+      out.bytes(cfbHeader(512, 1, 1, 2, 1, Seq(0), END, 0, 1))
       out.bytes(fat.result()).bytes(dir.result()).bytes(miniFat.result())
       out.bytes(workbook).pad(512 + (3 + containerSectors) * 512)
     } else {
-      val wbSectors = sectors(workbook)
-      // plan: 0 FAT | 1 dir | 2.. workbook
-      require(2 + wbSectors <= 128, "fixture exceeds one FAT sector")
+      val wbSectors = nSectors(workbook.length)
+      val dirSectors = nSectors(4 * 128)
+      // Fixpoint for the FAT size: the FAT maps EVERY sector (DIFAT +
+      // FAT + dir + workbook), and the DIFAT count depends on the FAT
+      // count — iterate until both stabilize (monotone, converges).
+      var fatCnt = 1
+      var difatCnt = 0
+      (0 until 16).foreach { _ =>
+        fatCnt = (difatCnt + fatCnt + dirSectors + wbSectors + epf - 1) / epf
+        difatCnt = if (fatCnt <= 109) 0 else (fatCnt - 109 + epf - 2) / (epf - 1)
+      }
+      // plan: 0.. DIFAT | .. FAT | .. dir | .. workbook
+      val fatSids = (difatCnt until difatCnt + fatCnt).toVector
+      val dirStart = difatCnt + fatCnt
+      val wbStart = dirStart + dirSectors
+      val total = wbStart + wbSectors
+      require(difatCnt + fatCnt + dirSectors + wbSectors <= fatCnt * epf, "FAT fixpoint")
       val fat = new Buf()
-      fat.i32(FATSECT).i32(END)
+      (0 until difatCnt).foreach(_ => fat.i32(DIFSECT))
+      (0 until fatCnt).foreach(_ => fat.i32(FATSECT))
+      (0 until dirSectors).foreach(i =>
+        fat.i32(if (i == dirSectors - 1) END else dirStart + i + 1))
       (0 until wbSectors).foreach(i =>
-        fat.i32(if (i == wbSectors - 1) END else 2 + i + 1))
-      (2 + wbSectors until 128).foreach(_ => fat.i32(FREE))
+        fat.i32(if (i == wbSectors - 1) END else wbStart + i + 1))
+      (total until fatCnt * epf).foreach(_ => fat.i32(FREE))
+      val difatBuf = new Buf()
+      val overflow = fatSids.drop(109)
+      (0 until difatCnt).foreach { i =>
+        val slice = overflow.slice(i * (epf - 1), (i + 1) * (epf - 1))
+        slice.foreach(difatBuf.i32)
+        (slice.length until epf - 1).foreach(_ => difatBuf.i32(FREE))
+        difatBuf.i32(if (i == difatCnt - 1) END else i + 1)
+      }
       val dir = new Buf()
       dir.bytes(dirEntry("Root Entry", 5, 1, END, 0))
-      dir.bytes(dirEntry("Workbook", 2, FREE, 2, workbook.length))
+      dir.bytes(dirEntry("Workbook", 2, FREE, wbStart, workbook.length))
       dir.bytes(dirEntry("", 0, FREE, FREE, 0))
       dir.bytes(dirEntry("", 0, FREE, FREE, 0))
-      out.bytes(cfbHeader(1, 1, END, 0, Seq(0)))
-      out.bytes(fat.result()).bytes(dir.result())
-      out.bytes(workbook).pad(512 + (2 + wbSectors) * 512)
+      dir.pad(dirSectors * sectorSize)
+      out.bytes(cfbHeader(sectorSize, fatCnt, dirStart, END, 0, fatSids,
+        if (difatCnt > 0) 0 else END, difatCnt, dirSectors))
+      out.bytes(difatBuf.result()).bytes(fat.result()).bytes(dir.result())
+      out.bytes(workbook).pad(sectorSize + total * sectorSize)
     }
     out.result()
   }
 
   /** Write a small price-list-shaped `.xls`; `big = true` forces the
     * regular-FAT container and splits the last two SST strings (one
-    * compressed, one wide) across CONTINUE records. */
-  def write(path: String, big: Boolean): Unit = {
+    * compressed, one wide) across CONTINUE records. `sectorSize = 4096`
+    * emits a CFB major-version-4 container. */
+  def write(path: String, big: Boolean, sectorSize: Int = 512): Unit = {
     val header = Seq("Артикул", "Название", "Цена")
     val strings = Seq((1, 1, "Кабель USB"), (2, 1, "Адаптер 220В"),
       (3, 1, "SplitMarker-" + ("x" * 40)), (1, 3, "Широкий-" + ("ω" * 27)))
@@ -256,6 +316,40 @@ object MakeXlsFixture {
     val wb = workbookStream(header, strings, numbers, rks, mulRks,
       padRows = if (big) 300 else 0,
       splitLastSstAt = if (big) Some(15) else None)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfb(wb, sectorSize))
+  }
+
+  /** Write an oversized `.xls` (same cell content as `write(big=true)`
+    * plus `padRows` 12-column NUMBER rows) big enough that the
+    * container's FAT sector list overflows the 109 header DIFAT slots —
+    * the shape real multi-megabyte price lists produce (BIFF8 caps rows
+    * at 65536, so bulk comes from row WIDTH). */
+  def writeHuge(path: String, padRows: Int): Unit = {
+    val header = Seq("Артикул", "Название", "Цена")
+    val strings = Seq((1, 1, "Кабель USB"), (2, 1, "Адаптер 220В"),
+      (3, 1, "SplitMarker-" + ("x" * 40)), (1, 3, "Широкий-" + ("ω" * 27)))
+    val numbers = Seq((1, 0, 10001.0), (1, 2, 99.9))
+    val rks = Seq((2, 0, rkInt(10002)), (2, 2, rkInt100(12345)), (3, 0, rkDouble(2.5)))
+    val mulRks = Seq((3, 2, Seq(rkInt(7), rkInt100(999))))
+    val wb = workbookStream(header, strings, numbers, rks, mulRks,
+      padRows = padRows, splitLastSstAt = Some(15), padCols = 12)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfb(wb))
+  }
+
+  /** Write an `.xls` whose SST breaks a WIDE string's bytes at an ODD
+    * offset into its CONTINUE — structurally corrupt ([MS-XLS] requires
+    * the break on a character boundary). The reader must throw, not
+    * hang. */
+  def writeCorruptSstXls(path: String): Unit = {
+    val s = "ΩΩΩΩ" // 4 wide chars
+    val wideBytes = s.getBytes("UTF-16LE")
+    val head = new Buf().i32(1).i32(1)
+      .u16(s.length).u8(1).bytes(wideBytes.take(3)) // 1.5 chars: odd split
+    val cont = new Buf().u8(1).bytes(wideBytes.drop(3))
+    val sstRec = rec(0x00FC, head.result()) ++ rec(0x003C, cont.result())
+    val sheet = bof(0x0010) ++ labelSst(0, 0, 0) ++ eof()
+    def globals(pos: Int) = bof(0x0005) ++ sstRec ++ boundSheet(pos, "S") ++ eof()
+    val wb = globals(globals(0).length) ++ sheet
     java.nio.file.Files.write(java.nio.file.Paths.get(path), cfb(wb))
   }
 }
