@@ -62,13 +62,26 @@ object Bench {
       }
     }
 
+    // Process-CPU seconds per query alongside wall seconds: on a
+    // contended host wall time inflates while CPU time stays flat, so
+    // a wall/CPU divergence across rounds distinguishes "the host was
+    // busy" from "the query regressed" without a rerun (the 85.2 s
+    // round-6 close-out swing would have been self-evident).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val bestCpu = scala.collection.mutable.Map.empty[String, Double]
     (1 to MeasuredPasses).foreach { _ =>
       ordered.foreach { case (name, fn) =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => }
         val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+        if (sec < best.getOrElse(name, Double.MaxValue)) {
+          best(name) = sec
+          bestCpu(name) = cpuSec // CPU of the SAME pass as the reported wall
+        }
       }
     }
 
@@ -76,9 +89,14 @@ object Bench {
     val qs = ordered.map { case (name, _) =>
       s"\"$name\":${fmt(best(name))}"
     }.mkString("{", ",", "}")
+    val qsCpu = ordered.map { case (name, _) =>
+      s"\"$name\":${fmt(bestCpu(name))}"
+    }.mkString("{", ",", "}")
     val total = best.values.sum
+    val cpuTotal = bestCpu.values.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},""" +
+        s""""queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_results.json"), full.getBytes(StandardCharsets.UTF_8))
 
     // Stdout gets a SHORT line (total + count + slowest-5) that survives
@@ -89,6 +107,7 @@ object Bench {
       .map { case (n, v) => s"""{"query":"$n","sec":${fmt(v)}}""" }
       .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""cpu_total":${fmt(cpuTotal)},""" +
       s""""n_queries":${best.size},"slowest":$slowest,"sf":"$sfDir",""" +
       s""""detail":"bench_results.json"}"""
     println(line)

@@ -238,6 +238,45 @@ object DedupQueries {
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine")))
     })
 
+  /** d2's verified LSH edge set, built ONCE per (JVM, dir) — the same
+    * memo discipline as [[d14EdgesFor]], and for the same two reasons:
+    * the edge set is an index artifact consumed by three queries
+    * (d2 itself, d9's clustering, d17's rollup), and memoizing ONE
+    * cached frame means the consumers share a plan object, so the LSH
+    * band + verify pipeline plans and materializes once per dir
+    * instead of once per consuming query (d17 re-planned it twice —
+    * directly and through d9 — before this memo existed). */
+  private val d2Edges =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def d2EdgesFor(s: SparkSession, dir: String): DataFrame =
+    d2Edges.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { d2Edges.remove(d); () })
+      val docs = Caches.trackCached(d, docShingles(s, d))
+      val banded = docs.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+        .toDF("doc_id", "band", "key")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      Caches.trackCached(d, verifyJaccard(cand, docs, 0.8))
+    })
+
+  /** d9's converged cluster assignment, memoized like the edge sets:
+    * the BSP fixpoint runs driver-side actions per round, so a second
+    * consumer (d17's rollup) re-running the loop costs real wall time
+    * even with every input frame cached. */
+  private val d9Clusters =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def d9ClustersFor(s: SparkSession, dir: String): DataFrame =
+    d9Clusters.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { d9Clusters.remove(d); () })
+      val pairs = d2EdgesFor(s, d).select("doc1", "doc2")
+      Caches.trackCached(d, minLabelClusters(pairs, d))
+    })
+
   private val T = 0.5 // Jaccard threshold for d3 (planted dups are ≥0.9)
 
   /** PPJoin positional filter — lossless tightening of the prefix
@@ -314,17 +353,7 @@ object DedupQueries {
     // recall on this fixture — honest, because the planted dups sit at
     // J ≥ 0.9 where the per-pair miss probability is (1−J⁴)⁸ ≈ 2·10⁻⁴;
     // a hash mismatch here would flag genuine signature drift. ----
-    "d2_minhash_lsh" -> ((s, dir) => {
-      val docs = Caches.trackCached(dir, docShingles(s, dir))
-      val banded = docs.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
-        .toDF("doc_id", "band", "key")
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-      verifyJaccard(cand, docs, 0.8)
-    }),
+    "d2_minhash_lsh" -> ((s, dir) => d2EdgesFor(s, dir)),
 
     // ---- D4: SimHash + pigeonhole chunk blocking. Features are the
     // word 3-gram SHINGLES, not unigrams: on a small shared vocabulary
@@ -503,14 +532,10 @@ object DedupQueries {
     // the same joins bounds the round count at O(log n). Deterministic
     // exact fixpoint → hash-gated via a DuckDB recursive CTE over the
     // identical edge set. ----
-    "d9_dup_clusters" -> ((s, dir) => {
-      // deferred-release cache (see minLabelClusters' discipline note:
-      // an eager unpersist here would invalidate the loop's dependent
-      // cache entries and re-run the whole LSH edge build per action)
-      val pairs = Caches.trackCached(dir,
-        queries("d2_minhash_lsh")(s, dir).select("doc1", "doc2"))
-      minLabelClusters(pairs, dir).orderBy("doc_id")
-    }),
+    "d9_dup_clusters" -> ((s, dir) =>
+      // edges AND the converged assignment are memoized per (JVM, dir)
+      // — built once, dropped by Caches.release; see d9ClustersFor
+      d9ClustersFor(s, dir).orderBy("doc_id")),
 
     // ---- D13: semantic duplicate clusters — the embedding-space
     // composition of d5 and d9: cosine-similar PAIRS (d5's exact edge
@@ -519,8 +544,10 @@ object DedupQueries {
     // wording" groups are collapsed before sampling. One canonical
     // member per cluster (smallest vec_id). The CLUSTERING is d9's
     // scale-safe BSP shape; the edge GENERATION is d14's IVF-candidate
-    // + exact-verify path (hash-gated equal to the exact pair set), so
-    // neither half carries a cartesian product any more. DuckDB twin
+    // + exact-verify path (hash-gated equal to the exact pair set ON
+    // THE GATE FIXTURES — at larger fixtures recall follows d14's
+    // nprobe/K trade-off, see EdgeProbes), so neither half carries a
+    // cartesian product any more. DuckDB twin
     // rebuilds the identical edge set (exact all-pairs — legitimate in
     // the oracle, which is allowed to be brute-force) and runs the
     // recursive-CTE reachability. ----
@@ -545,7 +572,10 @@ object DedupQueries {
     // are a superset of the true pair set at sufficient nprobe, and the
     // verify admits no false positives, so the output EQUALS d5's exact
     // pair set — the oracle is literally d5's all-pairs SQL, making the
-    // hash gate a 100%-recall proof. Scale: N·nprobe probe rows
+    // hash gate a 100%-recall proof ON THE GATE FIXTURES (sf0.001 and
+    // sf0.01, where EdgeProbes covers every planted pair's cells; at
+    // sf0.1 recall follows the probed-cell fraction — the EdgeProbes
+    // docstring quantifies it). Scale: N·nprobe probe rows
     // equi-join N assignment rows on the cell key → expected
     // N²·nprobe/K candidate pairs for K cells (vs N² for d5); every
     // shuffle is key-hashed, no CartesianProduct/BroadcastNestedLoopJoin
@@ -569,11 +599,11 @@ object DedupQueries {
       // content hash so only 16-byte keys shuffle — d1 gates that path
       val exactGroups = docs.groupBy(col("text"))
         .agg(count(lit(1)).as("k"))
-      val clusters = queries("d9_dup_clusters")(s, dir)
+      val clusters = d9ClustersFor(s, dir)
       nDocs.crossJoin(broadcast(
           exactGroups.agg(count(lit(1)).as("n_exact_distinct"),
             sum(expr("k - 1")).as("n_exact_dropped"))))
-        .crossJoin(broadcast(queries("d2_minhash_lsh")(s, dir)
+        .crossJoin(broadcast(d2EdgesFor(s, dir)
           .agg(count(lit(1)).as("n_neardup_pairs"))))
         .crossJoin(broadcast(clusters
           .agg(countDistinct(col("cluster_id")).as("n_clusters"),
@@ -590,9 +620,13 @@ object DedupQueries {
     // (doc_id % 20 == 0 plays the benchmark split, same as d6), the
     // pass that catches paraphrased contamination n-gram overlap
     // misses. Pure composition: d14's gated IVF-candidate edge set
-    // (100%-recall-proven vs the exact pair oracle) restricted to
-    // cross-split pairs — no new scan, no new kernel, and the oracle
-    // is the exact all-pairs SQL with the same split predicate. ----
+    // (recall-proven 100% vs the exact pair oracle on the gate
+    // fixtures; at larger fixtures recall follows d14's nprobe/K
+    // trade-off, and because MISSED contamination is the costly
+    // direction DedupSpec additionally pins a cross-split recall floor
+    // at sf0.1) restricted to cross-split pairs — no new scan, no new
+    // kernel, and the oracle is the exact all-pairs SQL with the same
+    // split predicate. ----
     "d16_semantic_decontaminate" -> ((s, dir) => {
       val e = d14EdgesFor(s, dir)
       val cross = e.filter((col("id1") % 20 === 0) =!= (col("id2") % 20 === 0))

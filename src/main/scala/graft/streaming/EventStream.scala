@@ -86,9 +86,21 @@ object EventStream {
     val simhash = org.apache.spark.sql.functions.udf(
       (text: String) => graft.functions.Hashing.simhashPoly(
         graft.functions.Hashing.wordShingles(text, 3)))
+    // Docs under 3 words have an EMPTY shingle set, so simhashPoly
+    // degenerates to the constant 0 — keying on the signature alone
+    // would silently reject every distinct short doc after the first
+    // within the horizon. When no signature exists, exact text is the
+    // only sound dedup key, so the state key branches on it.
+    val dedupKey = org.apache.spark.sql.functions.udf { (text: String) =>
+      val sh = graft.functions.Hashing.wordShingles(text, 3)
+      if (sh.isEmpty) "raw:" + text
+      else "sig:" + java.lang.Long.toHexString(graft.functions.Hashing.simhashPoly(sh))
+    }
     docs.withColumn("simhash", simhash(col("text")))
+      .withColumn("dedup_key", dedupKey(col("text")))
       .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("simhash")
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
   }
 
   /** Streaming 3σ anomaly gate — the stream twin of the batch

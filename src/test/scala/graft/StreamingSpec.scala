@@ -224,13 +224,23 @@ class StreamingSpec extends AnyFunSuite {
       (3L, base), // exact repeat — guaranteed signature collision
       (4L, "red green blue cyan magenta yellow black white"),
       (5L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup: may or may not collide
-      (6L, base)) // another repeat
-    // batch twin: first doc per signature, arrival order
-    def sig(t: String) =
-      graft.functions.Hashing.simhashPoly(graft.functions.Hashing.wordShingles(t, 3))
+      (6L, base), // another repeat
+      (7L, "hi"), // under 3 words: no shingles → exact-text key
+      (8L, "yo"), // distinct short doc — must ALSO be admitted
+      (9L, "hi")) // short repeat — rejected on the exact-text key
+    // batch twin: first doc per dedup key (signature, or exact text for
+    // shingle-less short docs), arrival order
+    def key(t: String) = {
+      val sh = graft.functions.Hashing.wordShingles(t, 3)
+      if (sh.isEmpty) "raw:" + t
+      else "sig:" + graft.functions.Hashing.simhashPoly(sh)
+    }
     val expected = docsSeq
-      .groupBy { case (_, t) => sig(t) }.values.map(_.map(_._1).min).toSeq.sorted
+      .groupBy { case (_, t) => key(t) }.values.map(_.map(_._1).min).toSeq.sorted
     assert(expected.size < docsSeq.size, "fixture plants at least one collision")
+    assert(Seq(7L, 8L).forall(expected.contains),
+      "distinct short docs must not collide on the degenerate simhash")
+    assert(!expected.contains(9L), "short exact repeat must be rejected")
 
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "ts", "text")
