@@ -35,6 +35,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE's byte-based coalescing collapses the parallelism of
+      // byte-small but CPU-heavy stages: the dedup verify joins shuffle
+      // (long, long) candidate pairs whose per-row cost is a shingle
+      // merge scan, and the 1 MiB default floor folded 32 partitions to
+      // ~4 at mid-size, tripling d3's wall time (BASELINE.md round-7
+      // ScalingCheck isolation). 64 KiB keeps the floor below
+      // total/parallelism wherever per-row compute still matters.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

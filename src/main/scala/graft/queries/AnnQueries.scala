@@ -471,8 +471,11 @@ object AnnQueries {
     // ~0.4 (x4 measures 0.46 for IVF-exact at comparable coverage) and
     // the 2-byte ADC ranking inside the candidate set costs the rest;
     // the production fix is exactly x8's rerank stage on x9's
-    // candidates. Pure join + count over two gated results →
-    // hash-gated itself. ----
+    // candidates. The number that GUARDS the pipeline lives in
+    // QualitySpec: on a clustered fixture (101 micro-clusters of 6
+    // near-identical vectors — the production shape) the same
+    // measurement gates at ≥ 0.8 recall@5 (measured 1.0). Pure join +
+    // count over two gated results → hash-gated itself. ----
     "x10_pq_recall" -> ((s, dir) => {
       val ivfpq = queries("x9_ivf_pq")(s, dir).select("qid", "nid")
       val brute = queries("x1_ann_brute")(s, dir).select("qid", "nid")

@@ -213,26 +213,35 @@ object DedupQueries {
   private val d14Edges =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** d14's candidate stage (probe-list equi-join against cell
+    * assignments), shared by the edge builder and the scaling-growth
+    * measurement tool (BASELINE.md records the candidate-count
+    * exponent measured through this exact plan, next to d3's). */
+  private[graft] def d14Candidates(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsFor(s, dir)
+    val probeU = udf((v: Seq[Double]) => nearestCells(v, cents, EdgeProbes))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("cells", probeU(col("v")))
+    val assigned = e.select(col("vec_id"), element_at(col("cells"), 1).as("cid"))
+    val probes = e.select(col("vec_id"), explode(col("cells")).as("cid"))
+    probes.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id2"))
+      .distinct()
+  }
+
   private def d14EdgesFor(s: SparkSession, dir: String): DataFrame =
     d14Edges.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { d14Edges.remove(d); () })
-      val cents = centsFor(s, d)
-      val probeU = udf((v: Seq[Double]) => nearestCells(v, cents, EdgeProbes))
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("n2", norm2Expr(col("v")))
-        .withColumn("cells", probeU(col("v")))
-      val assigned = e.select(col("vec_id"), element_at(col("cells"), 1).as("cid"))
-      val probes = e.select(col("vec_id"), explode(col("cells")).as("cid"))
-      val cand = probes.as("a")
-        .join(assigned.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
-          greatest(col("a.vec_id"), col("b.vec_id")).as("id2"))
-        .distinct()
       val av = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
       val bv = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
-      Caches.trackCached(d, cand.join(av, Seq("id1")).join(bv, Seq("id2"))
+      Caches.trackCached(d, d14Candidates(s, d).join(av, Seq("id1")).join(bv, Seq("id2"))
         .withColumn("cosine", dotExpr(col("v1"), col("v2")) / sqrt(col("n21") * col("n22")))
         .filter(col("cosine") >= 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine")))

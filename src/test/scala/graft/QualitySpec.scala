@@ -283,6 +283,39 @@ class QualitySpec extends AnyFunSuite {
     assert(avg >= 0.9, s"recall@5 $avg below the production-path bar")
   }
 
+  test("x10 IVF+PQ recall@5 >= 0.8 on a CLUSTERED fixture (the production shape)") {
+    // The sf fixtures' embeddings are uniform random — the adversarial
+    // case for any ANN structure, where x10 honestly measures 0.2 and
+    // the number guards nothing. Production embeddings cluster; this
+    // fixture plants 101 micro-clusters of 6 near-identical vectors
+    // (the near-dup/retrieval shape the serving path exists for):
+    // coarse cells resolve the clusters, and each cluster owns its
+    // argmin PQ code combination, so ADC ranking carries real signal.
+    // Deterministic layout rides the suite's id conventions: cluster =
+    // id mod 101, so the % 50 == 1 centroid sample and the % 50 == 0
+    // query set each hit 13 distinct clusters, and each query's true
+    // top-5 is exactly its 5 cluster-mates.
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val nClusters = 101
+    val n = 606 // 6 members per cluster, exactly
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until n).map { id =>
+      val c = centers(id % nClusters)
+      // sigma 0.002 is sub-quantization-grid (1/64): mates share codes
+      (id.toLong, c.map(x => (x + 0.002 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val rec = AnnQueries.queries("x10_pq_recall")(spark, dir).collect()
+    assert(rec.length === 13, "one recall row per planted query")
+    val avg = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    info(f"x10 recall@5 on the clustered fixture: $avg%.3f")
+    assert(avg >= 0.8, f"clustered recall@5 $avg%.3f under the production bar")
+  }
+
   test("x12 filtered ANN returns only allowed-source neighbors, for every query") {
     val allowed = Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("source")

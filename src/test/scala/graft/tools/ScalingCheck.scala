@@ -23,6 +23,9 @@ object ScalingCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the round-7 guard under test: keep AQE's byte-based coalescing
+      // from collapsing the verify stage's parallelism (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -59,12 +62,16 @@ object ScalingCheck {
       }
       pass()
       val sec = Seq(pass(), pass(), pass()).min
+      // isolate the round-6 mid-size wobble: AQE on, coalescing off
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val secNoCoalesce = Seq(pass(), pass()).min
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val secNoAqe = Seq(pass(), pass()).min
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       val pairs = graft.queries.DedupQueries.queries("d3_ngram_jaccard")(spark, dir).count()
       graft.queries.Caches.release(spark, dir)
-      println(f"$k%3d $docs%9d $cands%12d $pairs%8d $sec%8.2f  (no-AQE $secNoAqe%5.2f)")
+      println(f"$k%3d $docs%9d $cands%12d $pairs%8d $sec%8.2f  (no-coalesce $secNoCoalesce%5.2f, no-AQE $secNoAqe%5.2f)")
       (k, docs, cands, sec)
     }
     val (_, _, c1, s1) = results.head
