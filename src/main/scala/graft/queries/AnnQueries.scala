@@ -516,6 +516,28 @@ object AnnQueries {
         .filter(col("qid") =!= col("nid")), 5)
     }),
 
+    // ---- X13: semantic kNN graph — top-3 neighbor lists per vector
+    // over d14's verified edge set, the batch artifact that feeds
+    // curation jobs (label propagation, cluster-aware sampling,
+    // diversity scoring). Composition is the scale story: the edges
+    // are already the IVF-candidate + exact-verify output (built once
+    // per corpus, memoized), so the graph costs one symmetric union +
+    // a per-node top-k — a key-partitioned window over O(edges) rows,
+    // never over O(N²). Thresholded edges (cos ≥ 0.45) keep the oracle
+    // exact: the DuckDB twin is d5's all-pairs SQL + the same rank
+    // window, so the hash gate inherits d14's 100%-recall proof on the
+    // gate fixtures. ----
+    "x13_knn_graph" -> ((s, dir) => {
+      val e = DedupQueries.d14EdgesFor(s, dir)
+      val sym = e.select(col("id1").as("vec_id"), col("id2").as("nid"), col("cosine"))
+        .unionByName(e.select(col("id2").as("vec_id"), col("id1").as("nid"), col("cosine")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nid").asc)
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nid"), col("cosine"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -602,6 +624,27 @@ object AnnQueries {
        | ${assignSql("sub", "cb2", "af")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // kNN graph twin: the exact all-pairs cos >= 0.45 edge set (d5's
+    // formulation — the oracle is allowed brute force), symmetrized,
+    // ranked by the same (rounded cosine DESC, nid ASC) window.
+    "x13_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+        |       (x, y) -> x + y) / sqrt(a.n2 * b.n2) AS cosine
+        |   FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        | edges AS (SELECT id1, id2, round(cosine, 4) AS c FROM pairs
+        |   WHERE cosine >= 0.45),
+        | sym AS (SELECT id1 AS vec_id, id2 AS nid, c FROM edges
+        |   UNION ALL SELECT id2, id1, c FROM edges),
+        | r AS (SELECT vec_id, nid, c, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY c DESC, nid ASC) AS rn FROM sym)
+        |SELECT vec_id, rn AS rank, nid, c AS cosine FROM r
+        |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     // Integer-weight sign-LSH: the signature is recomputed in SQL from
     // the same w(p,i) = ((i·(p+3)+p) mod 7) − 3 formula; integer weights
     // are exact doubles and the fold is sequential, so Spark and DuckDB

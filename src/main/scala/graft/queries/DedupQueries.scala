@@ -233,7 +233,7 @@ object DedupQueries {
       .distinct()
   }
 
-  private def d14EdgesFor(s: SparkSession, dir: String): DataFrame =
+  private[queries] def d14EdgesFor(s: SparkSession, dir: String): DataFrame =
     d14Edges.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { d14Edges.remove(d); () })
       val e = Tables.embeddings(s, d)
@@ -623,6 +623,55 @@ object DedupQueries {
           (col("n") - col("n_cluster_dropped")).as("n_kept"))
     }),
 
+    // ---- D18: incremental ingest dedup — the operation a production
+    // corpus actually runs daily: classify a NEW batch (doc_id % 10
+    // == 0 plays the arriving 10%) against the EXISTING corpus as
+    // exact-dup / near-dup / novel, without ever re-pairing the corpus
+    // against itself. The at-scale shape is the point: the corpus's
+    // band table is a persistent index (built once, appended per
+    // batch), so the daily cost is shingling the BATCH and one
+    // band-key equi-join of batch-bands against corpus-bands —
+    // O(batch) new work against 100 TB, not O(corpus²) — followed by
+    // the same lossless exact-Jaccard verify as d2. Exact dups ride a
+    // separate text equi-join (a content-hash bucket probe at scale)
+    // and take precedence; within-batch duplicates are deliberately
+    // out of scope (d1/d2 own intra-corpus dedup). Deterministic
+    // argmax (best Jaccard, then smallest corpus id) → hash-gated
+    // against the exhaustive cross-split pair set. ----
+    "d18_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val exact = batch.as("b")
+        .join(corpus.as("c"), col("b.text") === col("c.text"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(min(col("c.doc_id")).as("exact_id"))
+      val sh = Caches.trackCached(dir, docShingles(s, dir))
+      def bands(side: DataFrame) = docShinglesOf(side)
+        .select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+        .toDF("doc_id", "band", "key")
+      val cand = bands(batch).as("a").join(bands(corpus).as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      val best = verifyJaccard(cand, sh, 0.8)
+        .groupBy(col("doc1").as("doc_id"))
+        .agg(max(struct(col("jaccard").as("j"), (-col("doc2")).as("nk"),
+          col("doc2").as("k"))).as("_b"))
+        .select(col("doc_id"), col("_b.k").as("near_id"), col("_b.j").as("near_j"))
+      batch.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, lit("exact"))
+            .when(col("near_id").isNotNull, lit("near"))
+            .otherwise(lit("novel")).as("status"),
+          coalesce(col("exact_id"), col("near_id")).as("match_id"),
+          when(col("exact_id").isNotNull, lit(1.0))
+            .otherwise(col("near_j")).as("similarity"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D16: semantic decontamination — the embedding-space twin of
     // d6's n-gram benchmark decontamination: flag training documents
     // whose EMBEDDING is cosine-near a held-out benchmark document
@@ -844,6 +893,41 @@ object DedupQueries {
         |SELECT node AS vec_id, min(lab) AS cluster_id,
         | node = min(lab) AS is_canonical
         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    // Exhaustive cross-split twin of the incremental LSH path: every
+    // (batch × corpus) pair within the lossless size band, verified at
+    // exact Jaccard, ranked by (rounded j DESC, corpus id ASC) like the
+    // Spark argmax struct. Exact dups rank via the same text equi-join.
+    "d18_incremental_dedup" ->
+      s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+         | ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+         |   FROM batch b JOIN corpus c ON b.text = c.text GROUP BY b.doc_id),
+         | docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | cand AS (SELECT b.doc_id AS doc1, c.doc_id AS doc2,
+         |     b.sh AS sh1, b.sz AS sz1, c.sh AS sh2, c.sz AS sz2
+         |   FROM sized b JOIN sized c
+         |     ON b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+         |    AND b.sz >= 0.8 * c.sz AND c.sz >= 0.8 * b.sz),
+         | verified AS (SELECT doc1, doc2,
+         |     len(list_intersect(sh1, sh2)) * 1.0 /
+         |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
+         |   FROM cand),
+         | nearr AS (SELECT doc1, doc2, round(j, 4) AS j4,
+         |     row_number() OVER (PARTITION BY doc1
+         |                        ORDER BY round(j, 4) DESC, doc2 ASC) AS rn
+         |   FROM verified WHERE j >= 0.8)
+         |SELECT b.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+         |       WHEN n.doc2 IS NOT NULL THEN 'near' ELSE 'novel' END AS status,
+         |  COALESCE(e.exact_id, n.doc2) AS match_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE n.j4 END AS similarity
+         |FROM batch b
+         |LEFT JOIN ex e ON e.doc_id = b.doc_id
+         |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "d5_embedding_dup" -> exactPairsSql,
 

@@ -126,6 +126,33 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has planted semantic near-dups")
   }
 
+  test("d18 incremental dedup classifies the batch consistently with its parts") {
+    // internal consistency on the gate fixture: every batch doc appears
+    // exactly once; exact rows really are text-equal to their match;
+    // near rows carry a corpus match at J >= 0.8; novel rows carry none
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = DedupQueries.queries("d18_incremental_dedup")(spark, sfDir)
+    assert(out.count() === docs.filter(col("doc_id") % 10 === 0).count())
+    val texts = docs.select(col("doc_id").as("k"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(1))
+      status match {
+        case "exact" =>
+          assert(texts(id) === texts(r.getLong(2)), s"doc $id: exact match text differs")
+          assert(r.getDouble(3) === 1.0)
+        case "near" =>
+          assert(r.getLong(2) % 10 !== 0, s"doc $id: match must come from the corpus split")
+          assert(r.getDouble(3) >= 0.8)
+        case "novel" =>
+          assert(r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+    assert(out.filter(col("status") =!= "novel").count() > 0,
+      "fixture plants batch-corpus duplicates")
+  }
+
   test("d16 cross-split recall floor at sf0.1 (missed contamination is the costly direction)") {
     // d14's hash gate proves 100% recall at the gate fixtures; at sf0.1
     // the EdgeProbes=6 probe list covers a fraction of the 100 coarse
@@ -152,7 +179,8 @@ class DedupSpec extends AnyFunSuite {
     // x1 (brute) and x2's oracle-parity formulations are the declared
     // exact baselines; every SERVING path must be join-shape clean.
     for (q <- Seq("d14_semantic_edges_ivf", "d13_semantic_clusters",
-        "x3_ann_ivf", "x9_ivf_pq", "x11_ivf_pq_rerank", "x12_ann_filtered")) {
+        "x3_ann_ivf", "x9_ivf_pq", "x11_ivf_pq_rerank", "x12_ann_filtered",
+        "x13_knn_graph", "d18_incremental_dedup")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
