@@ -28,6 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
+  /** Scale-safe global EXCLUSIVE running total of `weight` in sortCols
+    * order (the distributed prefix-sum): same four-step shape as
+    * [[withPosition]] — range shards scan locally in parallel, shard
+    * TOTALS (≤ P rows) cross the triangular broadcast join, and no
+    * Exchange SinglePartition appears anywhere. Equivalent to
+    * `sum(weight) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING TO
+    * 1 PRECEDING)` with nulls as 0. */
+  def withRunningTotal(df: DataFrame, outCol: String, weight: Column,
+      sortCols: Column*): DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("_go_pid", spark_partition_id())
+      .withColumn("_go_w", weight.cast("long"))
+    val localW = Window.partitionBy(col("_go_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sorted.withColumn("_go_local",
+      coalesce(sum(col("_go_w")).over(localW), lit(0L)))
+    val counts = sorted.groupBy("_go_pid").agg(sum("_go_w").as("_go_cnt"))
+    val countsB = counts.select(
+      col("_go_pid").as("_go_pid_b"), col("_go_cnt").as("_go_cnt_b"))
+    val offsets = counts
+      .join(broadcast(countsB), col("_go_pid_b") < col("_go_pid"), "left")
+      .groupBy("_go_pid")
+      .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
+    local.join(broadcast(offsets), Seq("_go_pid"))
+      .withColumn(outCol, col("_go_local") + col("_go_offset"))
+      .drop("_go_pid", "_go_w", "_go_local", "_go_offset", "_go_cnt")
+  }
+
   def withPosition(df: DataFrame, posCol: String, sortCols: Column*): DataFrame = {
     val sorted = df
       .repartitionByRange(sortCols: _*)

@@ -72,7 +72,7 @@ object PipelineQueries {
       Seq(s"$base/v1", s"$base/v2")
     })
 
-  val queries: Map[String, QueryFn] = Map(
+  val queries: Map[String, QueryFn] = queriesExtra ++ Map(
     // ---- S14: CDC merge (Delta-style MERGE INTO re-expressed as a
     // declarative plan): a change feed with upsert/delete ops and a
     // monotone sequence collapses last-wins per key, then full-outer
@@ -361,7 +361,81 @@ object PipelineQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  // target mixture weights per source for t22 — binary-exact fractions
+  // so floor/frac arithmetic is identical across engines' numeric types
+  private lazy val mixtureWeights: Seq[(String, Double)] = Seq(
+    "src1" -> 1.5, "src2" -> 0.25, "src3" -> 2.0, "src4" -> 0.75, "src5" -> 1.0)
+
+  lazy val queriesExtra: Map[String, QueryFn] = Map(
+    // ---- T21: sequence packing — the concat-then-chunk layout every
+    // LLM training pipeline runs before batching: documents in a fixed
+    // global order are concatenated and cut into CTX-token windows,
+    // and each document reports the pack span it lands in. The whole
+    // operator is one distributed prefix-sum ([[GlobalOrder
+    // .withRunningTotal]]: range shards scan in parallel, only the ≤ P
+    // per-shard totals cross a broadcast join — no single-partition
+    // window anywhere, PlanSpec-pinned), so it holds at 100 TB where
+    // `sum() OVER (ORDER BY ...)` funnels the corpus through one task.
+    "t21_sequence_pack" -> ((s, dir) => {
+      val ctx = 512
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.GlobalOrder
+        .withRunningTotal(docs, "start_offset", col("n_tokens"), col("doc_id"))
+        .withColumn("first_pack", expr(s"start_offset div $ctx"))
+        .withColumn("last_pack", expr(s"(start_offset + n_tokens - 1) div $ctx"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_pack"), col("last_pack"),
+          (col("last_pack") - col("first_pack") + 1).as("n_packs"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- T22: mixture resampling — per-source target weights
+    // (up/down-sampling a source mix toward a training recipe) turned
+    // into a deterministic per-document multiplicity: floor(w) copies
+    // plus one more iff the doc's multiplicative hash lands under
+    // frac(w). Pure map-side projection (no shuffle, no RNG — the same
+    // hash idiom as d7's deterministic sampler, so reruns and the
+    // DuckDB twin agree bit-for-bit); the actual resample is then
+    // `explode(sequence(1, multiplicity))` by the consumer. ----
+    "t22_mixture_resample" -> ((s, dir) => {
+      val w = mixtureWeights.foldRight(lit(1.0)) { case ((src, wt), acc) =>
+        when(col("source") === src, lit(wt)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), w.as("weight"),
+          (floor(w) + when((col("doc_id") * 2654435761L) % 1000 <
+            (w - floor(w)) * 1000, 1L).otherwise(0L)).cast("long").as("multiplicity"))
+        .orderBy("doc_id")
+    }))
+
+  lazy val oracleExtra: Map[String, String] = Map(
+    "t21_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS first_pack,
+        |  (start_offset + n_tokens - 1) // 512 AS last_pack,
+        |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t22_mixture_resample" -> {
+      val caseSql = mixtureWeights
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CASE source $caseSql ELSE 1.0 END AS w FROM documents)
+         |SELECT doc_id, source, CAST(w AS DOUBLE) AS weight,
+         |  CAST(floor(w) + CASE WHEN (doc_id * 2654435761) % 1000 <
+         |    (w - floor(w)) * 1000 THEN 1 ELSE 0 END AS BIGINT) AS multiplicity
+         |FROM t ORDER BY doc_id""".stripMargin
+    })
+
+  val oracle: Map[String, String] = oracleExtra ++ Map(
     // Same algebraic 3σ form, same cast-to-double points, identical
     // IEEE expression order — the comparison is bit-exact cross-engine.
     "e11_anomaly" ->

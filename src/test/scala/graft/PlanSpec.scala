@@ -143,4 +143,14 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"o3 numbering not partitioned:\n$plan")
   }
+
+  test("t21 sequence packing runs the prefix sum with no single-partition exchange") {
+    // the whole operator is GlobalOrder.withRunningTotal — a global
+    // `sum() OVER (ORDER BY doc_id)` formulation would show
+    // Exchange SinglePartition here and die at corpus scale
+    val df = SparkEntry.queries("t21_sequence_pack")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"t21 prefix sum not partitioned:\n$plan")
+  }
 }
