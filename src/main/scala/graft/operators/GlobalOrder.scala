@@ -57,6 +57,40 @@ object GlobalOrder {
       .drop("_go_pid", "_go_w", "_go_local", "_go_offset", "_go_cnt")
   }
 
+  /** Scale-safe PER-GROUP dense 1..Ng position in sort order — the
+    * grouped [[withPosition]]: equivalent to `row_number() OVER
+    * (PARTITION BY groupCols ORDER BY sortCols)` but without funneling
+    * each group through a single task, so it survives the skewed-stratum
+    * case where one group holds a large share of the corpus. Range
+    * partitioning on (groupCols ++ sortCols) keeps each group's keys in
+    * contiguous shard order; local windows partition by (shard, group);
+    * per-(shard, group) counts cross a broadcast same-group triangular
+    * join for the offsets. The counts side is O(P + distinct groups)
+    * rows — use this for FEW, LARGE groups (strata, sources, splits);
+    * for many small groups the plain partitioned window is already
+    * parallel and cheaper. */
+  def withPositionWithin(df: DataFrame, posCol: String, groupCols: Seq[String],
+      sortCols: Column*): DataFrame = {
+    val grp = groupCols.map(col)
+    val sorted = df
+      .repartitionByRange((grp ++ sortCols): _*)
+      .withColumn("_go_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_go_pid") +: grp: _*).orderBy(sortCols: _*)
+    val local = sorted.withColumn("_go_local", row_number().over(localW))
+    val counts = sorted.groupBy(col("_go_pid") +: grp: _*).agg(count(lit(1)).as("_go_cnt"))
+    val countsB = counts.select(
+      groupCols.map(g => col(g).as(s"_go_g_$g")) :+
+        col("_go_pid").as("_go_pid_b") :+ col("_go_cnt").as("_go_cnt_b"): _*)
+    val sameGroup = groupCols.map(g => col(s"_go_g_$g") <=> col(g)).reduce(_ && _)
+    val offsets = counts
+      .join(broadcast(countsB), sameGroup && col("_go_pid_b") < col("_go_pid"), "left")
+      .groupBy(col("_go_pid") +: grp: _*)
+      .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
+    local.join(broadcast(offsets), "_go_pid" +: groupCols)
+      .withColumn(posCol, (col("_go_local") + col("_go_offset")).cast("int"))
+      .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
+  }
+
   def withPosition(df: DataFrame, posCol: String, sortCols: Column*): DataFrame = {
     val sorted = df
       .repartitionByRange(sortCols: _*)

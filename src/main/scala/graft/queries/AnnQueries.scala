@@ -95,6 +95,75 @@ object AnnQueries {
   private val pqCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Seq[Long])]]()
 
+  /** X14 trained centroids per fixture dir — distributed Lloyd is
+    * deterministic in the input, so training once per (JVM, dir) is
+    * observationally identical to retraining per query (same
+    * steady-state contract and [[Caches]] invalidation as
+    * [[pqCodebooks]]). */
+  private val kmCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long])]]()
+
+  /** Grid-quantized corpus (the PQ family's integer grid): every
+    * arithmetic step downstream stays on BIGINT, which is what lets the
+    * DuckDB twin replay the whole training bit-for-bit. */
+  private def kmQuantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+
+  /** Integer-L2 argmin over the closure-shipped centroid array →
+    * (winning code, d²). Ascending scan with strict `<` keeps the
+    * smaller code on ties — the oracle's `ORDER BY d, code` window. */
+  private def kmKernel(cents: Array[(Long, Array[Long])]): Seq[Long] => (Long, Long) =
+    (v: Seq[Long]) => {
+      val arr = v.toArray
+      var bi = 0; var bd = Long.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)._2
+        var t = 0L; var i = 0
+        while (i < arr.length) { val d = arr(i) - cv(i); t += d * d; i += 1 }
+        if (t < bd) { bd = t; bi = c }
+        c += 1
+      }
+      (cents(bi)._1, bd)
+    }
+
+  /** Distributed Lloyd over the FULL corpus — the at-scale counterpart
+    * of [[trainCodebook]]'s bounded-sample collect: each round is one
+    * map-side assignment pass (centroids broadcast in the kernel
+    * closure — model state is K×D longs, the only thing the driver ever
+    * holds) plus one (code, dim)-keyed aggregate whose K·D distinct
+    * keys give every partition a near-total map-side combine. No
+    * corpus collect, no N×K join node; this is how a 1000-executor
+    * cluster trains its IVF coarse quantizer. Seeds = the vec_id < 16
+    * vectors (code = vec_id, the PQ prologue's convention); two
+    * rounds; mean on the integer grid floor(Σ/n + 0.5); an empty
+    * cluster keeps its previous centroid. */
+  private def kmTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
+    kmCents.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { kmCents.remove(d); () })
+      import s.implicits._
+      val q = kmQuantized(s, d)
+      var cents: Array[(Long, Array[Long])] = q.filter(col("vec_id") < 16)
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+      for (_ <- 1 to 2) {
+        val kernel = kmKernel(cents)
+        val assignU = udf((v: Seq[Long]) => kernel(v)._1)
+        val idx = cents.iterator.map(_._1).zipWithIndex.toMap
+        val next = cents.map { case (code, cv) => (code, cv.clone) }
+        q.withColumn("code", assignU(col("qv")))
+          .select(col("code"), posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("code", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+          .collect()
+          .foreach { r =>
+            next(idx(r.getLong(0)))._2(r.getInt(1)) =
+              math.floor(r.getLong(2) * 1.0 / r.getLong(3) + 0.5).toLong
+          }
+        cents = next
+      }
+      cents
+    })
+
   private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
@@ -538,6 +607,37 @@ object AnnQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // ---- X14: distributed Lloyd k-means training — the full-corpus
+    // counterpart of the PQ codebook's bounded-sample training, i.e.
+    // how the IVF coarse quantizer is actually trained at 100 TB:
+    // per round, centroids (K×D longs — the entire model state)
+    // broadcast to a map-side argmin kernel, then a (code, dim)-keyed
+    // aggregate with K·D distinct keys partial-combines the update on
+    // the map side; the driver only ever collects K×D longs per round.
+    // All arithmetic on the PQ integer grid, so the DuckDB twin
+    // replays both rounds and the final assignment bit-for-bit.
+    // Output: final centroids in (code, dim) long format with each
+    // cluster's population and integer inertia. ----
+    "x14_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val cents = kmTrain(s, dir)
+      val kernel = kmKernel(cents)
+      val assignU = udf((v: Seq[Long]) => kernel(v))
+      val stats = kmQuantized(s, dir)
+        .select(assignU(col("qv")).as("a"))
+        .groupBy(col("a._1").as("code"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(col("a._2")).cast("long").as("inertia"))
+      val centRows = cents.toSeq.flatMap { case (code, cv) =>
+        cv.indices.map(i => (code, i.toLong, cv(i))) }
+      centRows.toDF("code", "i", "c")
+        .join(stats, Seq("code"), "left")
+        .select(col("code"), col("i"), col("c"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          coalesce(col("inertia"), lit(0L)).as("inertia"))
+        .orderBy("code", "i")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -623,7 +723,50 @@ object AnnQueries {
        | ${lloydSql("a2", "cb1", "cb2")},
        | ${assignSql("sub", "cb2", "af")}""".stripMargin
 
+  /** X14 twin CTE pair: full-vector argmin assignment against a
+    * centroid list (64-dim analogue of [[assignSql]]) and the
+    * integer-grid Lloyd update with empty-cluster carry-over. */
+  private def kmAssignSql(cb: String, out: String) =
+    s"""${out}_d AS (SELECT q.vec_id, c.code,
+       |     CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+       |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |   FROM q CROSS JOIN $cb c),
+       | $out AS (SELECT * FROM (SELECT *, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY d, code) AS rn FROM ${out}_d)
+       |   WHERE rn = 1)""".stripMargin
+
+  private def kmLloydSql(a: String, cbPrev: String, cbNext: String) =
+    s"""${cbNext}_m AS (SELECT a.code, di.i AS i,
+       |     CAST(floor(sum(q.qv[di.i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS nd
+       |   FROM $a a JOIN q USING (vec_id)
+       |   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) di
+       |   GROUP BY a.code, di.i),
+       | $cbNext AS (SELECT c.code, COALESCE(m.nv, c.cv) AS cv
+       |   FROM $cbPrev c LEFT JOIN (SELECT code, list(nd ORDER BY i) AS nv
+       |     FROM ${cbNext}_m GROUP BY code) m USING (code))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Lloyd twin: grid quantization, seed codebook = vec_id < 16, two
+    // assignment+update rounds, final assignment → per-cluster stats;
+    // every step BIGINT so the hash gate is exact.
+    "x14_kmeans_train" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
+         |   FROM embeddings),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q WHERE vec_id < 16),
+         | ${kmAssignSql("cb0", "a1")},
+         | ${kmLloydSql("a1", "cb0", "cb1")},
+         | ${kmAssignSql("cb1", "a2")},
+         | ${kmLloydSql("a2", "cb1", "cb2")},
+         | ${kmAssignSql("cb2", "af")},
+         | stats AS (SELECT code, CAST(count(*) AS BIGINT) AS n_vecs,
+         |     CAST(sum(d) AS BIGINT) AS inertia FROM af GROUP BY code)
+         |SELECT c.code, CAST(di.i - 1 AS BIGINT) AS i, c.cv[di.i] AS c,
+         |  CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs,
+         |  CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia
+         |FROM cb2 c CROSS JOIN (SELECT unnest(range(1, 65)) AS i) di
+         |LEFT JOIN stats s USING (code)
+         |ORDER BY code, i""".stripMargin,
     // kNN graph twin: the exact all-pairs cos >= 0.45 edge set (d5's
     // formulation — the oracle is allowed brute force), symmetrized,
     // ranked by the same (rounded cosine DESC, nid ASC) window.

@@ -39,7 +39,73 @@ object MultimodalQueries {
     else MediaDecoded(docId, bytes.length.toLong, is_png = false, None, None, None)
   }
 
+  /** JPEG frame-header record: container validity, SOF sample
+    * precision/dimensions, and how many marker segments the walk
+    * crossed to find them (null dims when the container is corrupt). */
+  case class JpegMeta(doc_id: Long, is_jpeg: Boolean, bits: Option[Long],
+      height: Option[Long], width: Option[Long], n_segments: Option[Long])
+
+  /** Real JPEG marker walk over the raw bytes: SOI check, then
+    * variable-length segment hopping (each non-standalone marker
+    * carries a big-endian length) until a SOF0–SOF15 frame header
+    * yields precision/height/width. Generic — it does not assume the
+    * fixture's layout (the planted COM segment's length varies per
+    * row, so a fixed-offset read would misparse). Public layout per
+    * ITU-T T.81 §B.2. */
+  private[queries] def decodeJpeg(docId: Long, b: Array[Byte]): JpegMeta = {
+    def u8(o: Int) = b(o) & 0xFF
+    def be16(o: Int): Long = ((b(o) & 0xFFL) << 8) | (b(o + 1) & 0xFFL)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8)
+      return JpegMeta(docId, is_jpeg = false, None, None, None, None)
+    var i = 2; var nseg = 0L
+    while (i + 4 <= b.length && u8(i) == 0xFF) {
+      val m = u8(i + 1)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        // SOF frame header: len(2) precision(1) height(2) width(2)
+        if (i + 9 > b.length)
+          return JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
+        return JpegMeta(docId, is_jpeg = true, Some((b(i + 4) & 0xFF).toLong),
+          Some(be16(i + 5)), Some(be16(i + 7)), Some(nseg + 1))
+      } else if (m == 0xD9 || m == 0xDA) {
+        // EOI / SOS — entropy-coded data follows; stop walking
+        return JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        i += 2 // standalone markers carry no length field
+      } else {
+        i += 2 + be16(i + 2).toInt; nseg += 1
+      }
+    }
+    JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    // ---- M7: JPEG frame-header decode — the fixture plants a REAL
+    // JPEG container (SOI, a COM segment whose length VARIES per row,
+    // then an SOF0 frame header with big-endian height/width derived
+    // from doc_id), and the decode is a generic marker WALK in the m1
+    // mapPartitions shape — fixed-offset reads would misparse because
+    // the comment segment shifts the frame header per row. The DuckDB
+    // twin re-parses the planted hex at the arithmetic offsets, so the
+    // gate proves the walk lands exactly where the layout puts the
+    // fields. Every 17th blob is headerless (corrupt branch). ----
+    "m7_jpeg_meta" -> ((s, dir) => {
+      import s.implicits._
+      val comPay = (col("doc_id") % 23 + 4).cast("int")
+      val header = concat(lit("FFD8FFFE"), lpad(hex(comPay + 2), 4, "0"),
+        expr("repeat('41', CAST(doc_id % 23 + 4 AS INT))"),
+        lit("FFC0001108"),
+        lpad(hex((lit(100) + col("doc_id") % 1000).cast("int")), 4, "0"),
+        lpad(hex((lit(100) + col("doc_id") % 1900).cast("int")), 4, "0"),
+        lit("03011100021101031101"))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), media.as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeJpeg(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
     // ---- M1: binary media column → per-partition batch decode of the
     // planted PNG container → typed metadata, hash-gated against the
     // DuckDB hex-parse twin. Every 17th blob is left headerless to
@@ -203,6 +269,34 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // m7's twin rebuilds the planted container hex and re-reads the SOF
+    // fields at the ARITHMETIC offsets (SOI 2 + COM 4+payload bytes),
+    // so the gate checks the engine's generic marker walk lands exactly
+    // where the per-row layout puts the frame header.
+    "m7_jpeg_meta" -> {
+      def fold(start: String, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range($start, $start + $n), i -> " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |        ELSE 'FFD8FFFE' || lpad(hex(CAST(doc_id % 23 + 6 AS INT)), 4, '0') ||
+         |          repeat('41', CAST(doc_id % 23 + 4 AS INT)) || 'FFC0001108' ||
+         |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 4, '0') ||
+         |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 4, '0') ||
+         |          '03011100021101031101' || hex(encode(text)) END AS hs,
+         |   CAST(6 + doc_id % 23 + 4 AS BIGINT) AS so
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs, so, starts_with(hs, 'FFD8') AS is_jpeg FROM m)
+         |SELECT doc_id, is_jpeg,
+         | CASE WHEN is_jpeg THEN ${fold("(so + 4) * 2 + 1", 2)} END AS bits,
+         | CASE WHEN is_jpeg THEN ${fold("(so + 5) * 2 + 1", 4)} END AS height,
+         | CASE WHEN is_jpeg THEN ${fold("(so + 7) * 2 + 1", 4)} END AS width,
+         | CASE WHEN is_jpeg THEN CAST(2 AS BIGINT) END AS n_segments
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     // m1's twin parses the same planted container from its hex encoding
     // (same fold-the-hex-digits field extraction as m5's).
     "m1_media_meta" -> {

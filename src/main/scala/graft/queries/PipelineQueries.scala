@@ -407,6 +407,56 @@ object PipelineQueries {
           (floor(w) + when((col("doc_id") * 2654435761L) % 1000 <
             (w - floor(w)) * 1000, 1L).otherwise(0L)).cast("long").as("multiplicity"))
         .orderBy("doc_id")
+    }),
+
+    // ---- T23: BPE merge-step pair counting — the kernel of tokenizer
+    // training: character-pair frequencies over the corpus, each pair
+    // weighted by how often its word occurs. The classic BPE trick IS
+    // the scale plan: aggregate the corpus to its distinct-word
+    // frequency table first (one map-side-combining shuffle on the
+    // word), then explode pairs over the VOCABULARY — vocab-sized, not
+    // corpus-sized, and vocabulary grows ~Heaps-law sublinearly while
+    // the corpus grows to 100 TB. Pair counts partial-aggregate
+    // map-side; top-50 is a TakeOrdered, no global sort. ----
+    "t23_bpe_pairs" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").cast("long").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(50)
+    }),
+
+    // ---- T24: exact stratified train/val/test split — per-source
+    // 80/10/10 by deterministic hash rank, EXACT within every stratum
+    // (floor arithmetic on the stratum size), not just in expectation
+    // like the t22/d7 hash-threshold idiom. Exactness needs each doc's
+    // rank within its stratum; the naive `row_number() OVER (PARTITION
+    // BY source ...)` funnels each source through one task — a
+    // scale-killer when one source is half the corpus — so the rank
+    // comes from [[GlobalOrder.withPositionWithin]] (range shards scan
+    // in parallel; only per-(shard, group) counts cross a broadcast
+    // join). Output is the per-(source, split) audit a curator signs
+    // off on. ----
+    "t24_stratified_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000000007L)
+      val ranked = graft.operators.GlobalOrder
+        .withPositionWithin(docs, "pos", Seq("source"), col("hkey"), col("doc_id"))
+      val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(totals), Seq("source"))
+        .withColumn("split",
+          when(col("pos") <= expr("n * 8 div 10"), "train")
+            .when(col("pos") <= expr("n * 9 div 10"), "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("source", "split")
     }))
 
   lazy val oracleExtra: Map[String, String] = Map(
@@ -433,7 +483,33 @@ object PipelineQueries {
          |  CAST(floor(w) + CASE WHEN (doc_id * 2654435761) % 1000 <
          |    (w - floor(w)) * 1000 THEN 1 ELSE 0 END AS BIGINT) AS multiplicity
          |FROM t ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "t23_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+        |  FROM words, unnest(range(1, len(w))) AS t(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "t24_stratified_split" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS pos,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN pos <= (n * 8) // 10 THEN 'train'
+        |       WHEN pos <= (n * 9) // 10 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
 
   val oracle: Map[String, String] = oracleExtra ++ Map(
     // Same algebraic 3σ form, same cast-to-double points, identical

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the JPEG marker walk (m7) beyond the fixture's
+  * planted layout: standalone markers, multi-segment hops, SOS/EOI
+  * stops, truncation, and the SOF variants — the branches a generic
+  * walk must get right that the hash gate's single layout can't reach. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def jpeg(segments: Array[Int]*): Array[Byte] =
+    (Array(0xFF, 0xD8) ++ segments.flatten).map(_.toByte).toArray
+
+  private def sof(marker: Int, bits: Int, h: Int, w: Int): Array[Int] =
+    Array(0xFF, marker, 0x00, 0x0B, bits, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x01, 0x11)
+
+  private def com(n: Int): Array[Int] =
+    Array(0xFF, 0xFE, (n + 2) >> 8, (n + 2) & 0xFF) ++ Array.fill(n)(0x41)
+
+  test("walks multiple variable-length segments to a SOF2 progressive header") {
+    val m = MultimodalQueries.decodeJpeg(1L, jpeg(com(5), com(300), sof(0xC2, 8, 480, 640)))
+    assert(m.is_jpeg && m.bits.contains(8L))
+    assert(m.height.contains(480L) && m.width.contains(640L))
+    assert(m.n_segments.contains(3L))
+  }
+
+  test("standalone markers (TEM, RSTn) advance without a length field") {
+    val m = MultimodalQueries.decodeJpeg(2L,
+      jpeg(Array(0xFF, 0x01), Array(0xFF, 0xD3), sof(0xC0, 12, 1, 65535)))
+    assert(m.bits.contains(12L) && m.height.contains(1L) && m.width.contains(65535L))
+  }
+
+  test("DHT is hopped as a plain segment, not mistaken for a frame header") {
+    // 0xC4 sits inside the SOF code range but is the Huffman-table marker
+    val dht = Array(0xFF, 0xC4, 0x00, 0x05, 0x00, 0x01, 0x02)
+    val m = MultimodalQueries.decodeJpeg(3L, jpeg(dht, sof(0xC1, 8, 7, 9)))
+    assert(m.bits.contains(8L) && m.height.contains(7L) && m.width.contains(9L))
+    assert(m.n_segments.contains(2L))
+  }
+
+  test("SOS before any SOF stops the walk with null dims") {
+    val m = MultimodalQueries.decodeJpeg(4L, jpeg(com(3), Array(0xFF, 0xDA)))
+    assert(m.is_jpeg && m.bits.isEmpty && m.n_segments.contains(1L))
+  }
+
+  test("missing SOI and truncated SOF are corrupt, not crashes") {
+    val noSoi = MultimodalQueries.decodeJpeg(5L, Array[Byte](0x00, 0x01, 0x02, 0x03))
+    assert(!noSoi.is_jpeg && noSoi.width.isEmpty)
+    // SOF marker present but the frame fields run past the buffer
+    val truncated = MultimodalQueries.decodeJpeg(6L,
+      (Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)).toArray)
+    assert(truncated.is_jpeg && truncated.width.isEmpty)
+    val empty = MultimodalQueries.decodeJpeg(7L, Array.emptyByteArray)
+    assert(!empty.is_jpeg)
+  }
+}

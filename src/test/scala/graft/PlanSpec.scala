@@ -144,6 +144,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"o3 numbering not partitioned:\n$plan")
   }
 
+  test("GlobalOrder ranks within skewed groups with no single-partition window") {
+    import org.apache.spark.sql.functions._
+    // One group holds 80% of 100k rows — the case where a
+    // `row_number() OVER (PARTITION BY grp ...)` window funnels most of
+    // the data through a single task.
+    val big = spark.range(100000).select(
+      when(col("id") % 5 === 0, concat(lit("small_"), col("id") % 5))
+        .otherwise(lit("big")).as("grp"),
+      ((col("id") * 31) % 100003).as("k"), col("id"))
+    val ranked = graft.operators.GlobalOrder.withPositionWithin(
+      big, "pos", Seq("grp"), col("k"), col("id"))
+    ranked.collect()
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"grouped ranking funnelled through one partition:\n$plan")
+    // Equivalence with the per-group global window on the same data.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("k"), col("id"))
+    val expected = big.withColumn("pos", row_number().over(w))
+      .select("grp", "id", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val got = ranked.select("grp", "id", "pos").collect()
+    assert(got.length === 100000)
+    got.foreach { r =>
+      assert(expected((r.getString(0), r.getLong(1))) === r.getInt(2))
+    }
+  }
+
+  test("t24 stratified split plan contains no single-partition exchange") {
+    val df = SparkEntry.queries("t24_stratified_split")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"t24 stratified rank not partitioned:\n$plan")
+  }
+
   test("t21 sequence packing runs the prefix sum with no single-partition exchange") {
     // the whole operator is GlobalOrder.withRunningTotal — a global
     // `sum() OVER (ORDER BY doc_id)` formulation would show
