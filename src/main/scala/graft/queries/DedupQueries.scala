@@ -432,10 +432,14 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens"))
-      val grams = docs
+      // cached: the bigram explosion feeds BOTH the df table and the
+      // coverage join — uncached it re-parses and re-explodes the
+      // corpus twice (same idiom as d6's shingle cache; released
+      // through Caches)
+      val grams = Caches.trackCached(dir, docs
         .select(col("doc_id"), posexplode(expr(
           "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> concat(a, '_', b))")).as(Seq("p", "g")))
+            " (a, b) -> concat(a, '_', b))")).as(Seq("p", "g"))))
       val df = grams.select(col("g"), col("doc_id")).distinct()
         .groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 10)
@@ -591,6 +595,29 @@ object DedupQueries {
     // anywhere (PlanSpec-pinned). ----
     "d14_semantic_edges_ivf" -> ((s, dir) =>
       d14EdgesFor(s, dir).orderBy("id1", "id2")),
+
+    // ---- D19: quality-aware canonical selection — the curation step
+    // AFTER clustering: per near-dup cluster (d9's memoized converged
+    // labels; singletons are their own cluster), keep the highest-
+    // quality member — longest text, ties to the smaller doc_id — not
+    // the arbitrary min-id representative. One left join onto the
+    // cached cluster frame, one per-cluster max-struct argmax (map-side
+    // partial agg), one key-hashed join back; no windows over the
+    // corpus, so the plan is three bounded shuffles at any scale. ----
+    "d19_canonical_keep" -> ((s, dir) => {
+      val clusters = d9ClustersFor(s, dir).select(col("doc_id"), col("cluster_id"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val withCl = docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val best = withCl.groupBy("cluster_id")
+        .agg(count(lit(1)).cast("long").as("cluster_size"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster_id"), col("cluster_size"), (-col("b.nid")).as("keep_id"))
+      withCl.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
 
     // ---- D17: dedup-yield summary — the one-row health metric a
     // curation dashboard reports per corpus snapshot: how many docs,
@@ -928,6 +955,25 @@ object DedupQueries {
          |LEFT JOIN ex e ON e.doc_id = b.doc_id
          |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // d19's twin nests d9's recursive-CTE clustering (the same
+    // composition idiom as d17's rollup) and replays the quality
+    // argmax as a (n_chars DESC, doc_id ASC) window.
+    "d19_canonical_keep" ->
+      s"""WITH allc AS (SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN ($d9ClustersSql) c USING (doc_id)),
+         | r AS (SELECT cluster_id, doc_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM allc),
+         | best AS (SELECT cluster_id, cluster_size, doc_id AS keep_id
+         |   FROM r WHERE rn = 1)
+         |SELECT a.doc_id, a.cluster_id, b.cluster_size,
+         |  a.doc_id = b.keep_id AS keep
+         |FROM allc a JOIN best b USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     "d5_embedding_dup" -> exactPairsSql,
 

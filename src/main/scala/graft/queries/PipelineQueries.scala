@@ -325,14 +325,18 @@ object PipelineQueries {
     // BIGINT + integer-percent. Scale: two key-partitioned aggregates
     // (bigram, then doc), the d10/t16 shape. ----
     "t20_novelty" -> ((s, dir) => {
-      val bg = Tables.documents(s, dir)
+      // cached: the distinct (doc, bigram) set feeds BOTH the
+      // first-owner table and the join back — uncached it re-parses
+      // and re-explodes the corpus twice (d10's idiom; released
+      // through Caches)
+      val bg = Caches.trackCached(dir, Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
             " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
         .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
         .select(col("doc_id"), concat(col("p.w1"), lit("_"), col("p.w2")).as("g"))
-        .distinct()
+        .distinct())
       val owner = bg.groupBy("g").agg(min("doc_id").as("first_doc"))
       bg.join(owner, Seq("g"))
         .groupBy("doc_id").agg(
