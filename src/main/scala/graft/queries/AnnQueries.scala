@@ -607,6 +607,26 @@ object AnnQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // ---- X15: IVF cell-balance audit — the index-health check run
+    // after building a coarse quantizer: per-cell population and its
+    // basis-point share of the corpus. A skewed cell is a hot
+    // partition at serving time (every probe touching it scans its
+    // whole posting list), so this is the operational query that
+    // decides when to re-train or split cells. Map-side kernel
+    // assignment (no join node), one count aggregate, one broadcast
+    // scalar join — integer shares via div, so the gate is exact. ----
+    "x15_ivf_balance" -> ((s, dir) => {
+      val assigned = vecsWithCells(s, dir, nprobe = 1)
+        .select(col("vec_id"), element_at(col("cells"), 1).as("cid"))
+      val counts = assigned.groupBy("cid")
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
+      val tot = assigned.agg(count(lit(1)).cast("long").as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"),
+          expr("(10000 * n_vecs) div n_total").as("share_bp"))
+        .orderBy("cid")
+    }),
+
     // ---- X14: distributed Lloyd k-means training — the full-corpus
     // counterpart of the PQ codebook's bounded-sample training, i.e.
     // how the IVF coarse quantizer is actually trained at 100 TB:
@@ -746,6 +766,26 @@ object AnnQueries {
        |     FROM ${cbNext}_m GROUP BY code) m USING (code))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // x15's twin replays the x3/x4 argmax cell assignment and the
+    // integer share arithmetic.
+    "x15_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
+        | ac AS (SELECT n.vec_id, c.cid,
+        |     list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]),
+        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
+        |   FROM n CROSS JOIN cent c),
+        | ar AS (SELECT *, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+        | assigned AS (SELECT vec_id, cid FROM ar WHERE arn = 1),
+        | c AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid),
+        | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
+        |SELECT cid, n_vecs, (10000 * n_vecs) // n_total AS share_bp
+        |FROM c, t ORDER BY cid""".stripMargin,
+
     // Lloyd twin: grid quantization, seed codebook = vec_id < 16, two
     // assignment+update rounds, final assignment → per-cluster stats;
     // every step BIGINT so the hash gate is exact.

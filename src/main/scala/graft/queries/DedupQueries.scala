@@ -619,6 +619,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- D20: cross-source contamination matrix — which SOURCES leak
+    // into each other: d2's verified near-dup edges labeled with each
+    // endpoint's source, rolled up per unordered source pair. The
+    // provenance audit a curator runs before trusting per-source
+    // stats (a scraped mirror shows up here as a heavy off-diagonal
+    // cell). Pure composition: the edge set is the memoized cached
+    // frame, the labels are two broadcast-sized joins on doc_id, the
+    // rollup keys are O(sources²) — nothing new shuffles at scale. ----
+    "d20_source_overlap" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      d2EdgesFor(s, dir)
+        .join(src.select(col("doc_id").as("doc1"), col("source").as("sa")), Seq("doc1"))
+        .join(src.select(col("doc_id").as("doc2"), col("source").as("sb")), Seq("doc2"))
+        .groupBy(least(col("sa"), col("sb")).as("source1"),
+          greatest(col("sa"), col("sb")).as("source2"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+        .orderBy("source1", "source2")
+    }),
+
     // ---- D17: dedup-yield summary — the one-row health metric a
     // curation dashboard reports per corpus snapshot: how many docs,
     // how many byte-exact duplicate groups (d1's keyspace), how many
@@ -955,6 +975,21 @@ object DedupQueries {
          |LEFT JOIN ex e ON e.doc_id = b.doc_id
          |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // d20's twin labels the exhaustive exact-Jaccard pair set (d2's
+    // oracle) with each endpoint's source and replays the unordered-
+    // pair rollup; min/max of the already-rounded jaccard keep the
+    // hash exact.
+    "d20_source_overlap" ->
+      s"""WITH src AS (SELECT doc_id, source FROM documents),
+         | lab AS (SELECT least(sa.source, sb.source) AS source1,
+         |     greatest(sa.source, sb.source) AS source2, e.jaccard
+         |   FROM ($d2ExhaustiveSql) e
+         |   JOIN src sa ON sa.doc_id = e.doc1
+         |   JOIN src sb ON sb.doc_id = e.doc2)
+         |SELECT source1, source2, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(jaccard) AS min_j, max(jaccard) AS max_j
+         |FROM lab GROUP BY 1, 2 ORDER BY source1, source2""".stripMargin,
 
     // d19's twin nests d9's recursive-CTE clustering (the same
     // composition idiom as d17's rollup) and replays the quality
