@@ -78,7 +78,82 @@ object MultimodalQueries {
     JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
   }
 
+  /** Windowed PCM energy over a RIFF/WAVE container: generic chunk
+    * walk (word-aligned per the RIFF spec) to the `data` chunk, then
+    * signed little-endian 16-bit samples squared-and-summed per
+    * fixed-size window. Returns (doc_id, win, energy) rows; empty for
+    * non-WAV bytes or payloads shorter than one window. */
+  private[queries] def wavEnergy(docId: Long, b: Array[Byte], winSize: Int): Seq[(Long, Long, Long)] = {
+    def u8(o: Int) = b(o) & 0xFF
+    def le32(o: Int): Long = (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    if (b.length < 12 || u8(0) != 'R' || u8(1) != 'I' || u8(2) != 'F' || u8(3) != 'F' ||
+        u8(8) != 'W' || u8(9) != 'A' || u8(10) != 'V' || u8(11) != 'E') return Nil
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4).toInt
+      if (id == "data") {
+        val start = i + 8
+        val n = math.max(0, math.min(sz, b.length - start)) / 2
+        val nw = n / winSize
+        return (0 until nw).map { w =>
+          var e = 0L; var k = 0
+          while (k < winSize) {
+            val off = start + 2 * (w * winSize + k)
+            val raw = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+            val v = if (raw >= 32768) raw - 65536 else raw
+            e += v.toLong * v; k += 1
+          }
+          (docId, w.toLong, e)
+        }
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    Nil
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    // ---- M8: audio feature extraction — windowed PCM energy over the
+    // m6 fixture's REAL RIFF/WAVE container, treating the payload as
+    // signed 16-bit LE samples: the honest no-codec slice of audio
+    // featurization (VAD, silence trimming, and loudness normalization
+    // all start from exactly this per-window energy), in the m1
+    // mapPartitions shape a real DSP kernel would slot into. The walk
+    // to the data chunk is generic (word-aligned RIFF chunks), not a
+    // fixed 44-byte skip. All-integer energy keeps the DuckDB twin —
+    // which re-reads the samples from hex — bit-exact. Every 17th doc
+    // is headerless and yields no rows. ----
+    "m8_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      def le16(v: org.apache.spark.sql.Column) =
+        concat(lpad(hex(v % 256), 2, "0"), lpad(hex((v.cast("long") / 256).cast("long") % 256), 2, "0"))
+      def le32c(v: org.apache.spark.sql.Column) = {
+        val x = v.cast("long")
+        concat(lpad(hex(x % 256), 2, "0"),
+          lpad(hex((x / 256).cast("long") % 256), 2, "0"),
+          lpad(hex((x / 65536).cast("long") % 256), 2, "0"),
+          lpad(hex((x / 16777216).cast("long") % 256), 2, "0"))
+      }
+      val channels = lit(1) + col("doc_id") % 2
+      val rate = lit(8000) * (lit(1) + col("doc_id") % 5)
+      val blockAlign = channels * 2
+      val byteRate = rate * blockAlign
+      val dataSize = length(col("text").cast("binary"))
+      val header = concat(lit("52494646"), le32c(dataSize + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16(channels),
+        le32c(rate), le32c(byteRate), le16(blockAlign), le16(lit(16)),
+        lit("64617461"), le32c(dataSize))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), media.as("media"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) => wavEnergy(id, bytes, 64) }
+        .toDF("doc_id", "win", "energy")
+        .orderBy("doc_id", "win")
+    }),
+
     // ---- M7: JPEG frame-header decode — the fixture plants a REAL
     // JPEG container (SOI, a COM segment whose length VARIES per row,
     // then an SOF0 frame header with big-endian height/width derived
@@ -269,6 +344,28 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // m8's twin re-reads the PCM payload from the TEXT hex (the plant's
+    // data chunk is exactly the text bytes), rebuilds the signed 16-bit
+    // LE samples, and replays the per-window square-sum in BIGINT.
+    "m8_audio_energy" -> {
+      def byteAt(k: String) =
+        s"(CAST(strpos('0123456789ABCDEF', substring(ph, CAST($k AS INT), 1)) - 1 AS BIGINT) * 16 + " +
+          s"strpos('0123456789ABCDEF', substring(ph, CAST(($k) + 1 AS INT), 1)) - 1)"
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents
+         |   WHERE doc_id % 17 <> 0),
+         | sm AS (SELECT doc_id, list_transform(
+         |     list_transform(range(0, len(ph) // 4),
+         |       k -> ${byteAt("4 * k + 1")} + 256 * ${byteAt("4 * k + 3")}),
+         |     v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS sv
+         |   FROM m),
+         | w AS (SELECT doc_id, sv, unnest(range(0, len(sv) // 64)) AS win FROM sm)
+         |SELECT doc_id, CAST(win AS BIGINT) AS win,
+         |  CAST(list_sum(list_transform(range(0, 64),
+         |    i -> sv[CAST(win * 64 + i + 1 AS INT)] *
+         |         sv[CAST(win * 64 + i + 1 AS INT)])) AS BIGINT) AS energy
+         |FROM w ORDER BY doc_id, win""".stripMargin
+    },
+
     // m7's twin rebuilds the planted container hex and re-reads the SOF
     // fields at the ARITHMETIC offsets (SOI 2 + COM 4+payload bytes),
     // so the gate checks the engine's generic marker walk lands exactly

@@ -43,6 +43,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.is_jpeg && m.bits.isEmpty && m.n_segments.contains(1L))
   }
 
+  private def riff(chunks: Array[Byte]*): Array[Byte] = {
+    val body = "WAVE".getBytes ++ chunks.flatten
+    "RIFF".getBytes ++ Array[Byte](
+      (body.length & 0xFF).toByte, ((body.length >> 8) & 0xFF).toByte, 0, 0) ++ body
+  }
+
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    id.getBytes ++ Array[Byte]((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte, 0, 0) ++
+      payload ++ (if (n % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  }
+
+  test("wavEnergy walks odd-sized chunks (word-aligned) to a displaced data chunk") {
+    // a 3-byte LIST chunk forces the word-alignment hop; data is NOT at
+    // byte 44, so a fixed-offset reader would misparse
+    val samples = Array.tabulate(130)(i => (i - 65) * 3) // 130 samples → 2 windows of 64
+    val pcm = samples.flatMap(v => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    val bytes = riff(chunk("LIST", Array[Byte](1, 2, 3)), chunk("fmt ", new Array[Byte](16)),
+      chunk("data", pcm))
+    val rows = MultimodalQueries.wavEnergy(9L, bytes, 64)
+    assert(rows.map(_._2) === Seq(0L, 1L))
+    val expected = (0 until 2).map(w =>
+      (0 until 64).map(k => { val v = samples(w * 64 + k).toLong; v * v }).sum)
+    assert(rows.map(_._3) === expected)
+  }
+
+  test("wavEnergy: negative samples, truncated data chunk, and non-WAV bytes") {
+    val neg = Array.fill(64)(-32768)
+    val pcm = neg.flatMap(v => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    val full = MultimodalQueries.wavEnergy(1L, riff(chunk("data", pcm)), 64)
+    assert(full.map(_._3) === Seq(64L * 32768L * 32768L))
+    // declared size larger than the bytes present → clamp, partial window dropped
+    val lying = riff(chunk("data", pcm)).dropRight(4)
+    assert(MultimodalQueries.wavEnergy(2L, lying, 64).isEmpty)
+    assert(MultimodalQueries.wavEnergy(3L, "not audio at all".getBytes, 64).isEmpty)
+  }
+
   test("missing SOI and truncated SOF are corrupt, not crashes") {
     val noSoi = MultimodalQueries.decodeJpeg(5L, Array[Byte](0x00, 0x01, 0x02, 0x03))
     assert(!noSoi.is_jpeg && noSoi.width.isEmpty)
