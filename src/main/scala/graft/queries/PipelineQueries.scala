@@ -446,6 +446,29 @@ object PipelineQueries {
     // in parallel; only per-(shard, group) counts cross a broadcast
     // join). Output is the per-(source, split) audit a curator signs
     // off on. ----
+    // ---- T25: overlapping context-window chunking — the doc→window
+    // layout step for RAG indexing and long-doc pretraining: windows
+    // of 256 tokens at stride 192 (64-token overlap), last window
+    // clamped to the doc end. Pure map-side sequence explode — no
+    // shuffle at all, output rows ∝ input tokens — so the plan is a
+    // single projection stage at any corpus size. Integer arithmetic
+    // start/end keeps the twin exact. ----
+    "t25_chunk_overlap" -> ((s, dir) => {
+      val win = 256; val stride = 192
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          when(col("n_tokens") <= win, lit(1L)).otherwise(
+            lit(1L) + expr(s"(n_tokens - $win + $stride - 1) div $stride")))
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_id", "_c")))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * stride).as("start_tok"),
+          least(col("chunk_id") * stride + win, col("n_tokens")).as("end_tok"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "t24_stratified_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000000007L)
@@ -500,6 +523,18 @@ object PipelineQueries {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "t25_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 256 THEN 1
+        |         ELSE 1 + (n_tokens - 256 + 191) // 192 END AS n_chunks FROM t)
+        |SELECT doc_id, n_tokens, CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(ch.chunk_id * 192 AS BIGINT) AS start_tok,
+        |  CAST(least(ch.chunk_id * 192 + 256, n_tokens) AS BIGINT) AS end_tok
+        |FROM c, unnest(range(0, n_chunks)) AS ch(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "t24_stratified_split" ->
       """WITH r AS (SELECT source, n_chars,
