@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * Ties in the sort key are broken nondeterministically (exactly like
   * the global window); pass a unique tiebreaker column for full
   * determinism.
+  *
+  * Correctness invariant: the `sorted` subtree is evaluated TWICE (the
+  * local-rank branch and the counts branch), usually as two physically
+  * distinct exchanges because column pruning differentiates them — so
+  * the pattern relies on Spark SQL's range-boundary sampling being
+  * deterministic across separate instantiations over the same input.
+  * Verified empirically by [[graft.tools.ProbeRange]]: two
+  * differently-pruned evaluations of one `repartitionByRange` assign
+  * identical shard ids on 1M rows (0 mismatches, 0 reused exchanges).
+  * Nondeterministic INPUT (e.g. an upstream `rand()`) would break
+  * this, as it breaks any multi-consumer plan.
   */
 object GlobalOrder {
 
