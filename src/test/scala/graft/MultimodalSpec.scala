@@ -80,6 +80,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalQueries.wavEnergy(3L, "not audio at all".getBytes, 64).isEmpty)
   }
 
+  test("property: random JPEG segment layouts parse to the planted SOF fields") {
+    import org.scalacheck.{Gen, Prop}
+    val segGen: Gen[Array[Int]] = Gen.oneOf(
+      Gen.chooseNum(0, 400).map(com),
+      Gen.const(Array(0xFF, 0x01)),            // TEM standalone
+      Gen.chooseNum(0xD0, 0xD7).map(m => Array(0xFF, m)), // RSTn standalone
+      Gen.chooseNum(0, 60).map(n =>            // APPn with payload
+        Array(0xFF, 0xE1, (n + 2) >> 8, (n + 2) & 0xFF) ++ Array.fill(n)(0x55)),
+      Gen.chooseNum(0, 30).map(n =>            // DHT — in-range-but-not-SOF marker
+        Array(0xFF, 0xC4, (n + 2) >> 8, (n + 2) & 0xFF) ++ Array.fill(n)(0x33))
+    )
+    val sofMarker = Gen.oneOf(Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF))
+    graft.PropCheck.check(Prop.forAll(
+      Gen.listOfN(4, segGen).flatMap(segs => Gen.listOf(Gen.oneOf(segs)).map(_.take(6))),
+      sofMarker, Gen.chooseNum(1, 65535), Gen.chooseNum(1, 65535),
+      Gen.chooseNum(1, 16)) { (segs, m, h, w, bits) =>
+      val bytes = jpeg(segs :+ sof(m, bits, h, w): _*)
+      val r = MultimodalQueries.decodeJpeg(0L, bytes)
+      r.is_jpeg && r.bits.contains(bits.toLong) &&
+        r.height.contains(h.toLong) && r.width.contains(w.toLong) &&
+        r.n_segments.contains((segs.count(s => s.length > 2) + 1).toLong)
+    }, minSuccessful = 200)
+  }
+
+  test("property: wavEnergy over random chunk layouts equals the naive reference") {
+    import org.scalacheck.{Gen, Prop}
+    val preGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.chooseNum(0, 9).map(n => chunk("LIST", Array.fill(n)(7: Byte))),
+      Gen.const(chunk("fmt ", new Array[Byte](16))),
+      Gen.chooseNum(1, 5).map(n => chunk("junk", Array.fill(n)(1: Byte))))
+    val pcmGen = Gen.listOf(Gen.chooseNum(-32768, 32767)).map(_.take(300))
+    graft.PropCheck.check(Prop.forAll(Gen.listOfN(3, preGen).map(_.take(2)), pcmGen) {
+      (pre, samples) =>
+        val pcm = samples.toArray.flatMap(v =>
+          Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+        val bytes = riff(pre :+ chunk("data", pcm): _*)
+        val got = MultimodalQueries.wavEnergy(0L, bytes, 64)
+        val want = samples.grouped(64).filter(_.length == 64).zipWithIndex.map {
+          case (wn, i) => (0L, i.toLong, wn.map(v => v.toLong * v).sum)
+        }.toSeq
+        got == want
+    }, minSuccessful = 200)
+  }
+
   test("missing SOI and truncated SOF are corrupt, not crashes") {
     val noSoi = MultimodalQueries.decodeJpeg(5L, Array[Byte](0x00, 0x01, 0x02, 0x03))
     assert(!noSoi.is_jpeg && noSoi.width.isEmpty)
