@@ -41,6 +41,37 @@ object AnalyticsQueries {
         .orderBy("purchase_id")
     }),
 
+    // ---- E13: pure range join (NO equi key) via bucketized rewrite —
+    // the join OSS Spark has no native optimization for: points
+    // (shipment days) against intervals (7-day order windows). Naive
+    // formulation plans a BroadcastNestedLoopJoin scanning points ×
+    // windows; the rewrite quantizes time into 7-day buckets so a
+    // window spans ≤ 2 buckets (exploded) while each POINT lives in
+    // exactly ONE bucket — hence a (window, point) pair can meet in at
+    // most one bucket and the equi-join needs NO post-dedup, just the
+    // exact containment filter. PlanSpec pins the plan free of
+    // BNLJ/CartesianProduct. At 100 TB the bucket key is the shuffle
+    // key; bucket width trades duplication factor (window copies)
+    // against candidate selectivity, exactly like d14's nprobe/K. ----
+    "e13_range_join" -> ((s, dir) => {
+      // NTZ timestamps at date granularity; UTC sessions on both
+      // engines make the epoch-day number identical
+      val w = Tables.orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("sd"))
+      val wb = w.select(col("win_id"), col("sd"),
+        explode(array_distinct(array(expr("sd div 7"), expr("(sd + 6) div 7")))).as("bk"))
+      val p = Tables.lineitem(s, dir)
+        .select(expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("pd"))
+        .withColumn("bk", expr("pd div 7"))
+      wb.join(p, Seq("bk"))
+        .filter(col("pd") >= col("sd") && col("pd") < col("sd") + 7)
+        .groupBy("win_id")
+        .agg(count(lit(1)).cast("long").as("n_ship"),
+          min("pd").as("first_day"), max("pd").as("last_day"))
+        .orderBy("win_id")
+    }),
+
     // ---- E5: pivot — event counts per user bucket × event type. The
     // pivot values are EXPLICIT (no extra distinct-scan to discover
     // them — at scale that pass costs a full shuffle); absent cells
@@ -210,6 +241,19 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // e13's twin is the DIRECT range join — DuckDB plans IEJoin for it,
+    // which is the point: the oracle may brute-force what the engine
+    // must bucketize.
+    "e13_range_join" ->
+      """WITH w AS (SELECT o_orderkey AS win_id,
+        |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS sd
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        | p AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS pd FROM lineitem)
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_ship,
+        |  min(pd) AS first_day, max(pd) AS last_day
+        |FROM w JOIN p ON p.pd >= w.sd AND p.pd < w.sd + 7
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
     "e7_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
         | p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e

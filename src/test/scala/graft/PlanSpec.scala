@@ -179,6 +179,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"t24 stratified rank not partitioned:\n$plan")
   }
 
+  test("e13 range join is a bucketized equi-join, not a nested-loop scan") {
+    val df = SparkEntry.queries("e13_range_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop scan:\n$plan")
+  }
+
   test("t21 sequence packing runs the prefix sum with no single-partition exchange") {
     // the whole operator is GlobalOrder.withRunningTotal — a global
     // `sum() OVER (ORDER BY doc_id)` formulation would show
