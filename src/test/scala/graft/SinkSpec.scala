@@ -50,6 +50,42 @@ class SinkSpec extends AnyFunSuite {
     assert(math.abs(newSum - oldSum * 1.1) < 1e-6)
   }
 
+  test("token-balanced training shards: equal weight, deterministic, order-preserving") {
+    val root = Files.createTempDirectory("graft_shards").toString + "/out"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val per = graft.sources.TrainingShards.write(
+      docs, col("n_tokens"), col("doc_id"), nShards = 8, root)
+    val back = spark.read.parquet(root)
+    assert(back.count() === docs.count())
+    val sums = back.groupBy("shard").agg(sum("n_tokens").as("w"))
+      .orderBy("shard").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sums.map(_._1).toSeq === (0 until 8))
+    // contiguous weight ranges: every shard within one max-doc of ideal
+    val maxDoc = docs.agg(max("n_tokens")).first().getLong(0)
+    sums.foreach { case (sh, w) =>
+      assert(math.abs(w - per) < maxDoc + per / 4,
+        s"shard $sh weight $w vs target $per (maxDoc $maxDoc)")
+    }
+    // vs row-count balancing: token skew should be strictly better than
+    // or equal to repartition's on this fixture — and assignment must be
+    // byte-stable across reruns
+    val assign1 = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.sources.TrainingShards.write(
+      docs, col("n_tokens"), col("doc_id"), nShards = 8, root)
+    val assign2 = spark.read.parquet(root).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign1 === assign2)
+    // order-preserving: doc_ids in shard k all precede those in k+1
+    val maxPerShard = assign1.groupBy(_._2).view.mapValues(_.keys.max).toMap
+    val minPerShard = assign1.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    (0 until 7).foreach { k =>
+      assert(maxPerShard(k) < minPerShard(k + 1))
+    }
+  }
+
   test("compaction rewrites a fragmented version into few uniform files, history intact") {
     val root = Files.createTempDirectory("graft_compact").toString + "/base"
     val frag = Tables.part(spark, sfDir).select("p_partkey", "p_retailprice")
