@@ -162,6 +162,39 @@ object Hashing extends Serializable {
     * matches `split(text,'') → ascii` (Spark's ascii is codePointAt on
     * the first char). Returns (docHash, minGramHash, hasGram): fewer
     * than 8 code points → hasGram false (SQL CASE guard → null). */
+  /** Content-defined chunk spans (Rabin-style CDC, the storage-dedup
+    * boundary rule): cut AFTER code point e (8 ≤ e ≤ n−1) whenever the
+    * [[rollingHash8]] 8-gram hash ending at e is ≡ 0 mod 64 — so
+    * boundaries depend only on LOCAL content and survive insertions,
+    * which is the whole point vs fixed-size blocks. Returns 1-based
+    * (start, length) spans in code points (the unit Spark's and
+    * DuckDB's `substring` both count), covering the text exactly; an
+    * empty string yields one empty span. Same modular arithmetic and
+    * code-point iteration as rollingHash8, so the DuckDB oracle's
+    * per-window fold reproduces every cut. */
+  final def cdcSpans(s: String): Seq[(Int, Int)] = {
+    val P = 1000000007L
+    val Pow7 = 512613922L
+    var h8 = 0L
+    val ring = new Array[Long](8)
+    var n = 0
+    var i = 0
+    val total = s.codePointCount(0, s.length)
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val c = cp.toLong
+      if (n < 8) h8 = (h8 * 31 + c) % P
+      else h8 = (((h8 - ring(n % 8) * Pow7 % P + P) % P) * 31 + c) % P
+      ring(n % 8) = c
+      n += 1
+      if (n >= 8 && n < total && h8 % 64 == 0) cuts += n
+    }
+    val bs = 0 +: cuts.toSeq :+ total
+    bs.sliding(2).map { case Seq(a, b) => (a + 1, b - a) }.toSeq
+  }
+
   final def rollingHash8(s: String): (Long, Long, Boolean) = {
     val P = 1000000007L
     val Pow7 = 512613922L

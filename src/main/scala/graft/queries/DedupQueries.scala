@@ -619,6 +619,27 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- D21: content-defined chunking — the storage/delta-dedup
+    // modality the shingle family can't express: Rabin-style cuts
+    // where the rolling 8-gram hash ≡ 0 mod 64, so chunk boundaries
+    // depend only on local content and SURVIVE insertions (a one-char
+    // edit re-chunks one chunk, not every fixed-size block after it).
+    // Emits per-chunk (length, md5) rows — the primitive a dedup store
+    // keys on; cross-doc repeated chunks then fall out of a groupBy on
+    // the 16-byte digest. One O(L) map-side pass per doc (the
+    // rollingHash8 arithmetic), explode ∝ corpus, no shuffle until the
+    // consumer aggregates. ----
+    "d21_cdc_chunks" -> ((s, dir) => {
+      val spansU = udf((t: String) => graft.functions.Hashing.cdcSpans(t))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          posexplode(spansU(col("text"))).as(Seq("chunk_no", "sp")))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          col("sp._2").cast("long").as("c_len"),
+          md5(expr("substring(text, sp._1, sp._2)")).as("c_md5"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // ---- D20: cross-source contamination matrix — which SOURCES leak
     // into each other: d2's verified near-dup edges labeled with each
     // endpoint's source, rolled up per unordered source pair. The
@@ -975,6 +996,30 @@ object DedupQueries {
          |LEFT JOIN ex e ON e.doc_id = b.doc_id
          |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // d21's twin re-derives every cut from the per-window fold (the t5
+    // oracle's formulation — algebraically identical to the engine's
+    // rolling update mod p) and rebuilds the spans with list
+    // arithmetic; md5 over the same codepoint-substring gates content.
+    "d21_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | cuts AS (SELECT doc_id, text, n,
+        |    list_filter(range(8, greatest(n, 8)),
+        |      e -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(e - 7, e + 1),
+        |               j -> CAST(ascii(text[CAST(j AS INT)]) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0) AS ce
+        |  FROM t),
+        | b AS (SELECT doc_id, text,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], ce),
+        |                [CAST(n AS BIGINT)]) AS bs FROM cuts),
+        | ch AS (SELECT doc_id, text, bs,
+        |    unnest(range(0, len(bs) - 1)) AS k FROM b)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+        |  bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS c_len,
+        |  md5(substring(text, CAST(bs[CAST(k + 1 AS INT)] + 1 AS INT),
+        |      CAST(bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS INT))) AS c_md5
+        |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
 
     // d20's twin labels the exhaustive exact-Jaccard pair set (d2's
     // oracle) with each endpoint's source and replays the unordered-

@@ -175,6 +175,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"cross-split recall $recall%.3f under floor")
   }
 
+  test("property: CDC chunking is insertion-local, fixed blocks are not") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.functions.Hashing
+    def chunkHashes(s: String): Seq[String] =
+      Hashing.cdcSpans(s).map { case (st, ln) =>
+        s.substring(st - 1, st - 1 + ln).hashCode.toString }
+    def fixedHashes(s: String): Seq[String] =
+      s.grouped(64).map(_.hashCode.toString).toSeq
+    def multisetDiff(a: Seq[String], b: Seq[String]): Int = {
+      val ca = a.groupBy(identity).view.mapValues(_.size)
+      val cb = b.groupBy(identity).view.mapValues(_.size)
+      (ca.keySet ++ cb.keySet).toSeq
+        .map(k => math.abs(ca.getOrElse(k, 0) - cb.getOrElse(k, 0))).sum
+    }
+    val textGen = Gen.listOfN(3000, Gen.oneOf("abcdefgh ".toSeq)).map(_.mkString)
+    graft.PropCheck.check(Prop.forAll(textGen, Gen.chooseNum(0, 200)) { (s, pos) =>
+      val edited = s.substring(0, pos) + "X" + s.substring(pos)
+      val (a, b) = (chunkHashes(s), chunkHashes(edited))
+      // spans cover the text exactly in both versions
+      val covers = Hashing.cdcSpans(edited).map(_._2).sum == edited.length
+      // the edit may redraw the chunks around position `pos` (and, with
+      // ~1/64 hash probability, merge/split a neighbor) but chunks
+      // beyond the affected window are bit-identical — while fixed-size
+      // blocks shift and rewrite everything after the edit
+      val cdcLocal = multisetDiff(a, b) <= 8
+      val fixedGlobal = multisetDiff(fixedHashes(s), fixedHashes(edited)) >=
+        (s.length - pos) / 64 - 2
+      covers && cdcLocal && fixedGlobal
+    }, minSuccessful = 100)
+  }
+
   test("IVF-family plans carry no cartesian or nested-loop join") {
     // x1 (brute) and x2's oracle-parity formulations are the declared
     // exact baselines; every SERVING path must be join-shape clean.
