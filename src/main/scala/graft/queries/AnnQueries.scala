@@ -627,6 +627,42 @@ object AnnQueries {
         .orderBy("cid")
     }),
 
+    // ---- X16: IVF serving over the TRAINED coarse quantizer — closes
+    // the loop x14 opens: the same memoized Lloyd centroids become the
+    // cell index (real deployments train their IVF lists; the %50
+    // sample the rest of the x-family uses is the bootstrap). Cell
+    // assignment and 4-wide probe lists are one map-side pass over the
+    // closure-shipped K×D integer centroids (argmin L2² on the grid,
+    // ties to the smaller code — training's own metric), candidates
+    // are the probe×assignment equi-join (a point lives in ONE cell,
+    // so no pair dedup), and ranking is exact cosine over full
+    // precision. The oracle replays training AND serving end-to-end:
+    // one hash gate over the whole train→index→search pipeline. ----
+    "x16_trained_ivf" -> ((s, dir) => {
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val cents = kmTrain(s, dir)
+      val probesU = udf((v: Seq[Long]) => {
+        val arr = v.toArray
+        cents.map { case (code, cv) =>
+          var t = 0L; var i = 0
+          while (i < arr.length) { val d = arr(i) - cv(i); t += d * d; i += 1 }
+          (t, code)
+        }.sortBy(identity).take(4).map(_._2).toSeq
+      })
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n2", norm2Expr(col("v")))
+        .withColumn("qv", expr("transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))"))
+        .withColumn("cells", probesU(col("qv")))
+      val assigned = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("n2").as("nn2"), element_at(col("cells"), 1).as("code")).repartition(width)
+      val queriesDf = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+          explode(col("cells")).as("code"))
+      topK(broadcast(queriesDf).join(assigned, Seq("code"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
     // ---- X14: distributed Lloyd k-means training — the full-corpus
     // counterpart of the PQ codebook's bounded-sample training, i.e.
     // how the IVF coarse quantizer is actually trained at 100 TB:
@@ -785,6 +821,40 @@ object AnnQueries {
         | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
         |SELECT cid, n_vecs, (10000 * n_vecs) // n_total AS share_bp
         |FROM c, t ORDER BY cid""".stripMargin,
+
+    // x16's twin replays the ENTIRE pipeline — the x14 Lloyd prologue
+    // to cb2, probe lists and assignment from the af_d distance table,
+    // then the exact-cosine rank — one gate over train→index→search.
+    "x16_trained_ivf" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
+         |   FROM embeddings),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q WHERE vec_id < 16),
+         | ${kmAssignSql("cb0", "a1")},
+         | ${kmLloydSql("a1", "cb0", "cb1")},
+         | ${kmAssignSql("cb1", "a2")},
+         | ${kmLloydSql("a2", "cb1", "cb2")},
+         | ${kmAssignSql("cb2", "af")},
+         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | probes AS (SELECT vec_id AS qid, code FROM (
+         |     SELECT vec_id, code, row_number() OVER
+         |       (PARTITION BY vec_id ORDER BY d, code) AS prn FROM af_d)
+         |   WHERE prn <= 4 AND vec_id % 50 = 0),
+         | assigned AS (SELECT vec_id AS nid, code FROM af),
+         | pairs AS (SELECT p.qid, a.nid,
+         |     list_reduce(list_transform(list_zip(nq.v, nn.v), z -> z[1] * z[2]),
+         |       (x, y) -> x + y) / sqrt(nq.n2 * nn.n2) AS cosine
+         |   FROM probes p JOIN assigned a USING (code)
+         |   JOIN n nq ON nq.vec_id = p.qid
+         |   JOIN n nn ON nn.vec_id = a.nid
+         |   WHERE p.qid <> a.nid),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
+         |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // Lloyd twin: grid quantization, seed codebook = vec_id < 16, two
     // assignment+update rounds, final assignment → per-cluster stats;
