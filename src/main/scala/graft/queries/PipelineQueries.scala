@@ -469,6 +469,31 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- T26: adaptive per-source quality cutoffs — "drop the worst
+    // 10% of every source" where the threshold is LEARNED per stratum
+    // (a fixed global cutoff over-prunes clean sources and under-
+    // prunes noisy ones). Requires each doc's quality rank within its
+    // source — the same skew-proof grouped rank as t24
+    // ([[GlobalOrder.withPositionWithin]], here with a DESCENDING
+    // quality key), then one aggregate emits kept/dropped counts and
+    // the induced per-source threshold a production filter would pin.
+    // Quality proxy: n_chars (the real pipeline plugs t2/t7 scores in
+    // the same slot). ----
+    "t26_quality_cutoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = graft.operators.GlobalOrder.withPositionWithin(
+        docs, "pos", Seq("source"), col("n_chars").desc, col("doc_id").asc)
+      val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(totals), Seq("source"))
+        .withColumn("kept", col("pos") <= expr("n * 9 div 10"))
+        .groupBy("source")
+        .agg(count(when(col("kept"), 1)).cast("long").as("n_kept"),
+          count(when(!col("kept"), 1)).cast("long").as("n_dropped"),
+          min(when(col("kept"), col("n_chars"))).cast("long").as("cutoff_chars"))
+        .orderBy("source")
+    }),
+
     "t24_stratified_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000000007L)
@@ -535,6 +560,18 @@ object PipelineQueries {
         |  CAST(least(ch.chunk_id * 192 + 256, n_tokens) AS BIGINT) AS end_tok
         |FROM c, unnest(range(0, n_chunks)) AS ch(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t26_quality_cutoff" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS pos,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN pos <= (n * 9) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN pos > (n * 9) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(min(CASE WHEN pos <= (n * 9) // 10 THEN n_chars END) AS BIGINT) AS cutoff_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "t24_stratified_split" ->
       """WITH r AS (SELECT source, n_chars,
