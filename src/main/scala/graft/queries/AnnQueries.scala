@@ -110,22 +110,21 @@ object AnnQueries {
     Tables.embeddings(s, dir).select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
 
-  /** Integer-L2 argmin over the closure-shipped centroid array →
-    * (winning code, d²). Ascending scan with strict `<` keeps the
-    * smaller code on ties — the oracle's `ORDER BY d, code` window. */
-  private def kmKernel(cents: Array[(Long, Array[Long])]): Seq[Long] => (Long, Long) =
-    (v: Seq[Long]) => {
-      val arr = v.toArray
-      var bi = 0; var bd = Long.MaxValue; var c = 0
-      while (c < cents.length) {
-        val cv = cents(c)._2
-        var t = 0L; var i = 0
-        while (i < arr.length) { val d = arr(i) - cv(i); t += d * d; i += 1 }
-        if (t < bd) { bd = t; bi = c }
-        c += 1
-      }
-      (cents(bi)._1, bd)
+  /** Integer-L2 (d², code) to every closure-shipped centroid — shared
+    * by x14's argmin assignment and x16's probe lists; the (d, code)
+    * tuple order IS the oracle's `ORDER BY d, code` tie-break. */
+  private def kmDistances(cents: Array[(Long, Array[Long])], v: Seq[Long]): Array[(Long, Long)] = {
+    val arr = v.toArray
+    cents.map { case (code, cv) =>
+      var t = 0L; var i = 0
+      while (i < arr.length) { val d = arr(i) - cv(i); t += d * d; i += 1 }
+      (t, code)
     }
+  }
+
+  /** Argmin over [[kmDistances]] → (winning code, d²). */
+  private def kmKernel(cents: Array[(Long, Array[Long])]): Seq[Long] => (Long, Long) =
+    (v: Seq[Long]) => { val (d, code) = kmDistances(cents, v).min; (code, d) }
 
   /** Distributed Lloyd over the FULL corpus — the at-scale counterpart
     * of [[trainCodebook]]'s bounded-sample collect: each round is one
@@ -641,14 +640,8 @@ object AnnQueries {
     "x16_trained_ivf" -> ((s, dir) => {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val cents = kmTrain(s, dir)
-      val probesU = udf((v: Seq[Long]) => {
-        val arr = v.toArray
-        cents.map { case (code, cv) =>
-          var t = 0L; var i = 0
-          while (i < arr.length) { val d = arr(i) - cv(i); t += d * d; i += 1 }
-          (t, code)
-        }.sortBy(identity).take(4).map(_._2).toSeq
-      })
+      val probesU = udf((v: Seq[Long]) =>
+        kmDistances(cents, v).sorted.take(4).map(_._2).toSeq)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("n2", norm2Expr(col("v")))

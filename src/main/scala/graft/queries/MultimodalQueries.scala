@@ -113,6 +113,33 @@ object MultimodalQueries {
     Nil
   }
 
+  /** The m6/m8 fixture plant: a REAL 44-byte RIFF/WAVE PCM header (LE
+    * fields derived from doc_id, data size = the payload's byte
+    * length) over the text bytes; every 17th doc left headerless to
+    * exercise the corrupt branch. */
+  private def wavMedia: org.apache.spark.sql.Column = {
+    def le16(v: org.apache.spark.sql.Column) =
+      concat(lpad(hex(v % 256), 2, "0"), lpad(hex((v.cast("long") / 256).cast("long") % 256), 2, "0"))
+    def le32(v: org.apache.spark.sql.Column) = {
+      val x = v.cast("long")
+      concat(lpad(hex(x % 256), 2, "0"),
+        lpad(hex((x / 256).cast("long") % 256), 2, "0"),
+        lpad(hex((x / 65536).cast("long") % 256), 2, "0"),
+        lpad(hex((x / 16777216).cast("long") % 256), 2, "0"))
+    }
+    val channels = lit(1) + col("doc_id") % 2
+    val rate = lit(8000) * (lit(1) + col("doc_id") % 5)
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val dataSize = length(col("text").cast("binary"))
+    val header = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), le16(channels),
+      le32(rate), le32(byteRate), le16(blockAlign), le16(lit(16)),
+      lit("64617461"), le32(dataSize))
+    when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+      .otherwise(concat(unhex(header), col("text").cast("binary")))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // ---- M8: audio feature extraction — windowed PCM energy over the
     // m6 fixture's REAL RIFF/WAVE container, treating the payload as
@@ -126,28 +153,8 @@ object MultimodalQueries {
     // is headerless and yields no rows. ----
     "m8_audio_energy" -> ((s, dir) => {
       import s.implicits._
-      def le16(v: org.apache.spark.sql.Column) =
-        concat(lpad(hex(v % 256), 2, "0"), lpad(hex((v.cast("long") / 256).cast("long") % 256), 2, "0"))
-      def le32c(v: org.apache.spark.sql.Column) = {
-        val x = v.cast("long")
-        concat(lpad(hex(x % 256), 2, "0"),
-          lpad(hex((x / 256).cast("long") % 256), 2, "0"),
-          lpad(hex((x / 65536).cast("long") % 256), 2, "0"),
-          lpad(hex((x / 16777216).cast("long") % 256), 2, "0"))
-      }
-      val channels = lit(1) + col("doc_id") % 2
-      val rate = lit(8000) * (lit(1) + col("doc_id") % 5)
-      val blockAlign = channels * 2
-      val byteRate = rate * blockAlign
-      val dataSize = length(col("text").cast("binary"))
-      val header = concat(lit("52494646"), le32c(dataSize + 36), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"), le16(channels),
-        le32c(rate), le32c(byteRate), le16(blockAlign), le16(lit(16)),
-        lit("64617461"), le32c(dataSize))
-      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
-        .otherwise(concat(unhex(header), col("text").cast("binary")))
       Tables.documents(s, dir)
-        .select(col("doc_id"), media.as("media"))
+        .select(col("doc_id"), wavMedia.as("media"))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) => wavEnergy(id, bytes, 64) }
         .toDF("doc_id", "win", "energy")
@@ -279,27 +286,7 @@ object MultimodalQueries {
     // decoder would slot into m1's mapPartitions shape). Every 17th
     // blob is headerless to exercise the corrupt branch. ----
     "m6_wav_meta" -> ((s, dir) => {
-      def le16(v: org.apache.spark.sql.Column) =
-        concat(lpad(hex(v % 256), 2, "0"), lpad(hex((v.cast("long") / 256).cast("long") % 256), 2, "0"))
-      def le32(v: org.apache.spark.sql.Column) = {
-        val x = v.cast("long")
-        concat(lpad(hex(x % 256), 2, "0"),
-          lpad(hex((x / 256).cast("long") % 256), 2, "0"),
-          lpad(hex((x / 65536).cast("long") % 256), 2, "0"),
-          lpad(hex((x / 16777216).cast("long") % 256), 2, "0"))
-      }
-      val channels = lit(1) + col("doc_id") % 2
-      val rate = lit(8000) * (lit(1) + col("doc_id") % 5)
-      val blockAlign = channels * 2 // 16-bit PCM
-      val byteRate = rate * blockAlign
-      val dataSize = length(col("text").cast("binary"))
-      val header = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"), le16(channels),
-        le32(rate), le32(byteRate), le16(blockAlign), le16(lit(16)),
-        lit("64617461"), le32(dataSize))
-      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
-        .otherwise(concat(unhex(header), col("text").cast("binary")))
-      val hs = hex(media)
+      val hs = hex(wavMedia)
       // LE reads from the hex string: byte o (0-based) starts at char
       // o*2+1; value = Σ byte_i · 256^i
       def rb(byteOff: Int) = conv(hs.substr(byteOff * 2 + 1, 2), 16, 10).cast("long")
