@@ -469,6 +469,62 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- T27: BPE merge training — the iterative half of the
+    // tokenizer story t23 opens: three rounds of learn-the-top-pair →
+    // merge-it-corpus-wide, exactly how BPE vocabularies are built.
+    // Same distributed-training shape as x14's Lloyd: per round the
+    // driver collects ONE row (the argmax pair — the model update),
+    // while pair counting and the greedy left-to-right token merge run
+    // distributed over the VOCABULARY table (distinct words × freq,
+    // the t23 trick — corpus scale never touches the loop). The
+    // DuckDB twin replays all three rounds with a string-encoded fold,
+    // so learned merges, their counts, and the final symbol stats are
+    // one hash gate. ----
+    "t27_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      // greedy left-to-right token merge — identical semantics to the
+      // oracle's encoded list_reduce ("a a a" + (a,a) → ["aa","a"])
+      val mergeU = udf((sym: Seq[String], a: String, b: String) => {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (x <- sym) {
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toSeq
+      })
+      // cached: every round's top-1 action and the final stats replay
+      // the whole chain — uncached, the corpus parse + word groupBy
+      // runs five times (d10's idiom; released through Caches)
+      var vocab = Caches.trackCached(dir, Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to 3) {
+        val top = vocab
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
+              " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()(0)
+        merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
+        vocab = vocab.select(col("w"), col("freq"),
+          mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
+      }
+      val corpus = vocab
+        .agg((sum(col("freq") * size(col("sym")))).cast("long").as("corpus_symbols"))
+      val vs = vocab.select(explode(col("sym")).as("sy"))
+        .agg(countDistinct("sy").cast("long").as("vocab_symbols"))
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .crossJoin(broadcast(vs)).crossJoin(broadcast(corpus))
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"),
+          col("vocab_symbols"), col("corpus_symbols"))
+        .orderBy("merge_rank")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -560,6 +616,45 @@ object PipelineQueries {
         |  CAST(least(ch.chunk_id * 192 + 256, n_tokens) AS BIGINT) AS end_tok
         |FROM c, unnest(range(0, n_chunks)) AS ch(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t27_bpe_merges" -> {
+      // one learn-merge round: pair counts over the vocab, top-1 by
+      // (count DESC, lhs, rhs), then the greedy token merge as a fold
+      // over a chr(31)-encoded accumulator (symbols never contain the
+      // unit separator)
+      def round(r: Int) = {
+        val prev = s"s${r - 1}"
+        s""" p$r AS (SELECT sym[CAST(i AS INT)] AS lhs, sym[CAST(i AS INT) + 1] AS rhs,
+           |     CAST(sum(freq) AS BIGINT) AS c
+           |   FROM $prev, unnest(range(1, len(sym))) AS t(i) GROUP BY 1, 2),
+           | b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+           | s$r AS (SELECT w, freq,
+           |    string_split(list_reduce(sym, (acc, x) -> CASE
+           |      WHEN (acc = lhs OR ends_with(acc, chr(31) || lhs)) AND x = rhs
+           |      THEN acc[1:len(acc) - len(lhs)] || lhs || rhs
+           |      ELSE acc || chr(31) || x END), chr(31)) AS sym
+           |   FROM $prev, b$r)""".stripMargin
+      }
+      s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY w),
+         | s0 AS (SELECT w, freq,
+         |    list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS sym
+         |   FROM words),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         | st AS (SELECT
+         |    (SELECT CAST(count(DISTINCT sy) AS BIGINT)
+         |     FROM s3, unnest(sym) AS u(sy)) AS vocab_symbols,
+         |    (SELECT CAST(sum(freq * len(sym)) AS BIGINT) FROM s3) AS corpus_symbols)
+         |SELECT r.mr AS merge_rank, r.lhs, r.rhs, r.c AS pair_count,
+         |  st.vocab_symbols, st.corpus_symbols
+         |FROM (SELECT CAST(1 AS BIGINT) AS mr, * FROM b1
+         |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
+         |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     "t26_quality_cutoff" ->
       """WITH r AS (SELECT source, n_chars,
