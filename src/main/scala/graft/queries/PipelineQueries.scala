@@ -525,6 +525,72 @@ object PipelineQueries {
         .orderBy("merge_rank")
     }),
 
+    // ---- T28: count-min heavy hitters — frequency estimation from
+    // FIXED-SIZE state: a 4×1024 integer sketch (4 hash rows over the
+    // t5 polynomial, different odd multipliers) absorbs the whole
+    // token stream via one (row, cell)-keyed aggregate — 4096 cells
+    // regardless of corpus size, every partition map-side-combining
+    // into at most 4096 keys, where an exact count shuffles the full
+    // token vocabulary. Estimates (min over rows) are then probed for
+    // the exact top-10 tokens and reported against their true counts —
+    // the one-sided overcount IS the sketch's error contract. All
+    // integer, so the DuckDB twin replays sketch and probe exactly. ----
+    "t28_heavy_hitters" -> ((s, dir) => {
+      val polyU = udf((w: String) => graft.functions.Hashing.rollingHash8(w)._1)
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("poly", polyU(col("w")))
+      val cells = toks
+        .select(col("poly"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("cell", expr("(poly * (2 * r + 3) + r) % 1000000007 % 1024"))
+      val sketch = cells.groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("exact_count"),
+          first("poly").as("poly"))
+        .orderBy(col("exact_count").desc, col("w").asc).limit(10)
+      top
+        .select(col("w"), col("exact_count"), col("poly"),
+          explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("cell", expr("(poly * (2 * r + 3) + r) % 1000000007 % 1024"))
+        .join(broadcast(sketch), Seq("r", "cell"))
+        .groupBy("w").agg(first("exact_count").as("ec"), min("cnt").as("est"))
+        .select(col("w"), col("ec").cast("long").as("exact_count"),
+          col("est").cast("long").as("est_count"),
+          (col("est") - col("ec")).cast("long").as("overcount"))
+        .orderBy(col("exact_count").desc, col("w").asc)
+    }),
+
+    // ---- T29: linear-counting distinct estimation — cardinality from
+    // fixed-size state, the sketch complement of t28: tokens hash into
+    // 4096 buckets, the only distributed state is WHICH buckets are
+    // occupied (≤ 4096 keys, map-side combining — an exact distinct
+    // shuffles the whole vocabulary), and the estimate is the
+    // occupancy inversion n̂ = −m·ln(1 − m_occ/m). Per-source rows
+    // compare the estimate against the exact distinct and report
+    // relative error in basis points. The ln() is the one double in
+    // the suite's sketch family — rounded to 4 decimals, far above
+    // last-ulp libm divergence, so the gate stays exact. ----
+    "t29_distinct_estimate" -> ((s, dir) => {
+      val polyU = udf((w: String) => graft.functions.Hashing.rollingHash8(w)._1)
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("bucket", polyU(col("w")) % 4096)
+      val occ = toks.select(col("source"), col("bucket")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("m_occ"))
+      val exact = toks.select(col("source"), col("w")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      occ.join(exact, Seq("source"))
+        .select(col("source"), col("m_occ").cast("long").as("m_occ"),
+          col("n_exact").cast("long").as("n_exact"),
+          round(-lit(4096.0) * log(lit(1.0) - col("m_occ") / 4096.0), 4).as("n_est"))
+        // floor() explicitly: CAST(double AS BIGINT) truncates in Spark
+        // but rounds in DuckDB — the e12 lesson
+        .withColumn("err_bp",
+          expr("CAST(abs(CAST(floor(n_est) AS BIGINT) - n_exact) * 10000 div n_exact AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -655,6 +721,50 @@ object PipelineQueries {
          |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
          |ORDER BY merge_rank""".stripMargin
     },
+
+    "t28_heavy_hitters" ->
+      """WITH toks AS (SELECT w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> CAST(ascii(w[CAST(i AS INT)]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS poly
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        | cells AS (SELECT poly, r,
+        |    (poly * (2 * r + 3) + r) % 1000000007 % 1024 AS cell
+        |  FROM toks, unnest(range(0, 4)) AS t(r)),
+        | sketch AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM cells GROUP BY r, cell),
+        | top AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_count,
+        |     min(poly) AS poly
+        |   FROM toks GROUP BY w ORDER BY exact_count DESC, w LIMIT 10),
+        | probe AS (SELECT t.w, t.exact_count, sk.cnt
+        |   FROM top t, unnest(range(0, 4)) AS u(r)
+        |   JOIN sketch sk ON sk.r = u.r
+        |    AND sk.cell = (t.poly * (2 * u.r + 3) + u.r) % 1000000007 % 1024)
+        |SELECT w, exact_count, CAST(min(cnt) AS BIGINT) AS est_count,
+        |  CAST(min(cnt) - exact_count AS BIGINT) AS overcount
+        |FROM probe GROUP BY w, exact_count
+        |ORDER BY exact_count DESC, w""".stripMargin,
+
+    "t29_distinct_estimate" ->
+      """WITH toks AS (SELECT source, w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> CAST(ascii(w[CAST(i AS INT)]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 4096 AS bucket
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        | occ AS (SELECT source, CAST(count(*) AS BIGINT) AS m_occ FROM
+        |   (SELECT DISTINCT source, bucket FROM toks) GROUP BY source),
+        | ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM
+        |   (SELECT DISTINCT source, w FROM toks) GROUP BY source),
+        | j AS (SELECT o.source, o.m_occ, e.n_exact,
+        |     round(-4096.0 * ln(1.0 - o.m_occ / 4096.0), 4) AS n_est
+        |   FROM occ o JOIN ex e USING (source))
+        |SELECT source, m_occ, n_exact, n_est,
+        |  CAST(abs(CAST(floor(n_est) AS BIGINT) - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        |FROM j ORDER BY source""".stripMargin,
 
     "t26_quality_cutoff" ->
       """WITH r AS (SELECT source, n_chars,
