@@ -257,6 +257,58 @@ object CoreQueries {
         .orderBy("brand")
     }),
 
+    // ---- J10: Bloom-filter semi-join pruning — the shuffle-reduction
+    // pattern for 100 TB joins: the build side (20% of orders) folds into
+    // a FIXED 2^18-bit Bloom bitset via a map-side-combining bit_or over
+    // ≤8192 32-bit words (the distributed treeAggregate shape), the 64 KB
+    // bitset ships to every probe task as a literal array, and the probe
+    // side (lineitem) is pruned by a pure map-side filter — three
+    // element_at bit tests, NO join, NO shuffle — before the real
+    // broadcast join runs on the ~20% survivors. The oracle computes
+    // exact_match/sum_qty from the UNPRUNED probe, so the hash gate
+    // itself proves the Bloom filter has no false negatives (like j9's
+    // salt-equivalence proof); false_pos is measured output, the
+    // filter's error contract. Hashing: Knuth multiplicative mix then
+    // three affine probes — exact 64-bit integer arithmetic both
+    // engines replay bit-for-bit. ----
+    "j10_bloom_prune" -> ((s, dir) => {
+      val M = 262144 // bits (2^18) → 8192 32-bit words in longs
+      val keys = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > lit(400000.0))
+        .select(col("o_orderkey").cast("long").as("k")).distinct()
+      val words = keys
+        .withColumn("h", expr("(k * 2654435761) % 4294967296"))
+        .select(explode(expr(
+          s"transform(sequence(0, 2), i -> (h * (2 * i + 3) + i) % 1000000007 % $M)")).as("pos"))
+        .select(expr("pos div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+        .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+        .collect() // bounded artifact: ≤8192 rows regardless of corpus size
+      val bitset = new Array[Long](M / 32)
+      words.foreach(r => bitset(r.getLong(0).toInt) = r.getLong(1))
+      val probe = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast("long").as("k"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumn("h", expr("(k * 2654435761) % 4294967296"))
+        .withColumn("bf", typedLit(bitset.toSeq))
+      val pass = (0 to 2).map { i =>
+        val pos = s"(h * ${2 * i + 3} + $i) % 1000000007 % $M"
+        expr(s"((element_at(bf, CAST(($pos) div 32 AS INT) + 1)" +
+          s" >> CAST(($pos) % 32 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      val pre = probe.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("probe_rows"))
+      val post = probe.filter(pass)
+        .join(broadcast(keys.withColumn("hit", lit(1))), Seq("k"), "left")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("bloom_pass"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("exact_match"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("false_pos"),
+          sum(when(col("hit").isNotNull, col("l_quantity").cast("long"))
+            .otherwise(0L)).as("sum_qty"))
+      pre.join(post, Seq("l_returnflag")).orderBy("l_returnflag")
+    }),
+
     // ---- F13: row-wise min positive price ----
     "f13_min_price" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -436,6 +488,47 @@ object CoreQueries {
         | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM big JOIN dim USING (skew_key)
         |GROUP BY brand ORDER BY brand""".stripMargin,
+
+    // Replays the Bloom bitset bit-for-bit (same Knuth mix + affine
+    // probes, words joined instead of a literal array) but computes
+    // exact_match/sum_qty from the UNPRUNED probe — so a Bloom false
+    // negative on the Spark side hash-mismatches: the gate is the
+    // no-false-negative proof.
+    "j10_bloom_prune" ->
+      """WITH keys AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+        |    FROM orders WHERE o_totalprice > 400000),
+        | pos AS (SELECT ((k * 2654435761) % 4294967296 * (2 * i + 3) + i)
+        |      % 1000000007 % 262144 AS pos
+        |   FROM keys, unnest(range(0, 3)) AS t(i)),
+        | words AS (SELECT pos // 32 AS word,
+        |     bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |   FROM pos GROUP BY 1),
+        | probe AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag,
+        |     l_quantity,
+        |     (CAST(l_orderkey AS BIGINT) * 2654435761) % 4294967296 AS h
+        |   FROM lineitem),
+        | pp AS (SELECT p.*,
+        |     ((COALESCE(w0.bits, 0) >> CAST((h * 3 + 0) % 1000000007 % 262144 % 32 AS INT)) & 1) = 1
+        |     AND ((COALESCE(w1.bits, 0) >> CAST((h * 5 + 1) % 1000000007 % 262144 % 32 AS INT)) & 1) = 1
+        |     AND ((COALESCE(w2.bits, 0) >> CAST((h * 7 + 2) % 1000000007 % 262144 % 32 AS INT)) & 1) = 1
+        |       AS pass,
+        |     k IN (SELECT k FROM keys) AS hit
+        |   FROM probe p
+        |   LEFT JOIN words w0 ON w0.word = (h * 3 + 0) % 1000000007 % 262144 // 32
+        |   LEFT JOIN words w1 ON w1.word = (h * 5 + 1) % 1000000007 % 262144 // 32
+        |   LEFT JOIN words w2 ON w2.word = (h * 7 + 2) % 1000000007 % 262144 // 32),
+        | pre AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS probe_rows
+        |   FROM probe GROUP BY 1),
+        | post AS (SELECT l_returnflag,
+        |     CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+        |     CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_match,
+        |     CAST(sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+        |     CAST(sum(CASE WHEN hit THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_qty
+        |   FROM pp GROUP BY 1)
+        |SELECT l_returnflag, probe_rows, bloom_pass, exact_match, false_pos,
+        |  sum_qty
+        |FROM pre JOIN post USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "f13_min_price" ->
       """SELECT l_orderkey, l_linenumber,

@@ -591,6 +591,53 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- T30: HyperLogLog-style cardinality — the third leg of the
+    // fixed-state sketch family (t28 frequency, t29 occupancy, t30
+    // register ranks): each token's hash splits into a 256-way register
+    // index and value bits whose trailing-zero rank feeds a per-register
+    // max — ≤256 keys per source, map-side combining, where exact
+    // distinct shuffles the vocabulary. The harmonic-mean inversion
+    // αm²/Σ2^(−M_j) runs entirely on powers of two (1.0/(1<<M) is IEEE-
+    // exact, the Σ has exponent range < 53 so every partial sum is exact
+    // in ANY order — no float-summation-order divergence), with the
+    // standard linear-counting fallback below 2.5m when empty registers
+    // remain. α·m² is one pre-folded double literal so both engines do a
+    // single identical division; the ln() fallback rounds at 4 decimals
+    // like t29. Gated beside the exact distinct with error in basis
+    // points. ----
+    "t30_hll_cardinality" -> ((s, dir) => {
+      val polyU = udf((w: String) => graft.functions.Hashing.rollingHash8(w)._1)
+      val amm = "47072.71267120224D" // 0.7213/(1 + 1.079/256) * 256², pre-folded
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("h", polyU(col("w")))
+      val regs = toks
+        .select(col("source"), (col("h") % 256).as("j"), expr("h div 256").as("wv"))
+        .withColumn("rho",
+          expr("CASE WHEN wv = 0 THEN 23 ELSE bit_count((wv & -wv) - 1) + 1 END"))
+        .groupBy("source", "j").agg(max("rho").as("mj"))
+      val bySrc = regs.groupBy("source").agg(
+          count(lit(1)).as("n_regs"),
+          sum(expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), mj)")).as("sum_hit"))
+        .withColumn("v_zero", (lit(256L) - col("n_regs")).cast("long"))
+        .withColumn("raw_est", expr(s"$amm / (sum_hit + CAST(v_zero AS DOUBLE))"))
+        .withColumn("est", expr(
+          "CASE WHEN raw_est <= 640.0D AND v_zero > 0" +
+          " THEN round(256.0D * ln(CAST(256 AS DOUBLE) / v_zero), 4)" +
+          " ELSE round(raw_est, 4) END"))
+      val exact = toks.select(col("source"), col("w")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      bySrc.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact").cast("long").as("n_exact"),
+          col("v_zero"), round(col("raw_est"), 4).as("raw_est"), col("est"))
+        // floor() explicitly: CAST(double AS BIGINT) truncates in Spark
+        // but rounds in DuckDB — the e12 lesson
+        .withColumn("err_bp",
+          expr("CAST(abs(CAST(floor(est) AS BIGINT) - n_exact) * 10000 div n_exact AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -765,6 +812,38 @@ object PipelineQueries {
         |SELECT source, m_occ, n_exact, n_est,
         |  CAST(abs(CAST(floor(n_est) AS BIGINT) - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
         |FROM j ORDER BY source""".stripMargin,
+
+    "t30_hll_cardinality" ->
+      """WITH toks AS (SELECT source, w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> CAST(ascii(w[CAST(i AS INT)]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1),
+        | regs AS (SELECT source, h % 256 AS j,
+        |     max(CASE WHEN (h // 256) = 0 THEN 23
+        |       ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END) AS mj
+        |   FROM toks GROUP BY source, j),
+        | agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+        |     sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(mj AS INT))) AS sum_hit
+        |   FROM regs GROUP BY source),
+        | est AS (SELECT source, CAST(256 - n_regs AS BIGINT) AS v_zero,
+        |     CAST('47072.71267120224' AS DOUBLE)
+        |       / (sum_hit + CAST(256 - n_regs AS DOUBLE)) AS raw_est
+        |   FROM agg),
+        | fin AS (SELECT source, v_zero, raw_est,
+        |     CASE WHEN raw_est <= 640.0 AND v_zero > 0
+        |       THEN round(256.0 * ln(CAST(256 AS DOUBLE) / v_zero), 4)
+        |       ELSE round(raw_est, 4) END AS est
+        |   FROM est),
+        | ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM
+        |   (SELECT DISTINCT source, w FROM toks) GROUP BY source)
+        |SELECT f.source, e.n_exact, f.v_zero,
+        |  round(f.raw_est, 4) AS raw_est, f.est,
+        |  CAST(abs(CAST(floor(f.est) AS BIGINT) - e.n_exact) * 10000 // e.n_exact AS BIGINT) AS err_bp
+        |FROM fin f JOIN ex e USING (source)
+        |ORDER BY source""".stripMargin,
 
     "t26_quality_cutoff" ->
       """WITH r AS (SELECT source, n_chars,

@@ -196,4 +196,18 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"t21 prefix sum not partitioned:\n$plan")
   }
+
+  test("j10 bloom prune filters the probe map-side before the only (broadcast) join") {
+    val df = SparkEntry.queries("j10_bloom_prune")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the bitset test is a scalar filter over a literal array — if the
+    // bloom check ever became a join against a words table, the probe
+    // side would shuffle and the prune would be pointless at scale
+    assert(plan.contains("element_at"), s"bloom bit test not inlined as a filter:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"j10 shuffles or nested-loops a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"survivor join not broadcast:\n$plan")
+  }
 }
