@@ -103,6 +103,28 @@ object EventStream {
       .drop("dedup_key")
   }
 
+  /** Streaming count-min sketch — the stream twin of the batch
+    * `t28_heavy_hitters` sketch: the unbounded token stream folds into
+    * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row
+    * probes), so the state store holds at most 4096 rows no matter how
+    * long the stream runs — the property that makes frequency tracking
+    * viable on an infinite ingest feed where per-token counting state
+    * would grow with the vocabulary. Pure streaming aggregation (no
+    * custom state), so map-side partial combining applies per
+    * micro-batch and the sketch-merge is the aggregate's own merge:
+    * count-min cells are additive, which is WHY the stream and batch
+    * sketches are equal cell-for-cell, not just approximately. */
+  def sketchTokens(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val polyU = udf((w: String) => graft.functions.Hashing.rollingHash8(w)._1)
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .withColumn("poly", polyU(col("w")))
+      .select(col("poly"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("cell", expr("(poly * (2 * r + 3) + r) % 1000000007 % 1024"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming 3σ anomaly gate — the stream twin of the batch
     * `e11_anomaly` query: per-type moments (n, Σ, Σ²) come from a
     * STATIC reference frame (yesterday's corpus — recomputing a

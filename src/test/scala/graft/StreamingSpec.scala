@@ -255,4 +255,31 @@ class StreamingSpec extends AnyFunSuite {
         s"stream admissions $admitted must equal the batch twin $expected")
     } finally q.stop()
   }
+
+  test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq("the quick brown fox jumps over the lazy dog",
+      "the cat sat on the mat", "a b c a b a")
+    val batch2 = Seq("the dog barks at the quick fox",
+      "x y z x y x w w w w", "lone")
+    val input = MemoryStream[String]
+    val q = EventStream.sketchTokens(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("cm_sketch")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // second micro-batch must MERGE into the cells
+      q.processAllAvailable()
+      val streamed = spark.table("cm_sketch")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = EventStream.sketchTokens(
+        (batch1 ++ batch2).toDF("text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "stream sketch must equal the batch sketch cell-for-cell (cells are additive)")
+      // the scale contract: state is the cell space, not the vocabulary
+      assert(streamed.size <= 4096, "sketch state exceeded the fixed cell space")
+    } finally q.stop()
+  }
 }
