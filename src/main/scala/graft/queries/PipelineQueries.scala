@@ -638,6 +638,45 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- T31: fixed-bin histogram quantiles — the sketch complement
+    // of t9's exact quantiles, fourth leg of the fixed-state family:
+    // document lengths fold into ≤4096 width-16 bins per source (map-
+    // side combining; exact quantiles shuffle and sort every row), the
+    // cumulative walk runs over the ≤4096-row histogram, and each
+    // quantile reports its bin's upper edge against the exact rank-k
+    // value, error in basis points. Rank thresholds are ceil(q·n) in
+    // pure integer arithmetic ((n·p + 99) div 100), so the whole gate
+    // is integer-exact — no doubles anywhere. ----
+    "t31_histogram_quantiles" -> ((s, dir) => {
+      val w = 16
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("v"), col("doc_id"))
+      val cum = docs
+        .withColumn("bin", least(expr(s"v div $w"), lit(4095L)))
+        .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum("c").over(Window.partitionBy("source").orderBy("bin")))
+      val th = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(s.createDataFrame(
+          Seq(Tuple1(50), Tuple1(90), Tuple1(99))).toDF("p")))
+        .withColumn("k", expr("(n * p + 99) div 100"))
+      val est = th.join(cum, Seq("source"))
+        .filter(col("cum") >= col("k"))
+        .groupBy("source", "p", "n").agg(min("bin").as("bin"))
+        .withColumn("est_hi", (col("bin") + 1) * w - 1)
+      val exact = th.join(
+          docs.withColumn("r", row_number().over(
+            Window.partitionBy("source").orderBy("v", "doc_id"))),
+          Seq("source"))
+        .filter(col("r") === col("k"))
+        .select(col("source"), col("p"), col("v").as("exact_v"))
+      est.join(exact, Seq("source", "p"))
+        .select(col("source"), col("p"), col("n"), col("exact_v"),
+          col("est_hi"),
+          expr("CAST(abs(est_hi - exact_v) * 10000 div exact_v AS BIGINT)").as("err_bp"))
+        .orderBy("source", "p")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -844,6 +883,31 @@ object PipelineQueries {
         |  CAST(abs(CAST(floor(f.est) AS BIGINT) - e.n_exact) * 10000 // e.n_exact AS BIGINT) AS err_bp
         |FROM fin f JOIN ex e USING (source)
         |ORDER BY source""".stripMargin,
+
+    "t31_histogram_quantiles" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id
+        |    FROM documents),
+        | cum AS (SELECT source, bin, c,
+        |     sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum
+        |   FROM (SELECT source, LEAST(v // 16, 4095) AS bin,
+        |       CAST(count(*) AS BIGINT) AS c
+        |     FROM d GROUP BY 1, 2)),
+        | th AS (SELECT source, n, p, (n * p + 99) // 100 AS k
+        |   FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |     (VALUES (50), (90), (99)) AS q(p)),
+        | est AS (SELECT t.source, t.p, t.n, min(c.bin) AS bin
+        |   FROM th t JOIN cum c ON c.source = t.source AND c.cum >= t.k
+        |   GROUP BY 1, 2, 3),
+        | ranked AS (SELECT source, v,
+        |     row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r
+        |   FROM d),
+        | ex AS (SELECT t.source, t.p, rk.v AS exact_v
+        |   FROM th t JOIN ranked rk ON rk.source = t.source AND rk.r = t.k)
+        |SELECT e.source, e.p, e.n, x.exact_v,
+        |  (e.bin + 1) * 16 - 1 AS est_hi,
+        |  CAST(abs((e.bin + 1) * 16 - 1 - x.exact_v) * 10000 // x.exact_v AS BIGINT) AS err_bp
+        |FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
+        |ORDER BY e.source, e.p""".stripMargin,
 
     "t26_quality_cutoff" ->
       """WITH r AS (SELECT source, n_chars,
