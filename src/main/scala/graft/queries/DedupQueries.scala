@@ -782,6 +782,50 @@ object DedupQueries {
         .filter(col("cosine") >= 0.45)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1", "id2")
+    }),
+
+    // ---- D22: triangle counting over the verified near-dup graph —
+    // the structural audit of a dedup edge set: a clean pairwise-dup
+    // cluster is a near-clique (high closure), while a low-closure hub
+    // is the classic signature of a too-permissive similarity join
+    // (one template document matching everything). Degree-ORIENTED
+    // wedge generation is the at-scale shape: each edge points from
+    // its lower-(degree, id) endpoint, so wedge fan-out is bounded by
+    // out-degree ≤ √(2m) per vertex REGARDLESS of how skewed the raw
+    // degree distribution is (the hub's million edges become a million
+    // wedges at its neighbors, not 10¹² at the hub), and the closing
+    // probe is a plain equi-join against the canonical edge list. Each
+    // triangle is found exactly once (at its minimum-(degree, id)
+    // apex); per-vertex counts come from exploding the three corners.
+    // Edges are the memoized d2 LSH frame — no new scan. ----
+    "d22_triangles" -> ((s, dir) => {
+      val edges = d2EdgesFor(s, dir).select(col("doc1"), col("doc2")) // doc1 < doc2
+      val deg = edges.select(col("doc1").as("v"))
+        .union(edges.select(col("doc2").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+      val oriented = edges
+        .join(deg.select(col("v").as("doc1"), col("deg").as("deg1")), Seq("doc1"))
+        .join(deg.select(col("v").as("doc2"), col("deg").as("deg2")), Seq("doc2"))
+        .select(when(col("deg1") < col("deg2") ||
+            (col("deg1") === col("deg2") && col("doc1") < col("doc2")),
+            struct(col("doc1").as("src"), col("doc2").as("dst")))
+          .otherwise(struct(col("doc2").as("src"), col("doc1").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // dst pairs of a shared src, ordered by id — {v, w} appears once
+      val wedges = oriented.as("a").join(oriented.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("vv"), col("b.dst").as("ww"))
+      val tri = wedges.join(edges,
+        col("vv") === col("doc1") && col("ww") === col("doc2"))
+      val perVertex = tri
+        .select(explode(array(col("u"), col("vv"), col("ww"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).cast("long").as("n_tri"))
+      deg.join(perVertex, Seq("v"), "left")
+        .select(col("v").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("closure_bp", when(col("deg") > 1,
+          expr("n_tri * 20000 div (deg * (deg - 1))")).otherwise(lit(0L)))
+        .orderBy("doc_id")
     })
   )
 
@@ -932,6 +976,38 @@ object DedupQueries {
     // level). The size band is lossless for t=0.8, so the oracle stays
     // exact while skipping most of the quadratic pair space.
     "d2_minhash_lsh" -> d2ExhaustiveSql,
+
+    // Triangles enumerated u < v < w directly over the exhaustive
+    // exact-Jaccard edge set — orientation-free, so it cross-checks the
+    // Spark side's degree-oriented wedge construction, not just its
+    // arithmetic.
+    "d22_triangles" ->
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2
+         |   FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+         |    AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz),
+         | pairs AS (SELECT doc1, doc2 FROM cand
+         |   WHERE len(list_intersect(sh1, sh2)) * 1.0 /
+         |     (sz1 + sz2 - len(list_intersect(sh1, sh2))) >= 0.8),
+         | tri AS (SELECT e1.doc1 AS u, e1.doc2 AS v, e2.doc2 AS w
+         |   FROM pairs e1 JOIN pairs e2 ON e2.doc1 = e1.doc2
+         |   JOIN pairs e3 ON e3.doc1 = e1.doc1 AND e3.doc2 = e2.doc2),
+         | verts AS (SELECT doc1 AS v FROM pairs
+         |   UNION ALL SELECT doc2 FROM pairs),
+         | deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+         |   FROM verts GROUP BY 1),
+         | tv AS (SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+         |   UNION ALL SELECT w FROM tri),
+         | tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+         |   FROM tv GROUP BY 1)
+         |SELECT d.v AS doc_id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg > 1 THEN
+         |    COALESCE(tc.n_tri, 0) * 20000 // (d.deg * (d.deg - 1))
+         |  ELSE 0 END AS closure_bp
+         |FROM deg d LEFT JOIN tc ON tc.v = d.v ORDER BY doc_id""".stripMargin,
 
     // Connected components as a recursive CTE: reach(node, lab)
     // enumerates every label reachable from each node over the SAME

@@ -677,6 +677,75 @@ object PipelineQueries {
         .orderBy("source", "p")
     }),
 
+    // ---- T32: windowed PMI co-occurrence — the corpus-statistics pass
+    // behind embedding pretraining and collocation mining: count
+    // unordered word pairs within a ±2 skip-gram window, then score
+    // each against independence. Pair generation is MAP-SIDE ONLY
+    // (zip_with over offset slices, t14's trick at both offsets) — no
+    // positional self-join — so the only shuffles are vocabulary-keyed
+    // groupBys that partial-aggregate first; the unigram table joins
+    // back broadcast-sized. Exactness: numerator and denominator are
+    // each one exact BIGINT product, so the single double division is
+    // correctly rounded and ln(·) rounds at 4 decimals, far above
+    // last-ulp divergence (the t29 contract). ----
+    "t32_pmi_cooccur" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "concat(" +
+            "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+            " slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> struct(a AS x, b AS y)), " +
+            "zip_with(slice(w, 1, greatest(size(w) - 2, 0)), " +
+            " slice(w, 3, greatest(size(w) - 2, 0)), (a, b) -> struct(a AS x, b AS y)))")).as("p"))
+        .filter(col("p.x") =!= "" && col("p.y") =!= "")
+        .select(least(col("p.x"), col("p.y")).as("w1"),
+          greatest(col("p.x"), col("p.y")).as("w2"))
+      val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n_pair"))
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val cw = tok.groupBy("word").agg(count(lit(1)).cast("long").as("c"))
+      val tots = tok.agg(count(lit(1)).cast("long").as("ntok"))
+        .crossJoin(cp.agg(sum(col("n_pair")).as("np")))
+      cp.join(cw.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(cw.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tots))
+        .filter(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"), col("n_pair"), col("c1"), col("c2"),
+          round(log(
+            (col("n_pair") * col("ntok") * col("ntok")).cast("double") /
+              (col("np") * col("c1") * col("c2")).cast("double")), 4).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
+    // ---- T33: temperature-weighted mixture allocation — the
+    // multilingual/multi-source sampling-rate computation (p_i ∝ n_i^α,
+    // α = 0.5): how many of a 100k-sample budget each source gets so
+    // small sources are up-weighted without letting any source dominate.
+    // Seats are apportioned by largest remainder (Hamilton) entirely in
+    // BIGINT arithmetic: weights are floor(√n·10⁶) micro-units (sqrt is
+    // IEEE-correctly-rounded on both engines, so the floor is
+    // bit-identical), quotas are integer div/mod against the exact
+    // integer weight total, and the ≤ sources−1 leftover seats go to
+    // the largest integer remainders (ties to source name). Invariant:
+    // Σalloc = 100000 exactly. The ranking window runs over the
+    // per-source aggregate (≤ |sources| rows), never the corpus. ----
+    "t33_temperature_mix" -> ((s, dir) => {
+      val budget = 100000L
+      val src = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("wm", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val q = src.crossJoin(broadcast(src.agg(sum(col("wm")).as("w_tot"))))
+        .withColumn("base", expr(s"($budget * wm) div w_tot"))
+        .withColumn("rem", expr(s"($budget * wm) % w_tot"))
+      q.crossJoin(broadcast(q.agg((lit(budget) - sum(col("base"))).as("leftover"))))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .select(col("source"), col("n"), col("wm"), col("base"), col("rem"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+        .orderBy("source")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -908,6 +977,45 @@ object PipelineQueries {
         |  CAST(abs((e.bin + 1) * 16 - 1 - x.exact_v) * 10000 // x.exact_v AS BIGINT) AS err_bp
         |FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
         |ORDER BY e.source, e.p""".stripMargin,
+
+    "t32_pmi_cooccur" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        | pr AS (
+        |   SELECT unnest(list_transform(range(1, len(w)),
+        |     i -> [w[i], w[i + 1]])) AS p FROM w
+        |   UNION ALL
+        |   SELECT unnest(list_transform(range(1, len(w) - 1),
+        |     i -> [w[i], w[i + 2]])) AS p FROM w),
+        | cp AS (SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2,
+        |     CAST(count(*) AS BIGINT) AS n_pair
+        |   FROM pr WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+        | tok AS (SELECT unnest(w) AS word FROM w),
+        | cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok
+        |   WHERE word <> '' GROUP BY 1),
+        | tots AS (SELECT
+        |   CAST((SELECT count(*) FROM tok WHERE word <> '') AS BIGINT) AS ntok,
+        |   CAST((SELECT sum(n_pair) FROM cp) AS BIGINT) AS np)
+        |SELECT w1, w2, n_pair, a.c AS c1, b.c AS c2,
+        |  round(ln(CAST(n_pair * ntok * ntok AS DOUBLE) /
+        |    CAST(np * a.c * b.c AS DOUBLE)), 4) AS pmi
+        |FROM cp JOIN cw a ON a.word = w1 JOIN cw b ON b.word = w2, tots
+        |WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin,
+
+    "t33_temperature_mix" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |   FROM documents GROUP BY 1),
+        | w AS (SELECT source, n,
+        |     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wm FROM s),
+        | t AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot FROM w),
+        | q AS (SELECT source, n, wm,
+        |     (100000 * wm) // w_tot AS base, (100000 * wm) % w_tot AS rem
+        |   FROM w, t),
+        | l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM q),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |   FROM q)
+        |SELECT source, n, wm, base, rem,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r, l ORDER BY source""".stripMargin,
 
     "t26_quality_cutoff" ->
       """WITH r AS (SELECT source, n_chars,

@@ -125,6 +125,29 @@ object EventStream {
       .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming HyperLogLog registers — the stream twin of the batch
+    * `t30_hll_cardinality` sketch: the unbounded token stream folds
+    * into the SAME 256-register table (same polynomial hash, same
+    * trailing-zero rank), with max() as the aggregate. Register max is
+    * idempotent and commutative, so the micro-batch merge is again the
+    * aggregate's own merge — stream registers equal the batch
+    * registers EXACTLY, and the state store never exceeds 256 rows on
+    * an infinite stream (distinct-counting state that would otherwise
+    * grow with the vocabulary). The harmonic-mean inversion stays a
+    * downstream reader's one-row fold over the emitted register table,
+    * exactly as t30 computes it. */
+  def sketchRegisters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val polyU = udf((w: String) => graft.functions.Hashing.rollingHash8(w)._1)
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .withColumn("h", polyU(col("w")))
+      .select((col("h") % 256).as("j"), expr("h div 256").as("wv"))
+      .withColumn("rho",
+        expr("CASE WHEN wv = 0 THEN 23 ELSE bit_count((wv & -wv) - 1) + 1 END"))
+      .groupBy("j").agg(max("rho").as("mj"))
+  }
+
   /** Streaming 3σ anomaly gate — the stream twin of the batch
     * `e11_anomaly` query: per-type moments (n, Σ, Σ²) come from a
     * STATIC reference frame (yesterday's corpus — recomputing a

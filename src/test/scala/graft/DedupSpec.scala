@@ -211,7 +211,10 @@ class DedupSpec extends AnyFunSuite {
     // exact baselines; every SERVING path must be join-shape clean.
     for (q <- Seq("d14_semantic_edges_ivf", "d13_semantic_clusters",
         "x3_ann_ivf", "x9_ivf_pq", "x11_ivf_pq_rerank", "x12_ann_filtered",
-        "x13_knn_graph", "d18_incremental_dedup", "x16_trained_ivf")) {
+        "x13_knn_graph", "d18_incremental_dedup", "x16_trained_ivf",
+        // d22's wedge join and closing probe must both be equi-joins —
+        // a cartesian here would be quadratic in the dup graph's edges
+        "d22_triangles")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")

@@ -282,4 +282,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size <= 4096, "sketch state exceeded the fixed cell space")
     } finally q.stop()
   }
+
+  test("streaming HLL registers across micro-batches ≡ the batch registers") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq("the quick brown fox jumps over the lazy dog",
+      "the cat sat on the mat", "alpha beta gamma delta")
+    val batch2 = Seq("the dog barks at the quick fox",
+      "epsilon zeta eta theta iota kappa", "alpha beta")
+    val input = MemoryStream[String]
+    val q = EventStream.sketchRegisters(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // register MAX must merge, not re-add
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = EventStream.sketchRegisters((batch1 ++ batch2).toDF("text"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed === batch,
+        "stream registers must equal the batch registers exactly (max is the merge)")
+      assert(streamed.size <= 256, "register state exceeded the fixed register space")
+    } finally q.stop()
+  }
 }
