@@ -656,6 +656,50 @@ object AnnQueries {
         .filter(col("qid") =!= col("nid")), 5)
     }),
 
+    // ---- X17: hybrid retrieval — sparse proposes, dense re-scores,
+    // reciprocal-rank fusion combines. The production search-stack
+    // shape (BM25 retrieve → embedding rerank → RRF): candidates come
+    // from an INVERTED-INDEX equi-join on word-3-gram shingles (linear
+    // in postings — pairs with zero lexical overlap are never
+    // materialized, which is what makes hybrid search tractable where
+    // all-pairs dense scoring is not; at 100 TB the postings join adds
+    // a df-cap on stop-shingles, the standard BM25 pruning), cosine is
+    // computed only for those candidates via id equi-joins, and the
+    // two ranks fuse as Σ 1/(60+r) — k=60, the canonical RRF constant.
+    // Exactness: the RRF score is ONE addition of two correctly-
+    // rounded doubles, and both rank orders break ties on candidate
+    // id, so the whole fusion is hash-gated. The universe is the
+    // indexed subset (docs carrying an embedding — at sf0.1 only ids
+    // < 2000 do, exactly the items a serving index would hold). ----
+    "x17_hybrid_rrf" -> ((s, dir) => {
+      val sh = DedupQueries.docShinglesOf(Tables.documents(s, dir))
+        .join(vecs(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      val qpost = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), explode(col("sh")).as("t"))
+      val cpost = sh.select(col("doc_id").as("cid"), explode(col("sh")).as("t"))
+      val overlap = qpost.join(cpost, Seq("t"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid").agg(count(lit(1)).cast("long").as("overlap"))
+      val e = vecs(s, dir)
+      val scored = overlap
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2")), Seq("cid"))
+        .withColumn("cosine", dotExpr(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
+      scored
+        .withColumn("r_lex", row_number().over(
+          Window.partitionBy("qid").orderBy(col("overlap").desc, col("cid").asc)).cast("long"))
+        .withColumn("r_vec", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)).cast("long"))
+        .withColumn("rrf", round(
+          lit(1.0) / (lit(60.0) + col("r_lex")) + lit(1.0) / (lit(60.0) + col("r_vec")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("cid"), col("overlap"),
+          round(col("cosine"), 4).as("cosine"), col("r_lex"), col("r_vec"), col("rrf"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- X14: distributed Lloyd k-means training — the full-corpus
     // counterpart of the PQ codebook's bounded-sample training, i.e.
     // how the IVF coarse quantizer is actually trained at 100 TB:
@@ -795,6 +839,45 @@ object AnnQueries {
        |     FROM ${cbNext}_m GROUP BY code) m USING (code))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // x17's twin recomputes lexical overlap exhaustively via
+    // list_intersect (the oracle may be quadratic; the engine's
+    // postings join must produce the identical non-zero pair set) and
+    // replays both rankings and the fusion.
+    "x17_hybrid_rrf" ->
+      s"""WITH docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh
+         |              FROM documents),
+         | idx AS (SELECT d.doc_id, d.sh FROM docs d
+         |   JOIN embeddings e ON e.vec_id = d.doc_id),
+         | q AS (SELECT doc_id AS qid, sh FROM idx WHERE doc_id % 50 = 0),
+         | ov AS (SELECT q.qid, c.doc_id AS cid,
+         |     CAST(len(list_intersect(q.sh, c.sh)) AS BIGINT) AS overlap
+         |   FROM q JOIN idx c ON c.doc_id <> q.qid
+         |   WHERE len(list_intersect(q.sh, c.sh)) >= 1),
+         | ev AS (SELECT vec_id,
+         |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |   FROM embeddings),
+         | en AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+         |   FROM ev),
+         | sc AS (SELECT o.qid, o.cid, o.overlap,
+         |     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+         |       (x, y) -> x + y) / sqrt(a.n2 * b.n2) AS cosine
+         |   FROM ov o JOIN en a ON a.vec_id = o.qid
+         |   JOIN en b ON b.vec_id = o.cid),
+         | rk AS (SELECT *,
+         |     row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS r_lex,
+         |     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r_vec
+         |   FROM sc),
+         | rr AS (SELECT qid, cid, overlap, cosine, r_lex, r_vec,
+         |     round(1.0 / (60.0 + r_lex) + 1.0 / (60.0 + r_vec), 6) AS rrf
+         |   FROM rk),
+         | top AS (SELECT *, row_number() OVER
+         |     (PARTITION BY qid ORDER BY rrf DESC, cid) AS "rank" FROM rr)
+         |SELECT qid, CAST("rank" AS BIGINT) AS "rank", cid, overlap,
+         |  round(cosine, 4) AS cosine, CAST(r_lex AS BIGINT) AS r_lex,
+         |  CAST(r_vec AS BIGINT) AS r_vec, rrf
+         |FROM top WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin,
+
     // x15's twin replays the x3/x4 argmax cell assignment and the
     // integer share arithmetic.
     "x15_ivf_balance" ->

@@ -72,6 +72,85 @@ object PipelineQueries {
       Seq(s"$base/v1", s"$base/v2")
     })
 
+  /** t27's learned BPE state — (final vocab frame, merge list) after
+    * three learn-merge rounds — memoized per (JVM, dir) with the d14/d2
+    * edge-memo discipline: it is a TRAINED-MODEL artifact consumed by
+    * two queries (t27 reports the training trace, t34 encodes the
+    * corpus with it), and the loop collects one argmax row per round,
+    * so a second consumer re-running it would pay three driver actions
+    * even with all inputs cached. Both the initial word table and the
+    * final encoded vocab are cached (the final is scanned by t27's two
+    * stats aggregates and t34's encode join). */
+  private val bpeState = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)])]()
+
+  private def bpeFor(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) =
+    bpeState.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { bpeState.remove(d); () })
+      // greedy left-to-right token merge — identical semantics to the
+      // oracle's encoded list_reduce ("a a a" + (a,a) → ["aa","a"])
+      val mergeU = udf((sym: Seq[String], a: String, b: String) => {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (x <- sym) {
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toSeq
+      })
+      var vocab = Caches.trackCached(d, Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to 3) {
+        val top = vocab
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
+              " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()(0)
+        merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
+        vocab = vocab.select(col("w"), col("freq"),
+          mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
+      }
+      (Caches.trackCached(d, vocab), merges.toSeq)
+    })
+
+  /** One DuckDB learn-merge round (t27/t34's shared twin): pair counts
+    * over the vocab, top-1 by (count DESC, lhs, rhs), then the greedy
+    * token merge as a fold over a chr(31)-encoded accumulator (symbols
+    * never contain the unit separator). */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s""" p$r AS (SELECT sym[CAST(i AS INT)] AS lhs, sym[CAST(i AS INT) + 1] AS rhs,
+       |     CAST(sum(freq) AS BIGINT) AS c
+       |   FROM $prev, unnest(range(1, len(sym))) AS t(i) GROUP BY 1, 2),
+       | b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+       | s$r AS (SELECT w, freq,
+       |    string_split(list_reduce(sym, (acc, x) -> CASE
+       |      WHEN (acc = lhs OR ends_with(acc, chr(31) || lhs)) AND x = rhs
+       |      THEN acc[1:len(acc) - len(lhs)] || lhs || rhs
+       |      ELSE acc || chr(31) || x END), chr(31)) AS sym
+       |   FROM $prev, b$r)""".stripMargin
+  }
+
+  /** The full three-round training chain, word table → s3 final vocab —
+    * the common prefix of t27's and t34's oracle twins. */
+  private lazy val bpeChainSql: String =
+    s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       | s0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS sym
+       |   FROM words),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}""".stripMargin
+
   val queries: Map[String, QueryFn] = queriesExtra ++ Map(
     // ---- S14: CDC merge (Delta-style MERGE INTO re-expressed as a
     // declarative plan): a change feed with upsert/delete ops and a
@@ -482,47 +561,42 @@ object PipelineQueries {
     // one hash gate. ----
     "t27_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      // greedy left-to-right token merge — identical semantics to the
-      // oracle's encoded list_reduce ("a a a" + (a,a) → ["aa","a"])
-      val mergeU = udf((sym: Seq[String], a: String, b: String) => {
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        for (x <- sym) {
-          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
-          else out += x
-        }
-        out.toSeq
-      })
-      // cached: every round's top-1 action and the final stats replay
-      // the whole chain — uncached, the corpus parse + word groupBy
-      // runs five times (d10's idiom; released through Caches)
-      var vocab = Caches.trackCached(dir, Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (r <- 1 to 3) {
-        val top = vocab
-          .select(col("freq"), explode(expr(
-            "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
-              " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()(0)
-        merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
-        vocab = vocab.select(col("w"), col("freq"),
-          mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
-      }
+      val (vocab, merges) = bpeFor(s, dir)
       val corpus = vocab
         .agg((sum(col("freq") * size(col("sym")))).cast("long").as("corpus_symbols"))
       val vs = vocab.select(explode(col("sym")).as("sy"))
         .agg(countDistinct("sy").cast("long").as("vocab_symbols"))
-      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
         .crossJoin(broadcast(vs)).crossJoin(broadcast(corpus))
         .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"),
           col("vocab_symbols"), col("corpus_symbols"))
         .orderBy("merge_rank")
+    }),
+
+    // ---- T34: BPE corpus encoding — the APPLY half of t27's training
+    // loop, closing the tokenizer story: every document is encoded
+    // with the learned merges and the per-source token economics
+    // reported (the number a data buyer actually asks for: tokens per
+    // word after merging, in basis points). The at-scale shape is the
+    // important part: encoding never re-runs the merge loop per
+    // document — the trained state IS a (word → symbol count) table
+    // distributed over the VOCABULARY (t23/t27's trick), so the
+    // corpus pass is one broadcast join of the token stream against
+    // the vocab and a per-source aggregate. All counts BIGINT. ----
+    "t34_bpe_encode" -> ((s, dir) => {
+      val wl = bpeFor(s, dir)._1
+        .select(col("w"), size(col("sym")).cast("long").as("n_tok"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .join(broadcast(wl), Seq("w"))
+        .groupBy("source").agg(
+          countDistinct("doc_id").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_words"),
+          sum("n_tok").cast("long").as("n_tokens"))
+        .withColumn("tok_per_word_bp", expr("n_tokens * 10000 div n_words"))
+        .orderBy("source")
     }),
 
     // ---- T28: count-min heavy hitters — frequency estimation from
@@ -838,33 +912,8 @@ object PipelineQueries {
         |FROM c, unnest(range(0, n_chunks)) AS ch(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "t27_bpe_merges" -> {
-      // one learn-merge round: pair counts over the vocab, top-1 by
-      // (count DESC, lhs, rhs), then the greedy token merge as a fold
-      // over a chr(31)-encoded accumulator (symbols never contain the
-      // unit separator)
-      def round(r: Int) = {
-        val prev = s"s${r - 1}"
-        s""" p$r AS (SELECT sym[CAST(i AS INT)] AS lhs, sym[CAST(i AS INT) + 1] AS rhs,
-           |     CAST(sum(freq) AS BIGINT) AS c
-           |   FROM $prev, unnest(range(1, len(sym))) AS t(i) GROUP BY 1, 2),
-           | b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
-           | s$r AS (SELECT w, freq,
-           |    string_split(list_reduce(sym, (acc, x) -> CASE
-           |      WHEN (acc = lhs OR ends_with(acc, chr(31) || lhs)) AND x = rhs
-           |      THEN acc[1:len(acc) - len(lhs)] || lhs || rhs
-           |      ELSE acc || chr(31) || x END), chr(31)) AS sym
-           |   FROM $prev, b$r)""".stripMargin
-      }
-      s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) >= 1 GROUP BY w),
-         | s0 AS (SELECT w, freq,
-         |    list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS sym
-         |   FROM words),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
+    "t27_bpe_merges" ->
+      s"""WITH $bpeChainSql,
          | st AS (SELECT
          |    (SELECT CAST(count(DISTINCT sy) AS BIGINT)
          |     FROM s3, unnest(sym) AS u(sy)) AS vocab_symbols,
@@ -874,8 +923,24 @@ object PipelineQueries {
          |FROM (SELECT CAST(1 AS BIGINT) AS mr, * FROM b1
          |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
          |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
-         |ORDER BY merge_rank""".stripMargin
-    },
+         |ORDER BY merge_rank""".stripMargin,
+
+    // t34's twin replays the same three training rounds, then encodes
+    // by joining the token stream against the final vocab's symbol
+    // counts — exactly the engine's broadcast-join shape.
+    "t34_bpe_encode" ->
+      s"""WITH $bpeChainSql,
+         | enc AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_tok FROM s3),
+         | docw AS (SELECT source, doc_id, w FROM (SELECT source, doc_id,
+         |     unnest(string_split(text, ' ')) AS w FROM documents)
+         |   WHERE len(w) >= 1)
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_tok) AS BIGINT) * 10000 //
+         |    CAST(count(*) AS BIGINT) AS tok_per_word_bp
+         |FROM docw d JOIN enc e USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "t28_heavy_hitters" ->
       """WITH toks AS (SELECT w,
