@@ -45,6 +45,31 @@ object PipelineQueries {
       out
     })
 
+  /** S17's ORC landing, written ONCE per (JVM, source dir) — same
+    * contract as [[landingFor]]. ORC is the one columnar format in
+    * Spark's builtin source matrix the suite didn't yet exercise; the
+    * gated query reads the ORC copy back and aggregates, with the
+    * oracle running the identical aggregate on the PARQUET original —
+    * so the hash gate proves write→read value fidelity across the
+    * format boundary (decimal-exact cents, no float round-trip). */
+  private val s17Orc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcLandingFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    s17Orc.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s17_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { s17Orc.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").orc(out)
+      out
+    })
+
   /** S16's two-schema-version landing files, written ONCE per
     * (JVM, source dir) — same contract as [[landingFor]]: the gated
     * query body is only the mergeSchema read. v1 files carry
@@ -282,6 +307,20 @@ object PipelineQueries {
     // prunes at FILE LISTING time (PlanSpec asserts PartitionFilters
     // reaches the scan). At 100 TB this is the difference between
     // scanning 7 days and scanning 3 years. ----
+    // ---- S17: ORC round-trip — the remaining builtin columnar format
+    // in the source matrix (parquet, csv, jsonl, xlsx, xls are all
+    // exercised elsewhere): lineitem lands as ORC once per dir, the
+    // query reads it back and aggregates, and the oracle aggregates
+    // the PARQUET original — value fidelity across the format boundary
+    // is the gate. Integer domain throughout (rounded qty, cents). ----
+    "s17_orc_roundtrip" -> ((s, dir) => {
+      s.read.orc(orcLandingFor(s, dir))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum("qty").as("sum_qty"), sum("cents").as("sum_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "s15_partition_prune" -> ((s, dir) => {
       s.read.parquet(landingFor(s, dir))
         .filter(col("day").between(19730, 19736))
@@ -820,6 +859,41 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- T35: Zipf rank-frequency slope — the corpus-health
+    // diagnostic behind "does this source look like natural language":
+    // OLS fit of ln(freq) against ln(rank) over each source's top-100
+    // words (natural text sits near slope −1; a templated or
+    // synthetic source flattens). The top-100 table is vocabulary-
+    // sized; the ONLY corpus-scale work is the token count. The OLS
+    // moments fold SEQUENTIALLY over the rank-sorted point list
+    // (Spark `aggregate` ≡ DuckDB list_reduce element-for-element, the
+    // t27 discipline), so the double accumulation order is pinned on
+    // both engines and the 4-decimal rounding sits far above ln()'s
+    // last-ulp wiggle (the t29 contract). ----
+    "t35_zipf_slope" -> ((s, dir) => {
+      val top = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("source", "w").agg(count(lit(1)).cast("long").as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("freq").desc, col("w").asc)).cast("long"))
+        .filter(col("rank") <= 100)
+      val slopeExpr = "(n * acc[2] - acc[0] * acc[1]) / (n * acc[3] - acc[0] * acc[0])"
+      top.groupBy("source")
+        .agg(sort_array(collect_list(struct(col("rank"), col("freq")))).as("pts"))
+        .withColumn("acc", expr(
+          "aggregate(pts, array(0D, 0D, 0D, 0D), (a, p) -> array(" +
+            "a[0] + ln(CAST(p.rank AS DOUBLE)), " +
+            "a[1] + ln(CAST(p.freq AS DOUBLE)), " +
+            "a[2] + ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.freq AS DOUBLE)), " +
+            "a[3] + ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.rank AS DOUBLE))))"))
+        .withColumn("n", size(col("pts")).cast("long"))
+        .select(col("source"), col("n"),
+          round(expr(slopeExpr), 4).as("slope"),
+          round(expr(s"(acc[1] - ($slopeExpr) * acc[0]) / n"), 4).as("intercept"))
+        .orderBy("source")
+    }),
+
     // ---- T26: adaptive per-source quality cutoffs — "drop the worst
     // 10% of every source" where the threshold is LEARNED per stratum
     // (a fixed global cutoff over-prunes clean sources and under-
@@ -1066,6 +1140,28 @@ object PipelineQueries {
         |FROM cp JOIN cw a ON a.word = w1 JOIN cw b ON b.word = w2, tots
         |WHERE n_pair >= 5 ORDER BY w1, w2""".stripMargin,
 
+    "t35_zipf_slope" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+        |   FROM tok WHERE len(w) >= 1 GROUP BY 1, 2),
+        | r AS (SELECT source, w, freq, row_number() OVER
+        |     (PARTITION BY source ORDER BY freq DESC, w) AS rk FROM f),
+        | pts AS (SELECT source,
+        |     list([ln(CAST(rk AS DOUBLE)), ln(CAST(freq AS DOUBLE))]
+        |       ORDER BY rk) AS ps
+        |   FROM r WHERE rk <= 100 GROUP BY source),
+        | ac AS (SELECT source, CAST(len(ps) AS BIGINT) AS n,
+        |     list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0], ps),
+        |       (a, p) -> [a[1] + p[1], a[2] + p[2],
+        |         a[3] + p[1] * p[2], a[4] + p[1] * p[1]]) AS a
+        |   FROM pts)
+        |SELECT source, n,
+        |  round((n * a[3] - a[1] * a[2]) / (n * a[4] - a[1] * a[1]), 4) AS slope,
+        |  round((a[2] - ((n * a[3] - a[1] * a[2]) / (n * a[4] - a[1] * a[1])) * a[1]) / n,
+        |    4) AS intercept
+        |FROM ac ORDER BY source""".stripMargin,
+
     "t33_temperature_mix" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |   FROM documents GROUP BY 1),
@@ -1239,6 +1335,12 @@ object PipelineQueries {
         |SELECT doc_id, regexp_replace(raw, '[0-9]+', '<NUM>', 'g') AS masked,
         | CAST(len(regexp_extract_all(raw, '[0-9]+')) AS BIGINT) AS n_masked
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "s17_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s15_partition_prune" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -214,7 +214,11 @@ class DedupSpec extends AnyFunSuite {
         "x13_knn_graph", "d18_incremental_dedup", "x16_trained_ivf",
         // d22's wedge join and closing probe must both be equi-joins —
         // a cartesian here would be quadratic in the dup graph's edges
-        "d22_triangles")) {
+        "d22_triangles",
+        // x17's sparse-propose/dense-rescore stack must stay on the
+        // postings and id equi-joins — an all-pairs node here defeats
+        // the reason hybrid retrieval scales
+        "x17_hybrid_rrf")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
