@@ -798,36 +798,55 @@ object DedupQueries {
     // triangle is found exactly once (at its minimum-(degree, id)
     // apex); per-vertex counts come from exploding the three corners.
     // Edges are the memoized d2 LSH frame — no new scan. ----
-    "d22_triangles" -> ((s, dir) => {
-      val edges = d2EdgesFor(s, dir).select(col("doc1"), col("doc2")) // doc1 < doc2
-      val deg = edges.select(col("doc1").as("v"))
-        .union(edges.select(col("doc2").as("v")))
-        .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
-      val oriented = edges
-        .join(deg.select(col("v").as("doc1"), col("deg").as("deg1")), Seq("doc1"))
-        .join(deg.select(col("v").as("doc2"), col("deg").as("deg2")), Seq("doc2"))
-        .select(when(col("deg1") < col("deg2") ||
-            (col("deg1") === col("deg2") && col("doc1") < col("doc2")),
-            struct(col("doc1").as("src"), col("doc2").as("dst")))
-          .otherwise(struct(col("doc2").as("src"), col("doc1").as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // dst pairs of a shared src, ordered by id — {v, w} appears once
-      val wedges = oriented.as("a").join(oriented.as("b"),
-          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-        .select(col("a.src").as("u"), col("a.dst").as("vv"), col("b.dst").as("ww"))
-      val tri = wedges.join(edges,
-        col("vv") === col("doc1") && col("ww") === col("doc2"))
-      val perVertex = tri
-        .select(explode(array(col("u"), col("vv"), col("ww"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).cast("long").as("n_tri"))
-      deg.join(perVertex, Seq("v"), "left")
-        .select(col("v").as("doc_id"), col("deg"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-        .withColumn("closure_bp", when(col("deg") > 1,
-          expr("n_tri * 20000 div (deg * (deg - 1))")).otherwise(lit(0L)))
-        .orderBy("doc_id")
-    })
+    "d22_triangles" -> ((s, dir) =>
+      triangleCounts(d2EdgesFor(s, dir).select(col("doc1"), col("doc2"))))
   )
+
+  /** Undirected degree per endpoint of a canonical (doc1 < doc2) edge
+    * list. */
+  private def edgeDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("doc1").as("v"))
+      .union(edges.select(col("doc2").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+
+  /** d22's degree-oriented wedge stage, factored so DedupSpec can
+    * demonstrate the skew bound directly: each edge points from its
+    * lower-(degree, id) endpoint, so a degree-d hub CONTRIBUTES no
+    * wedges itself — its d edges become at most one out-edge per
+    * neighbor — where naive mid-vertex wedge generation would build
+    * C(d, 2) pairs at the hub. Output (u, vv, ww) with vv < ww. */
+  private[graft] def orientedWedges(edges: DataFrame): DataFrame = {
+    val deg = edgeDegrees(edges)
+    val oriented = edges
+      .join(deg.select(col("v").as("doc1"), col("deg").as("deg1")), Seq("doc1"))
+      .join(deg.select(col("v").as("doc2"), col("deg").as("deg2")), Seq("doc2"))
+      .select(when(col("deg1") < col("deg2") ||
+          (col("deg1") === col("deg2") && col("doc1") < col("doc2")),
+          struct(col("doc1").as("src"), col("doc2").as("dst")))
+        .otherwise(struct(col("doc2").as("src"), col("doc1").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // dst pairs of a shared src, ordered by id — {vv, ww} appears once
+    oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("u"), col("a.dst").as("vv"), col("b.dst").as("ww"))
+  }
+
+  /** Per-vertex triangle counts + closure over a canonical edge list
+    * (d22's full body; each triangle is found exactly once, at its
+    * minimum-(degree, id) apex). */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val tri = orientedWedges(edges).join(edges,
+      col("vv") === col("doc1") && col("ww") === col("doc2"))
+    val perVertex = tri
+      .select(explode(array(col("u"), col("vv"), col("ww"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("n_tri"))
+    edgeDegrees(edges).join(perVertex, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("closure_bp", when(col("deg") > 1,
+        expr("n_tri * 20000 div (deg * (deg - 1))")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     // Twin of the 5-round integer PageRank: one CTE pair per round,

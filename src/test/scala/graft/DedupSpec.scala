@@ -206,6 +206,28 @@ class DedupSpec extends AnyFunSuite {
     }, minSuccessful = 100)
   }
 
+  test("d22 orientation bounds wedge fan-out under hub skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1000-leaf star: every edge orients leaf→hub (degree 1 < 1000),
+    // so the wedge stage emits NOTHING where naive mid-vertex wedge
+    // generation would build C(1000,2) = 499,500 pairs at the hub —
+    // the bound that keeps d22 alive on a skewed million-edge graph.
+    val star = (1 to 1000).map(i => (0L, i.toLong)).toDF("doc1", "doc2")
+    assert(DedupQueries.orientedWedges(star).count() === 0L)
+    assert(DedupQueries.triangleCounts(star)
+      .filter(col("n_tri") =!= 0L).count() === 0L)
+    // 10-clique: every wedge closes — 120 wedges, 120 triangles, each
+    // vertex in C(9,2) = 36 with closure exactly 10000 bp.
+    val k10 = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (a.toLong, b.toLong)).toDF("doc1", "doc2")
+    assert(DedupQueries.orientedWedges(k10).count() === 120L)
+    val t = DedupQueries.triangleCounts(k10).collect()
+    assert(t.length === 10)
+    assert(t.forall(r => r.getAs[Long]("n_tri") === 36L &&
+      r.getAs[Long]("closure_bp") === 10000L))
+  }
+
   test("IVF-family plans carry no cartesian or nested-loop join") {
     // x1 (brute) and x2's oracle-parity formulations are the declared
     // exact baselines; every SERVING path must be join-shape clean.
