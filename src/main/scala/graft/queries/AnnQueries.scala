@@ -62,6 +62,54 @@ object AnnQueries {
     vecs(s, dir).withColumn("cells", probeU(col("v")))
   }
 
+  /** X17's indexed universe: one row per document that carries an
+    * embedding (the membership a serving index would hold), with its
+    * distinct word-3-gram shingle set. The embedding semi-join is an
+    * id equi-join — at scale a broadcast of the index manifest. */
+  private[graft] def x17Universe(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.docShinglesOf(Tables.documents(s, dir))
+      .join(vecs(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("sh"))
+
+  /** X17's sparse candidate proposal: distinct (qid, cid) pairs
+    * sharing at least one NON-STOP shingle. Document frequency is one
+    * map-side-combined aggregate over the postings; shingles with
+    * df > max(8, N div 64) are dropped BEFORE the postings self-join,
+    * which is what bounds every join bucket to the df cap and keeps
+    * candidate growth linear in the corpus (measured: ScalingX17,
+    * BASELINE.md). The cap is relative (N div 64) so the same query
+    * serves any corpus size; the floor of 8 keeps small fixtures from
+    * capping below honest rarity. */
+  /** X17's stop-shingle cap, max(8, N div 64). The corpus cardinality
+    * is index METADATA (a serving index knows its own size from the
+    * build manifest), so it is resolved once per (JVM, dir) and shipped
+    * as a plan literal — a scalar join here would either cross-join a
+    * 1-row frame (plans BroadcastNestedLoopJoin, which DedupSpec
+    * forbids on serving paths) or constant-fold back into one.
+    * Invalidation follows the [[Caches]] contract like
+    * [[DedupQueries.centsFor]]. */
+  private val x17Caps = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def x17CapFor(s: SparkSession, dir: String): Long =
+    x17Caps.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { x17Caps.remove(d); () })
+      math.max(8L, x17Universe(s, d).count() / 64L)
+    })
+
+  private[graft] def x17Candidates(s: SparkSession, dir: String): DataFrame = {
+    val post = x17Universe(s, dir).select(col("doc_id"), explode(col("sh")).as("t"))
+    val rare = post.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") <= lit(x17CapFor(s, dir)))
+      .select("t")
+    val qpost = post.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("t"))
+      .join(rare, Seq("t"), "left_semi")
+    val cpost = post.select(col("doc_id").as("cid"), col("t"))
+      .join(rare, Seq("t"), "left_semi")
+    qpost.join(cpost, Seq("t"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+  }
+
   /** Native integer squared-L2 between two BIGINT arrays (codegen'd;
     * the interpreted zip_with/aggregate lambda pair cost ~1 s per
     * bench pass at sf0.1). */
@@ -659,27 +707,29 @@ object AnnQueries {
     // ---- X17: hybrid retrieval — sparse proposes, dense re-scores,
     // reciprocal-rank fusion combines. The production search-stack
     // shape (BM25 retrieve → embedding rerank → RRF): candidates come
-    // from an INVERTED-INDEX equi-join on word-3-gram shingles (linear
-    // in postings — pairs with zero lexical overlap are never
-    // materialized, which is what makes hybrid search tractable where
-    // all-pairs dense scoring is not; at 100 TB the postings join adds
-    // a df-cap on stop-shingles, the standard BM25 pruning), cosine is
-    // computed only for those candidates via id equi-joins, and the
-    // two ranks fuse as Σ 1/(60+r) — k=60, the canonical RRF constant.
+    // from an INVERTED-INDEX equi-join on word-3-gram shingles with a
+    // relative df-cap — shingles appearing in more than max(8, N/64)
+    // docs are stop-shingles and never enter the postings join (the
+    // standard BM25/IDF pruning; a pair sharing ONLY stop-shingles is
+    // not lexically similar), which is what bounds posting-bucket
+    // sizes and keeps candidate growth linear in the corpus
+    // (measured: ScalingX17 / BASELINE.md). Lexical overlap is then
+    // computed EXACTLY over the full shingle sets for every surviving
+    // candidate (d3's propose-cheap/verify-exact discipline), cosine
+    // re-scores only those candidates via id equi-joins, and the two
+    // ranks fuse as Σ 1/(60+r) — k=60, the canonical RRF constant.
     // Exactness: the RRF score is ONE addition of two correctly-
     // rounded doubles, and both rank orders break ties on candidate
     // id, so the whole fusion is hash-gated. The universe is the
     // indexed subset (docs carrying an embedding — at sf0.1 only ids
     // < 2000 do, exactly the items a serving index would hold). ----
     "x17_hybrid_rrf" -> ((s, dir) => {
-      val sh = DedupQueries.docShinglesOf(Tables.documents(s, dir))
-        .join(vecs(s, dir).select(col("vec_id").as("doc_id")), Seq("doc_id"))
-      val qpost = sh.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("qid"), explode(col("sh")).as("t"))
-      val cpost = sh.select(col("doc_id").as("cid"), explode(col("sh")).as("t"))
-      val overlap = qpost.join(cpost, Seq("t"))
-        .filter(col("qid") =!= col("cid"))
-        .groupBy("qid", "cid").agg(count(lit(1)).cast("long").as("overlap"))
+      val universe = x17Universe(s, dir)
+      val overlap = x17Candidates(s, dir)
+        .join(universe.select(col("doc_id").as("qid"), col("sh").as("shq")), Seq("qid"))
+        .join(universe.select(col("doc_id").as("cid"), col("sh").as("shc")), Seq("cid"))
+        .select(col("qid"), col("cid"),
+          size(array_intersect(col("shq"), col("shc"))).cast("long").as("overlap"))
       val e = vecs(s, dir)
       val scored = overlap
         .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2")), Seq("qid"))
@@ -839,20 +889,28 @@ object AnnQueries {
        |     FROM ${cbNext}_m GROUP BY code) m USING (code))""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // x17's twin recomputes lexical overlap exhaustively via
-    // list_intersect (the oracle may be quadratic; the engine's
-    // postings join must produce the identical non-zero pair set) and
-    // replays both rankings and the fusion.
+    // x17's twin replays the df-cap candidate generation (postings,
+    // document frequency, stop-shingle drop, distinct pair join) and
+    // then recomputes lexical overlap exactly over the FULL shingle
+    // sets via list_intersect — the same propose-cheap/verify-exact
+    // split the engine runs — before both rankings and the fusion.
     "x17_hybrid_rrf" ->
       s"""WITH docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh
          |              FROM documents),
          | idx AS (SELECT d.doc_id, d.sh FROM docs d
          |   JOIN embeddings e ON e.vec_id = d.doc_id),
-         | q AS (SELECT doc_id AS qid, sh FROM idx WHERE doc_id % 50 = 0),
-         | ov AS (SELECT q.qid, c.doc_id AS cid,
-         |     CAST(len(list_intersect(q.sh, c.sh)) AS BIGINT) AS overlap
-         |   FROM q JOIN idx c ON c.doc_id <> q.qid
-         |   WHERE len(list_intersect(q.sh, c.sh)) >= 1),
+         | post AS (SELECT doc_id, unnest(sh) AS t FROM idx),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM idx),
+         | rare AS (SELECT t FROM
+         |     (SELECT t, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY t) f, nn
+         |   WHERE f.df <= greatest(8, nn.n_docs // 64)),
+         | cand AS (SELECT DISTINCT p.doc_id AS qid, c.doc_id AS cid
+         |   FROM post p JOIN rare r ON p.t = r.t JOIN post c ON c.t = p.t
+         |   WHERE p.doc_id % 50 = 0 AND c.doc_id <> p.doc_id),
+         | ov AS (SELECT cd.qid, cd.cid,
+         |     CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS overlap
+         |   FROM cand cd JOIN idx a ON a.doc_id = cd.qid
+         |   JOIN idx b ON b.doc_id = cd.cid),
          | ev AS (SELECT vec_id,
          |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |   FROM embeddings),
