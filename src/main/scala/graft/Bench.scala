@@ -44,6 +44,9 @@ object Bench {
       // total/parallelism wherever per-row compute still matters.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sorted bucket scans: expose sortBy order from one-file-per-bucket
+      // tables (s18) so bucketed merge joins need neither Exchange nor Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -12,6 +12,9 @@ object Explain {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sorted bucket scans: expose sortBy order from one-file-per-bucket
+      // tables (s18) so bucketed merge joins need neither Exchange nor Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sorted bucket scans: expose sortBy order from one-file-per-bucket
+      // tables (s18) so bucketed merge joins need neither Exchange nor Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       // the engine's SparkSessionExtensions install point, live in the
       // gated entrypoint (graft_similarity SQL function + band rule +

@@ -488,7 +488,90 @@ object PipelineQueries {
   private lazy val mixtureWeights: Seq[(String, Double)] = Seq(
     "src1" -> 1.5, "src2" -> 0.25, "src3" -> 2.0, "src4" -> 0.75, "src5" -> 1.0)
 
+  /** S18's bucketed warehouse: orders and lineitem written ONCE per
+    * (JVM, source dir) as catalog tables bucketed 8-ways on the join
+    * key and sorted within buckets — the layout a 100 TB warehouse
+    * maintains for its hottest join so the per-query exchange (and the
+    * sort, when bucket-sorted) disappears entirely: each task reads
+    * bucket i of BOTH sides and merges. Metadata lives in the session's
+    * in-memory catalog; files under tmp via the external-table path
+    * option. Same memoization/invalidation contract as [[landingFor]];
+    * release additionally drops the catalog entries. */
+  private val s18Warehouse =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    s18Warehouse.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val oT = s"graft_s18_orders_${pid}_$tag"
+      val lT = s"graft_s18_lineitem_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_s18_${pid}_$tag")
+      Caches.track(d)(() => {
+        s18Warehouse.remove(d)
+        s.sql(s"DROP TABLE IF EXISTS $oT")
+        s.sql(s"DROP TABLE IF EXISTS $lT")
+        ()
+      })
+      Caches.trackPath(d, out)
+      // repartition on the bucket column first: Spark's repartition and
+      // bucket-file assignment share the same murmur3 hash, so each
+      // write task holds exactly ONE bucket → one file per bucket —
+      // the precondition for the scan to expose the in-bucket sort
+      // order (multi-file buckets force a defensive Sort at read time)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", new java.io.File(out, "orders").getAbsolutePath)
+        .saveAsTable(oT)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", new java.io.File(out, "lineitem").getAbsolutePath)
+        .saveAsTable(lT)
+      (oT, lT)
+    })
+
+  /** The s18 join body, factored so PlanSpec can pin the JOIN's plan in
+    * isolation: both scans carry bucket-provided hash distribution and
+    * in-bucket sort order, so the executed sort-merge join has ZERO
+    * Exchange and zero Sort nodes — the merge hint only forces the
+    * join STRATEGY (locally the fact side is small enough to
+    * broadcast; at warehouse scale SMJ is what the planner picks
+    * unaided, and the bucket layout is what makes it exchange-free). */
+  private[graft] def s18Joined(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (oT, lT) = bucketedFor(s, dir)
+    s.table(oT).hint("merge")
+      .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+  }
+
   lazy val queriesExtra: Map[String, QueryFn] = Map(
+    // ---- S18: bucketed co-located join — the warehouse-layout answer
+    // to the suite's biggest repeated shuffle: pre-bucketing both
+    // sides of the orders⋈lineitem join on the join key makes the
+    // per-query exchange vanish (bucket i joins bucket i, merge order
+    // comes free from sortBy) — at 100 TB this turns the nightly
+    // fact-join family from shuffle-bound to scan-bound. The gate
+    // aggregates the joined rows to priority-level revenue; the DuckDB
+    // twin runs the plain join on the ORIGINAL parquet, so the hash
+    // gate proves the bucketed layout changed nothing but the plan
+    // (PlanSpec pins the join subtree exchange- and sort-free). ----
+    "s18_bucketed_join" -> ((s, dir) => {
+      s18Joined(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- T21: sequence packing — the concat-then-chunk layout every
     // LLM training pipeline runs before batching: documents in a fixed
     // global order are concatenated and cut into CTX-token windows,
@@ -937,6 +1020,14 @@ object PipelineQueries {
     }))
 
   lazy val oracleExtra: Map[String, String] = Map(
+    // s18's twin runs the SAME join on the original parquet tables —
+    // the bucketed layout must be a pure plan optimization.
+    "s18_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t21_sequence_pack" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -210,4 +210,20 @@ class PlanSpec extends AnyFunSuite {
       s"j10 shuffles or nested-loops a join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"survivor join not broadcast:\n$plan")
   }
+
+  test("s18 bucketed join is exchange- and sort-free end to end") {
+    val df = graft.queries.PipelineQueries.s18Joined(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Bucketed scans provide both the hash distribution and the
+    // in-bucket sort order, so the merge join needs neither an
+    // Exchange nor a Sort — the layout IS the shuffle, paid once at
+    // write time. Any Exchange here means bucketing was silently
+    // ignored (wrong bucket count, disabled bucketing, dropped
+    // catalog metadata) and the 100 TB claim is gone.
+    assert(plan.contains("SortMergeJoin"), s"s18 join is not sort-merge:\n$plan")
+    assert(!plan.contains("Exchange"), s"s18 bucketed join shuffles:\n$plan")
+    assert(!plan.contains("Sort "), s"s18 bucketed join re-sorts:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$plan")
+  }
 }
