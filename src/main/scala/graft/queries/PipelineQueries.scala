@@ -554,7 +554,40 @@ object PipelineQueries {
       .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
   }
 
+  /** Morton (Z-order) key over two 16-bit dimensions: bit i of x lands
+    * at position 2i, bit i of y at 2i+1. Disjoint bit positions mean
+    * the fold can be a SUM (exact in any engine) instead of OR — the
+    * DuckDB twin replays it with list_sum over the same 16 terms. Pure
+    * map-side integer arithmetic: at 100 TB the key costs one
+    * projection, and the one-time repartitionByRange(z) write buys
+    * min/max row-group pruning on EVERY subsequent multi-dimensional
+    * scan (the Delta/Iceberg OPTIMIZE ZORDER layout, expressed as
+    * plain Spark; ZOrderSpec measures the pruning win directly). */
+  private[graft] def zOrderKey(x: String, y: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(sequence(0, 15), 0L, (acc, i) -> acc" +
+      s" + ((($x >> i) & 1) << (2*i)) + ((($y >> i) & 1) << (2*i+1)))")
+
   lazy val queriesExtra: Map[String, QueryFn] = Map(
+    // ---- S19: Z-order clustering key — the layout query behind
+    // multi-dimensional pruning: interleaving (part, supplier) bits
+    // gives one sort key under which row groups become tight boxes in
+    // BOTH dimensions, so a conjunctive box predicate skips row groups
+    // on either column's min/max stats (sorting by only one column
+    // leaves the other's stats full-range — useless). The gate groups
+    // the corpus by coarse z-bucket and reports each bucket's per-dim
+    // bounding box: the spatial-coherence property the pruning rests
+    // on, hash-exact in pure BIGINT. ----
+    "s19_zorder_cluster" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(expr("l_partkey & 65535").as("x"), expr("l_suppkey & 65535").as("y"))
+        .withColumn("z", zOrderKey("x", "y"))
+        .groupBy(expr("z div 65536").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zbucket")
+    }),
+
     // ---- S18: bucketed co-located join — the warehouse-layout answer
     // to the suite's biggest repeated shuffle: pre-bucketing both
     // sides of the orders⋈lineitem join on the join key makes the
@@ -1020,6 +1053,18 @@ object PipelineQueries {
     }))
 
   lazy val oracleExtra: Map[String, String] = Map(
+    // s19's twin replays the bit interleave as list_sum over the same
+    // 16 disjoint-bit terms — BIGINT throughout, so the gate is exact.
+    "s19_zorder_cluster" ->
+      """WITH b AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+        |           FROM lineitem),
+        | z AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 16),
+        |     i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))
+        |   AS BIGINT) AS z FROM b)
+        |SELECT z // 65536 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // s18's twin runs the SAME join on the original parquet tables —
     // the bucketed layout must be a pure plan optimization.
     "s18_bucketed_join" ->
