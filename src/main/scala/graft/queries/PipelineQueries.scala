@@ -588,6 +588,34 @@ object PipelineQueries {
         .orderBy("zbucket")
     }),
 
+    // ---- E14: incremental aggregate maintenance — the materialized-
+    // view refresh a 100 TB warehouse actually runs: the nightly
+    // rollup is NEVER recomputed from the full fact table; the stored
+    // base aggregate merges with the delta's partial aggregate,
+    // touching O(keys + delta) rows instead of O(history). The gate
+    // splits orders at a cutoff day, aggregates each side separately,
+    // and merges via union + re-aggregate — (count, sum) are the
+    // algebraic decomposition (avg derives from the merged sums, never
+    // averaged directly: avg-of-avgs is the classic wrong answer).
+    // The DuckDB twin recomputes from the FULL table, so hash equality
+    // is a machine-checked proof that merge(partial(A), partial(B)) ==
+    // direct(A ∪ B) — the property every incremental pipeline rests
+    // on. All BIGINT; avg via integer div. ----
+    "e14_incremental_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("day", expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      def part(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n"), sum("cents").as("cents"))
+      part(o.filter(col("day") < 9500))
+        .unionByName(part(o.filter(col("day") >= 9500)))
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .withColumn("avg_cents", expr("cents div n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- S18: bucketed co-located join — the warehouse-layout answer
     // to the suite's biggest repeated shuffle: pre-bucketing both
     // sides of the orders⋈lineitem join on the join key makes the
@@ -1053,6 +1081,15 @@ object PipelineQueries {
     }))
 
   lazy val oracleExtra: Map[String, String] = Map(
+    // e14's twin recomputes from the FULL table in one pass — hash
+    // equality proves the engine's partial-merge path exact.
+    "e14_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   // CAST(count(*) AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // s19's twin replays the bit interleave as list_sum over the same
     // 16 disjoint-bit terms — BIGINT throughout, so the gate is exact.
     "s19_zorder_cluster" ->
