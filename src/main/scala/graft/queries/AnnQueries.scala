@@ -188,9 +188,24 @@ object AnnQueries {
   private def kmTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
     kmCents.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { kmCents.remove(d); () })
+      kmTrainImpl(s, kmQuantized(s, d), col("vec_id") < 16)
+    })
+
+  /** x18's frozen index: centroids trained ONLY on the pre-append
+    * corpus (vec_id % 5 != 4), seeded from its first 16 ids. */
+  private val kmCentsOld =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long])]]()
+  private def kmTrainOld(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
+    kmCentsOld.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { kmCentsOld.remove(d); () })
+      kmTrainImpl(s, kmQuantized(s, d).filter(col("vec_id") % 5 =!= 4),
+        col("vec_id") < 20)
+    })
+
+  private def kmTrainImpl(s: SparkSession, q: DataFrame,
+      seed: org.apache.spark.sql.Column): Array[(Long, Array[Long])] = {
       import s.implicits._
-      val q = kmQuantized(s, d)
-      var cents: Array[(Long, Array[Long])] = q.filter(col("vec_id") < 16)
+      var cents: Array[(Long, Array[Long])] = q.filter(seed)
         .as[(Long, Array[Long])].collect().sortBy(_._1)
       for (_ <- 1 to 2) {
         val kernel = kmKernel(cents)
@@ -209,7 +224,7 @@ object AnnQueries {
         cents = next
       }
       cents
-    })
+  }
 
   private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -781,6 +796,40 @@ object AnnQueries {
         .orderBy("code", "i")
     }),
 
+    // ---- X18: incremental IVF append — how a serving index absorbs
+    // new vectors at 100 TB: the coarse quantizer trained on the
+    // pre-append corpus is FROZEN (retraining on every append would
+    // invalidate every stored assignment and re-shuffle the whole
+    // index), and appended vectors (vec_id % 5 == 4, a scale-free 20%
+    // split) are assigned to the existing cells by the same map-side
+    // argmin kernel — one pass over the delta, never the history,
+    // e14's incremental discipline applied to the vector index. The
+    // gate reports per-cell old/new populations and the appended
+    // vectors' inertia (the drift signal that eventually triggers the
+    // x15-style rebuild decision). The DuckDB twin replays train-on-
+    // old → assign-all end-to-end, so the frozen-centroid contract is
+    // hash-checked, not asserted. ----
+    "x18_ivf_append" -> ((s, dir) => {
+      import s.implicits._
+      val cents = kmTrainOld(s, dir)
+      val kernel = kmKernel(cents)
+      val assignU = udf((v: Seq[Long]) => kernel(v))
+      val stats = kmQuantized(s, dir)
+        .withColumn("is_new", col("vec_id") % 5 === 4)
+        .select(col("is_new"), assignU(col("qv")).as("a"))
+        .groupBy(col("a._1").as("code"))
+        .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).cast("long").as("n_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).cast("long").as("n_new"),
+          sum(when(col("is_new"), col("a._2")).otherwise(0L)).cast("long").as("inertia_new"))
+      cents.toSeq.map(_._1).toDF("code")
+        .join(stats, Seq("code"), "left")
+        .select(col("code"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("inertia_new"), lit(0L)).as("inertia_new"))
+        .orderBy("code")
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -869,11 +918,11 @@ object AnnQueries {
   /** X14 twin CTE pair: full-vector argmin assignment against a
     * centroid list (64-dim analogue of [[assignSql]]) and the
     * integer-grid Lloyd update with empty-cluster carry-over. */
-  private def kmAssignSql(cb: String, out: String) =
+  private def kmAssignSql(cb: String, out: String, src: String = "q") =
     s"""${out}_d AS (SELECT q.vec_id, c.code,
        |     CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
        |       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
-       |   FROM q CROSS JOIN $cb c),
+       |   FROM $src q CROSS JOIN $cb c),
        | $out AS (SELECT * FROM (SELECT *, row_number() OVER
        |     (PARTITION BY vec_id ORDER BY d, code) AS rn FROM ${out}_d)
        |   WHERE rn = 1)""".stripMargin
@@ -955,6 +1004,30 @@ object AnnQueries {
         | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
         |SELECT cid, n_vecs, (10000 * n_vecs) // n_total AS share_bp
         |FROM c, t ORDER BY cid""".stripMargin,
+
+    // x18's twin replays train-on-old → assign-ALL with the same CTE
+    // machinery as x14/x16; the seed is the old subset's first 16 ids
+    // (vec_id < 20 minus the %5==4 holdouts).
+    "x18_ivf_append" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
+         |   FROM embeddings),
+         | qold AS (SELECT * FROM q WHERE vec_id % 5 <> 4),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM qold WHERE vec_id < 20),
+         | ${kmAssignSql("cb0", "a1", "qold")},
+         | ${kmLloydSql("a1", "cb0", "cb1")},
+         | ${kmAssignSql("cb1", "a2", "qold")},
+         | ${kmLloydSql("a2", "cb1", "cb2")},
+         | ${kmAssignSql("cb2", "af")},
+         | sel AS (SELECT code,
+         |     CAST(sum(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |     CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |     CAST(sum(CASE WHEN vec_id % 5 = 4 THEN d ELSE 0 END) AS BIGINT) AS inertia_new
+         |   FROM af GROUP BY code)
+         |SELECT c.code, CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(COALESCE(inertia_new, 0) AS BIGINT) AS inertia_new
+         |FROM cb2 c LEFT JOIN sel USING (code) ORDER BY c.code""".stripMargin,
 
     // x16's twin replays the ENTIRE pipeline — the x14 Lloyd prologue
     // to cb2, probe lists and assignment from the af_d distance table,
