@@ -240,7 +240,11 @@ class DedupSpec extends AnyFunSuite {
         // x17's sparse-propose/dense-rescore stack must stay on the
         // postings and id equi-joins — an all-pairs node here defeats
         // the reason hybrid retrieval scales
-        "x17_hybrid_rrf")) {
+        "x17_hybrid_rrf",
+        // x18's append pass is map-side assignment + one small
+        // broadcastable code join — any all-pairs node would mean the
+        // delta path rescans the history
+        "x18_ivf_append")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
