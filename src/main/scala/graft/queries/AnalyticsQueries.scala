@@ -112,6 +112,35 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Q3: TPC-H shipping priority — the classic filter-heavy
+    // join + top-k: both fact filters are date predicates that push to
+    // the parquet scans, the BUILDING customer slice broadcasts (at
+    // any scale: a filtered dimension), and the top-10 runs as a
+    // TakeOrdered — no global sort materializes. Revenue is the q5
+    // integer-e4 formulation (cents × discount-complement-percent), so
+    // the sum and the ordering are BIGINT-exact; ties break on
+    // (order_day, l_orderkey) to make the LIMIT deterministic. ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) < DATE'1998-06-01'"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) > DATE'1998-06-01'"))
+      val revE4 = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1.0) - col("l_discount")) * 100).cast("long")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+            .as("order_day"),
+          col("o_orderpriority"))
+        .agg(sum(revE4).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("order_day").asc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue_e4", "order_day", "o_orderpriority")
+    }),
+
     // ---- Q5: TPC-H-style multi-join rollup — revenue by region/nation
     // through the lineitem→orders→customer→nation→region chain. The two
     // dimension tables broadcast (no shuffle of the fact chain for
@@ -290,6 +319,21 @@ object AnalyticsQueries {
         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, mavg FROM m ORDER BY event_id""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+        | o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_e4 DESC, order_day, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT r_name AS region, n_name AS nation,
