@@ -33,6 +33,30 @@ object TextQueries {
     "fr" -> Seq("le", "les", "et", "est"))
 
   val queries: Map[String, QueryFn] = Map(
+    // ---- T36: equi-depth decile binning — the complement of t31's
+    // fixed-WIDTH histogram: bins hold equal COUNTS, edges float. The
+    // textbook formulation (`ntile(10) OVER (PARTITION BY source ...)`)
+    // funnels each source through ONE task — a skew trap when one
+    // source dominates a 100 TB corpus. Here the per-source rank comes
+    // from [[graft.operators.GlobalOrder.withPositionWithin]] (range
+    // shards rank in parallel; only per-shard counts cross a broadcast)
+    // and the bin is integer arithmetic on (rank, group size), so the
+    // largest source spreads over every executor. BIGINT throughout;
+    // (n_chars, doc_id) ordering makes ranks — hence bins — total. ----
+    "t36_equidepth_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = graft.operators.GlobalOrder.withPositionWithin(
+        d, "rk", Seq("source"), col("n_chars"), col("doc_id"))
+      val sizes = d.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
+      ranked.join(broadcast(sizes), Seq("source"))
+        .withColumn("bin", expr("(CAST(rk - 1 AS BIGINT) * 10) div n_src"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source", "bin")
+    }),
+
     // ---- token counting: whitespace + regex (BPE-ish word/punct split) ----
     "t3_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -361,6 +385,18 @@ object TextQueries {
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // t36's twin uses the plain window formulation the engine avoids —
+    // same ranks (total order), different plan.
+    "t36_equidepth_bins" ->
+      """WITH r AS (SELECT source, n_chars,
+        |     row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |     count(*) OVER (PARTITION BY source) AS n_src
+        |   FROM documents)
+        |SELECT source, (CAST(rk - 1 AS BIGINT) * 10) // n_src AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t3_token_count" ->
       s"""SELECT doc_id,
          | len($toksSql) AS n_ws_tokens,
