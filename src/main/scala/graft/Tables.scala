@@ -27,20 +27,45 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; read nanos as long and convert to a µs
-    * timestamp with integer division (ns-since-epoch exceeds double's
-    * 2^53 mantissa, so `div`, not `/`).
+  /** events.parquet's `ts` encoding has drifted across fixture
+    * generations — TIMESTAMP(NANOS) (reads as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then timestamp[us]
+    * (reads as TIMESTAMP_NTZ under default NTZ inference) — and a real
+    * deployment sees all of pandas/pyarrow/Hive writers, so the
+    * accessor dispatches on the LOADED schema instead of assuming one
+    * physical type:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
-    * entry point (Verify/Bench/tests) sets at session construction — a
-    * session-wide reader conf, deliberately NOT mutated here so a table
-    * accessor has no hidden global side effects.
+    *  - `LongType`: nanos-as-long (or a plain BIGINT epoch-nanos
+    *    column) → `timestamp_micros(ts div 1000)`. Integer `div`, not
+    *    `/`: ns-since-epoch exceeds double's 2^53 mantissa.
+    *  - `TimestampNTZType`: re-read with an explicit schema forcing
+    *    `TimestampType`, which loads the raw micros as the instant —
+    *    deliberately NOT `cast(ntz as timestamp)`, which would shift
+    *    by the session time zone and silently skew every event-time
+    *    window on a non-UTC session.
+    *  - `TimestampType`: already the engine's event-time type.
+    *
+    * Entry points still set `nanosAsLong=true` so the nanos branch can
+    * load at all (schema inference of TIMESTAMP(NANOS) throws without
+    * it); the conf is inert for micros fixtures.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction to read events")
-    load(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types._
+    val inferred = load(spark, dir, "events")
+    inferred.schema("ts").dataType match {
+      case LongType =>
+        inferred.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => inferred
+      case TimestampNTZType =>
+        val forced = StructType(inferred.schema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampType)
+          case f => f
+        })
+        spark.read.schema(forced).parquet(s"$dir/events.parquet")
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other (expected long nanos or timestamp)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

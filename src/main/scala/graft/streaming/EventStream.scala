@@ -22,23 +22,39 @@ object EventStream {
   case class SessionAcc(count: Long, sumValue: Double, startMs: Long, lastMs: Long)
   case class UserSession(user_id: Long, n_events: Long, sum_value: Double, duration_sec: Double)
 
-  /** Schema of the events fixture as stored (ts is TIMESTAMP(NANOS) →
-    * read as long under nanosAsLong, converted below). */
+  /** Logical schema of the events fixture, with ts's physical type
+    * substituted per encoding at read time (see [[readEvents]]). */
   val storedSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source streaming read of the events table (requires
-    * spark.sql.legacy.parquet.nanosAsLong=true, as everywhere). The file
-    * source wants a directory, so the fixture dir is filtered down to
-    * the events file; in production this would be a drop-directory of
+  /** File-source streaming read of the events table. The streaming file
+    * source requires a user-supplied schema, so one driver-side batch
+    * footer read picks the ts branch (the same encoding dispatch as
+    * [[graft.Tables.events]]): BIGINT nanos → long schema + µs
+    * conversion; timestamp[us] → force TimestampType in the schema so
+    * the raw micros load as the instant with no session-tz shift. The
+    * file source wants a directory, so the fixture dir is filtered down
+    * to the events file; in production this would be a drop-directory of
     * event parquet files picked up incrementally. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(storedSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val base = spark.readStream
+    stored match {
+      case LongType =>
+        base.schema(storedSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        val forced = StructType(storedSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampType)
+          case f => f
+        })
+        base.schema(forced)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    }
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. Works on
     * both streaming and batch frames (withWatermark is a no-op hint in
