@@ -48,19 +48,20 @@ object AnnQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", norm2Expr(col("v")))
 
-  /** Corpus vectors with per-vector coarse-cell probe lists, computed
-    * by the closure-shipped centroid kernel d14 introduced (the
-    * memoized codebook in [[DedupQueries.centsFor]]): one map-side
-    * pass, ordered (cosine desc, cid asc). Replaces the
-    * `crossJoin(broadcast(cents))` + N×K rank-window formulation the
-    * x-family used — same cells, same tie-break, identical double
-    * arithmetic (gates re-verified), but no nested-loop join node and
-    * no N×K window exchange in any serving plan. */
-  private def vecsWithCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val cents = DedupQueries.centsFor(s, dir)
-    val probeU = udf((v: Seq[Double]) => DedupQueries.nearestCells(v, cents, nprobe))
-    vecs(s, dir).withColumn("cells", probeU(col("v")))
-  }
+  /** Slices of the shared two-level quantizer index
+    * ([[DedupQueries.cellRanks]]; design + scale contract documented
+    * there): `cellAssigned` is each vector's home cell (rank-1 row),
+    * `cellProbes(k)` its k-wide probe list (rank ≤ k prefix) —
+    * (vec_id, v, n2, cid) rows either way. One memoized cached frame
+    * backs every serving query, so the index materializes once per
+    * dir and consumers are cheap relational slices. */
+  private def cellAssigned(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.cellRanks(s, dir).filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+
+  private def cellProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    DedupQueries.cellRanks(s, dir).filter(col("arn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
 
   /** X17's indexed universe: one row per document that carries an
     * embedding (the membership a serving index would hold), with its
@@ -292,10 +293,9 @@ object AnnQueries {
     * the cell-restricted code rows, partial-aggregated 4-lookup sums.
     * Returns (qid, nid, adc_d) — callers rank (x9) or rerank (x11). */
   private def ivfPqAdc(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val ec = vecsWithCells(s, dir, nprobe)
-    val assigned = ec.select(col("vec_id").as("nid"), element_at(col("cells"), 1).as("cid"))
-    val probes = ec.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), explode(col("cells")).as("cid"))
+    val assigned = cellAssigned(s, dir).select(col("vec_id").as("nid"), col("cid"))
+    val probes = cellProbes(s, dir, nprobe).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("cid"))
     val (subs, cb) = pqParts(s, dir)
     val codes = pqAssign(subs, cb)
       .select(col("vec_id").as("nid"), col("s"), col("code"))
@@ -345,10 +345,9 @@ object AnnQueries {
     // DuckDB. nprobe=1 here; more probes = relax the cell equi-join. ----
     "x3_ann_ivf" -> ((s, dir) => {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // nearest centroid per vector (argmax cosine, smallest cid on
-      // ties) via the map-side kernel — no corpus×centroids join node
-      val assigned = vecsWithCells(s, dir, nprobe = 1)
-        .select(col("vec_id"), col("v"), col("n2"), element_at(col("cells"), 1).as("cid"))
+      // nearest cell per vector (argmax cosine, smallest cid on ties)
+      // from the shared two-level quantizer index
+      val assigned = cellAssigned(s, dir)
       val queriesDf = assigned.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
       val corpus = assigned.select(col("vec_id").as("nid"), col("v").as("nv"),
@@ -369,15 +368,14 @@ object AnnQueries {
     "x4_ann_ivf_recall" -> ((s, dir) => {
       val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e = vecs(s, dir)
-      val ec = vecsWithCells(s, dir, nprobe = 8)
       // corpus membership: every vector lives in its single nearest cell
-      val assigned = ec
+      val assigned = cellAssigned(s, dir)
         .select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2"), element_at(col("cells"), 1).as("cid"))
+          col("n2").as("nn2"), col("cid"))
       // queries probe their nprobe nearest cells (multi-probe)
-      val probes = ec.filter(col("vec_id") % 50 === 0)
+      val probes = cellProbes(s, dir, nprobe = 8).filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2"), explode(col("cells")).as("cid"))
+          col("n2").as("qn2"), col("cid"))
       val ivfTop = topK(broadcast(probes).join(assigned, Seq("cid"))
         .filter(col("qid") =!= col("nid")), 5)
       // exact answer (x1's plan)
@@ -635,14 +633,13 @@ object AnnQueries {
       val allowed = Tables.documents(s, dir)
         .filter(col("source").isin("src1", "src2", "src3", "src4", "src5"))
         .select(col("doc_id").as("nid"))
-      val ec = vecsWithCells(s, dir, nprobe = 8)
-      val assigned = ec
+      val assigned = cellAssigned(s, dir)
         .select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"),
-          element_at(col("cells"), 1).as("cid"))
+          col("cid"))
         .join(allowed, Seq("nid"), "left_semi")
-      val probes = ec.filter(col("vec_id") % 50 === 0)
+      val probes = cellProbes(s, dir, nprobe = 8).filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
-          explode(col("cells")).as("cid"))
+          col("cid"))
       topK(broadcast(probes).join(assigned, Seq("cid"))
         .filter(col("qid") =!= col("nid")), 5)
     }),
@@ -678,8 +675,7 @@ object AnnQueries {
     // assignment (no join node), one count aggregate, one broadcast
     // scalar join — integer shares via div, so the gate is exact. ----
     "x15_ivf_balance" -> ((s, dir) => {
-      val assigned = vecsWithCells(s, dir, nprobe = 1)
-        .select(col("vec_id"), element_at(col("cells"), 1).as("cid"))
+      val assigned = cellAssigned(s, dir).select(col("vec_id"), col("cid"))
       val counts = assigned.groupBy("cid")
         .agg(count(lit(1)).cast("long").as("n_vecs"))
       val tot = assigned.agg(count(lit(1)).cast("long").as("n_total"))
@@ -868,8 +864,47 @@ object AnnQueries {
        |   FROM $cbPrev c LEFT JOIN (SELECT s, code, list(nd ORDER BY i) AS ns
        |     FROM ${cbNext}_m GROUP BY s, code) m USING (s, code))""".stripMargin
 
+  /** Twin of [[DedupQueries.cellRanks]] — the two-level coarse
+    * quantizer, replayed relationally. Expects `e`/`n` CTEs in scope;
+    * yields `ar` = (vec_id, v, n2, cid, ccos, arn ≤ 8): each vector's
+    * fine-cell ranking within its top-(1+⌈8/g⌉) coarse groups, where
+    * the fine level is the vec_id % 50 = 1 seed subset, g =
+    * GREATEST(1, ⌊√(N/50)+0.5⌋) fine cells per coarse group, and the
+    * coarse level is the vec_id % (50·g) = 1 sub-subset. Every cosine
+    * is the same sequential list_reduce fold as the engine's
+    * graft_dot, and both rank levels break ties (cos DESC, id ASC). */
+  private val ivfArSql: String =
+    """cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
+      | prm AS (SELECT GREATEST(1, CAST(floor(sqrt(count(*) / 50.0) + 0.5) AS BIGINT)) AS g
+      |   FROM embeddings),
+      | coarse AS (SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM cent, prm
+      |   WHERE cid % (50 * g) = 1),
+      | fg AS (SELECT c.cid, g.gid,
+      |     list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]),
+      |       (a, b) -> a + b) / sqrt(c.cn2 * g.gn2) AS gcos
+      |   FROM cent c CROSS JOIN coarse g),
+      | fine AS (SELECT f.cid, c.cv, c.cn2, f.gid FROM (SELECT cid, gid FROM
+      |     (SELECT *, row_number() OVER
+      |        (PARTITION BY cid ORDER BY gcos DESC, gid ASC) AS rn FROM fg)
+      |     WHERE rn = 1) f JOIN cent c USING (cid)),
+      | vg AS (SELECT n.vec_id, g.gid,
+      |     list_reduce(list_transform(list_zip(n.v, g.gv), z -> z[1] * z[2]),
+      |       (a, b) -> a + b) / sqrt(n.n2 * g.gn2) AS gcos
+      |   FROM n CROSS JOIN coarse g),
+      | vp AS (SELECT w.vec_id, w.gid FROM
+      |     (SELECT *, row_number() OVER
+      |        (PARTITION BY vec_id ORDER BY gcos DESC, gid ASC) AS grn FROM vg) w, prm
+      |   WHERE w.grn <= 1 + CAST(ceil(24.0 / prm.g) AS BIGINT)),
+      | ac AS (SELECT n.vec_id, n.v, n.n2, f.cid,
+      |     list_reduce(list_transform(list_zip(n.v, f.cv), z -> z[1] * z[2]),
+      |       (a, b) -> a + b) / sqrt(n.n2 * f.cn2) AS ccos
+      |   FROM vp JOIN n USING (vec_id) JOIN fine f USING (gid)),
+      | ar AS (SELECT * FROM (SELECT *, row_number() OVER
+      |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac)
+      |   WHERE arn <= 8)""".stripMargin
+
   /** Twin of [[ivfPqAdc]]: PQ prologue + full-precision e/n CTEs +
-    * centroid cell assignment + nprobe-wide probe lists + the
+    * two-level cell assignment + nprobe-wide probe lists + the
     * cell-restricted ADC sum (-> adc, with e/n still in scope for
     * downstream rerank/brute CTEs). */
   private def ivfPqAdcSql(nprobe: Int): String =
@@ -878,13 +913,7 @@ object AnnQueries {
        |       FROM embeddings),
        | n AS (SELECT vec_id, v,
        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-       | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
-       | ac AS (SELECT n.vec_id, c.cid,
-       |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
-       |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
-       |   FROM n CROSS JOIN cent c),
-       | ar AS (SELECT *, row_number() OVER
-       |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+       | ${ivfArSql},
        | assigned AS (SELECT vec_id AS nid, cid FROM ar WHERE arn = 1),
        | probes AS (SELECT vec_id AS qid, cid FROM ar
        |   WHERE arn <= $nprobe AND vec_id % 50 = 0),
@@ -985,25 +1014,19 @@ object AnnQueries {
          |  CAST(r_vec AS BIGINT) AS r_vec, rrf
          |FROM top WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin,
 
-    // x15's twin replays the x3/x4 argmax cell assignment and the
+    // x15's twin replays the two-level cell assignment and the
     // integer share arithmetic.
     "x15_ivf_balance" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        | n AS (SELECT vec_id, v,
-        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
-        | ac AS (SELECT n.vec_id, c.cid,
-        |     list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]),
-        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
-        |   FROM n CROSS JOIN cent c),
-        | ar AS (SELECT *, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-        | assigned AS (SELECT vec_id, cid FROM ar WHERE arn = 1),
-        | c AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid),
-        | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
-        |SELECT cid, n_vecs, (10000 * n_vecs) // n_total AS share_bp
-        |FROM c, t ORDER BY cid""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | ${ivfArSql},
+         | assigned AS (SELECT vec_id, cid FROM ar WHERE arn = 1),
+         | c AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
+         |SELECT cid, n_vecs, (10000 * n_vecs) // n_total AS share_bp
+         |FROM c, t ORDER BY cid""".stripMargin,
 
     // x18's twin replays train-on-old → assign-ALL with the same CTE
     // machinery as x14/x16; the seed is the old subset's first 16 ids
@@ -1133,20 +1156,14 @@ object AnnQueries {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "x4_ann_ivf_recall" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        | n AS (SELECT vec_id, v,
-        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
-        | ac AS (SELECT n.vec_id, n.v, n.n2, c.cid,
-        |     list_reduce(list_transform(list_zip(n.v, c.cv), z -> z[1] * z[2]),
-        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
-        |   FROM n CROSS JOIN cent c),
-        | ar AS (SELECT *, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-        | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1),
-        | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
-        |   WHERE arn <= 8 AND vec_id % 50 = 0),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         | n AS (SELECT vec_id, v,
+         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+         | ${ivfArSql},
+         | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1),
+         | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
+         |   WHERE arn <= 8 AND vec_id % 50 = 0),
         | ipairs AS (SELECT p.qid, c.vec_id AS nid,
         |     list_reduce(list_transform(list_zip(p.qv, c.v), z -> z[1] * z[2]),
         |       (a, b) -> a + b) / sqrt(p.qn2 * c.n2) AS cosine
@@ -1320,17 +1337,11 @@ object AnnQueries {
     // x3's cell-assignment chain + the allowed-source semi restriction
     // on the corpus side + nprobe=8 probe lists.
     "x12_ann_filtered" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         | n AS (SELECT vec_id, v,
         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
-        | ac AS (SELECT n.vec_id, n.v, n.n2, c.cid,
-        |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
-        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
-        |   FROM n CROSS JOIN cent c),
-        | ar AS (SELECT *, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+        | ${ivfArSql},
         | allowed AS (SELECT doc_id FROM documents
         |   WHERE source IN ('src1', 'src2', 'src3', 'src4', 'src5')),
         | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1
@@ -1347,17 +1358,11 @@ object AnnQueries {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "x3_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         | n AS (SELECT vec_id, v,
         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-        | cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 1),
-        | ac AS (SELECT n.vec_id, n.v, n.n2, c.cid,
-        |     list_reduce(list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2]),
-        |       (a, b) -> a + b) / sqrt(n.n2 * c.cn2) AS ccos
-        |   FROM n CROSS JOIN cent c),
-        | ar AS (SELECT *, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+        | ${ivfArSql},
         | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1),
         | q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM assigned
         |   WHERE vec_id % 50 = 0),

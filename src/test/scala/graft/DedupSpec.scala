@@ -155,8 +155,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("d16 cross-split recall floor at sf0.1 (missed contamination is the costly direction)") {
     // d14's hash gate proves 100% recall at the gate fixtures; at sf0.1
-    // the EdgeProbes=6 probe list covers a fraction of the 100 coarse
-    // cells, so the contamination pass needs its own measured floor.
+    // the two-level probe cover reaches a fraction of the fine cells,
+    // so the contamination pass needs its own measured floor.
     val dir = "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions.{col, least, greatest}
     val exact = DedupQueries.queries("d5_embedding_dup")(spark, dir)
@@ -169,7 +169,8 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "sf0.1 fixture has cross-split near-dups")
     val recall = got.intersect(exact).size.toDouble / exact.size
     info(f"d16 cross-split recall at sf0.1: $recall%.3f (${got.intersect(exact).size}/${exact.size})")
-    // measured 0.700 (7/10) with EdgeProbes = 6 — deterministic; the
+    // measured 0.700 (7/10) with the two-level quantizer (cp =
+    // 1+⌈24/g⌉ coarse groups, 8-wide fine probes) — deterministic; the
     // floor sits just under it so a probe-width or centroid regression
     // trips the gate while fixture tweaks get a little slack
     assert(recall >= 0.65, f"cross-split recall $recall%.3f under floor")
