@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** j10's Bloom prune error contract: the filter is SIZED from the build
+  * side (m = 32n bits, k = 3 probes), so the false-positive rate must
+  * sit near the textbook p = (1 − (1 − 1/m)^{kn})^k at EVERY scale
+  * factor — the property the old fixed-m filter lost as n grew (FP → 1
+  * and the prune silently stopped pruning). The hash gate already
+  * proves zero false negatives; this spec pins the other half. */
+class BloomSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private def fpVsTheory(dir: String): (Double, Double, Long, Long) = {
+    val n = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_orderkey")).distinct().count()
+    val m = 32.0 * math.min(math.max(n, 32L), 4194304L)
+    val k = 3
+    val theory = math.pow(1.0 - math.pow(1.0 - 1.0 / m, k * n.toDouble), k)
+    val out = graft.queries.CoreQueries.queries("j10_bloom_prune")(spark, dir)
+      .agg(sum("false_pos"), sum("probe_rows"), sum("exact_match"))
+      .collect().head
+    val fp = out.getLong(0)
+    val nonMembers = out.getLong(1) - out.getLong(2)
+    (fp.toDouble / nonMembers, theory, fp, n)
+  }
+
+  test("j10 FP rate tracks 1-(1-1/m)^(kn) theory, m sized per scale factor") {
+    val results = Seq("sf0.01", "sf0.1").map { sf =>
+      val dir = s"/root/testdata/$sf"
+      val (measured, theory, fpRows, n) = fpVsTheory(dir)
+      info(f"$sf: n=$n m=32n fp_rows=$fpRows measured=$measured%.2e theory=$theory%.2e ratio=${measured / theory}%.2f")
+      (sf, measured, theory, n)
+    }
+    // m must actually vary with the build side across scale factors
+    assert(results.map(_._4).distinct.size == 2, "build-side n identical across sfs")
+    results.foreach { case (sf, measured, theory, _) =>
+      // Upper bound is the contract: a filter whose m stopped tracking n
+      // decays past theory (the fixed-2^18 design measured ~0.024 at
+      // sf0.1's n and worsens with every doubling). Measured FP sits
+      // BELOW the uniform-hash model here (ratios 0.12 / 0.29 at
+      // sf0.01 / sf0.1): Knuth multiplicative hashing spreads the
+      // near-sequential orderkey space more evenly than random — the
+      // documented Fibonacci-hashing property, not a measurement bug —
+      // so the lower side only pins that the filter is a real Bloom
+      // (nonzero FP at the bigger corpus), not an exact set.
+      assert(measured <= theory * 1.5,
+        f"$sf: measured FP $measured%.2e above theory $theory%.2e +50%%")
+    }
+    assert(results.find(_._1 == "sf0.1").get._2 > 0.0,
+      "zero FP at sf0.1 — filter is behaving like an exact set; check m sizing")
+  }
+}
