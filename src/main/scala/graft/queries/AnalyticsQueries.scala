@@ -167,6 +167,73 @@ object AnalyticsQueries {
         .orderBy("region", "nation")
     }),
 
+    // ---- Q18: TPC-H large-volume customer — the large-cardinality
+    // group-by + semi-join-on-aggregate plan class: EVERY order's
+    // quantity total is aggregated (O(|lineitem|) with map-side partial
+    // combine — the shuffle this query exists to exercise), the >250
+    // survivors become a key set, and the fact re-scan SEMI-joins on it
+    // (at scale: a broadcast of the tiny hot-key set, never a shuffle
+    // of lineitem against itself) before the final small rollup.
+    // Quantities aggregate as exact BIGINTs; top-100 breaks ties on
+    // o_orderkey so the LIMIT is deterministic. ----
+    "q18_big_orders" -> ((s, dir) => {
+      val qty = round(col("l_quantity")).cast("long")
+      val hot = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sum(qty).as("oq"))
+        .filter(col("oq") > 250).select("l_orderkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(hot), Seq("l_orderkey"), "left_semi")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+            .as("order_day"),
+          col("o_totalprice"))
+        .agg(sum(qty).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // ---- Q21: TPC-H suppliers-who-kept-the-order-waiting — the
+    // multi-way semi/anti SELF-join plan class q1/q3/q5 cannot reach:
+    // the late-lineitem set joins BACK against the full lineitem set
+    // twice, once semi (another supplier exists on the order) and once
+    // anti (no OTHER supplier was also late). Both self-joins are
+    // equi-joins on l_orderkey with the supplier inequality as a
+    // residual — never a nested loop — and the supplier→nation side is
+    // a broadcast dimension chain. The fixture carries no
+    // receipt/commit dates, so "late" adapts to l_shipdate more than
+    // 90 days past o_orderdate (same columns-off-the-fact shape; the
+    // reference predicate is /root/reference semantics-free here).
+    // Top-100 by (numwait DESC, s_name) is deterministic. ----
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (to_date(col("l_shipdate")) >
+            date_add(to_date(col("o_orderdate")), 90)).as("late"))
+      val l1 = l.filter(col("late"))
+      val sn = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_9")
+        .select(col("s_suppkey"), col("s_name"))
+      l1.as("a")
+        .join(l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).as("b"),
+          col("a.l_orderkey") === col("b.ok") && col("a.l_suppkey") =!= col("b.sk"),
+          "left_semi")
+        .join(l1.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).as("c"),
+          col("a.l_orderkey") === col("c.ok") && col("a.l_suppkey") =!= col("c.sk"),
+          "left_anti")
+        .join(broadcast(sn), col("a.l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
     // ---- E9: interval join — events counted into 24 OVERLAPPING 2-hour
     // maintenance windows. Deliberately NOT a range join (a BNL range
     // join touches every (event, window) pair): each window explodes
@@ -347,6 +414,33 @@ object AnalyticsQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+        | o_totalprice,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |     CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS late
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9' AND l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "e9_interval_join" ->
       """WITH w AS (SELECT range AS w_id,

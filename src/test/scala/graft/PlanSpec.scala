@@ -211,6 +211,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"survivor join not broadcast:\n$plan")
   }
 
+  test("q18 semi-joins the hot-key aggregate and partial-aggregates the fact scan") {
+    val df = SparkEntry.queries("q18_big_orders")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the >250 survivors are a tiny key set at any scale — the fact
+    // re-scan must semi-join against them (broadcast, no self-shuffle)
+    assert(plan.contains("LeftSemi"), s"no semi join on the hot-key set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"hot-key semi join not broadcast:\n$plan")
+    // the O(|lineitem|) quantity rollup must combine map-side
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q18 plans an all-pairs join:\n$plan")
+  }
+
+  test("q21 self-joins stay equi-keyed with a broadcast dimension chain") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both fact self-joins key on l_orderkey with the supplier
+    // inequality as a residual — an all-pairs node here is quadratic
+    // in the fact table
+    assert(plan.contains("LeftSemi"), s"no semi self-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q21 plans an all-pairs join:\n$plan")
+    // supplier→nation is a broadcast dim chain; the status filter
+    // reaches the orders scan
+    assert(plan.contains("BroadcastHashJoin"), s"dimension chain not broadcast:\n$plan")
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$plan")
+  }
+
   test("s18 bucketed join is exchange- and sort-free end to end") {
     val df = graft.queries.PipelineQueries.s18Joined(spark, sfDir)
     df.collect()
