@@ -45,6 +45,31 @@ object PipelineQueries {
       out
     })
 
+  /** S20's token-balanced shard landing, written ONCE per (JVM, source
+    * dir) — same contract as [[landingFor]]: the gated query reads the
+    * WRITTEN layout back, so the hash gate covers the
+    * [[graft.sources.TrainingShards]] sink end-to-end (assignment,
+    * contiguity, balance), not a simulation of it. Weight is the
+    * whitespace token count (TextQueries' toks convention); the DuckDB
+    * twin recomputes the same exclusive prefix sum over doc_id order. */
+  private val s20Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val S20Shards = 8
+
+  private def shardLandingFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    s20Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s20_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { s20Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      graft.sources.TrainingShards.write(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
+        col("n_tok"), col("doc_id"), S20Shards, out)
+      out
+    })
+
   /** S17's ORC landing, written ONCE per (JVM, source dir) — same
     * contract as [[landingFor]]. ORC is the one columnar format in
     * Spark's builtin source matrix the suite didn't yet exercise; the
@@ -328,6 +353,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy("event_type")
+    }),
+
+    // ---- S20: token-balanced training-shard sink, hash-gated on the
+    // WRITTEN layout: documents land as shard=N partitions via the
+    // TrainingShards prefix-sum assignment (shards are contiguous
+    // doc_id ranges of near-equal token weight — the property that
+    // keeps every downstream trainer's shard wall-clock equal), and
+    // the gated read-back aggregates per shard. min/max doc_id pin
+    // contiguity; tokens pins balance; the DuckDB twin recomputes the
+    // identical exclusive prefix sum, so the gate proves the sink's
+    // deterministic layout, not just its row count. ----
+    "s20_token_shards" -> ((s, dir) => {
+      s.read.parquet(shardLandingFor(s, dir))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("shard")
     }),
 
     // ---- E11: z-score outlier detection — the row-level anomaly gate
@@ -1519,6 +1563,23 @@ object PipelineQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s20's twin replays the sink's layout function: exclusive prefix
+    // sum of token weights in doc_id order, per = ceil(total/8),
+    // shard = min(prefix div per, 7).
+    "s20_token_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        |   FROM documents),
+        | prm AS (SELECT GREATEST(1, (CAST(sum(w) AS BIGINT) + 7) // 8) AS per FROM d),
+        | p AS (SELECT doc_id, w, COALESCE(CAST(sum(w) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |   FROM d),
+        | a AS (SELECT doc_id, w, LEAST(off // per, 7) AS shard FROM p, prm)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
