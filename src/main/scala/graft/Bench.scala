@@ -58,6 +58,16 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
 
+    // Release any per-dir memo state a previous phase in this JVM built
+    // (cached frames, centroid arrays, edge sets, landed files): the
+    // measured passes must never read another phase's memos, so every
+    // bench invocation reproduces the same cold-start → warmup →
+    // steady-state discipline whether the JVM is fresh (the driver's
+    // runs) or reused (a dev loop). The round-8 committed map was
+    // polluted exactly this way — ~99 sub-10 ms rows for queries whose
+    // fresh steady state is seconds.
+    queries.Caches.release(spark, sfDir)
+
     val warmSecs = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => }
