@@ -73,7 +73,7 @@ object DedupQueries {
     * loops — see that method's note for the measured pathology a
     * cache()-per-round loop develops. Checkpoint RDDs release with the
     * dir's other memos. */
-  private def minLabelClusters(pairs: DataFrame, dir: String): DataFrame = {
+  private[graft] def minLabelClusters(pairs: DataFrame, dir: String): DataFrame = {
     val edges = Caches.checkpointed(dir, pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))))
     var labels = Caches.checkpointed(dir, edges.select(col("doc1").as("doc_id")).distinct()
@@ -113,13 +113,21 @@ object DedupQueries {
 
   /** Query-path shingling uses the native [[graft.plans.GraftShingles]]
     * expression — one codegen'd JVM loop per row instead of the
-    * interpreted HOF chain (DedupSpec pins ≡ [[shinglesFromWords]]). */
-  private[graft] def docShinglesOf(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), split(col("text"), " ").as("_w"))
-      .select(col("doc_id"),
+    * interpreted HOF chain (DedupSpec pins ≡ [[shinglesFromWords]]).
+    * [[withShingles]] keeps the caller's other columns (the streaming
+    * twin needs event time alongside); [[docShinglesOf]] is the lean
+    * (doc_id, sh, sz) projection the batch suite scans. */
+  private[graft] def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("_w", split(col("text"), " "))
+      .withColumn("sh",
         org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftShingles(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("_w")))).as("sh"))
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("_w")))))
       .withColumn("sz", size(col("sh")))
+      .drop("_w")
+
+  private[graft] def docShinglesOf(df: DataFrame): DataFrame =
+    withShingles(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("sh"), col("sz"))
 
   private[queries] val shinglesSql: String =
     """list_distinct(list_transform(
@@ -130,7 +138,7 @@ object DedupQueries {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     docShinglesOf(Tables.documents(s, dir))
 
-  private val bandKeysUdf =
+  private[graft] val bandKeysUdf =
     udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))
   private[graft] val simhashUdf =
     udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh))
@@ -377,7 +385,7 @@ object DedupQueries {
     lit(1) + least(szA - rkA, szB - rkB) >=
       ceil(lit(T / (1.0 + T)) * (szA + szB) - lit(1e-9))
 
-  private val intersectUdf =
+  private[graft] val intersectUdf =
     udf((a: Seq[Long], b: Seq[Long]) => graft.functions.Hashing.sortedIntersectCount(a, b))
 
   /** Exact-Jaccard verification of candidate (doc1, doc2) pairs.

@@ -119,6 +119,70 @@ object EventStream {
       .drop("dedup_key")
   }
 
+  /** Stream twin of the batch d18 incremental-dedup classification:
+    * arriving documents (ts, doc_id, text) classify against a
+    * PERSISTENT static corpus — exact (text equality), near (the same
+    * LSH band index + exact-Jaccard ≥ 0.8 verify the batch suite
+    * gates), or novel — using the batch kernels themselves
+    * ([[graft.queries.DedupQueries]]' codegen shingles, band keys, and
+    * sorted-hash intersect), so stream ≡ batch is structural, not
+    * coincidental.
+    *
+    * Streaming shape: every candidate source is a STATELESS
+    * stream-static equi-join (the corpus side is static; Spark re-plans
+    * it per micro-batch, so a refreshed index takes effect on the next
+    * batch), unioned with a per-arrival sentinel row so novel docs
+    * survive, and ONE watermark-bounded (ts, doc_id) argmax aggregation
+    * picks exact > near > novel with the batch twin's tie-break
+    * (highest jaccard, then smallest corpus id). Multi-band duplicate
+    * candidates are NOT distinct-ed (that would be stateful); repeated
+    * (cand, j) rows cannot change an argmax. State is therefore the
+    * aggregation's groups within the watermark horizon — O(arrivals
+    * per horizon), independent of both stream length and corpus size. */
+  def classifyArrivals(arrivals: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.DedupQueries.{bandKeysUdf, docShinglesOf, intersectUdf, withShingles}
+    val a = arrivals.withWatermark("ts", "2 hours")
+    val interned = docShinglesOf(corpus)
+      .select(col("doc_id").as("cand"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("cshi"),
+        col("sz").as("csz"))
+    val cBands = docShinglesOf(corpus)
+      .select(col("doc_id").as("cand"), posexplode(bandKeysUdf(col("sh"))))
+      .toDF("cand", "band", "key")
+    // exact: stream-static equi-join on the text
+    val exact = a.join(corpus.select(col("doc_id").as("cand"), col("text")), Seq("text"))
+      .select(col("ts"), col("doc_id"), lit(2).as("pri"), col("cand"), lit(1.0).as("j"))
+    // near: band-key candidates, verified with the exact Jaccard kernel
+    val ash = withShingles(a)
+      .withColumn("ashi", array_sort(transform(col("sh"), s => xxhash64(s))))
+    val near = ash
+      .select(col("ts"), col("doc_id"), col("ashi"), col("sz"),
+        posexplode(bandKeysUdf(col("sh"))).as(Seq("band", "key")))
+      .join(cBands, Seq("band", "key"))
+      .join(interned, Seq("cand"))
+      .withColumn("inter", intersectUdf(col("ashi"), col("cshi")))
+      .withColumn("j", col("inter") / (col("sz") + col("csz") - col("inter")))
+      .filter(col("j") >= 0.8)
+      // the batch verify emits round(j, 4) — the argmax and the output
+      // must see the same rounded score to tie-break identically
+      .select(col("ts"), col("doc_id"), lit(1).as("pri"), col("cand"),
+        round(col("j"), 4).as("j"))
+    // sentinel: every arrival classifies, candidates or not
+    val sentinel = a.select(col("ts"), col("doc_id"),
+      lit(0).as("pri"), lit(-1L).as("cand"), lit(-1.0).as("j"))
+    exact.unionByName(near).unionByName(sentinel)
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(max(struct(col("pri"), coalesce(col("j"), lit(-1.0)).as("j"),
+        (-col("cand")).as("negc"), col("cand"))).as("b"))
+      .select(col("doc_id"),
+        when(col("b.pri") === 2, lit("exact"))
+          .when(col("b.pri") === 1, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        when(col("b.pri") > 0, col("b.cand")).as("match_id"),
+        when(col("b.pri") === 2, lit(1.0))
+          .when(col("b.pri") === 1, col("b.j")).as("similarity"))
+  }
+
   /** Streaming count-min sketch — the stream twin of the batch
     * `t28_heavy_hitters` sketch: the unbounded token stream folds into
     * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row

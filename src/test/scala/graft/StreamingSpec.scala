@@ -256,6 +256,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental-dedup classification ≡ the batch d18 query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    // the batch twin's classification of the same arrivals vs the same
+    // persistent corpus
+    val expected = graft.queries.DedupQueries
+      .queries("d18_incremental_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -2.0 else r.getDouble(3))))
+      .toMap
+    assert(expected.values.exists(_._1 == "exact") || expected.values.exists(_._1 == "near"),
+      "fixture plants batch-corpus duplicates")
+
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.classifyArrivals(
+        input.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("classified")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past every arrival so the agg emits
+      input.addData((ts(600), -999L, "watermark advancer sentinel document row"))
+      q.processAllAvailable()
+      val streamed = spark.table("classified")
+        .filter(col("doc_id") =!= -999L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -2.0 else r.getDouble(3))))
+        .toMap
+      assert(streamed === expected,
+        "stream classification must equal the batch d18 twin")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("the quick brown fox jumps over the lazy dog",
