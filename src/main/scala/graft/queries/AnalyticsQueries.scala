@@ -218,7 +218,7 @@ object AnalyticsQueries {
       val sn = Tables.load(s, dir, "supplier")
         .join(Tables.load(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name") === "NATION_9")
+        .filter(col("n_name") === "NATION_19")
         .select(col("s_suppkey"), col("s_name"))
       l1.as("a")
         .join(l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).as("b"),
@@ -435,7 +435,7 @@ object AnalyticsQueries {
         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_9' AND l1.late
+        |WHERE n_name = 'NATION_19' AND l1.late
         |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
         |    AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
