@@ -88,7 +88,7 @@ object AnnQueries {
     * 1-row frame (plans BroadcastNestedLoopJoin, which DedupSpec
     * forbids on serving paths) or constant-fold back into one.
     * Invalidation follows the [[Caches]] contract like
-    * [[DedupQueries.centsFor]]. */
+    * [[DedupQueries.cellRanks]]. */
   private val x17Caps = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def x17CapFor(s: SparkSession, dir: String): Long =
     x17Caps.computeIfAbsent(dir, d => {
@@ -288,8 +288,8 @@ object AnnQueries {
       .select(col("vec_id"), col("s"), col("_b.code").as("code"), col("_b.d").as("d"))
 
   /** Shared IVF+PQ compressed-domain scan (x9/x11): cell assignment and
-    * `nprobe`-wide query probe lists via the map-side centroid kernel
-    * ([[vecsWithCells]]), per-query ADC distance tables broadcast onto
+    * `nprobe`-wide query probe lists sliced from the shared two-level
+    * index ([[DedupQueries.cellRanks]]), per-query ADC distance tables broadcast onto
     * the cell-restricted code rows, partial-aggregated 4-lookup sums.
     * Returns (qid, nid, adc_d) — callers rank (x9) or rerank (x11). */
   private def ivfPqAdc(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
@@ -671,9 +671,10 @@ object AnnQueries {
     // basis-point share of the corpus. A skewed cell is a hot
     // partition at serving time (every probe touching it scans its
     // whole posting list), so this is the operational query that
-    // decides when to re-train or split cells. Map-side kernel
-    // assignment (no join node), one count aggregate, one broadcast
-    // scalar join — integer shares via div, so the gate is exact. ----
+    // decides when to re-train or split cells. Assignment is the
+    // shared cellRanks index's rank-1 slice, then one count aggregate
+    // and one broadcast scalar join — integer shares via div, so the
+    // gate is exact. ----
     "x15_ivf_balance" -> ((s, dir) => {
       val assigned = cellAssigned(s, dir).select(col("vec_id"), col("cid"))
       val counts = assigned.groupBy("cid")

@@ -252,14 +252,14 @@ object DedupQueries {
         .select(col("vec_id"), col("v"), col("n2"), col("cid"), col("arn")))
     })
 
-  /** The `p` nearest coarse cells for a vector, ordered by
-    * (cosine desc, cid asc) — x3's argmax tie-break — computed as a
-    * map-side loop over the closure-shipped centroid array. The
-    * join-shaped formulation of the same assignment
-    * (`crossJoin(broadcast(cents))` + rank window, x3/x9's shape) plans
-    * a BroadcastNestedLoopJoin; this is a plain projection, which is
-    * what lets PlanSpec pin d14's plan free of any nested-loop or
-    * cartesian operator. */
+  /** The `p` nearest centroids for a vector, ordered by
+    * (cosine desc, cid asc) — the family's argmax tie-break — computed
+    * as a map-side loop over a closure-shipped centroid array (now the
+    * COARSE level only: √K1 rows). The join-shaped formulation of the
+    * same assignment (`crossJoin(broadcast(cents))` + rank window)
+    * plans a BroadcastNestedLoopJoin; this is a plain projection,
+    * which is what lets PlanSpec pin the serving plans free of any
+    * nested-loop or cartesian operator. */
   private[queries] def nearestCells(v: Seq[Double],
       cents: Array[(Long, Array[Double], Double)], p: Int): Seq[Long] = {
     val n2 = graft.functions.VectorOps.norm2(v)
@@ -658,11 +658,13 @@ object DedupQueries {
 
     // ---- D14: scale-safe semantic edge generation — the IVF-candidate
     // replacement for d5's all-pairs scan, and d13's edge source. Every
-    // vector gets its nearest coarse cell (map-side loop over the
-    // broadcast centroid array — no join node at all) plus an
-    // EdgeProbes-wide probe list; candidate pairs are an EQUI-JOIN of
-    // probe lists against cell assignments (symmetric: a pair is found
-    // if either endpoint probes the other's cell), then exact cosine
+    // vector gets its home fine cell and an EdgeProbes-wide probe list
+    // from the shared two-level cellRanks index (coarse level map-side
+    // over the √K1-sized driver array, fine level a distributed
+    // equi-join — see the quantizer docstring); candidate pairs are an
+    // EQUI-JOIN of probe lists against cell assignments (symmetric: a
+    // pair is found if either endpoint probes the other's cell), then
+    // exact cosine
     // verifies with the same sequential-fold kernel as d5. Candidates
     // are a superset of the true pair set at sufficient nprobe, and the
     // verify admits no false positives, so the output EQUALS d5's exact
