@@ -186,21 +186,34 @@ object AnnQueries {
     * vectors (code = vec_id, the PQ prologue's convention); two
     * rounds; mean on the integer grid floor(Σ/n + 0.5); an empty
     * cluster keeps its previous centroid. */
+  /** Trained-codebook seed modulus: K ≈ √N seeds at residue 3 mod
+    * (N div ⌈√N⌉). K grows with the corpus — cell size grows only as
+    * √N instead of linearly (a fixed seed set makes x16's serving
+    * candidates ∝ N²/K at scale) — while the driver still holds just
+    * K×D longs ∝ √N, the same sub-linear contract as the serving
+    * family's coarse level. The residue folds (3 % m) so degenerate
+    * corpora (m ≤ 3) still seed. */
+  private def kmSeedPred(n: Long): org.apache.spark.sql.Column = {
+    val m = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    col("vec_id") % m === (3L % m)
+  }
+
   private def kmTrain(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
     kmCents.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { kmCents.remove(d); () })
-      kmTrainImpl(s, kmQuantized(s, d), col("vec_id") < 16)
+      val q = kmQuantized(s, d)
+      kmTrainImpl(s, q, kmSeedPred(q.count()))
     })
 
   /** x18's frozen index: centroids trained ONLY on the pre-append
-    * corpus (vec_id % 5 != 4), seeded from its first 16 ids. */
+    * corpus (vec_id % 5 != 4), K ≈ √N_old seeds via [[kmSeedPred]]. */
   private val kmCentsOld =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long])]]()
   private def kmTrainOld(s: SparkSession, dir: String): Array[(Long, Array[Long])] =
     kmCentsOld.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { kmCentsOld.remove(d); () })
-      kmTrainImpl(s, kmQuantized(s, d).filter(col("vec_id") % 5 =!= 4),
-        col("vec_id") < 20)
+      val qold = kmQuantized(s, d).filter(col("vec_id") % 5 =!= 4)
+      kmTrainImpl(s, qold, kmSeedPred(qold.count()))
     })
 
   private def kmTrainImpl(s: SparkSession, q: DataFrame,
@@ -1030,14 +1043,17 @@ object AnnQueries {
          |FROM c, t ORDER BY cid""".stripMargin,
 
     // x18's twin replays train-on-old → assign-ALL with the same CTE
-    // machinery as x14/x16; the seed is the old subset's first 16 ids
-    // (vec_id < 20 minus the %5==4 holdouts).
+    // machinery as x14/x16; seeds are the old subset's K ≈ √N_old
+    // residue-3 modular sample.
     "x18_ivf_append" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
          |   FROM embeddings),
          | qold AS (SELECT * FROM q WHERE vec_id % 5 <> 4),
-         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM qold WHERE vec_id < 20),
+         | prmk AS (SELECT GREATEST(1, count(*) //
+         |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM qold),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM qold, prmk
+         |   WHERE vec_id % m = 3 % m),
          | ${kmAssignSql("cb0", "a1", "qold")},
          | ${kmLloydSql("a1", "cb0", "cb1")},
          | ${kmAssignSql("cb1", "a2", "qold")},
@@ -1060,7 +1076,10 @@ object AnnQueries {
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
          |   FROM embeddings),
-         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q WHERE vec_id < 16),
+         | prmk AS (SELECT GREATEST(1, count(*) //
+         |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM q),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q, prmk
+         |   WHERE vec_id % m = 3 % m),
          | ${kmAssignSql("cb0", "a1")},
          | ${kmLloydSql("a1", "cb0", "cb1")},
          | ${kmAssignSql("cb1", "a2")},
@@ -1094,7 +1113,10 @@ object AnnQueries {
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
          |   FROM embeddings),
-         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q WHERE vec_id < 16),
+         | prmk AS (SELECT GREATEST(1, count(*) //
+         |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM q),
+         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q, prmk
+         |   WHERE vec_id % m = 3 % m),
          | ${kmAssignSql("cb0", "a1")},
          | ${kmLloydSql("a1", "cb0", "cb1")},
          | ${kmAssignSql("cb1", "a2")},
