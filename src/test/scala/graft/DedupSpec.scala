@@ -245,7 +245,11 @@ class DedupSpec extends AnyFunSuite {
         // x18's append pass is map-side assignment + one small
         // broadcastable code join — any all-pairs node would mean the
         // delta path rescans the history
-        "x18_ivf_append")) {
+        "x18_ivf_append",
+        // x19 serves from the LANDED artifact: scan + id equi-joins +
+        // the cell equi-join — the pure-relational serve plan is the
+        // whole point of persisting the index
+        "x19_persisted_ivf")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
