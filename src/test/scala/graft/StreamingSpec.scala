@@ -298,6 +298,12 @@ class StreamingSpec extends AnyFunSuite {
         .toMap
       assert(streamed === expected,
         "stream classification must equal the batch d18 twin")
+      // state is the (ts, doc_id) aggregation groups within the
+      // watermark horizon — bounded by arrivals, NOT by corpus size
+      // (the corpus side is stateless stream-static) or stream length
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
     } finally q.stop()
   }
 
