@@ -138,10 +138,21 @@ object DedupQueries {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     docShinglesOf(Tables.documents(s, dir))
 
+  /** Band/signature kernels drop the single NULL shingle GraftShingles
+    * emits for a <3-word document (see [[shinglesFromWords]]'s NULL
+    * contract): no lexical evidence means NO band keys — a short doc
+    * can never be a near-dup candidate and its dedup signal is the
+    * exact-text branch (d18) or the stream gate's raw-text key — where
+    * the previous unguarded kernels threw on the first real corpus
+    * containing a short document (fixtures never do). */
   private[graft] val bandKeysUdf =
-    udf((sh: Seq[String]) => graft.functions.Hashing.minhashBandKeys(sh, 32, 8))
+    udf((sh: Seq[String]) => {
+      val real = sh.filter(_ != null)
+      if (real.isEmpty) Array.empty[Long]
+      else graft.functions.Hashing.minhashBandKeys(real, 32, 8)
+    })
   private[graft] val simhashUdf =
-    udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh))
+    udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh.filter(_ != null)))
   /** Native codegen dot product — see AnnQueries' note; d5 scores
     * 12.5M pairs at sf0.1 through this kernel. */
   private def dotExpr(a: Column, b: Column): Column =
@@ -398,7 +409,8 @@ object DedupQueries {
     * pair) — the standard trade for set-similarity verify at scale. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame, t: Double): DataFrame = {
     val interned = docs.select(col("doc_id"),
-      array_sort(transform(col("sh"), s => xxhash64(s))).as("shi"), col("sz"))
+      array_sort(transform(filter(col("sh"), s => s.isNotNull),
+        s => xxhash64(s))).as("shi"), col("sz"))
     val a = interned.select(col("doc_id").as("doc1"), col("shi").as("shi1"), col("sz").as("sz1"))
     val b = interned.select(col("doc_id").as("doc2"), col("shi").as("shi2"), col("sz").as("sz2"))
     cand.join(a, "doc1").join(b, "doc2")
@@ -455,7 +467,13 @@ object DedupQueries {
     // signed-64-bit range, so the DuckDB oracle recomputes the IDENTICAL
     // signature and the whole pipeline is hash-gated. ----
     "d4_simhash" -> ((s, dir) => {
+      // shingle-less (<3-word) docs carry no lexical evidence: their
+      // signature would be the constant 0, pairing every short doc
+      // with every other at hamming 0 — exclude them from signature
+      // blocking entirely (same contract as the band kernels; exact
+      // dedup still catches identical short docs)
       val sim = docShingles(s, dir)
+        .filter(size(filter(col("sh"), sh => sh.isNotNull)) > 0)
         .select(col("doc_id"), simhashUdf(col("sh")).as("simhash"))
       val chunked = sim.select(col("doc_id"), col("simhash"),
           explode(expr(

@@ -144,7 +144,8 @@ object EventStream {
     val a = arrivals.withWatermark("ts", "2 hours")
     val interned = docShinglesOf(corpus)
       .select(col("doc_id").as("cand"),
-        array_sort(transform(col("sh"), s => xxhash64(s))).as("cshi"),
+        array_sort(transform(filter(col("sh"), s => s.isNotNull),
+          s => xxhash64(s))).as("cshi"),
         col("sz").as("csz"))
     val cBands = docShinglesOf(corpus)
       .select(col("doc_id").as("cand"), posexplode(bandKeysUdf(col("sh"))))
@@ -154,7 +155,8 @@ object EventStream {
       .select(col("ts"), col("doc_id"), lit(2).as("pri"), col("cand"), lit(1.0).as("j"))
     // near: band-key candidates, verified with the exact Jaccard kernel
     val ash = withShingles(a)
-      .withColumn("ashi", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("ashi", array_sort(transform(
+        filter(col("sh"), s => s.isNotNull), s => xxhash64(s))))
     val near = ash
       .select(col("ts"), col("doc_id"), col("ashi"), col("sz"),
         posexplode(bandKeysUdf(col("sh"))).as(Seq("band", "key")))

@@ -176,6 +176,42 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"cross-split recall $recall%.3f under floor")
   }
 
+  test("dedup suite tolerates sub-3-word documents (no shingles ⇒ no near-dup claims)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a corpus shape the fixtures never produce but any real crawl
+    // does: empty and 1-2-word docs alongside normal text (the single
+    // NULL shingle GraftShingles emits for them used to NPE the band/
+    // signature kernels, and a constant-0 simhash paired every short
+    // doc with every other)
+    val dir = java.nio.file.Files.createTempDirectory("graft_short_docs").toString
+    Seq(
+      (1L, "hi", "s1", "en", 2L),
+      (2L, "alpha beta gamma delta epsilon common words here", "s1", "en", 48L),
+      (3L, "one two", "s1", "en", 7L),
+      (4L, "alpha beta gamma delta epsilon common words here", "s1", "en", 48L),
+      (5L, "", "s1", "en", 0L),
+      (10L, "yo", "s1", "en", 2L),
+      (20L, "alpha beta gamma delta epsilon common words here", "s1", "en", 48L),
+      (30L, "completely different prose with enough words to shingle", "s1", "en", 56L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(q: String) = DedupQueries.queries(q)(spark, dir)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup machinery only ever pairs docs with real shingles
+    assert(pairs("d2_minhash_lsh") === Set((2L, 4L), (2L, 20L), (4L, 20L)))
+    assert(pairs("d4_simhash") === Set((2L, 4L), (2L, 20L), (4L, 20L)))
+    assert(pairs("d3_ngram_jaccard") === Set((2L, 4L), (2L, 20L), (4L, 20L)))
+    // d18: short arrival 10 classifies novel (no crash, no false near),
+    // 20 matches its exact corpus twin, 30 is novel
+    val d18 = DedupQueries.queries("d18_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(d18 === Map(10L -> (("novel", -1L)), 20L -> (("exact", 2L)),
+      30L -> (("novel", -1L))))
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("property: CDC chunking is insertion-local, fixed blocks are not") {
     import org.scalacheck.{Gen, Prop}
     import graft.functions.Hashing
