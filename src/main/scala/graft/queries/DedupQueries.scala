@@ -145,14 +145,16 @@ object DedupQueries {
     * exact-text branch (d18) or the stream gate's raw-text key — where
     * the previous unguarded kernels threw on the first real corpus
     * containing a short document (fixtures never do). */
+  private[graft] def realShingles(sh: Seq[String]): Seq[String] =
+    if (sh == null) Nil else sh.filter(_ != null) // null text → null sh column
   private[graft] val bandKeysUdf =
     udf((sh: Seq[String]) => {
-      val real = sh.filter(_ != null)
+      val real = realShingles(sh)
       if (real.isEmpty) Array.empty[Long]
       else graft.functions.Hashing.minhashBandKeys(real, 32, 8)
     })
   private[graft] val simhashUdf =
-    udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(sh.filter(_ != null)))
+    udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(realShingles(sh)))
   /** Native codegen dot product — see AnnQueries' note; d5 scores
     * 12.5M pairs at sf0.1 through this kernel. */
   private def dotExpr(a: Column, b: Column): Column =
@@ -732,7 +734,10 @@ object DedupQueries {
     // rollingHash8 arithmetic), explode ∝ corpus, no shuffle until the
     // consumer aggregates. ----
     "d21_cdc_chunks" -> ((s, dir) => {
-      val spansU = udf((t: String) => graft.functions.Hashing.cdcSpans(t))
+      // null text chunks to nothing (posexplode then emits no rows),
+      // matching the NULL-in/NULL-out shape the rest of the suite uses
+      val spansU = udf((t: String) =>
+        if (t == null) Seq.empty[(Int, Int)] else graft.functions.Hashing.cdcSpans(t))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           posexplode(spansU(col("text"))).as(Seq("chunk_no", "sp")))

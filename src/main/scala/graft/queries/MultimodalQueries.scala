@@ -27,7 +27,10 @@ object MultimodalQueries {
     * check, then big-endian IHDR width(16-19)/height(20-23)/depth(24).
     * Mirrors m5's expression-level parse (MultimodalQueries m5) so the
     * DuckDB twin gates it exactly. */
-  private[queries] def decodePng(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+  private[queries] def decodePng(docId: Long, bytes0: Array[Byte]): MediaDecoded = {
+    // a NULL media blob (e.g. null source text) is just the corrupt
+    // branch, not a crash
+    val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
     var ok = bytes.length >= 26
     var i = 0
     while (ok && i < PngSig.length) { ok = bytes(i) == PngSig(i); i += 1 }
@@ -52,7 +55,8 @@ object MultimodalQueries {
     * fixture's layout (the planted COM segment's length varies per
     * row, so a fixed-offset read would misparse). Public layout per
     * ITU-T T.81 §B.2. */
-  private[queries] def decodeJpeg(docId: Long, b: Array[Byte]): JpegMeta = {
+  private[queries] def decodeJpeg(docId: Long, b0: Array[Byte]): JpegMeta = {
+    val b = if (b0 == null) Array.empty[Byte] else b0
     def u8(o: Int) = b(o) & 0xFF
     def be16(o: Int): Long = ((b(o) & 0xFFL) << 8) | (b(o + 1) & 0xFFL)
     if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8)
@@ -83,7 +87,8 @@ object MultimodalQueries {
     * signed little-endian 16-bit samples squared-and-summed per
     * fixed-size window. Returns (doc_id, win, energy) rows; empty for
     * non-WAV bytes or payloads shorter than one window. */
-  private[queries] def wavEnergy(docId: Long, b: Array[Byte], winSize: Int): Seq[(Long, Long, Long)] = {
+  private[queries] def wavEnergy(docId: Long, b0: Array[Byte], winSize: Int): Seq[(Long, Long, Long)] = {
+    val b = if (b0 == null) Array.empty[Byte] else b0 // null blob = corrupt branch
     def u8(o: Int) = b(o) & 0xFF
     def le32(o: Int): Long = (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
       ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)

@@ -70,15 +70,19 @@ object TextQueries {
     // ---- quality scoring: length / punctuation / stopword ratios ----
     "t2_quality_score" -> ((s, dir) => {
       val t = toks(col("text"))
+      // nullif the denominators: a zero-length doc (fixtures never
+      // carry one; real corpora do) gets NULL ratios instead of an
+      // ANSI DIVIDE_BY_ZERO that kills the whole scoring job
       Tables.documents(s, dir)
         .select(col("doc_id"),
           length(col("text")).as("char_len"),
           size(t).as("n_tokens"),
           round(length(regexp_replace(col("text"), "[^.,!?;:]", "")) * lit(1.0) /
-            length(col("text")), 4).as("punct_ratio"),
-          round(countIn(t, stopwords) * lit(1.0) / size(t), 4).as("stopword_ratio"),
-          round(length(regexp_replace(col("text"), "\\s", "")) * lit(1.0) / size(t), 4)
-            .as("avg_token_len"))
+            nullif(length(col("text")), lit(0)), 4).as("punct_ratio"),
+          round(countIn(t, stopwords) * lit(1.0) / nullif(size(t), lit(0)), 4)
+            .as("stopword_ratio"),
+          round(length(regexp_replace(col("text"), "\\s", "")) * lit(1.0) /
+            nullif(size(t), lit(0)), 4).as("avg_token_len"))
         .orderBy("doc_id")
     }),
 

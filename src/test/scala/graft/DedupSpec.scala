@@ -191,6 +191,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "one two", "s1", "en", 7L),
       (4L, "alpha beta gamma delta epsilon common words here", "s1", "en", 48L),
       (5L, "", "s1", "en", 0L),
+      (6L, null, "s2", "en", 0L), // null text: the crawl-corpus reality
       (10L, "yo", "s1", "en", 2L),
       (20L, "alpha beta gamma delta epsilon common words here", "s1", "en", 48L),
       (30L, "completely different prose with enough words to shingle", "s1", "en", 56L))
@@ -209,6 +210,17 @@ class DedupSpec extends AnyFunSuite {
         ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
     assert(d18 === Map(10L -> (("novel", -1L)), 20L -> (("exact", 2L)),
       30L -> (("novel", -1L))))
+    // the rest of the document surface degrades instead of crashing:
+    // null media decodes as the corrupt branch, CDC chunks to nothing,
+    // quality ratios go NULL on zero-length denominators
+    val m1 = graft.queries.MultimodalQueries.queries("m1_media_meta")(spark, dir)
+      .filter(col("doc_id") === 6L).collect()
+    assert(m1.length == 1 && !m1.head.getAs[Boolean]("is_png"))
+    assert(graft.queries.DedupQueries.queries("d21_cdc_chunks")(spark, dir)
+      .filter(col("doc_id") === 6L).count() === 0)
+    val t2 = graft.queries.TextQueries.queries("t2_quality_score")(spark, dir)
+      .filter(col("doc_id") === 5L).collect().head
+    assert(t2.isNullAt(t2.fieldIndex("punct_ratio")))
     graft.queries.Caches.release(spark, dir)
   }
 
