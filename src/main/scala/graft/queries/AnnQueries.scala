@@ -215,7 +215,8 @@ object AnnQueries {
     * family's coarse level. The residue folds (3 % m) so degenerate
     * corpora (m ≤ 3) still seed. */
   private def kmSeedPred(n: Long): org.apache.spark.sql.Column = {
-    val m = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong) // n=0 safe
+    val m = math.max(1L, n / k)
     col("vec_id") % m === (3L % m)
   }
 
@@ -290,13 +291,17 @@ object AnnQueries {
     val cent: Array[Array[Array[Long]]] = Array.tabulate(4) { sp =>
       train.filter(t => t._2 == sp && t._1 < 16).sortBy(_._1).map(_._3.clone)
     }
-    for (_ <- 1 to 2; sp <- 0 until 4) {
-      val sums = Array.fill(16)(new Array[Long](dim))
-      val cnts = new Array[Long](16)
+    // k = seeds per subspace (16 on any real corpus; fewer on a tiny or
+    // empty slice — an empty corpus trains an empty codebook and every
+    // consumer degrades to an empty result instead of crashing)
+    val k = cent(0).length
+    for (_ <- 1 to 2; sp <- 0 until 4; if k > 0) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnts = new Array[Long](k)
       train.foreach { case (_, tsp, sub) =>
         if (tsp == sp) {
           var best = 0; var bd = l2(sub, cent(sp)(0)); var c = 1
-          while (c < 16) { // ascending code: ties keep the smaller
+          while (c < k) { // ascending code: ties keep the smaller
             val d = l2(sub, cent(sp)(c)); if (d < bd) { bd = d; best = c }; c += 1
           }
           cnts(best) += 1
@@ -304,10 +309,10 @@ object AnnQueries {
           while (i < dim) { sums(best)(i) += sub(i); i += 1 }
         }
       }
-      for (c <- 0 until 16 if cnts(c) > 0; i <- 0 until dim)
+      for (c <- 0 until k if cnts(c) > 0; i <- 0 until dim)
         cent(sp)(c)(i) = math.floor(sums(c)(i) * 1.0 / cnts(c) + 0.5).toLong
     }
-    (for (sp <- 0 until 4; c <- 0 until 16)
+    (for (sp <- 0 until 4; c <- 0 until k)
       yield (sp, c.toLong, cent(sp)(c).toSeq)).toList
   }
 
@@ -874,7 +879,16 @@ object AnnQueries {
     // DuckDB twin recomputes assignment from raw vectors), so index
     // persistence is hash-checked, not asserted. ----
     "x19_persisted_ivf" -> ((s, dir) => {
-      val ranks = s.read.parquet(indexLandingFor(s, dir))
+      // explicit schema — an empty corpus lands a fileless artifact,
+      // and an empty index serves empty results, not a read error
+      val artifactSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("arn",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType)))
+      val ranks = s.read.schema(artifactSchema).parquet(indexLandingFor(s, dir))
       val e = vecs(s, dir)
       val assigned = ranks.filter(col("arn") === 1)
         .select(col("vec_id").as("nid"), col("cid"))

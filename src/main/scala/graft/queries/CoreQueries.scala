@@ -134,7 +134,10 @@ object CoreQueries {
         count(lit(1)).as("supplier_total"),
         count(col("base_price")).as("matched"),
         (count(lit(1)) - count(col("base_price"))).as("new_items"),
-        round(count(col("base_price")) * lit(100.0) / count(lit(1)), 4).as("match_rate"))
+        // nullif: an empty supplier slice reports NULL match_rate
+        // instead of an ANSI divide-by-zero
+        round(count(col("base_price")) * lit(100.0) / nullif(count(lit(1)), lit(0L)), 4)
+          .as("match_rate"))
     }),
 
     // ---- A1: duplicate detection (group-count > 1) ----

@@ -154,18 +154,25 @@ object PipelineQueries {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (r <- 1 to 3) {
-        val top = vocab
+      var dry = false
+      for (r <- 1 to 3 if !dry) {
+        val tops = vocab
           .select(col("freq"), explode(expr(
             "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
               " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
           .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()(0)
-        merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
-        vocab = vocab.select(col("w"), col("freq"),
-          mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
+          .limit(1).collect()
+        // no pairs left (empty or single-char-word corpus): training is
+        // done, not broken
+        if (tops.isEmpty) dry = true
+        else {
+          val top = tops(0)
+          merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
+          vocab = vocab.select(col("w"), col("freq"),
+            mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
+        }
       }
       (Caches.trackCached(d, vocab), merges.toSeq)
     })
@@ -347,7 +354,12 @@ object PipelineQueries {
     }),
 
     "s15_partition_prune" -> ((s, dir) => {
-      s.read.parquet(landingFor(s, dir))
+      // explicit schema (the landing writer's own output schema): an
+      // EMPTY events slice lands as a fileless directory, which schema
+      // inference cannot read — empty in must mean empty out
+      val landedSchema = Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000")).schema
+      s.read.schema(landedSchema).parquet(landingFor(s, dir))
         .filter(col("day").between(19730, 19736))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -365,7 +377,15 @@ object PipelineQueries {
     // identical exclusive prefix sum, so the gate proves the sink's
     // deterministic layout, not just its row count. ----
     "s20_token_shards" -> ((s, dir) => {
-      s.read.parquet(shardLandingFor(s, dir))
+      // explicit schema — see s15: an empty corpus lands no files
+      val landedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tok",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(landedSchema).parquet(shardLandingFor(s, dir))
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tok").as("tokens"),
