@@ -68,7 +68,22 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The embeddings table's engine contract is 64-dim (the PQ slicing,
+    * LSH planes, and every oracle CTE assume it), and cosine is
+    * undefined for the zero vector — so admission happens HERE, the
+    * one choke point every vector query reads through, exactly as a
+    * serving index validates vectors at build time. Malformed rows
+    * (NULL, wrong dimension, all-zero) are dropped instead of NPE-ing
+    * a kernel or ANSI-zero-dividing a cosine 20 operators downstream;
+    * the fixtures contain only well-formed rows, so every hash gate is
+    * unchanged and the filter is a no-op scan predicate there. */
+  val EmbeddingDim = 64
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === EmbeddingDim &&
+        exists(col("embedding"), x => x =!= 0.0f))
 
   /** Deterministic, shuffle-free row id for a lineitem row: the reference's
     * pandas-index identity (/root/reference/main.py:2137) re-expressed as a

@@ -41,7 +41,8 @@ object AnnQueries {
     * ([[VectorOps.intPlanes]]) so the projection — and hence the bucket
     * id — is reproducible in the DuckDB oracle exactly. */
   private val lshPlanes = VectorOps.intPlanes(8, 64)
-  private val bucketUdf = udf((v: Seq[Double]) => VectorOps.signBucket(v, lshPlanes))
+  private val bucketUdf = udf((v: Seq[Double]) =>
+    if (v == null) -1L else VectorOps.signBucket(v, lshPlanes))
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -163,6 +164,9 @@ object AnnQueries {
     * by x14's argmin assignment and x16's probe lists; the (d, code)
     * tuple order IS the oracle's `ORDER BY d, code` tie-break. */
   private def kmDistances(cents: Array[(Long, Array[Long])], v: Seq[Long]): Array[(Long, Long)] = {
+    // null-tolerant for the same inferred-predicate reason as
+    // DedupQueries.nearestCells
+    if (v == null) return Array.empty
     val arr = v.toArray
     cents.map { case (code, cv) =>
       var t = 0L; var i = 0
@@ -173,7 +177,11 @@ object AnnQueries {
 
   /** Argmin over [[kmDistances]] → (winning code, d²). */
   private def kmKernel(cents: Array[(Long, Array[Long])]): Seq[Long] => (Long, Long) =
-    (v: Seq[Long]) => { val (d, code) = kmDistances(cents, v).min; (code, d) }
+    (v: Seq[Long]) => {
+      val ds = kmDistances(cents, v)
+      if (ds.isEmpty) (-1L, 0L) // null vector / empty codebook sentinel
+      else { val (d, code) = ds.min; (code, d) }
+    }
 
   /** Distributed Lloyd over the FULL corpus — the at-scale counterpart
     * of [[trainCodebook]]'s bounded-sample collect: each round is one

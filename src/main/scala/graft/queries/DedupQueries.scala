@@ -248,7 +248,8 @@ object DedupQueries {
       // floor); asymptotically cp → 2 groups as g = √(N/50) grows, so
       // per-row assignment work stays O(√N · D).
       val cp = 1 + math.ceil(3.0 * MaxProbes / gFor(s, d)).toInt
-      val group1U = udf((v: Seq[Double]) => nearestCells(v, coarse, 1).head)
+      val group1U = udf((v: Seq[Double]) =>
+        nearestCells(v, coarse, 1).headOption.getOrElse(-1L))
       val groupsU = udf((v: Seq[Double]) => nearestCells(v, coarse, cp))
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -275,6 +276,10 @@ object DedupQueries {
     * nested-loop or cartesian operator. */
   private[queries] def nearestCells(v: Seq[Double],
       cents: Array[(Long, Array[Double], Double)], p: Int): Seq[Long] = {
+    // the optimizer infers isnotnull(UDF(...)) predicates and may
+    // evaluate them ahead of the admission filter's own conjuncts, so
+    // every kernel must tolerate a null vector itself
+    if (v == null) return Seq.empty
     val n2 = graft.functions.VectorOps.norm2(v)
     cents.map { case (cid, cv, cn2) =>
         (graft.functions.VectorOps.dot(v, cv) / math.sqrt(n2 * cn2), cid)
@@ -399,7 +404,9 @@ object DedupQueries {
       ceil(lit(T / (1.0 + T)) * (szA + szB) - lit(1e-9))
 
   private[graft] val intersectUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => graft.functions.Hashing.sortedIntersectCount(a, b))
+    udf((a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) 0L
+      else graft.functions.Hashing.sortedIntersectCount(a, b))
 
   /** Exact-Jaccard verification of candidate (doc1, doc2) pairs.
     * Shingles are interned to SORTED xxhash64 arrays once per doc, so
