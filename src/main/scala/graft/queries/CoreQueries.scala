@@ -286,7 +286,7 @@ object CoreQueries {
     // one literal bitset per task. ----
     "j10_bloom_prune" -> ((s, dir) => {
       val keys = Tables.orders(s, dir)
-        .filter(col("o_totalprice") > lit(400000.0))
+        .filter(col("o_totalprice") > lit(400000.0) && col("o_orderkey").isNotNull)
         .select(col("o_orderkey").cast("long").as("k")).distinct()
       val nWords = math.min(math.max(keys.count(), 32L), 4194304L)
       val M = 32L * nWords // bits

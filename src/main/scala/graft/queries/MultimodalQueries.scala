@@ -159,6 +159,7 @@ object MultimodalQueries {
     "m8_audio_energy" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull) // see m1's note
         .select(col("doc_id"), wavMedia.as("media"))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) => wavEnergy(id, bytes, 64) }
@@ -187,6 +188,10 @@ object MultimodalQueries {
       val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
         .otherwise(concat(unhex(header), col("text").cast("binary")))
       Tables.documents(s, dir)
+        // a media row without an id is unaddressable: the typed
+        // encoder's Long cannot carry NULL, and no downstream join
+        // could ever use the row — drop, don't crash
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), media.as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => decodeJpeg(id, bytes) })
@@ -206,6 +211,10 @@ object MultimodalQueries {
       val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
         .otherwise(concat(unhex(header), col("text").cast("binary")))
       Tables.documents(s, dir)
+        // a media row without an id is unaddressable: the typed
+        // encoder's Long cannot carry NULL, and no downstream join
+        // could ever use the row — drop, don't crash
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), media.as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })

@@ -60,4 +60,27 @@ class RobustnessSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/embeddings.parquet").count())
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("every registered query tolerates ~5% nulls in every column of every table") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_null_tables").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val tb = spark.read.parquet(s"$src/$t.parquet")
+      // deterministic per-(table, column, row) null pattern over every
+      // column, join keys included — the dirty-extract reality
+      tb.select(tb.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+        when(abs(xxhash64(lit(t), lit(c), monotonically_increasing_id() + i)) % 20 === 0,
+          lit(null)).otherwise(col(c)).as(c)
+      }.toSeq: _*).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(120)}") }
+    }
+    assert(failures.isEmpty,
+      s"queries crashed on null-riddled tables:\n${failures.mkString("\n")}")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
