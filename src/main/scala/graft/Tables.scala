@@ -77,12 +77,19 @@ object Tables {
     * (NULL, wrong dimension, all-zero) are dropped instead of NPE-ing
     * a kernel or ANSI-zero-dividing a cosine 20 operators downstream;
     * the fixtures contain only well-formed rows, so every hash gate is
-    * unchanged and the filter is a no-op scan predicate there. */
+    * unchanged and the filter is a no-op scan predicate there.
+    *
+    * A vector with NULL *elements* is as malformed as a NULL column:
+    * `exists(_ =!= 0.0f)` alone would admit it (any non-null nonzero
+    * element satisfies the exists), and the kernels then unbox the null
+    * slot — NPE in the Scala UDF paths, silent garbage in
+    * ArrayData.getDouble codegen paths. Hence the forall(isNotNull). */
   val EmbeddingDim = 64
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === EmbeddingDim &&
+        forall(col("embedding"), x => x.isNotNull) &&
         exists(col("embedding"), x => x =!= 0.0f))
 
   /** Deterministic, shuffle-free row id for a lineitem row: the reference's

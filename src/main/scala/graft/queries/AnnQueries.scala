@@ -156,9 +156,17 @@ object AnnQueries {
   /** Grid-quantized corpus (the PQ family's integer grid): every
     * arithmetic step downstream stays on BIGINT, which is what lets the
     * DuckDB twin replay the whole training bit-for-bit. */
+  /** coalesce(x, 0): a null ELEMENT would make qv's BIGINT slot null,
+    * and the kernels' Seq[Long] deserializer asserts non-null primitives
+    * — it throws before any UDF-body null guard can run. Admission drops
+    * null-element rows, but Catalyst may evaluate an inferred
+    * isnotnull(UDF(qv)) predicate AHEAD of the admission conjuncts on
+    * raw scan rows (the Tables.embeddings ordering hazard), so qv must
+    * be total on rows that are about to be dropped. Identity on every
+    * admitted row — hash gates unchanged. */
   private def kmQuantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+      "transform(embedding, x -> CAST(floor(CAST(coalesce(x, CAST(0 AS FLOAT)) AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
 
   /** Integer-L2 (d², code) to every closure-shipped centroid — shared
     * by x14's argmin assignment and x16's probe lists; the (d, code)
@@ -272,8 +280,9 @@ object AnnQueries {
 
   private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
+    // coalesce(x, 0): total on doomed null-element rows — see kmQuantized
     val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
+      "transform(embedding, x -> CAST(floor(CAST(coalesce(x, CAST(0 AS FLOAT)) AS DOUBLE) * 64 + 0.5) AS BIGINT))").as("qv"))
     val subs = q.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), s -> slice(qv, s * 16 + 1, 16))")).as(Seq("s", "sub")))
     val cbRows = pqCodebooks.computeIfAbsent(dir, d => {
@@ -752,7 +761,9 @@ object AnnQueries {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("n2", norm2Expr(col("v")))
-        .withColumn("qv", expr("transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))"))
+        .withColumn("qv", expr(
+          // coalesce: total on doomed null-element rows — see kmQuantized
+          "transform(v, x -> CAST(floor(coalesce(x, CAST(0 AS DOUBLE)) * 64 + 0.5) AS BIGINT))"))
         .withColumn("cells", probesU(col("qv")))
       val assigned = e.select(col("vec_id").as("nid"), col("v").as("nv"),
         col("n2").as("nn2"), element_at(col("cells"), 1).as("code")).repartition(width)
@@ -951,7 +962,8 @@ object AnnQueries {
   /** Twin of [[DedupQueries.cellRanks]] — the two-level coarse
     * quantizer, replayed relationally. Expects `e`/`n` CTEs in scope;
     * yields `ar` = (vec_id, v, n2, cid, ccos, arn ≤ 8): each vector's
-    * fine-cell ranking within its top-(1+⌈8/g⌉) coarse groups, where
+    * fine-cell ranking within its top-(1+⌈24/g⌉) coarse groups (24 =
+    * 3·MaxProbes, bit-for-bit shared with the Scala side), where
     * the fine level is the vec_id % 50 = 1 seed subset, g =
     * GREATEST(1, ⌊√(N/50)+0.5⌋) fine cells per coarse group, and the
     * coarse level is the vec_id % (50·g) = 1 sub-subset. Every cosine

@@ -201,9 +201,11 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("j10_bloom_prune")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the bitset test is a scalar filter over a literal array — if the
-    // bloom check ever became a join against a words table, the probe
-    // side would shuffle and the prune would be pointless at scale
+    // Below BloomPrune.LiteralCapKeys (this fixture, and any build
+    // side to 4M keys) the bitset test must stay a scalar filter over
+    // a literal array — a words-table join here would shuffle the
+    // probe for nothing. The words-join formulation is legal ONLY on
+    // the past-cap path (BloomSpec drives it on a 4.3M-key build).
     assert(plan.contains("element_at"), s"bloom bit test not inlined as a filter:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),

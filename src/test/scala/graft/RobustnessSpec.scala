@@ -28,7 +28,7 @@ class RobustnessSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
-  test("vector queries tolerate malformed embeddings (null / wrong-dim / all-zero)") {
+  test("vector queries tolerate malformed embeddings (null / wrong-dim / all-zero / null-element)") {
     import org.apache.spark.sql.functions._
     val src = SparkTestBase.sfDir
     val dir = java.nio.file.Files.createTempDirectory("graft_bad_vecs").toString
@@ -44,6 +44,11 @@ class RobustnessSpec extends AnyFunSuite {
           .when(col("vec_id") % 97 === 33, expr("slice(embedding, 1, 32)"))
           .when(col("vec_id") % 97 === 41,
             expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+          // null ELEMENTS inside an otherwise well-formed 64-dim vector:
+          // exists(_ =!= 0) alone would admit it; the forall(isNotNull)
+          // admission conjunct must reject it before any kernel unboxes
+          .when(col("vec_id") % 97 === 59,
+            expr("transform(embedding, (x, i) -> IF(i % 7 = 3, CAST(NULL AS FLOAT), x))"))
           .otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val vecQueries = SparkEntry.queries.keys.filter(n =>
