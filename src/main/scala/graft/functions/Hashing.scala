@@ -217,6 +217,40 @@ object Hashing extends Serializable {
     }
     (doc, mn, n >= 8)
   }
+
+  /** Every k-gram's polynomial hash in ONE O(L) rolling pass:
+    * h(i) = fold over the k UTF-16 units starting at i of
+    * (h·131 + c) mod (2³¹−1), init 0 — the oracle-expressible fold
+    * (every intermediate < 2⁴⁷, exact in signed 64-bit in any SQL
+    * engine; DuckDB replays it per position as a list_reduce). The
+    * rolling step subtracts the leading unit's 131^(k−1) term, keeping
+    * the whole array O(L) instead of the per-position O(L·k) refold.
+    * Returns one hash per 0-based start position; empty below k units.
+    * Powers d23's cross-document repeated-substring detection (the
+    * Lee-et-al-class operator: hash every k-gram, equi-join equal
+    * hashes, verify bytes, merge runs into maximal shared spans). */
+  final def gramHashes(s: String, k: Int): Array[Long] = {
+    val P = 2147483647L
+    val B = 131L
+    val L = s.length
+    if (L < k || k <= 0) return Array.empty
+    var bk = 1L
+    var j = 1
+    while (j < k) { bk = bk * B % P; j += 1 } // B^(k−1) mod P
+    val out = new Array[Long](L - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + s.charAt(i)) % P; i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= L - k) {
+      val drop = s.charAt(i - 1) * bk % P
+      h = ((h - drop + P) % P * B + s.charAt(i + k - 1)) % P
+      out(i) = h
+      i += 1
+    }
+    out
+  }
 }
 
 /** Primitive-loop vector kernels shared by the embedding operators. The

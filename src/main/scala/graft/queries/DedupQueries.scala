@@ -186,7 +186,9 @@ object DedupQueries {
     * is small; at index scale it shuffles on gid — either way no
     * nested-loop node, no driver collect of the fine level).
     *
-    * Probe semantics: a vector probes its top-(1+⌈8/g⌉) coarse groups
+    * Probe semantics: a vector probes its top-(1+⌈24/g⌉) coarse groups
+    * (24 = 3·[[MaxProbes]], the constant both the Scala code and the
+    * SQL twin must replay bit-for-bit — do not change one side alone)
     * (cosine desc, gid asc — the same argmax tie-break as the fine
     * level), then ranks the fine centroids WITHIN those groups; its
     * cell list is the top-[[MaxProbes]] prefix of that ranking. At the
@@ -203,7 +205,15 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Fine-cells-per-coarse-group: g = max(1, ⌊√(N/50) + 0.5⌋) — the
-    * same double arithmetic the oracle's GREATEST/floor/sqrt computes. */
+    * same double arithmetic the oracle's GREATEST/floor/sqrt computes.
+    *
+    * N here is counted through [[Tables.embeddings]] (post-admission),
+    * while the SQL twins' `prm` CTE counts raw `embeddings` rows: the
+    * two agree only on a fully-admitted corpus, which the driver
+    * fixtures guarantee (TESTDATA.md — deterministic well-formed
+    * rows). On a corpus with malformed vectors the oracle comparison
+    * is undefined by contract; the ENGINE side stays correct (it
+    * sizes g from the vectors it will actually index). */
   private[queries] def gFor(s: SparkSession, dir: String): Long =
     coarseGs.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { coarseGs.remove(d); () })
@@ -913,7 +923,81 @@ object DedupQueries {
     // apex); per-vertex counts come from exploding the three corners.
     // Edges are the memoized d2 LSH frame — no new scan. ----
     "d22_triangles" -> ((s, dir) =>
-      triangleCounts(d2EdgesFor(s, dir).select(col("doc1"), col("doc2"))))
+      triangleCounts(d2EdgesFor(s, dir).select(col("doc1"), col("doc2")))),
+
+    // ---- D23: cross-document repeated-substring dedup — the
+    // Lee-et-al-class operator (Deduplicating Training Data Makes
+    // Language Models Better): find long character spans shared by
+    // PAIRS of documents, the spans a suffix-array dedup would excise.
+    // Suffix arrays don't distribute; the Spark-native shape is
+    // propose-cheap/verify-exact (d3's discipline): (1) hash EVERY
+    // K=60-gram in one O(L) rolling pass per doc (native codegen
+    // GraftGramHashes — the gram pass is the dominant scan at 100 TB,
+    // so it runs as one tight JVM loop, 8 B/position out); (2) drop
+    // corpus-hot hashes (> DfCap occurrences) BEFORE the pair join —
+    // the d10-domain boilerplate guard that bounds every hash bucket,
+    // keeping join output linear in corpus size (never binds on the
+    // fixtures: max gram multiplicity is 4 at both sfs); (3) equi-join
+    // equal hashes (doc_a < doc_b), an 8-byte-key shuffle — gram TEXT
+    // never travels; (4) verify bytes by re-joining the two docs by id
+    // and comparing the actual substrings (kills hash collisions);
+    // (5) merge verified positions into maximal spans: consecutive
+    // matches at the same (doc_a, doc_b, ia−ib) offset ARE contiguous
+    // (two matching windows at distance < K overlap, forcing every
+    // window between them to match), so islands-by-(ia − row_number)
+    // finds exactly the maximal runs; (6) union the runs' doc_a
+    // intervals per pair (runs from different offsets can overlap) via
+    // a running-max window — shared_chars is the union length, never
+    // double-counted. Output per pair: span count, union coverage, the
+    // longest single span, and coverage_pct of the lower-id doc. Every
+    // step is a window or equi-join on bounded keys — no cartesian, no
+    // driver state (DedupSpec pins the plan). ----
+    "d23_shared_substrings" -> ((s, dir) => {
+      val K = 60
+      val DfCap = 64L
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= K)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val grams = docs.select(col("doc_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), K)).as(Seq("i0", "h")))
+      val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > DfCap).select("h")
+      val g = grams.join(hot, Seq("h"), "left_anti")
+      val cand = g.select(col("h"), col("doc_id").as("doc_a"), col("i0").as("ia"))
+        .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i0").as("ib")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+      val ver = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+          col("len").as("la")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .filter(expr(s"substring(ta, CAST(ia + 1 AS INT), $K)" +
+          s" = substring(tb, CAST(ib + 1 AS INT), $K)"))
+        .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"), col("la"))
+      val runs = ver.withColumn("delta", col("ia") - col("ib"))
+        .withColumn("grp", col("ia") - row_number().over(
+          Window.partitionBy("doc_a", "doc_b", "delta").orderBy("ia")))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(max("la").as("la"), min("ia").as("sa"),
+          (max(col("ia")) + lit(K - 1)).as("ea"),
+          (max(col("ia")) - min(col("ia")) + lit(K)).as("span_len"))
+      val w = Window.partitionBy("doc_a", "doc_b").orderBy("sa", "ea")
+      val isl = runs
+        .withColumn("prevMax", max(col("ea")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("prevMax").isNull ||
+          col("sa") > col("prevMax") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy("doc_a", "doc_b", "island")
+        .agg(max("la").as("la"), max("span_len").as("msl"),
+          (max(col("ea")) - min(col("sa")) + lit(1)).as("ulen"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("ulen").cast("long").as("shared_chars"),
+          max("msl").cast("long").as("max_span_len"),
+          round(sum(col("ulen")) * lit(1.0) / max(col("la")), 4).as("coverage_pct"))
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** Undirected degree per endpoint of a canonical (doc1 < doc2) edge
@@ -1305,7 +1389,52 @@ object DedupQueries {
         |   WHERE cosine >= 0.45 AND (id1 % 20 = 0) <> (id2 % 20 = 0))
         |SELECT CASE WHEN id1 % 20 = 0 THEN id2 ELSE id1 END AS train_vec,
         | CASE WHEN id1 % 20 = 0 THEN id1 ELSE id2 END AS benchmark_vec, cosine
-        |FROM edges ORDER BY train_vec, benchmark_vec""".stripMargin
+        |FROM edges ORDER BY train_vec, benchmark_vec""".stripMargin,
+
+    // d23: the full propose/verify/merge/union pipeline replayed
+    // relationally — per-position k-gram hashes as the same
+    // (h·131 + c) mod 2³¹−1 fold over the gram's units (list_reduce
+    // per position; the engine's rolling pass computes identical
+    // values in O(L)), the same DfCap=64 hot-hash guard, byte
+    // verification, islands-by-(ia − row_number) run merging, and
+    // running-max interval union.
+    "d23_shared_substrings" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 60),
+        | grams AS (SELECT doc_id, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 60), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 59)) AS t(i)),
+        | keep AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= 64),
+        | g AS (SELECT grams.* FROM grams JOIN keep USING (h)),
+        | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i0 AS ia, b.i0 AS ib
+        |   FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+        | ver AS (SELECT c.doc_a, c.doc_b, c.ia, c.ib, da.len AS la
+        |   FROM cand c JOIN docs da ON da.doc_id = c.doc_a
+        |     JOIN docs db ON db.doc_id = c.doc_b
+        |   WHERE substring(da.text, CAST(c.ia + 1 AS INT), 60)
+        |       = substring(db.text, CAST(c.ib + 1 AS INT), 60)),
+        | runs1 AS (SELECT doc_a, doc_b, la, ia, ia - ib AS delta,
+        |     ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+        |       ORDER BY ia) AS grp
+        |   FROM ver),
+        | spans AS (SELECT doc_a, doc_b, max(la) AS la, min(ia) AS sa,
+        |     max(ia) + 59 AS ea, max(ia) - min(ia) + 60 AS span_len
+        |   FROM runs1 GROUP BY doc_a, doc_b, delta, grp),
+        | isl AS (SELECT *, CASE WHEN sa > COALESCE(max(ea) OVER (PARTITION BY doc_a, doc_b
+        |       ORDER BY sa, ea ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |     THEN 1 ELSE 0 END AS ni FROM spans),
+        | isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_a, doc_b ORDER BY sa, ea
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+        | uni AS (SELECT doc_a, doc_b, island, max(la) AS la, max(span_len) AS msl,
+        |     max(ea) - min(sa) + 1 AS ulen FROM isl2 GROUP BY doc_a, doc_b, island)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(ulen) AS BIGINT) AS shared_chars,
+        |  CAST(max(msl) AS BIGINT) AS max_span_len,
+        |  round(CAST(sum(ulen) AS DOUBLE) / max(la), 4) AS coverage_pct
+        |FROM uni GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the

@@ -224,6 +224,59 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d23 recovers a planted shared paragraph as one maximal span") {
+    import spark.implicits._
+    // two docs share exactly one 150-char paragraph; every other char
+    // differs (distinct filler alphabets, and the chars flanking the
+    // plant differ on both sides so the span cannot extend past it).
+    // A third doc shares nothing 60 chars long with anyone.
+    val para = ("the quick brown fox jumps over the lazy dog again and again " +
+      "while the market data pipeline keeps streaming rows into the lake " +
+      "and the scheduler assigns every batch to an idle core promptly")
+      .take(150)
+    assert(para.length == 150)
+    val docA = "aaaa bbbb cccc dddd eeee ffff gggg hhhh X" + para + "Y iiii jjjj kkkk"
+    val docB = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss Q" + para + "R rrrr qqqq pppp"
+    val docC = "mmmm nnnn oooo " * 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    Seq((1L, docA, "s1", "en", docA.length.toLong),
+        (2L, docB, "s1", "en", docB.length.toLong),
+        (3L, docC, "s2", "en", docC.length.toLong))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.queries("d23_shared_substrings")(spark, dir).collect()
+    assert(rows.length == 1, s"expected exactly the planted pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L, s"expected 1 maximal span, got $r") // n_spans
+    assert(r.getLong(3) == 150L, s"expected 150 shared chars, got $r") // shared_chars
+    assert(r.getLong(4) == 150L, s"expected max span 150, got $r")
+    assert(math.abs(r.getDouble(5) - 150.0 / docA.length) < 5e-4, s"coverage: $r")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("property: rolling gram hashes equal the per-position refold") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.functions.Hashing
+    def refold(s: String, i: Int, k: Int): Long = {
+      var h = 0L
+      for (j <- i until i + k) h = (h * 131L + s.charAt(j)) % 2147483647L
+      h
+    }
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      s <- Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+        Gen.choose('Ѐ', 'ӿ'))) // incl. non-ASCII BMP units
+      k <- Gen.choose(1, 70)
+    } yield (s, k)
+    PropCheck.check(Prop.forAll(gen) { case (s, k) =>
+      val rolled = Hashing.gramHashes(s, k)
+      val want = if (s.length < k) Array.empty[Long]
+        else Array.tabulate(s.length - k + 1)(i => refold(s, i, k))
+      rolled.sameElements(want)
+    })
+  }
+
   test("property: CDC chunking is insertion-local, fixed blocks are not") {
     import org.scalacheck.{Gen, Prop}
     import graft.functions.Hashing
@@ -297,7 +350,11 @@ class DedupSpec extends AnyFunSuite {
         // x19 serves from the LANDED artifact: scan + id equi-joins +
         // the cell equi-join — the pure-relational serve plan is the
         // whole point of persisting the index
-        "x19_persisted_ivf")) {
+        "x19_persisted_ivf",
+        // d23's propose/verify/merge must stay on the 8-byte hash
+        // equi-join and id rejoins — an all-pairs node here is the
+        // quadratic blowup the gram hashing exists to avoid
+        "d23_shared_substrings")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
