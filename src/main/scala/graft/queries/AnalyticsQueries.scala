@@ -194,6 +194,36 @@ object AnalyticsQueries {
         .limit(100)
     }),
 
+    // ---- Q17: TPC-H small-quantity-order revenue — the correlated-
+    // scalar-subquery plan class (l_quantity < 0.2·avg(l_quantity)
+    // per part): DECORRELATED, the transform Catalyst itself applies
+    // to the subquery form — the per-part average is aggregated ONCE
+    // over the selected parts' lineitems and joined back on partkey,
+    // never recomputed per outer row. Ordering matters at scale: the
+    // brand/size part filter broadcast-SEMI-prunes the fact scan
+    // FIRST, so the aggregate only pays for the ~1/25th of lineitem it
+    // will ever use; the per-part aggregate (≤ one row per selected
+    // part) then broadcasts for the join-back — no shuffle of the
+    // pruned fact rows at all. The threshold predicate is exact
+    // integer arithmetic: qty < 0.2·(sumq/n) ⟺ 5·qty·n < sumq (n > 0),
+    // so no engine ever divides; revenue sums in exact cents like q5
+    // with ONE final /700 division. ----
+    "q17_small_quantity" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12" && col("p_size") < 15)
+        .select("p_partkey")
+      val selected = Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qv"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val perPart = selected.groupBy("l_partkey")
+        .agg(sum("qv").as("sumq"), count(lit(1)).as("n"))
+      selected.join(broadcast(perPart), Seq("l_partkey"))
+        .filter(lit(5L) * col("qv") * col("n") < col("sumq"))
+        .agg(round(sum(col("price_c")) / 700.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+
     // ---- Q21: TPC-H suppliers-who-kept-the-order-waiting — the
     // multi-way semi/anti SELF-join plan class q1/q3/q5 cannot reach:
     // the late-lineitem set joins BACK against the full lineitem set
@@ -426,6 +456,21 @@ object AnalyticsQueries {
         |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // q17's oracle keeps the CORRELATED subquery form — DuckDB
+    // decorrelates it itself, proving the engine's hand-decorrelated
+    // plan computes the textbook semantics (same integer-exact
+    // threshold arithmetic on both sides).
+    "q17_small_quantity" ->
+      """WITH sel AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qv,
+        |     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   WHERE p_brand = 'Brand#12' AND p_size < 15)
+        |SELECT round(CAST(sum(price_c) AS DOUBLE) / 700.0, 2) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM sel s1
+        |WHERE 5 * qv * (SELECT count(*) FROM sel s2 WHERE s2.l_partkey = s1.l_partkey)
+        |    < (SELECT sum(qv) FROM sel s2 WHERE s2.l_partkey = s1.l_partkey)""".stripMargin,
 
     "q21_waiting_suppliers" ->
       """WITH l AS (SELECT l_orderkey, l_suppkey,

@@ -227,6 +227,21 @@ class PlanSpec extends AnyFunSuite {
       s"q18 plans an all-pairs join:\n$plan")
   }
 
+  test("q17 decorrelates: one per-part aggregate, broadcast join-back, pruned fact scan") {
+    val df = SparkEntry.queries("q17_small_quantity")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated scalar subquery must NOT re-aggregate per outer
+    // row: exactly one shuffled per-part aggregate (partial+final),
+    // joined back broadcast; the part filter prunes the fact scan via
+    // a broadcast join — nothing here may sort-merge or nested-loop
+    assert(plan.contains("partial_sum"), s"per-part aggregate not partial:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"join-back not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q17 shuffles or nested-loops a join:\n$plan")
+  }
+
   test("q21 self-joins stay equi-keyed with a broadcast dimension chain") {
     val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir)
     df.collect()
