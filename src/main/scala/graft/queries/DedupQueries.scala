@@ -441,6 +441,72 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** A side's LSH band table: one (doc_id, band, key) row per band. */
+  private def bandsOf(side: DataFrame): DataFrame =
+    docShinglesOf(side)
+      .select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+      .toDF("doc_id", "band", "key")
+
+  /** D24's landed artifact: the corpus (doc_id % 10 != 0) band table
+    * written once per (JVM, source dir) as band-partitioned parquet —
+    * the same landing contract as x19's IVF index. Three BIGINT-ish
+    * columns; at 100 TB the artifact is ~16 rows × 16 B per corpus
+    * doc, appended per ingest batch, never rebuilt. */
+  private val d24Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandLandingFor(s: SparkSession, dir: String): String =
+    d24Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d24_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { d24Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      bandsOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").partitionBy("band").parquet(out)
+      out
+    })
+
+  /** D18/D24's shared serve pipeline: classify the arriving batch
+    * (doc_id % 10 == 0) as exact / near / novel against corpus bands
+    * from EITHER source — d18 recomputes them in-plan, d24 reads the
+    * landed artifact — with identical downstream semantics: exact dups
+    * via a text equi-join (content-hash bucket probe at scale, takes
+    * precedence), candidates via the (band, key) equi-join, the same
+    * lossless exact-Jaccard verify as d2, and a deterministic argmax
+    * (best rounded Jaccard, then smallest corpus id). */
+  private def classifyBatchAgainst(s: SparkSession, dir: String,
+      corpusBands: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val exact = batch.as("b")
+      .join(corpus.as("c"), col("b.text") === col("c.text"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_id"))
+    val sh = Caches.trackCached(dir, docShingles(s, dir))
+    val cand = bandsOf(batch).as("a").join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val best = verifyJaccard(cand, sh, 0.8)
+      .groupBy(col("doc1").as("doc_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("doc2")).as("nk"),
+        col("doc2").as("k"))).as("_b"))
+      .select(col("doc_id"), col("_b.k").as("near_id"), col("_b.j").as("near_j"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNotNull, lit(1.0))
+          .otherwise(col("near_j")).as("similarity"))
+      .orderBy("doc_id")
+  }
+
   /** D3's candidate stage (prefix equi-join + lossless size band +
     * positional bound), shared by the query and the scaling-growth
     * measurement tool (BASELINE.md records the candidate-count
@@ -830,39 +896,25 @@ object DedupQueries {
     // out of scope (d1/d2 own intra-corpus dedup). Deterministic
     // argmax (best Jaccard, then smallest corpus id) → hash-gated
     // against the exhaustive cross-split pair set. ----
-    "d18_incremental_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val exact = batch.as("b")
-        .join(corpus.as("c"), col("b.text") === col("c.text"))
-        .groupBy(col("b.doc_id").as("doc_id"))
-        .agg(min(col("c.doc_id")).as("exact_id"))
-      val sh = Caches.trackCached(dir, docShingles(s, dir))
-      def bands(side: DataFrame) = docShinglesOf(side)
-        .select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
-        .toDF("doc_id", "band", "key")
-      val cand = bands(batch).as("a").join(bands(corpus).as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-      val best = verifyJaccard(cand, sh, 0.8)
-        .groupBy(col("doc1").as("doc_id"))
-        .agg(max(struct(col("jaccard").as("j"), (-col("doc2")).as("nk"),
-          col("doc2").as("k"))).as("_b"))
-        .select(col("doc_id"), col("_b.k").as("near_id"), col("_b.j").as("near_j"))
-      batch.select("doc_id")
-        .join(exact, Seq("doc_id"), "left")
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("exact_id").isNotNull, lit("exact"))
-            .when(col("near_id").isNotNull, lit("near"))
-            .otherwise(lit("novel")).as("status"),
-          coalesce(col("exact_id"), col("near_id")).as("match_id"),
-          when(col("exact_id").isNotNull, lit(1.0))
-            .otherwise(col("near_j")).as("similarity"))
-        .orderBy("doc_id")
-    }),
+    "d18_incremental_dedup" -> ((s, dir) =>
+      classifyBatchAgainst(s, dir,
+        bandsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)))),
+
+    // ---- D24: the band index LANDED — x19's build-once/serve-many
+    // contract for the dedup side. d18's "persistent index" is a
+    // per-JVM memo; a production corpus lands it: the corpus band
+    // table is written ONCE as band-partitioned parquet (3 small
+    // BIGINT columns — the artifact a daily ingest job mounts), and
+    // classifying a batch is then shingling the BATCH plus one
+    // (band, key) equi-join against the LANDED files — zero corpus
+    // re-shingling, zero corpus scan on the near-dup path (only the
+    // exact-dup content probe touches corpus text). The oracle is the
+    // same exhaustive recomputation that gates d18, so the hash gate
+    // IS the landed ≡ recomputed proof. ----
+    "d24_persisted_band_index" -> ((s, dir) =>
+      classifyBatchAgainst(s, dir,
+        s.read.parquet(bandLandingFor(s, dir))
+          .select(col("doc_id"), col("band"), col("key")))),
 
     // ---- D16: semantic decontamination — the embedding-space twin of
     // d6's n-gram benchmark decontamination: flag training documents
@@ -1045,6 +1097,39 @@ object DedupQueries {
         expr("n_tri * 20000 div (deg * (deg - 1))")).otherwise(lit(0L)))
       .orderBy("doc_id")
   }
+
+  /** The exhaustive batch-vs-corpus classification twin shared by
+    * d18 (in-plan corpus bands) and d24 (landed corpus bands). */
+  private lazy val d18RecomputeSql: String =
+    s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+       | ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+       |   FROM batch b JOIN corpus c ON b.text = c.text GROUP BY b.doc_id),
+       | docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+       | cand AS (SELECT b.doc_id AS doc1, c.doc_id AS doc2,
+       |     b.sh AS sh1, b.sz AS sz1, c.sh AS sh2, c.sz AS sz2
+       |   FROM sized b JOIN sized c
+       |     ON b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+       |    AND b.sz >= 0.8 * c.sz AND c.sz >= 0.8 * b.sz),
+       | verified AS (SELECT doc1, doc2,
+       |     len(list_intersect(sh1, sh2)) * 1.0 /
+       |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
+       |   FROM cand),
+       | nearr AS (SELECT doc1, doc2, round(j, 4) AS j4,
+       |     row_number() OVER (PARTITION BY doc1
+       |                        ORDER BY round(j, 4) DESC, doc2 ASC) AS rn
+       |   FROM verified WHERE j >= 0.8)
+       |SELECT b.doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |       WHEN n.doc2 IS NOT NULL THEN 'near' ELSE 'novel' END AS status,
+       |  COALESCE(e.exact_id, n.doc2) AS match_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |       ELSE n.j4 END AS similarity
+       |FROM batch b
+       |LEFT JOIN ex e ON e.doc_id = b.doc_id
+       |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Twin of the 5-round integer PageRank: one CTE pair per round,
@@ -1259,36 +1344,13 @@ object DedupQueries {
     // (batch × corpus) pair within the lossless size band, verified at
     // exact Jaccard, ranked by (rounded j DESC, corpus id ASC) like the
     // Spark argmax struct. Exact dups rank via the same text equi-join.
-    "d18_incremental_dedup" ->
-      s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-         | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
-         | ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
-         |   FROM batch b JOIN corpus c ON b.text = c.text GROUP BY b.doc_id),
-         | docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
-         | cand AS (SELECT b.doc_id AS doc1, c.doc_id AS doc2,
-         |     b.sh AS sh1, b.sz AS sz1, c.sh AS sh2, c.sz AS sz2
-         |   FROM sized b JOIN sized c
-         |     ON b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
-         |    AND b.sz >= 0.8 * c.sz AND c.sz >= 0.8 * b.sz),
-         | verified AS (SELECT doc1, doc2,
-         |     len(list_intersect(sh1, sh2)) * 1.0 /
-         |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
-         |   FROM cand),
-         | nearr AS (SELECT doc1, doc2, round(j, 4) AS j4,
-         |     row_number() OVER (PARTITION BY doc1
-         |                        ORDER BY round(j, 4) DESC, doc2 ASC) AS rn
-         |   FROM verified WHERE j >= 0.8)
-         |SELECT b.doc_id,
-         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
-         |       WHEN n.doc2 IS NOT NULL THEN 'near' ELSE 'novel' END AS status,
-         |  COALESCE(e.exact_id, n.doc2) AS match_id,
-         |  CASE WHEN e.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
-         |       ELSE n.j4 END AS similarity
-         |FROM batch b
-         |LEFT JOIN ex e ON e.doc_id = b.doc_id
-         |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
-         |ORDER BY b.doc_id""".stripMargin,
+    "d18_incremental_dedup" -> d18RecomputeSql,
+
+    // d24 serves from the LANDED band index; its oracle is the same
+    // exhaustive recomputation — the hash gate is the proof that
+    // classifying against the on-disk artifact equals recomputing the
+    // corpus bands in-plan.
+    "d24_persisted_band_index" -> d18RecomputeSql,
 
     // d21's twin re-derives every cut from the per-window fold (the t5
     // oracle's formulation — algebraically identical to the engine's
