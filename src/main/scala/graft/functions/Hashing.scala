@@ -195,6 +195,50 @@ object Hashing extends Serializable {
     bs.sliding(2).map { case Seq(a, b) => (a + 1, b - a) }.toSeq
   }
 
+  /** [[cdcSpans]] plus the per-chunk digest, in ONE O(L) pass:
+    * (len_codepoints, md5_hex) per chunk. The digest must come from
+    * this pass — slicing chunks out of the stored column afterwards
+    * (`md5(substring(text, off, len))`) re-scans the string from byte
+    * 0 per chunk because UTF-8 offsets aren't random-access, which is
+    * O(L²/chunk) on a document that cuts densely (a degenerate
+    * constant-character document can cut at EVERY position — the
+    * mojibake-sweep shape). Java strings are char-indexed arrays, so
+    * the same slices here are O(chunk). Char offsets are tracked
+    * alongside codepoint counts so astral-plane text slices exactly
+    * where the codepoint-indexed SQL `substring` would. */
+  final def cdcChunks(s: String): Seq[(Long, String)] = {
+    val P = 1000000007L
+    val Pow7 = 512613922L
+    var h8 = 0L
+    val ring = new Array[Long](8)
+    var n = 0
+    var i = 0
+    val total = s.codePointCount(0, s.length)
+    val cutsCp = scala.collection.mutable.ArrayBuffer[Int]()
+    val cutsCh = scala.collection.mutable.ArrayBuffer[Int]()
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val c = cp.toLong
+      if (n < 8) h8 = (h8 * 31 + c) % P
+      else h8 = (((h8 - ring(n % 8) * Pow7 % P + P) % P) * 31 + c) % P
+      ring(n % 8) = c
+      n += 1
+      if (n >= 8 && n < total && h8 % 64 == 0) { cutsCp += n; cutsCh += i }
+    }
+    val bsCp = 0 +: cutsCp.toSeq :+ total
+    val bsCh = 0 +: cutsCh.toSeq :+ s.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bsCp.length - 1).map { j =>
+      md.reset()
+      val digest = md.digest(s.substring(bsCh(j), bsCh(j + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new StringBuilder(32)
+      digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+      ((bsCp(j + 1) - bsCp(j)).toLong, hex.toString)
+    }
+  }
+
   final def rollingHash8(s: String): (Long, Long, Boolean) = {
     val P = 1000000007L
     val Pow7 = 512613922L

@@ -818,15 +818,18 @@ object DedupQueries {
     // consumer aggregates. ----
     "d21_cdc_chunks" -> ((s, dir) => {
       // null text chunks to nothing (posexplode then emits no rows),
-      // matching the NULL-in/NULL-out shape the rest of the suite uses
-      val spansU = udf((t: String) =>
-        if (t == null) Seq.empty[(Int, Int)] else graft.functions.Hashing.cdcSpans(t))
+      // matching the NULL-in/NULL-out shape the rest of the suite uses.
+      // The digest comes out of the SAME single pass as the cut points
+      // ([[Hashing.cdcChunks]]): slicing chunks back out of the stored
+      // column with substring() re-scans UTF-8 from byte 0 per chunk —
+      // O(L²/chunk) on densely-cutting degenerate documents.
+      val chunksU = udf((t: String) =>
+        if (t == null) Seq.empty[(Long, String)] else graft.functions.Hashing.cdcChunks(t))
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          posexplode(spansU(col("text"))).as(Seq("chunk_no", "sp")))
+        .select(col("doc_id"),
+          posexplode(chunksU(col("text"))).as(Seq("chunk_no", "ch")))
         .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-          col("sp._2").cast("long").as("c_len"),
-          md5(expr("substring(text, sp._1, sp._2)")).as("c_md5"))
+          col("ch._1").as("c_len"), col("ch._2").as("c_md5"))
         .orderBy("doc_id", "chunk_no")
     }),
 

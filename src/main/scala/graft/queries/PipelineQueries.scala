@@ -753,9 +753,15 @@ object PipelineQueries {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("freq"))
+      // pairs come from one split-to-chars pass + O(1) array indexing,
+      // NOT substring(w, i, 2) per position: UTF-8 offsets aren't
+      // random-access, so per-position substring re-scans the word from
+      // byte 0 — O(|w|²) on a degenerate multi-megabyte single token
+      // (the mojibake-sweep shape), where this form stays O(|w|)
       words
+        .withColumn("cs", split(col("w"), ""))
         .select(col("freq"), explode(
-          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          expr("transform(sequence(1, length(w) - 1), i -> concat(cs[i - 1], cs[i]))")).as("pair"))
         .groupBy("pair").agg(sum("freq").cast("long").as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair").asc)
         .limit(50)

@@ -88,4 +88,43 @@ class RobustnessSpec extends AnyFunSuite {
       s"queries crashed on null-riddled tables:\n${failures.mkString("\n")}")
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("text surface tolerates mojibake, control chars, and a multi-megabyte one-token document") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_mojibake").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // The dirty-crawl reality the four earlier sweeps don't cover:
+    //  - invalid UTF-8 on the wire (a CESU-8 lone-surrogate encoding
+    //    ED A0 80, a stray continuation byte 80, and 0xFF, which no
+    //    UTF-8 sequence contains) injected via binary→string cast so
+    //    the bytes reach UTF8String unvalidated, exactly as a parquet
+    //    file written by a non-validating producer would deliver them;
+    //  - C0 control characters incl. NUL and a raw ANSI escape;
+    //  - BOM / zero-width-space / RTL-override formatting marks;
+    //  - one multi-megabyte single-token document (no whitespace at
+    //    all), the degenerate shape that turns per-token work into
+    //    per-document work.
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") === 3, concat(lit("z"), repeat(lit("a"), 2000000)))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), expr("cast(unhex('EDA08080FF') as string)")))
+          .when(col("doc_id") % 17 === 5,
+            concat(lit("\u0000\u0001\u0007\u001b[31m"), col("text")))
+          .when(col("doc_id") % 17 === 9,
+            concat(lit("\ufeff\u200b\u202e"), col("text"), lit("\u200d")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
+    }
+    assert(failures.isEmpty,
+      s"queries crashed on mojibake/degenerate text:\n${failures.mkString("\n")}")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
