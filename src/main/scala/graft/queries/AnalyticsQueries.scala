@@ -264,6 +264,93 @@ object AnalyticsQueries {
         .limit(100)
     }),
 
+    // ---- Q14: TPC-H promo-revenue share — the conditional-aggregate
+    // RATIO class: one month of the fact, one dimension join, and a
+    // scalar that divides two branches of the SAME aggregation pass
+    // (sum-if-promo / sum) — no second scan, no self-join. At scale
+    // the month predicate is the workhorse: it pushes to the parquet
+    // scan (min/max row-group stats skip everything outside the
+    // month), the part dimension broadcasts, and the two sums
+    // partial-aggregate map-side into one row. Both branches sum the
+    // q5 integer-e4 revenue, so the only division is the final
+    // ratio of two exact BIGINTs — identical doubles cross-engine. ----
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("1998-03-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1998-04-01")))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_e4"))
+      l.join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(0L)) * lit(100.0) / sum(col("rev_e4")), 4).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- Q19: TPC-H discounted-revenue — the DISJUNCTIVE-predicate
+    // join class: three OR'd (brand, size-range, quantity-range)
+    // condition arms over a part⋈lineitem join. The plan shape is the
+    // point: the disjunction shares one equi-key (partkey), so the
+    // join stays a single broadcast-hash equi-join with the OR as a
+    // residual filter — never a nested loop over condition arms — and
+    // Catalyst factors the per-side implications out of the OR (a
+    // part-only size disjunction, a lineitem-only quantity
+    // disjunction) and pushes them below the join, so each scan
+    // prunes before any pairing. Revenue is the q5 integer-e4 sum. ----
+    "q19_disjunctive" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_e4"))
+      l.join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("qty").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("qty").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("qty").between(20, 35)))
+        .agg(round(sum(col("rev_e4")) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- Q22: TPC-H global-sales-opportunity — the scalar-subquery +
+    // ANTI-join combination q17/q21 each carry half of: customers
+    // above the average positive account balance (a one-row aggregate
+    // attached by broadcast — the scalar subquery, computed ONCE) who
+    // have placed no RECENT orders (anti-join on the date-pruned
+    // fact — every fixture customer has SOME order, so the textbook
+    // no-orders-at-all arm would gate vacuously; the date filter
+    // pushes to the orders scan before the anti-join). The threshold
+    // compare is cross-multiplied exact integers (bal·n > sum ⟺
+    // bal > sum/n), so neither engine divides; the only division is
+    // the final cents→currency display. The fixture has no phone
+    // column, so the reference's country-code grouping adapts to
+    // c_mktsegment — same shape: group the surviving anti-join rows,
+    // count and total. ----
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val thr = cust.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_c"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_c") * col("n_c") > col("sum_c"))
+        .join(Tables.orders(s, dir)
+          .filter(to_date(col("o_orderdate")) >= to_date(lit("2000-01-01")))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("bal_c") / 100.0, 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- E9: interval join — events counted into 24 OVERLAPPING 2-hour
     // maintenance windows. Deliberately NOT a range join (a BNL range
     // join touches every (event, window) pair): each window explodes
@@ -486,6 +573,47 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
         |    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |          CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) /
+        |   sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |       CAST(round((1 - l_discount) * 100) AS BIGINT)), 4) AS promo_pct,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0, 2)
+        |   AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 35)""".stripMargin,
+
+    // q22's oracle keeps the textbook correlated forms — the scalar
+    // AVG subquery and NOT EXISTS — gating the engine's broadcast-
+    // scalar + anti-join decorrelation against the original semantics
+    // (integer-exact threshold on both sides: bal·n > sum).
+    "q22_dormant_customers" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        | thr AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        |     CAST(count(*) AS BIGINT) AS n_c FROM cust WHERE bal_c > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(bal_c) AS BIGINT) / 100.0, 2) AS totacctbal
+        |FROM cust, thr
+        |WHERE bal_c * n_c > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "e9_interval_join" ->
       """WITH w AS (SELECT range AS w_id,

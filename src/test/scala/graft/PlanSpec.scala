@@ -259,6 +259,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$plan")
   }
 
+  test("q19's OR-of-ANDs stays one equi-join with per-side implications pushed") {
+    val df = SparkEntry.queries("q19_disjunctive")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the three condition arms share the partkey equi-key, so the join
+    // must stay a single broadcast hash join with the disjunction as a
+    // residual — a nested loop over arms is quadratic
+    assert(plan.contains("BroadcastHashJoin"), s"q19 join not broadcast-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q19 plans an all-pairs join:\n$plan")
+    // Catalyst must factor the part-only implication out of the OR and
+    // push it into the part scan (brand ∈ {12,23,34} as an In/Or push)
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"per-side OR implication not pushed to the part scan:\n$plan")
+  }
+
+  test("q22 attaches the scalar threshold by broadcast and anti-joins the pruned fact") {
+    val df = SparkEntry.queries("q22_dormant_customers")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the one-row positive-balance aggregate must attach as a broadcast
+    // (never a shuffle), and the no-recent-orders test must be a
+    // broadcast anti-join on custkey with the date filter pushed into
+    // the orders scan — not a per-row subquery
+    assert(plan.contains("LeftAnti"), s"no anti join on recent orders:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q22 shuffles a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar/anti joins not broadcast:\n$plan")
+    assert(plan.contains("IsNotNull(o_orderdate)") || plan.contains("o_orderdate"),
+      s"date filter lost before the orders scan:\n$plan")
+  }
+
   test("s18 bucketed join is exchange- and sort-free end to end") {
     val df = graft.queries.PipelineQueries.s18Joined(spark, sfDir)
     df.collect()
