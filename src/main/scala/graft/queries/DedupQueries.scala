@@ -1008,33 +1008,7 @@ object DedupQueries {
     // step is a window or equi-join on bounded keys — no cartesian, no
     // driver state (DedupSpec pins the plan). ----
     "d23_shared_substrings" -> ((s, dir) => {
-      val K = 60
-      val DfCap = 64L
-      val docs = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(col("text")) >= K)
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      val grams = docs.select(col("doc_id"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), K)).as(Seq("i0", "h")))
-      val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") > DfCap).select("h")
-      val g = grams.join(hot, Seq("h"), "left_anti")
-      val cand = g.select(col("h"), col("doc_id").as("doc_a"), col("i0").as("ia"))
-        .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i0").as("ib")), Seq("h"))
-        .filter(col("doc_a") < col("doc_b"))
-      val ver = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-          col("len").as("la")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-        .filter(expr(s"substring(ta, CAST(ia + 1 AS INT), $K)" +
-          s" = substring(tb, CAST(ib + 1 AS INT), $K)"))
-        .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"), col("la"))
-      val runs = ver.withColumn("delta", col("ia") - col("ib"))
-        .withColumn("grp", col("ia") - row_number().over(
-          Window.partitionBy("doc_a", "doc_b", "delta").orderBy("ia")))
-        .groupBy("doc_a", "doc_b", "delta", "grp")
-        .agg(max("la").as("la"), min("ia").as("sa"),
-          (max(col("ia")) + lit(K - 1)).as("ea"),
-          (max(col("ia")) - min(col("ia")) + lit(K)).as("span_len"))
+      val runs = d23RunsFor(s, dir)
       val w = Window.partitionBy("doc_a", "doc_b").orderBy("sa", "ea")
       val isl = runs
         .withColumn("prevMax", max(col("ea")).over(
@@ -1052,8 +1026,118 @@ object DedupQueries {
           max("msl").cast("long").as("max_span_len"),
           round(sum(col("ulen")) * lit(1.0) / max(col("la")), 4).as("coverage_pct"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- D25: span EXCISION — d23's consumer, completing the
+    // Lee-et-al dedup: rewrite each affected document with its shared
+    // spans REMOVED, keeping the earliest (lowest-id) occurrence
+    // canonical. Per doc: collect every span it owes to ANY lower-id
+    // partner (doc_b side of the runs, shifted into doc_b coordinates
+    // by delta), union the overlapping intervals (running-max islands,
+    // the d23 merge re-keyed per doc), then splice the KEPT segments —
+    // the gap before each interval plus the tail — back together in
+    // order. The splice substrings are per-SEGMENT (one per cut + 1),
+    // not per-position, so the per-doc cost is O(n_cuts · len) worst
+    // case and O(len) in practice (cuts are rare); the reassembly is a
+    // sort_array over the collected (offset, piece) structs — no
+    // driver state, no cartesian. Output is the audit row a curator
+    // diffs: spans cut, chars removed, clean length, and the md5 of
+    // the spliced text (the gate compares the md5, so the oracle
+    // proves the BYTES, not just the bookkeeping). ----
+    "d25_excise_spans" -> ((s, dir) => {
+      val runs = d23RunsFor(s, dir)
+      val bint = runs.select(col("doc_b").as("doc_id"),
+        (col("sa") - col("delta")).as("s"), (col("ea") - col("delta")).as("e"))
+      val w = Window.partitionBy("doc_id").orderBy("s", "e")
+      val merged = bint
+        .withColumn("prevMax", max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("prevMax").isNull ||
+          col("s") > col("prevMax") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum("ni").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("s").as("ms"), max("e").as("me"))
+      val docs = d23DocsFor(s, dir)
+      val w2 = Window.partitionBy("doc_id").orderBy("ms")
+      val pre = merged
+        .withColumn("seg_start", coalesce(lag(col("me"), 1).over(w2) + 1, lit(0)))
+        .select(col("doc_id"), col("seg_start"),
+          (col("ms") - col("seg_start")).as("seg_len"))
+      val tail0 = merged.groupBy("doc_id")
+        .agg((max("me") + 1).as("seg_start"))
+        .join(docs.select(col("doc_id"), col("len")), Seq("doc_id"))
+        .select(col("doc_id"), col("seg_start"),
+          (col("len") - col("seg_start")).as("seg_len"))
+      val pieces = pre.unionByName(tail0).filter(col("seg_len") > 0)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("seg_start"),
+          expr("substring(text, CAST(seg_start + 1 AS INT), CAST(seg_len AS INT))")
+            .as("piece"))
+      val clean = pieces.groupBy("doc_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_start, piece))), x -> x.piece)"),
+          "").as("clean_text"))
+      merged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cuts"),
+          sum(col("me") - col("ms") + 1).as("removed_chars"))
+        .join(docs.select(col("doc_id"), col("len").as("orig_len")), Seq("doc_id"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("orig_len").cast("long").as("orig_len"),
+          col("n_cuts").cast("long").as("n_cuts"),
+          col("removed_chars").cast("long").as("removed_chars"),
+          coalesce(length(col("clean_text")), lit(0)).cast("long").as("clean_len"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Documents admitted to the d23/d25 shared-span family: non-null
+    * text of at least gram length. */
+  private def d23DocsFor(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 60)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+
+  /** d23's verified shared-span RUNS — match positions merged into
+    * maximal same-offset runs, BEFORE any rollup — memoized per
+    * fixture dir like the edge sets: the gram pass + pair join is the
+    * expensive stage and both consumers (d23's pair report, d25's
+    * excision) replay it otherwise. Columns: doc_a < doc_b,
+    * delta = ia − ib, la (doc_a length), sa/ea (run interval in doc_a
+    * coordinates, 0-based inclusive), span_len. */
+  private val d23Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def d23RunsFor(s: SparkSession, dir: String): DataFrame =
+    d23Runs.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { d23Runs.remove(d); () })
+      val K = 60
+      val DfCap = 64L
+      val docs = d23DocsFor(s, d)
+      val grams = docs.select(col("doc_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), K)).as(Seq("i0", "h")))
+      val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > DfCap).select("h")
+      val g = grams.join(hot, Seq("h"), "left_anti")
+      val cand = g.select(col("h"), col("doc_id").as("doc_a"), col("i0").as("ia"))
+        .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i0").as("ib")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+      val ver = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+          col("len").as("la")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .filter(expr(s"substring(ta, CAST(ia + 1 AS INT), $K)" +
+          s" = substring(tb, CAST(ib + 1 AS INT), $K)"))
+        .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"), col("la"))
+      Caches.trackCached(d, ver.withColumn("delta", col("ia") - col("ib"))
+        .withColumn("grp", col("ia") - row_number().over(
+          Window.partitionBy("doc_a", "doc_b", "delta").orderBy("ia")))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(max("la").as("la"), min("ia").as("sa"),
+          (max(col("ia")) + lit(K - 1)).as("ea"),
+          (max(col("ia")) - min(col("ia")) + lit(K)).as("span_len")))
+    })
 
   /** Undirected degree per endpoint of a canonical (doc1 < doc2) edge
     * list. */
@@ -1499,7 +1583,67 @@ object DedupQueries {
         |  CAST(sum(ulen) AS BIGINT) AS shared_chars,
         |  CAST(max(msl) AS BIGINT) AS max_span_len,
         |  round(CAST(sum(ulen) AS DOUBLE) / max(la), 4) AS coverage_pct
-        |FROM uni GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+        |FROM uni GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d25: the same propose/verify/merge front as d23's twin, then the
+    // excision replayed relationally — runs shifted into doc_b
+    // coordinates, per-doc interval union, and the spliced text
+    // reassembled with an ordered string_agg so the md5 gates the
+    // actual bytes.
+    "d25_excise_spans" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 60),
+        | grams AS (SELECT doc_id, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 60), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 59)) AS t(i)),
+        | keep AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= 64),
+        | g AS (SELECT grams.* FROM grams JOIN keep USING (h)),
+        | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i0 AS ia, b.i0 AS ib
+        |   FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+        | ver AS (SELECT c.doc_a, c.doc_b, c.ia, c.ib
+        |   FROM cand c JOIN docs da ON da.doc_id = c.doc_a
+        |     JOIN docs db ON db.doc_id = c.doc_b
+        |   WHERE substring(da.text, CAST(c.ia + 1 AS INT), 60)
+        |       = substring(db.text, CAST(c.ib + 1 AS INT), 60)),
+        | runs1 AS (SELECT doc_a, doc_b, ia, ia - ib AS delta,
+        |     ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+        |       ORDER BY ia) AS grp
+        |   FROM ver),
+        | bint AS (SELECT doc_b AS doc_id, min(ia) - delta AS s,
+        |     max(ia) + 59 - delta AS e
+        |   FROM runs1 GROUP BY doc_b, delta, grp),
+        | bisl AS (SELECT *, CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id
+        |       ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |     THEN 1 ELSE 0 END AS ni FROM bint),
+        | bisl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM bisl),
+        | merged AS (SELECT doc_id, island, min(s) AS ms, max(e) AS me
+        |   FROM bisl2 GROUP BY doc_id, island),
+        | pre AS (SELECT doc_id,
+        |     COALESCE(lag(me) OVER (PARTITION BY doc_id ORDER BY ms) + 1, 0) AS seg_start,
+        |     ms - COALESCE(lag(me) OVER (PARTITION BY doc_id ORDER BY ms) + 1, 0) AS seg_len
+        |   FROM merged),
+        | tl AS (SELECT m.doc_id, max(me) + 1 AS seg_start, d.len - max(me) - 1 AS seg_len
+        |   FROM merged m JOIN docs d ON d.doc_id = m.doc_id GROUP BY m.doc_id, d.len),
+        | segs AS (SELECT * FROM pre WHERE seg_len > 0
+        |   UNION ALL SELECT * FROM tl WHERE seg_len > 0),
+        | clean AS (SELECT s.doc_id,
+        |     string_agg(substring(d.text, CAST(s.seg_start + 1 AS INT),
+        |       CAST(s.seg_len AS INT)), '' ORDER BY s.seg_start) AS ct
+        |   FROM segs s JOIN docs d ON d.doc_id = s.doc_id GROUP BY s.doc_id),
+        | stats AS (SELECT doc_id, count(*) AS n_cuts, sum(me - ms + 1) AS removed
+        |   FROM merged GROUP BY doc_id)
+        |SELECT st.doc_id, CAST(d.len AS BIGINT) AS orig_len,
+        |  CAST(st.n_cuts AS BIGINT) AS n_cuts,
+        |  CAST(st.removed AS BIGINT) AS removed_chars,
+        |  CAST(COALESCE(length(c.ct), 0) AS BIGINT) AS clean_len,
+        |  md5(COALESCE(c.ct, '')) AS clean_md5
+        |FROM stats st JOIN docs d ON d.doc_id = st.doc_id
+        |LEFT JOIN clean c ON c.doc_id = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin
   )
 
   /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the

@@ -255,6 +255,36 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d25 excises the planted paragraph from the higher-id doc, byte-exact") {
+    import spark.implicits._
+    val para = ("the quick brown fox jumps over the lazy dog again and again " +
+      "while the market data pipeline keeps streaming rows into the lake " +
+      "and the scheduler assigns every batch to an idle core promptly")
+      .take(150)
+    val docA = "aaaa bbbb cccc dddd eeee ffff gggg hhhh X" + para + "Y iiii jjjj kkkk"
+    val docB = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss Q" + para + "R rrrr qqqq pppp"
+    val docC = "mmmm nnnn oooo " * 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_excise").toString
+    Seq((1L, docA, "s1", "en", docA.length.toLong),
+        (2L, docB, "s1", "en", docB.length.toLong),
+        (3L, docC, "s2", "en", docC.length.toLong))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.queries("d25_excise_spans")(spark, dir).collect()
+    // only doc 2 (the higher id of the planted pair) is rewritten; the
+    // kept doc 1 and the unrelated doc 3 are untouched
+    assert(rows.length == 1 && rows.head.getLong(0) == 2L, s"got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(2) == 1L, s"n_cuts: $r")
+    assert(r.getLong(3) == 150L, s"removed_chars: $r")
+    assert(r.getLong(4) == docB.length - 150L, s"clean_len: $r")
+    val expected = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss Q" + "R rrrr qqqq pppp"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(expected.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(r.getString(5) == want, s"clean_md5 mismatch: $r (want $want)")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("property: rolling gram hashes equal the per-position refold") {
     import org.scalacheck.{Gen, Prop}
     import graft.functions.Hashing
@@ -354,7 +384,10 @@ class DedupSpec extends AnyFunSuite {
         // d23's propose/verify/merge must stay on the 8-byte hash
         // equi-join and id rejoins — an all-pairs node here is the
         // quadratic blowup the gram hashing exists to avoid
-        "d23_shared_substrings")) {
+        "d23_shared_substrings",
+        // d25's excision is runs → per-doc windows → id equi-joins for
+        // the splice — same contract as its d23 front
+        "d25_excise_spans")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
