@@ -1123,12 +1123,31 @@ object DedupQueries {
       val cand = g.select(col("h"), col("doc_id").as("doc_a"), col("i0").as("ia"))
         .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i0").as("ib")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
+      // Byte verification WITHOUT per-candidate substring-at-offset:
+      // UTF-8 offsets aren't random-access, so `substring(t, ia+1, K)`
+      // re-scans the document from byte 0 per candidate — verify cost
+      // would grow with DOCUMENT LENGTH (O(C·len) across candidates),
+      // a real cliff on megabyte documents even though C itself is
+      // linear. Instead each doc's candidate positions gather into one
+      // list and a single pass over the (char-indexed, O(1)-offset)
+      // Java string slices every needed gram at O(K) each; the gram
+      // text then equi-joins back to the candidates by (doc, pos).
+      // Positions are UTF-16-unit indexed end to end, matching the
+      // rolling hash pass (BMP text — all fixtures and practically all
+      // corpora — makes unit and codepoint indexing coincide).
+      val sliceU = udf((t: String, ps: Seq[Int]) =>
+        ps.map(p => (p, t.substring(p, math.min(p + K, t.length)))))
+      def gramsAt(side: String, pos: String) =
+        cand.select(col(side), col(pos)).distinct()
+          .groupBy(side).agg(collect_list(pos).as("ps"))
+          .join(docs.select(col("doc_id").as(side), col("text")), Seq(side))
+          .select(col(side), explode(sliceU(col("text"), col("ps"))).as("pg"))
+          .select(col(side), col("pg._1").as(pos), col("pg._2").as(s"g_$pos"))
       val ver = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-          col("len").as("la")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-        .filter(expr(s"substring(ta, CAST(ia + 1 AS INT), $K)" +
-          s" = substring(tb, CAST(ib + 1 AS INT), $K)"))
+        .join(gramsAt("doc_a", "ia"), Seq("doc_a", "ia"))
+        .join(gramsAt("doc_b", "ib"), Seq("doc_b", "ib"))
+        .filter(col("g_ia") === col("g_ib"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("len").as("la")), Seq("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"), col("la"))
       Caches.trackCached(d, ver.withColumn("delta", col("ia") - col("ib"))
         .withColumn("grp", col("ia") - row_number().over(
