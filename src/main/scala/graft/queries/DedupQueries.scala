@@ -916,7 +916,11 @@ object DedupQueries {
     // IS the landed ≡ recomputed proof. ----
     "d24_persisted_band_index" -> ((s, dir) =>
       classifyBatchAgainst(s, dir,
-        s.read.parquet(bandLandingFor(s, dir))
+        // explicit schema: an EMPTY corpus lands zero rows, which a
+        // partitioned write materializes as a fileless dir — schema
+        // inference throws there, the declared schema reads it empty
+        s.read.schema("doc_id LONG, key LONG, band INT")
+          .parquet(bandLandingFor(s, dir))
           .select(col("doc_id"), col("band"), col("key")))),
 
     // ---- D16: semantic decontamination — the embedding-space twin of
@@ -1089,8 +1093,113 @@ object DedupQueries {
           coalesce(length(col("clean_text")), lit(0)).cast("long").as("clean_len"),
           md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ---- D26: incremental shared-substring ADMISSION — the d23
+    // machinery as a production ingest gate, completing the landed-
+    // artifact story (x19 = ANN, d24 = band dedup, d26 = substring
+    // dedup): the corpus gram index LANDS once (d26LandingFor) and
+    // each arriving batch (doc_id % 10 == 0, d18's split) is assessed
+    // against the LANDED files — batch grams roll in one O(L) pass,
+    // equi-join the index on the 8-byte hash (both sides df-capped 64,
+    // so every join bucket is bounded and a degenerate constant-char
+    // arrival can't explode the probe), byte-verify through the
+    // offset-independent one-pass slicer (corpus text is read ONLY for
+    // docs holding candidates), merge runs, union intervals. Per
+    // arrival: how much of it already exists in the corpus (interval
+    // union across ALL partners), its strongest single partner, and
+    // the admit verdict (duplicated coverage < 50%, integer-exact).
+    // Zero corpus re-hashing, zero corpus text scan on the novel
+    // path — the serve cost is proportional to the BATCH. ----
+    "d26_substring_admission" -> ((s, dir) => {
+      val K = 60
+      val docs = d23DocsFor(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val idx = s.read.schema("h LONG, doc_id LONG, i0 INT, hp LONG")
+        .parquet(d26LandingFor(s, dir))
+      val bg = batch.select(col("doc_id").as("b_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
+          .as(Seq("ib", "h")))
+      val bhot = bg.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("h")
+      val cand = bg.join(bhot, Seq("h"), "left_anti")
+        .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
+        .select(col("b_id"), col("ib"), col("c_id"), col("ic"))
+      val ver = cand
+        .join(slicedGrams(cand, docs, "b_id", "ib", K), Seq("b_id", "ib"))
+        .join(slicedGrams(cand, docs, "c_id", "ic", K), Seq("c_id", "ic"))
+        .filter(col("g_ib") === col("g_ic"))
+        .select("b_id", "c_id", "ib", "ic")
+      val spans = ver.withColumn("delta", col("ib") - col("ic"))
+        .withColumn("grp", col("ib") - row_number().over(
+          Window.partitionBy("b_id", "c_id", "delta").orderBy("ib")))
+        .groupBy("b_id", "c_id", "delta", "grp")
+        .agg(min("ib").as("sb"), (max(col("ib")) + lit(K - 1)).as("eb"))
+      def unioned(part: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(part.map(col): _*).orderBy("sb", "eb")
+        spans
+          .withColumn("prevMax", max(col("eb")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni", when(col("prevMax").isNull ||
+            col("sb") > col("prevMax") + 1, 1L).otherwise(0L))
+          .withColumn("island", sum("ni").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy((part :+ "island").map(col): _*)
+          .agg(min("sb").as("ms"), max("eb").as("me"))
+          .groupBy(part.map(col): _*)
+          .agg(sum(col("me") - col("ms") + 1).as("u_chars"))
+      }
+      val pair = unioned(Seq("b_id", "c_id"))
+      val dup = unioned(Seq("b_id")).withColumnRenamed("u_chars", "dup_chars")
+      val best = pair.groupBy("b_id")
+        .agg(count(lit(1)).as("n_partners"),
+          max(struct(col("u_chars").as("sc"), (-col("c_id")).as("nc"))).as("b"))
+        .select(col("b_id"), col("n_partners"),
+          (-col("b.nc")).as("best_match"), col("b.sc").as("best_shared"))
+      batch.select(col("doc_id"), col("len"))
+        .join(best.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+        .join(dup.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_partners"), lit(0L)).cast("long").as("n_partners"),
+          col("best_match").cast("long").as("best_match"),
+          coalesce(col("best_shared"), lit(0L)).cast("long").as("best_shared"),
+          coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+          round(coalesce(col("dup_chars"), lit(0L)) * lit(1.0) / col("len"), 4)
+            .as("coverage_pct"),
+          (coalesce(col("dup_chars"), lit(0L)) * lit(2L) < col("len")).as("admit"))
+        .orderBy("doc_id")
     })
   )
+
+  /** D26's landed artifact: the CORPUS (doc_id % 10 != 0) gram index —
+    * every 60-gram's rolling hash with its (doc, position), df-capped
+    * exactly like d23's in-corpus guard — written once per (JVM,
+    * source dir) as hash-partitioned parquet (hp = h mod 64). 16-ish
+    * bytes per corpus position; at 100 TB the index appends per ingest
+    * batch and the corpus TEXT is never re-scanned to serve an
+    * admission check. */
+  private val d26Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def d26LandingFor(s: SparkSession, dir: String): String =
+    d26Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d26_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { d26Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      val grams = d23DocsFor(s, d).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+            .as(Seq("i0", "h")))
+      val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("h")
+      grams.join(hot, Seq("h"), "left_anti")
+        .withColumn("hp", pmod(col("h"), lit(64L)))
+        .write.mode("overwrite").partitionBy("hp").parquet(out)
+      out
+    })
 
   /** Documents admitted to the d23/d25 shared-span family: non-null
     * text of at least gram length. */
@@ -1098,6 +1207,29 @@ object DedupQueries {
     Tables.documents(s, dir)
       .filter(col("text").isNotNull && length(col("text")) >= 60)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+
+  /** Byte verification WITHOUT per-candidate substring-at-offset:
+    * UTF-8 offsets aren't random-access, so `substring(t, i+1, K)`
+    * re-scans the document from byte 0 per candidate — verify cost
+    * would grow with DOCUMENT LENGTH (O(C·len) across candidates), a
+    * real cliff on megabyte documents even though C itself is linear.
+    * Instead each doc's candidate positions gather into one list and a
+    * single pass over the (char-indexed, O(1)-offset) Java string
+    * slices every needed gram at O(K) each; the gram text then
+    * equi-joins back to the candidates by (doc, pos). Positions are
+    * UTF-16-unit indexed end to end, matching the rolling hash pass
+    * (BMP text — all fixtures and practically all corpora — makes unit
+    * and codepoint indexing coincide). Output: (side, pos, g_pos). */
+  private def slicedGrams(cand: DataFrame, docs: DataFrame,
+      side: String, pos: String, k: Int): DataFrame = {
+    val sliceU = udf((t: String, ps: Seq[Int]) =>
+      ps.map(p => (p, t.substring(p, math.min(p + k, t.length)))))
+    cand.select(col(side), col(pos)).distinct()
+      .groupBy(side).agg(collect_list(pos).as("ps"))
+      .join(docs.select(col("doc_id").as(side), col("text")), Seq(side))
+      .select(col(side), explode(sliceU(col("text"), col("ps"))).as("pg"))
+      .select(col(side), col("pg._1").as(pos), col("pg._2").as(s"g_$pos"))
+  }
 
   /** d23's verified shared-span RUNS — match positions merged into
     * maximal same-offset runs, BEFORE any rollup — memoized per
@@ -1123,29 +1255,9 @@ object DedupQueries {
       val cand = g.select(col("h"), col("doc_id").as("doc_a"), col("i0").as("ia"))
         .join(g.select(col("h"), col("doc_id").as("doc_b"), col("i0").as("ib")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
-      // Byte verification WITHOUT per-candidate substring-at-offset:
-      // UTF-8 offsets aren't random-access, so `substring(t, ia+1, K)`
-      // re-scans the document from byte 0 per candidate — verify cost
-      // would grow with DOCUMENT LENGTH (O(C·len) across candidates),
-      // a real cliff on megabyte documents even though C itself is
-      // linear. Instead each doc's candidate positions gather into one
-      // list and a single pass over the (char-indexed, O(1)-offset)
-      // Java string slices every needed gram at O(K) each; the gram
-      // text then equi-joins back to the candidates by (doc, pos).
-      // Positions are UTF-16-unit indexed end to end, matching the
-      // rolling hash pass (BMP text — all fixtures and practically all
-      // corpora — makes unit and codepoint indexing coincide).
-      val sliceU = udf((t: String, ps: Seq[Int]) =>
-        ps.map(p => (p, t.substring(p, math.min(p + K, t.length)))))
-      def gramsAt(side: String, pos: String) =
-        cand.select(col(side), col(pos)).distinct()
-          .groupBy(side).agg(collect_list(pos).as("ps"))
-          .join(docs.select(col("doc_id").as(side), col("text")), Seq(side))
-          .select(col(side), explode(sliceU(col("text"), col("ps"))).as("pg"))
-          .select(col(side), col("pg._1").as(pos), col("pg._2").as(s"g_$pos"))
       val ver = cand
-        .join(gramsAt("doc_a", "ia"), Seq("doc_a", "ia"))
-        .join(gramsAt("doc_b", "ib"), Seq("doc_b", "ib"))
+        .join(slicedGrams(cand, docs, "doc_a", "ia", K), Seq("doc_a", "ia"))
+        .join(slicedGrams(cand, docs, "doc_b", "ib", K), Seq("doc_b", "ib"))
         .filter(col("g_ia") === col("g_ib"))
         .join(docs.select(col("doc_id").as("doc_a"), col("len").as("la")), Seq("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"), col("la"))
@@ -1662,7 +1774,74 @@ object DedupQueries {
         |  md5(COALESCE(c.ct, '')) AS clean_md5
         |FROM stats st JOIN docs d ON d.doc_id = st.doc_id
         |LEFT JOIN clean c ON c.doc_id = st.doc_id
-        |ORDER BY st.doc_id""".stripMargin
+        |ORDER BY st.doc_id""".stripMargin,
+
+    // d26: the landed-index serve replayed from scratch — corpus gram
+    // index (df-capped within the corpus), batch grams (df-capped
+    // within the batch), hash join, byte verify, runs, per-pair and
+    // per-doc interval unions, deterministic best-partner, admit
+    // verdict. The gate passing IS the landed ≡ recomputed proof,
+    // exactly like d24/x19.
+    "d26_substring_admission" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 60),
+        | gr AS (SELECT doc_id, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 60), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 59)) AS t(i)),
+        | cg AS (SELECT * FROM gr WHERE doc_id % 10 <> 0),
+        | ck AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 64),
+        | cidx AS (SELECT cg.* FROM cg JOIN ck USING (h)),
+        | bgr AS (SELECT * FROM gr WHERE doc_id % 10 = 0),
+        | bk AS (SELECT h FROM bgr GROUP BY h HAVING count(*) <= 64),
+        | bg AS (SELECT bgr.* FROM bgr JOIN bk USING (h)),
+        | cand AS (SELECT b.doc_id AS b_id, b.i0 AS ib, c.doc_id AS c_id, c.i0 AS ic
+        |   FROM bg b JOIN cidx c ON b.h = c.h),
+        | ver AS (SELECT cd.b_id, cd.c_id, cd.ib, cd.ic
+        |   FROM cand cd JOIN docs db ON db.doc_id = cd.b_id
+        |     JOIN docs dc ON dc.doc_id = cd.c_id
+        |   WHERE substring(db.text, CAST(cd.ib + 1 AS INT), 60)
+        |       = substring(dc.text, CAST(cd.ic + 1 AS INT), 60)),
+        | runs1 AS (SELECT b_id, c_id, ib, ib - ic AS delta,
+        |     ib - row_number() OVER (PARTITION BY b_id, c_id, ib - ic
+        |       ORDER BY ib) AS grp
+        |   FROM ver),
+        | spans AS (SELECT b_id, c_id, min(ib) AS sb, max(ib) + 59 AS eb
+        |   FROM runs1 GROUP BY b_id, c_id, delta, grp),
+        | pisl AS (SELECT *, CASE WHEN sb > COALESCE(max(eb) OVER (PARTITION BY b_id, c_id
+        |       ORDER BY sb, eb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |     THEN 1 ELSE 0 END AS ni FROM spans),
+        | pisl2 AS (SELECT *, sum(ni) OVER (PARTITION BY b_id, c_id ORDER BY sb, eb
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM pisl),
+        | pairu AS (SELECT b_id, c_id, sum(me - ms + 1) AS shared FROM
+        |   (SELECT b_id, c_id, island, min(sb) AS ms, max(eb) AS me
+        |    FROM pisl2 GROUP BY b_id, c_id, island) GROUP BY b_id, c_id),
+        | disl AS (SELECT *, CASE WHEN sb > COALESCE(max(eb) OVER (PARTITION BY b_id
+        |       ORDER BY sb, eb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |     THEN 1 ELSE 0 END AS ni FROM spans),
+        | disl2 AS (SELECT *, sum(ni) OVER (PARTITION BY b_id ORDER BY sb, eb
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM disl),
+        | dup AS (SELECT b_id, sum(me - ms + 1) AS dup_chars FROM
+        |   (SELECT b_id, island, min(sb) AS ms, max(eb) AS me
+        |    FROM disl2 GROUP BY b_id, island) GROUP BY b_id),
+        | bestw AS (SELECT b_id, c_id, shared,
+        |     count(*) OVER (PARTITION BY b_id) AS n_partners,
+        |     row_number() OVER (PARTITION BY b_id ORDER BY shared DESC, c_id) AS rn
+        |   FROM pairu),
+        | best AS (SELECT b_id, n_partners, c_id AS best_match, shared AS best_shared
+        |   FROM bestw WHERE rn = 1)
+        |SELECT d.doc_id, CAST(COALESCE(b.n_partners, 0) AS BIGINT) AS n_partners,
+        |  CAST(b.best_match AS BIGINT) AS best_match,
+        |  CAST(COALESCE(b.best_shared, 0) AS BIGINT) AS best_shared,
+        |  CAST(COALESCE(u.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  round(CAST(COALESCE(u.dup_chars, 0) AS DOUBLE) / d.len, 4) AS coverage_pct,
+        |  COALESCE(u.dup_chars, 0) * 2 < d.len AS admit
+        |FROM docs d LEFT JOIN best b ON b.b_id = d.doc_id
+        |LEFT JOIN dup u ON u.b_id = d.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the

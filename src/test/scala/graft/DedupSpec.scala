@@ -285,6 +285,37 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d26 admits novel arrivals and rejects one planted mostly-duplicate arrival") {
+    import spark.implicits._
+    val para = ("the quick brown fox jumps over the lazy dog again and again " +
+      "while the market data pipeline keeps streaming rows into the lake " +
+      "and the scheduler assigns every batch to an idle core promptly")
+      .take(150)
+    // corpus: docs 1 (holds the paragraph) and 2 (unrelated); batch:
+    // doc 10 is ~72% the corpus paragraph (reject), doc 20 is novel
+    val doc1 = "aaaa bbbb cccc dddd eeee ffff gggg hhhh X" + para + "Y iiii jjjj kkkk"
+    val doc2 = "mmmm nnnn oooo pppp " * 8
+    val doc10 = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss Q" + para + "R rrrr qqqq pppp"
+    val doc20 = "totally fresh content with its own words never seen before " * 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_admission").toString
+    Seq((1L, doc1), (2L, doc2), (10L, doc10), (20L, doc20))
+      .map { case (id, t) => (id, t, "s1", "en", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.queries("d26_substring_admission")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(10L, 20L), s"got ${rows.keySet}")
+    val dup = rows(10L)
+    assert(dup.getLong(1) == 1L, s"n_partners: $dup")
+    assert(dup.getLong(2) == 1L, s"best_match: $dup")
+    assert(dup.getLong(4) == 150L, s"dup_chars: $dup")
+    assert(!dup.getBoolean(6), s"72%-duplicate arrival must be rejected: $dup")
+    val novel = rows(20L)
+    assert(novel.getLong(1) == 0L && novel.isNullAt(2) && novel.getLong(4) == 0L
+      && novel.getBoolean(6), s"novel arrival must be admitted: $novel")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("property: rolling gram hashes equal the per-position refold") {
     import org.scalacheck.{Gen, Prop}
     import graft.functions.Hashing
@@ -387,7 +418,11 @@ class DedupSpec extends AnyFunSuite {
         "d23_shared_substrings",
         // d25's excision is runs → per-doc windows → id equi-joins for
         // the splice — same contract as its d23 front
-        "d25_excise_spans")) {
+        "d25_excise_spans",
+        // d26 serves from the landed gram index: scan + hash equi-join
+        // + id rejoins — an all-pairs node would mean the admission
+        // check re-derives the corpus
+        "d26_substring_admission")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
