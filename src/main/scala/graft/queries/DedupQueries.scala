@@ -1120,9 +1120,15 @@ object DedupQueries {
       val bg = batch.select(col("doc_id").as("b_id"),
         posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
           .as(Seq("ib", "h")))
-      val bhot = bg.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 64L).select("h")
-      val cand = bg.join(bhot, Seq("h"), "left_anti")
+      // the probe-side guard is PER DOCUMENT (not per batch): an
+      // arrival's verdict must not depend on what else happened to
+      // arrive with it, and a degenerate constant-character doc is
+      // hot within itself — this also keeps the verdict identical
+      // when the same doc arrives through the streaming twin's
+      // micro-batches (EventStream.admitArrivalsBySubstring)
+      val bhot = bg.groupBy("b_id", "h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("b_id", "h")
+      val cand = bg.join(bhot, Seq("b_id", "h"), "left_anti")
         .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
         .select(col("b_id"), col("ib"), col("c_id"), col("ic"))
       val ver = cand
@@ -1181,7 +1187,7 @@ object DedupQueries {
   private val d26Landing =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def d26LandingFor(s: SparkSession, dir: String): String =
+  private[graft] def d26LandingFor(s: SparkSession, dir: String): String =
     d26Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
@@ -1795,8 +1801,8 @@ object DedupQueries {
         | ck AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 64),
         | cidx AS (SELECT cg.* FROM cg JOIN ck USING (h)),
         | bgr AS (SELECT * FROM gr WHERE doc_id % 10 = 0),
-        | bk AS (SELECT h FROM bgr GROUP BY h HAVING count(*) <= 64),
-        | bg AS (SELECT bgr.* FROM bgr JOIN bk USING (h)),
+        | bk AS (SELECT doc_id, h FROM bgr GROUP BY doc_id, h HAVING count(*) <= 64),
+        | bg AS (SELECT bgr.* FROM bgr JOIN bk USING (doc_id, h)),
         | cand AS (SELECT b.doc_id AS b_id, b.i0 AS ib, c.doc_id AS c_id, c.i0 AS ic
         |   FROM bg b JOIN cidx c ON b.h = c.h),
         | ver AS (SELECT cd.b_id, cd.c_id, cd.ib, cd.ic

@@ -185,6 +185,96 @@ object EventStream {
           .when(col("b.pri") === 1, col("b.j")).as("similarity"))
   }
 
+  /** Stream twin of the batch d26 substring-admission gate: arrivals
+    * (ts, doc_id, text) assessed against the LANDED corpus gram index
+    * (static side — a refreshed landing takes effect on the next
+    * micro-batch) plus the corpus text table for byte verification.
+    *
+    * Streaming shape: one O(L) gram pass per arrival (the batch
+    * kernel, [[graft.functions.Hashing.gramHashes]]) with the SAME
+    * per-document hot-hash cap as the batch operator — per-document,
+    * not per-batch, exactly so the verdict is identical no matter how
+    * arrivals are micro-batched; a stateless stream-static equi-join
+    * on the 8-byte hash; a stream-static join to the corpus text for
+    * the 60-char byte check (per-candidate substring here is fine: a
+    * serving micro-batch carries few candidates, unlike the batch
+    * backfill which uses the one-pass slicer); a sentinel per arrival
+    * so novel docs survive; and ONE watermark-bounded (ts, doc)
+    * aggregation that collects the verified matches and runs the
+    * merge — runs by (partner, offset-delta), interval unions,
+    * best-partner, integer-exact verdict — locally per document
+    * (bounded by the doc's own match count). State is O(arrivals per
+    * horizon), independent of stream length and corpus size. */
+  def admitArrivalsBySubstring(arrivals: DataFrame, index: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val K = 60
+    val gramsU = udf((t: String) => {
+      val hs = graft.functions.Hashing.gramHashes(t, K)
+      val hot = hs.groupBy(identity).collect { case (h, o) if o.length > 64 => h }.toSet
+      hs.zipWithIndex.collect { case (h, i) if !hot.contains(h) => (i, h) }
+    })
+    val a = arrivals.withWatermark("ts", "2 hours")
+      .filter(col("text").isNotNull && length(col("text")) >= K)
+      .withColumn("len", length(col("text")))
+    val cand = a.select(col("ts"), col("doc_id"), col("len"), col("text"),
+        explode(gramsU(col("text"))).as("ph"))
+      .select(col("ts"), col("doc_id"), col("len"), col("text"),
+        col("ph._1").as("ib"), col("ph._2").as("h"))
+      .join(index.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
+    val ver = cand
+      .join(corpusDocs.select(col("doc_id").as("c_id"), col("text").as("ctext")), Seq("c_id"))
+      .filter(expr(s"substring(text, CAST(ib + 1 AS INT), $K)" +
+        s" = substring(ctext, CAST(ic + 1 AS INT), $K)"))
+      .select(col("ts"), col("doc_id"), col("len"), col("c_id"), col("ib"), col("ic"))
+    val sentinel = a.select(col("ts"), col("doc_id"), col("len"),
+      lit(-1L).as("c_id"), lit(-1).as("ib"), lit(-1).as("ic"))
+    val mergeU = udf((len: Int, ms: Seq[org.apache.spark.sql.Row]) => {
+      val matches = ms.filter(_.getLong(0) >= 0)
+      val spans: Seq[(Long, Int, Int)] = matches
+        .groupBy(r => (r.getLong(0), r.getInt(1) - r.getInt(2))).toSeq
+        .flatMap { case ((cid, _), rows) =>
+          val ibs = rows.map(_.getInt(1)).distinct.sorted
+          val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          var s0 = ibs.head; var prev = ibs.head
+          for (i <- ibs.tail) {
+            if (i == prev + 1) prev = i
+            else { runs += ((s0, prev)); s0 = i; prev = i }
+          }
+          runs += ((s0, prev))
+          runs.map { case (s1, e1) => (cid, s1, e1 + K - 1) }
+        }
+      def unionLen(iv: Seq[(Int, Int)]): Long = {
+        var tot = 0L; var curS = 0; var curE = -2
+        for ((s1, e1) <- iv.sortBy(identity)) {
+          if (s1 > curE + 1) {
+            if (curE >= curS) tot += curE - curS + 1
+            curS = s1; curE = e1
+          } else curE = math.max(curE, e1)
+        }
+        if (curE >= curS) tot += curE - curS + 1
+        tot
+      }
+      val perPair = spans.groupBy(_._1).view
+        .mapValues(sp => unionLen(sp.map(x => (x._2, x._3)))).toSeq
+      val dup = unionLen(spans.map(x => (x._2, x._3)))
+      if (perPair.isEmpty) (0L, Option.empty[Long], 0L, 0L, 0.0, true)
+      else {
+        val (bestC, bestS) = perPair.maxBy { case (c, s) => (s, -c) }
+        val cov = BigDecimal(dup.toDouble / len)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (perPair.size.toLong, Some(bestC), bestS, dup, cov, dup * 2 < len)
+      }
+    })
+    ver.unionByName(sentinel)
+      .groupBy(col("ts"), col("doc_id"), col("len"))
+      .agg(collect_list(struct(col("c_id"), col("ib"), col("ic"))).as("ms"))
+      .select(col("doc_id"), mergeU(col("len"), col("ms")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_partners"),
+        col("r._2").as("best_match"), col("r._3").as("best_shared"),
+        col("r._4").as("dup_chars"), col("r._5").as("coverage_pct"),
+        col("r._6").as("admit"))
+  }
+
   /** Streaming count-min sketch — the stream twin of the batch
     * `t28_heavy_hitters` sketch: the unbounded token stream folds into
     * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row

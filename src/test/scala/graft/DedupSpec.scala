@@ -316,6 +316,33 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("property: cdcChunks equals cdcSpans plus a digest of the sliced chunk") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.functions.Hashing
+    // the one-pass chunk+digest (added when the mojibake sweep showed
+    // slicing chunks back out of the column is quadratic) must agree
+    // with the original two-step form on arbitrary text, incl. the
+    // degenerate constant-character shape that cuts densely
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      s <- Gen.oneOf(
+        Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+          Gen.choose('Ѐ', 'ӿ'))),
+        Gen.const("a" * n))
+    } yield s
+    PropCheck.check(Prop.forAll(gen) { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var off = 0
+      val want = Hashing.cdcSpans(s).map { case (_, ln) =>
+        val chunk = s.substring(off, off + ln) // BMP gen: cp == char
+        off += ln
+        (ln.toLong, md.digest(chunk.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString)
+      }
+      off == s.length && Hashing.cdcChunks(s) == want
+    })
+  }
+
   test("property: rolling gram hashes equal the per-position refold") {
     import org.scalacheck.{Gen, Prop}
     import graft.functions.Hashing

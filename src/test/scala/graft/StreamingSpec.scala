@@ -307,6 +307,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming substring admission ≡ the batch d26 query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> ((r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    val expected = graft.queries.DedupQueries
+      .queries("d26_substring_admission")(spark, dir)
+      .collect().map(key).toMap
+    assert(expected.values.exists(_._4 > 0),
+      "fixture plants cross-split shared substrings")
+    val idx = spark.read.schema("h LONG, doc_id LONG, i0 INT, hp LONG")
+      .parquet(graft.queries.DedupQueries.d26LandingFor(spark, dir))
+    val corpusDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.admitArrivalsBySubstring(
+        input.toDF().toDF("ts", "doc_id", "text"), idx, corpusDocs)
+      .writeStream.format("memory").queryName("admissions_d26")
+      .outputMode("append").start()
+    try {
+      // spread arrivals over several micro-batch event times; the
+      // per-DOC hot-hash cap makes the verdict batching-invariant
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L,
+        "watermark advancer sentinel document row long enough to clear the sixty character gram floor"))
+      q.processAllAvailable()
+      val streamed = spark.table("admissions_d26")
+        .filter(col("doc_id") =!= -999L).collect().map(key).toMap
+      assert(streamed === expected,
+        "stream admission must equal the batch d26 twin")
+      // state is one aggregation group per arrival in the horizon —
+      // independent of corpus size (both corpus joins are stateless
+      // stream-static) and of stream length
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("the quick brown fox jumps over the lazy dog",
