@@ -351,6 +351,251 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- Q4: TPC-H order-priority checking — the EXISTS class with a
+    // CROSS-SIDE residual: orders of one quarter survive iff SOME
+    // lineitem of theirs shipped >90 days after the order date. The
+    // subquery references BOTH relations (l_shipdate vs o_orderdate),
+    // so the decorrelation is a LEFT SEMI equi-join on orderkey with
+    // the date inequality as a residual on the matched pair — q18's
+    // semi joins on a precomputed key set, q21's on the fact itself;
+    // this is the only class where the semi's residual spans sides.
+    // The quarter predicate pushes to the orders scan (row-group
+    // pruning does the heavy lifting at 100 TB); the semi-join never
+    // duplicates orders however many lineitems match. The fixture has
+    // no commit/receipt dates, so "late" adapts to the q21 convention
+    // (ship > order + 90d). ----
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= to_date(lit("1997-01-01")) &&
+          to_date(col("o_orderdate")) < to_date(lit("1997-04-01")))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") && col("sd") > date_add(col("od"), 90),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- Q7: TPC-H volume shipping — the SYMMETRIC-PAIR disjunction
+    // class: revenue flowing between two nations in either direction,
+    // grouped by (supplier nation, customer nation, ship year). The
+    // plan point: both endpoint filters (nation ∈ {A, B}) are applied
+    // to the DIMENSION maps before any fact work — the implication
+    // the OR can't hide — so the fact only joins two tiny broadcast
+    // maps and the (A→B | B→A) pair disjunction is a residual ABOVE
+    // equi-joins, never a join condition that would force a nested
+    // loop. At 100 TB the two-year ship-date predicate prunes the
+    // fact scan and everything downstream is broadcast. ----
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = "NATION_1"; val n2 = "NATION_2"
+      val nat = Tables.load(s, dir, "nation")
+      val supp = Tables.load(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(n1, n2))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(n1, n2))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1997-12-31")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(to_date(col("l_shipdate"))).as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_e4"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum("rev_e4") / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- Q8: TPC-H national market share — the GROUPED conditional
+    // ratio q14 computes as one scalar: per order-year, the share of
+    // ASIA customers' ECONOMY-part spend served by NATION_7 suppliers.
+    // One aggregation pass carries both branches (sum-if-nation /
+    // sum); the part-type filter broadcast-prunes the fact FIRST (the
+    // ~1/6 selectivity is the cheapest cut available), the supplier→
+    // nation and customer→nation→region chains are broadcast maps.
+    // Numerator and denominator are exact e4 BIGINTs; the single
+    // division happens once per year row. ----
+    "q8_market_share" -> ((s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+      val ecoParts = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val suppN = Tables.load(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("c_custkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(ecoParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev_e4"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(to_date(col("o_orderdate"))).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(round(sum(when(col("supp_nation") === "NATION_7", col("rev_e4"))
+            .otherwise(0L)) * lit(100.0) / sum(col("rev_e4")), 4).as("mkt_share_pct"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
+    // ---- Q11: TPC-H important stock — group-level aggregate vs a
+    // GLOBAL scalar of the SAME aggregation: per-part inventory value
+    // (price × qty, exact cents) kept only where it exceeds 1.3× the
+    // average part's value. TPC-H's own q11 thresholds on a FRACTION
+    // of the total, which only works because its spec scales the
+    // fraction by 1/SF — a share-of-total cutoff empties as the part
+    // count grows. The mean-relative form is scale-invariant, and the
+    // threshold stays cross-multiplied integers (10·value·n > 13·total
+    // — no division anywhere but display). The per-part frame feeds
+    // both the scalar and the filter; at 100 TB that's one map-side-
+    // combined shuffle of the fact, then driver-free broadcast scalar
+    // attachment. (No partsupp in the fixture; lineitem is the
+    // part-inventory relation.) ----
+    "q11_important_parts" -> ((s, dir) => {
+      val pp = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_quantity")).cast("long")).as("val_c"))
+        .groupBy("l_partkey").agg(sum("val_c").as("value_c"))
+      val tot = pp.agg(sum("value_c").as("total_c"), count(lit(1)).as("n_parts"))
+      pp.crossJoin(broadcast(tot))
+        .filter(col("value_c") * col("n_parts") * 10 > col("total_c") * 13)
+        .select(col("l_partkey"), round(col("value_c") / 100.0, 2).as("value"))
+        .orderBy(col("value_c").desc, col("l_partkey").asc)
+        .select("l_partkey", "value")
+    }),
+
+    // ---- Q13: TPC-H customer distribution — the OUTER-join-with-ON-
+    // filter + count-of-counts class: every customer (including the
+    // order-less) counted by how many non-urgent orders they placed,
+    // then the distribution of those counts. The ON-clause filter is
+    // the trap this class exists for: filtering orders BEFORE the
+    // left join (≡ the filter in the ON clause) keeps zero-order
+    // customers; filtering after would delete them. Two aggregations:
+    // per-customer (shuffle on custkey — the join already partitioned
+    // it there, so AQE coalesces) and the tiny count-histogram. ----
+    "q13_customer_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir).select("c_custkey")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // ---- Q15: TPC-H top supplier — the ARGMAX-against-global-max
+    // class: quarterly revenue per supplier, keep the supplier(s)
+    // achieving the maximum. The max is a one-row aggregate over the
+    // per-supplier frame attached by broadcast and compared EXACTLY
+    // (e4 BIGINTs — the reason TPC-H's own Q15 warns about ties is
+    // float revenue; integer revenue makes the argmax deterministic).
+    // Same shape as q11 but max instead of sum-fraction: aggregate
+    // once, attach scalar, filter, enrich from the broadcast dim. ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("1997-10-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1998-01-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("total_rev_e4"))
+      val mx = rev.agg(max("total_rev_e4").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_e4") === col("mx"))
+        .join(broadcast(Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev_e4") / 10000.0, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q16: TPC-H supplier relation count — COUNT-DISTINCT over an
+    // ANTI-joined relation: how many distinct suppliers can deliver
+    // each surviving (brand, type, size) combination, excluding the
+    // "complaint" suppliers (negative balance — the fixture's stand-in
+    // for the complaint scan). The part filters broadcast-prune the
+    // fact to the selected combinations BEFORE the distinct shuffle;
+    // the exclusion set is a broadcast anti-join (NOT IN with a
+    // guaranteed-non-null key set). countDistinct expands to a
+    // two-level aggregate — partial distinct map-side on (group, supp)
+    // — so the shuffle carries pairs, never raw lineitems. (lineitem
+    // is the part↔supplier relation; the fixture has no partsupp.) ----
+    "q16_supplier_counts" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // ---- Q20: TPC-H excess suppliers — the NESTED decorrelation
+    // chain: EUROPE suppliers who, for some 'small*' part, shipped
+    // more than 20% of that part's 1998 volume. Three levels collapse
+    // into two aggregations and two semi-joins: the name-filtered part
+    // set broadcast-prunes the year's fact slice; (part, supplier)
+    // totals aggregate once; per-part totals aggregate FROM that
+    // frame (a rollup of the first aggregate — no second fact scan);
+    // the 5·sq > tq threshold is exact integers; qualifying suppkeys
+    // dedup into a key set that SEMI-joins the supplier dimension
+    // under its region filter. The oracle keeps the textbook
+    // correlated HAVING-subquery form, gating the flattened plan
+    // against the original semantics. ----
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val smallParts = Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val perPS = Tables.lineitem(s, dir)
+        .filter(year(to_date(col("l_shipdate"))) === 1998)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity")).cast("long").as("qv"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qv").as("sq"))
+      val perP = perPS.groupBy("l_partkey").agg(sum("sq").as("tq"))
+      val qual = perPS.join(broadcast(perP), Seq("l_partkey"))
+        .filter(col("sq") * 5 > col("tq"))
+        .select("l_suppkey").distinct()
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .join(Tables.load(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // ---- E9: interval join — events counted into 24 OVERLAPPING 2-hour
     // maintenance windows. Deliberately NOT a range join (a BNL range
     // join touches every (event, window) pair): each window explodes
@@ -614,6 +859,118 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q4's oracle keeps the textbook EXISTS form — DuckDB plans the
+    // correlated subquery itself, gating the engine's semi-join-with-
+    // cross-side-residual decorrelation against the original semantics.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0, 2)
+        |   AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        | round(100.0 * sum(CASE WHEN sn.n_name = 'NATION_7'
+        |     THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |          CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) /
+        |   sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |       CAST(round((1 - l_discount) * 100) AS BIGINT)), 4) AS mkt_share_pct,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |       CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_c
+        |   FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(value_c / 100.0, 2) AS value
+        |FROM pp
+        |WHERE value_c * (SELECT count(*) FROM pp) * 10 >
+        |      (SELECT sum(value_c) FROM pp) * 13
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |   FROM customer LEFT JOIN orders
+        |     ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |   GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |       CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        |   FROM lineitem
+        |   WHERE CAST(l_shipdate AS DATE) >= DATE '1997-10-01'
+        |     AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |   GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_rev_e4 / 10000.0, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // q20's oracle keeps the textbook correlated HAVING-subquery form —
+    // DuckDB decorrelates it itself, gating the engine's flattened
+    // two-aggregation chain against the original semantics.
+    "q20_excess_suppliers" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |     CAST(round(l_quantity) AS BIGINT) AS qv
+        |   FROM lineitem
+        |   WHERE year(CAST(l_shipdate AS DATE)) = 1998
+        |     AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM li l1 GROUP BY l_partkey, l_suppkey
+        |    HAVING 5 * sum(qv) > (SELECT sum(qv) FROM li l2
+        |      WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "e9_interval_join" ->
       """WITH w AS (SELECT range AS w_id,

@@ -292,6 +292,111 @@ class PlanSpec extends AnyFunSuite {
       s"date filter lost before the orders scan:\n$plan")
   }
 
+  test("q4's EXISTS decorrelates to a semi-join with the cross-side residual") {
+    val df = SparkEntry.queries("q4_order_priority")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated EXISTS (l_shipdate vs o_orderdate spans sides)
+    // must become ONE equi semi-join on orderkey carrying the date
+    // inequality as a residual — never a per-order subquery or an
+    // all-pairs node
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("date_add"), s"cross-side residual missing from the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q4 plans an all-pairs join:\n$plan")
+    // the quarter predicate reaches the orders parquet scan (min/max
+    // row-group pruning is the 100 TB workhorse here)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"),
+      s"quarter filter not pushed to the orders scan:\n$plan")
+  }
+
+  test("q7's symmetric nation pair prunes both dimension scans; the OR stays residual") {
+    val df = SparkEntry.queries("q7_volume_shipping")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // nation ∈ {A,B} — the implication of the pair disjunction — must
+    // be pushed into the nation scan, not evaluated after the joins
+    assert(plan.contains("In(n_name, [NATION_1,NATION_2])"),
+      s"nation membership not pushed to the dimension scan:\n$plan")
+    // the two-year ship window prunes the fact scan
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"ship-date window not pushed to the fact scan:\n$plan")
+    // everything joins broadcast-hash; the (A→B | B→A) disjunction is a
+    // residual above an equi-join, never a join strategy
+    assert(plan.contains("BroadcastHashJoin"), s"dimension joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q7 plans an all-pairs join:\n$plan")
+  }
+
+  test("q8 computes the grouped ratio in one aggregation pass over broadcast-pruned joins") {
+    val df = SparkEntry.queries("q8_market_share")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // numerator and denominator are two functions of ONE grouped
+    // aggregate — a second scan or self-join here doubles the fact cost
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    assert(plan.indexOf("HashAggregate", plan.indexOf("HashAggregate") + 1) > 0,
+      s"missing partial+final aggregate pair:\n$plan")
+    assert(plan.contains("LeftSemi"), s"region membership not a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q8 plans an all-pairs join:\n$plan")
+  }
+
+  test("q11/q15 attach the global scalar by broadcast, never a shuffle") {
+    for (name <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the one-row aggregate over the grouped frame must attach as a
+      // broadcast (a BNLJ against one row is the benign scalar-attach
+      // shape); the grouped aggregate itself partial-combines map-side
+      assert(plan.contains("partial_sum"), s"$name: no map-side partial aggregation:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$name: scalar not attached by broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name: shuffles a join:\n$plan")
+    }
+  }
+
+  test("q13's ON-clause filter precedes the outer join; zero-order customers survive") {
+    val df = SparkEntry.queries("q13_customer_distribution")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the priority filter must sit UNDER the left join (≡ ON clause) so
+    // customers with no qualifying orders still count at zero
+    assert(plan.contains("LeftOuter"), s"no outer join:\n$plan")
+    assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"ON-clause filter not pushed to the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q13 plans an all-pairs join:\n$plan")
+  }
+
+  test("q16 anti-joins the exclusion set before the two-level distinct aggregate") {
+    val df = SparkEntry.queries("q16_supplier_counts")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join on the exclusion set:\n$plan")
+    // countDistinct expands to partial distinct on (group, suppkey) —
+    // the shuffle carries pairs, never raw lineitems
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q16 plans an all-pairs join:\n$plan")
+  }
+
+  test("q20's nested chain flattens to two aggregates and broadcast semi-joins") {
+    val df = SparkEntry.queries("q20_excess_suppliers")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-part total is a rollup OF the (part, supplier) aggregate —
+    // partial sums at both levels, no second fact scan for the inner
+    // correlated subquery
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    assert(plan.contains("LeftSemi"), s"qualifying suppliers not a semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"semi-joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q20 plans an all-pairs join:\n$plan")
+  }
+
   test("s18 bucketed join is exchange- and sort-free end to end") {
     val df = graft.queries.PipelineQueries.s18Joined(spark, sfDir)
     df.collect()
