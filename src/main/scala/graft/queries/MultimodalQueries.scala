@@ -300,7 +300,13 @@ object MultimodalQueries {
     // decoder would slot into m1's mapPartitions shape). Every 17th
     // blob is headerless to exercise the corrupt branch. ----
     "m6_wav_meta" -> ((s, dir) => {
-      val hs = hex(wavMedia)
+      // header-only hex: every field this query reads lives in the
+      // 44-byte RIFF/WAVE header (the last, dataSize, at bytes 40-43),
+      // so hex the first 44 bytes instead of the whole blob — hexing
+      // multi-KB payloads to read a fixed header doubled the query's
+      // cost for nothing (the DuckDB twin reads the same offsets, so
+      // truncation cannot change any output)
+      val hs = hex(substring(wavMedia, 1, 44))
       // LE reads from the hex string: byte o (0-based) starts at char
       // o*2+1; value = Σ byte_i · 256^i
       def rb(byteOff: Int) = conv(hs.substr(byteOff * 2 + 1, 2), 16, 10).cast("long")

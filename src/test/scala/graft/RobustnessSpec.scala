@@ -127,4 +127,41 @@ class RobustnessSpec extends AnyFunSuite {
       s"queries crashed on mojibake/degenerate text:\n${failures.mkString("\n")}")
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("dedup surface survives an all-identical corpus (every candidate guard's worst case)") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_identical").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // Every document the SAME multi-sentence paragraph: every shingle,
+    // gram hash, band bucket, and prefix token is shared by ALL docs at
+    // once — the single shape that turns un-capped candidate generation
+    // quadratic (and the reason the df-caps / per-document probe caps /
+    // hot-hash guards exist). 300 docs keeps the TRUE answer (all-pairs
+    // duplicates, which IS quadratic for exact operators) small enough
+    // to verify the sweep stays prompt while any guard regression still
+    // shows up as a blowup or OOM, not a quiet slowdown.
+    val para = "The quick brown fox jumps over the lazy dog near the river bank. " +
+      "Pack my box with five dozen liquor jugs before the storm arrives tonight. " +
+      "How vexingly quick daft zebras jump across the frozen northern plains. " +
+      "Sphinx of black quartz, judge my vow as the caravan departs at dawn."
+    spark.read.parquet(s"$src/documents.parquet")
+      .orderBy("doc_id").limit(300)
+      .withColumn("text", lit(para))
+      .withColumn("n_chars", lit(para.length.toLong))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
+    }
+    assert(failures.isEmpty,
+      s"queries crashed on the all-identical corpus:\n${failures.mkString("\n")}")
+    // the exact-dedup ground truth on this corpus: one keeper, 299 dupes
+    val d1 = SparkEntry.queries("d1_dedup_exact")(spark, dir).collect()
+    assert(d1.nonEmpty, "d1 found no duplicate groups on an all-identical corpus")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
