@@ -394,6 +394,34 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // ---- S21: seeded global shuffle → round-robin shards — the
+    // training-order step between packing (t21) and the token-balanced
+    // sink (s20): trainers want every shard to be an unbiased sample
+    // of the corpus in a DETERMINISTIC pseudorandom order (resumable,
+    // reproducible across reruns — which rules out rand()). The
+    // permutation key is the same cross-engine Knuth multiplicative
+    // hash t24 uses; the global rank over it is the skew-proof
+    // GlobalOrder numbering (range-repartition + per-shard offsets —
+    // NO single-partition window at any scale); shard = rank mod S
+    // round-robins the permuted order so shard sizes differ by at most
+    // one and each shard's internal order is the permutation restricted
+    // to it. The gate hashes the FULL per-document assignment, so the
+    // oracle (a plain global row_number in DuckDB) proves the
+    // distributed numbering ≡ the sequential one, document by
+    // document. ----
+    "s21_shuffled_shards" -> ((s, dir) => {
+      val S = 16
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("k", (col("doc_id") * 2654435761L) % 1000000007L)
+      graft.operators.GlobalOrder
+        .withPosition(keyed, "pos", col("k"), col("doc_id"))
+        .select(col("doc_id"),
+          ((col("pos") - 1) % S).cast("long").as("shard"),
+          ((col("pos") - 1) / S).cast("long").as("pos_in_shard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- E11: z-score outlier detection — the row-level anomaly gate
     // a training pipeline runs before aggregating telemetry (drop the
     // fat-fingered 1000× values before they poison a mean). Per-type
@@ -1606,6 +1634,19 @@ object PipelineQueries {
         |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(w) AS BIGINT) AS tokens,
         |  CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s21's twin is the SEQUENTIAL formulation the distributed
+    // numbering must equal: one global row_number over the permutation
+    // key — per-document hash equality proves GlobalOrder's
+    // range-repartitioned rank reproduces it exactly.
+    "s21_shuffled_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+        |      - 1 AS rank0
+        |  FROM documents)
+        |SELECT doc_id, CAST(rank0 % 16 AS BIGINT) AS shard,
+        |  CAST(rank0 // 16 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }
