@@ -1115,8 +1115,7 @@ object DedupQueries {
       val K = 60
       val docs = d23DocsFor(s, dir)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      val idx = s.read.schema("h LONG, doc_id LONG, i0 INT, hp LONG")
-        .parquet(d26LandingFor(s, dir))
+      val idx = s.table(d26LandingFor(s, dir))
       val bg = batch.select(col("doc_id").as("b_id"),
         posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
           .as(Seq("ib", "h")))
@@ -1128,14 +1127,25 @@ object DedupQueries {
       // micro-batches (EventStream.admitArrivalsBySubstring)
       val bhot = bg.groupBy("b_id", "h").agg(count(lit(1)).as("c"))
         .filter(col("c") > 64L).select("b_id", "h")
+      // cand feeds THREE consumers (the verify join and both
+      // slicedGrams gathers) and ver feeds two (the per-pair and
+      // per-doc interval unions): without materialization Spark
+      // re-evaluates the whole batch-hash + index-join subtree per
+      // consumer (4 index scans visible in the executed plan, ~4x the
+      // serve cost). Both frames are small — batch-proportional — so
+      // one eager localCheckpoint each trades a tiny spill for running
+      // the propose and verify stages exactly ONCE per admission batch
+      // (blocks are freed by the ContextCleaner when the frames GC).
       val cand = bg.join(bhot, Seq("b_id", "h"), "left_anti")
         .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
         .select(col("b_id"), col("ib"), col("c_id"), col("ic"))
+        .localCheckpoint()
       val ver = cand
         .join(slicedGrams(cand, docs, "b_id", "ib", K), Seq("b_id", "ib"))
         .join(slicedGrams(cand, docs, "c_id", "ic", K), Seq("c_id", "ic"))
         .filter(col("g_ib") === col("g_ic"))
         .select("b_id", "c_id", "ib", "ic")
+        .localCheckpoint()
       val spans = ver.withColumn("delta", col("ib") - col("ic"))
         .withColumn("grp", col("ib") - row_number().over(
           Window.partitionBy("b_id", "c_id", "delta").orderBy("ib")))
@@ -1180,10 +1190,14 @@ object DedupQueries {
   /** D26's landed artifact: the CORPUS (doc_id % 10 != 0) gram index —
     * every 60-gram's rolling hash with its (doc, position), df-capped
     * exactly like d23's in-corpus guard — written once per (JVM,
-    * source dir) as hash-partitioned parquet (hp = h mod 64). 16-ish
-    * bytes per corpus position; at 100 TB the index appends per ingest
-    * batch and the corpus TEXT is never re-scanned to serve an
-    * admission check. */
+    * source dir) as a table BUCKETED by h (32 buckets, bucket-sorted).
+    * Bucketing on the probe key is the serve-side contract: every
+    * admission batch equi-joins this index on h, and the bucketed scan
+    * provides the hash distribution, so the corpus side crosses the
+    * wire ZERO times per batch — only the batch's own grams shuffle.
+    * 16-ish bytes per corpus position; at 100 TB the index appends per
+    * ingest batch (new buckets merge by bucket id) and the corpus TEXT
+    * is never re-scanned to serve an admission check. */
   private val d26Landing =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1191,20 +1205,33 @@ object DedupQueries {
     d26Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_d26_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
-      Caches.track(d)(() => { d26Landing.remove(d); () })
-      Caches.trackPath(d, new java.io.File(out))
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_d26_idx_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d26_${pid}_$tag")
+      Caches.track(d)(() => {
+        d26Landing.remove(d)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        ()
+      })
+      Caches.trackPath(d, out)
       val grams = d23DocsFor(s, d).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"),
           posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
             .as(Seq("i0", "h")))
       val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
         .filter(col("c") > 64L).select("h")
+      // BUCKETED by the join key: every admission batch equi-joins this
+      // index on h, so landing it hash-bucketed means the serve join
+      // never re-shuffles the corpus side — only the (much smaller)
+      // batch grams move. repartition-then-bucketBy shares murmur3 with
+      // the bucket-file assignment → one file per bucket (see s18).
       grams.join(hot, Seq("h"), "left_anti")
-        .withColumn("hp", pmod(col("h"), lit(64L)))
-        .write.mode("overwrite").partitionBy("hp").parquet(out)
-      out
+        .repartition(32, col("h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "h").sortBy("h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
     })
 
   /** Documents admitted to the d23/d25 shared-span family: non-null

@@ -17,7 +17,7 @@ object ExplainTool {
     val names = if (args.nonEmpty) args.toSeq else Seq("x7_pq_adc", "e11_anomaly", "t16_lm_familiarity")
     names.foreach { n =>
       println(s"===== $n =====")
-      println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(5000))
+      println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(40000))
     }
     spark.stop()
   }

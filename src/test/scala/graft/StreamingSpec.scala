@@ -319,8 +319,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(key).toMap
     assert(expected.values.exists(_._4 > 0),
       "fixture plants cross-split shared substrings")
-    val idx = spark.read.schema("h LONG, doc_id LONG, i0 INT, hp LONG")
-      .parquet(graft.queries.DedupQueries.d26LandingFor(spark, dir))
+    val idx = spark.table(graft.queries.DedupQueries.d26LandingFor(spark, dir))
     val corpusDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
     val arrivals = Tables.documents(spark, dir)
