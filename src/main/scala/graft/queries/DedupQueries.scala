@@ -458,13 +458,28 @@ object DedupQueries {
     d24Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_d24_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
-      Caches.track(d)(() => { d24Landing.remove(d); () })
-      Caches.trackPath(d, new java.io.File(out))
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_d24_bands_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d24_${pid}_$tag")
+      Caches.track(d)(() => {
+        d24Landing.remove(d)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        ()
+      })
+      Caches.trackPath(d, out)
+      // BUCKETED by key, the high-cardinality half of the serve join's
+      // (band, key) equi-key: hash distribution on key co-locates every
+      // (band, key) pair, which satisfies the join's clustered
+      // distribution — so classifying a batch never re-shuffles the
+      // landed corpus bands, exactly like d26's gram index (same
+      // murmur3 repartition → one file per bucket, see s18).
       bandsOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
-        .write.mode("overwrite").partitionBy("band").parquet(out)
-      out
+        .repartition(32, col("key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "key").sortBy("key")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
     })
 
   /** D18/D24's shared serve pipeline: classify the arriving batch
@@ -916,11 +931,9 @@ object DedupQueries {
     // IS the landed ≡ recomputed proof. ----
     "d24_persisted_band_index" -> ((s, dir) =>
       classifyBatchAgainst(s, dir,
-        // explicit schema: an EMPTY corpus lands zero rows, which a
-        // partitioned write materializes as a fileless dir — schema
-        // inference throws there, the declared schema reads it empty
-        s.read.schema("doc_id LONG, key LONG, band INT")
-          .parquet(bandLandingFor(s, dir))
+        // catalog table: empty corpus lands an empty bucketed table
+        // whose schema lives in the metastore — no inference hazard
+        s.table(bandLandingFor(s, dir))
           .select(col("doc_id"), col("band"), col("key")))),
 
     // ---- D16: semantic decontamination — the embedding-space twin of
