@@ -128,6 +128,35 @@ class RobustnessSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("vector queries survive an all-identical embedding corpus (degenerate geometry)") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_const_vecs").toString
+    spark.read.parquet(s"$src/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every vector the SAME point: k-means has one reachable centroid
+    // (every other seed's cell is EMPTY), all pairwise cosines are
+    // exactly 1, IVF cells collapse to one, PQ codebooks train on zero
+    // variance, and every distance tie must break deterministically —
+    // the geometric analogue of the all-identical text corpus. Crashes
+    // here are empty-cell aggregations, 0/0 normalizations, or
+    // tie-broken top-k nondeterminism surfacing as flaky counts.
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> CAST(1.0 + i % 3 AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val vecQueries = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("x") || Seq("d5_embedding_dup", "d13_semantic_clusters",
+        "d14_semantic_edges_ivf", "d16_semantic_decontaminate").contains(n)).toSeq.sorted
+    val failures = vecQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
+    }
+    assert(failures.isEmpty,
+      s"queries crashed on identical embeddings:\n${failures.mkString("\n")}")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("dedup surface survives an all-identical corpus (every candidate guard's worst case)") {
     import org.apache.spark.sql.functions._
     val src = SparkTestBase.sfDir
