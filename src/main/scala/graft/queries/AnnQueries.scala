@@ -210,6 +210,17 @@ object AnnQueries {
     * and the serve plan scan-shaped. */
   private val x19Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** x19/x20's landed-artifact schema, declared so an EMPTY corpus
+    * (fileless landing dir) reads as zero rows instead of a
+    * schema-inference error. */
+  private val x19ArtifactSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("arn",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
   private def indexLandingFor(s: SparkSession, dir: String): String =
     x19Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
@@ -898,16 +909,38 @@ object AnnQueries {
     // DuckDB twin recomputes assignment from raw vectors), so index
     // persistence is hash-checked, not asserted. ----
     "x19_persisted_ivf" -> ((s, dir) => {
-      // explicit schema — an empty corpus lands a fileless artifact,
-      // and an empty index serves empty results, not a read error
-      val artifactSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("arn",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.LongType)))
-      val ranks = s.read.schema(artifactSchema).parquet(indexLandingFor(s, dir))
+      val ranks = s.read.schema(x19ArtifactSchema).parquet(indexLandingFor(s, dir))
+      val e = vecs(s, dir)
+      val assigned = ranks.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), Seq("nid"))
+      val probes = ranks.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), Seq("qid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
+    // ---- X20: tombstone deletion — the third leg of the index
+    // lifecycle (x19 build/serve, x18 append, x20 delete): vectors
+    // "deleted" from the corpus (vec_id % 37 == 1 plays the deletion
+    // feed) are excluded at SERVE time by a filter on the landed
+    // artifact — the index files are untouched, which is the entire
+    // point of tombstoning: at 100 TB rewriting a cid-partitioned
+    // index to remove 3% of rows costs more than a predicate that
+    // rides the same scan, and compaction happens on the append
+    // cadence (x18), not the delete cadence. Tombstoned vectors
+    // neither serve as neighbors nor issue queries. The oracle
+    // recomputes the whole IVF geometry from scratch minus exactly
+    // those rows' SERVING role (assignment geometry is unchanged —
+    // deleting a member does not move centroids any more than it
+    // does in any IVF), so the gate proves filtered-serve ≡
+    // recomputed-serve. ----
+    "x20_tombstone_serving" -> ((s, dir) => {
+      val ranks = s.read.schema(x19ArtifactSchema).parquet(indexLandingFor(s, dir))
+        .filter(col("vec_id") % 37 =!= 1)
       val e = vecs(s, dir)
       val assigned = ranks.filter(col("arn") === 1)
         .select(col("vec_id").as("nid"), col("cid"))
@@ -1493,6 +1526,29 @@ object AnnQueries {
         | assigned AS (SELECT vec_id, v, n2, cid FROM ar WHERE arn = 1),
         | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
         |   WHERE arn <= 8 AND vec_id % 50 = 0),
+        | pairs AS (SELECT p.qid, c.vec_id AS nid,
+        |     list_reduce(list_transform(list_zip(p.qv, c.v), z -> z[1] * z[2]),
+        |       (a, b) -> a + b) / sqrt(p.qn2 * c.n2) AS cosine
+        |   FROM probes p JOIN assigned c ON p.cid = c.cid AND p.qid <> c.vec_id),
+        | ranked AS (SELECT *, row_number() OVER
+        |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
+        |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // x20's twin: identical IVF geometry (assignment is untouched by
+    // deletion), with the tombstoned rows excluded from BOTH serving
+    // roles — proving the engine's serve-time filter over the landed
+    // artifact equals a ground-up recomputation without those rows.
+    "x20_tombstone_serving" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | ${ivfArSql},
+        | assigned AS (SELECT vec_id, v, n2, cid FROM ar
+        |   WHERE arn = 1 AND vec_id % 37 <> 1),
+        | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
+        |   WHERE arn <= 8 AND vec_id % 50 = 0 AND vec_id % 37 <> 1),
         | pairs AS (SELECT p.qid, c.vec_id AS nid,
         |     list_reduce(list_transform(list_zip(p.qv, c.v), z -> z[1] * z[2]),
         |       (a, b) -> a + b) / sqrt(p.qn2 * c.n2) AS cosine
