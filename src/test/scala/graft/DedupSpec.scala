@@ -456,4 +456,35 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop join:\n$plan")
     }
   }
+
+  test("d24/d26 landed indexes scan as bucketed tables aligned with their serve join") {
+    import org.apache.spark.sql.functions._
+    // d24's classify plan reads the landed band table directly
+    val d24Plan = SparkEntry.queries("d24_persisted_band_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(d24Plan.contains("Bucketed: true"),
+      s"d24's landed band index does not scan bucketed:\n$d24Plan")
+    // d26's serve join runs inside an eager checkpoint, so pin the
+    // layout contract on the landed table itself: an equi-join on the
+    // bucket key must consume the bucketed distribution — the index
+    // side carries NO Exchange (only the probe side shuffles)
+    val idx = spark.table(
+      graft.queries.DedupQueries.d26LandingFor(spark, sfDir))
+    val probe = spark.range(0, 1000)
+      .select((col("id") * 2654435761L).as("h"), col("id").as("p"))
+      .repartition(8)
+    val served = idx.join(probe.hint("merge"), Seq("h"))
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"d26's landed gram index does not scan bucketed:\n$plan")
+    // one join, two sides: the probe may shuffle to the bucket count,
+    // the bucketed index side must not — so at most ONE hash exchange
+    // in the final plan (AQE's stringification appends the pre-AQE
+    // "Initial Plan" copy; cut it off before counting)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1,
+      s"d26's landed index side re-shuffles despite bucketing ($exchanges exchanges):\n$plan")
+  }
 }
