@@ -81,7 +81,17 @@ object Caches {
     * Returns the number of cleanups performed. */
   def release(s: SparkSession, dir: String, blocking: Boolean = false): Int = {
     val thunks = Option(tracked.remove(dir)).getOrElse(Nil)
-    thunks.foreach(_.apply())
+    // best-effort: a thunk that throws (e.g. DROP TABLE through an
+    // already-stopped session for the s18/d24/d26 catalog landings)
+    // must not abort the rest of the dir's cleanup or crash the caller
+    // — release runs at bench/test boundaries where a partial cleanup
+    // beats a propagated failure
+    thunks.foreach { t =>
+      try t.apply()
+      catch { case e: Throwable =>
+        System.err.println(s"[caches] release thunk failed for $dir: ${e.getMessage}")
+      }
+    }
     thunks.size + MatchQueries.release(s, dir, blocking)
   }
 
