@@ -209,6 +209,28 @@ object AnnQueries {
     * id, which is what keeps the artifact small (24 bytes/row·probe)
     * and the serve plan scan-shaped. */
   private val x19Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val x21Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x21's compacted artifact: the x19 landing REWRITTEN with the
+    * tombstoned rows (x20's deletion feed, vec_id % 37 == 1) dropped —
+    * the maintenance step that runs on the append cadence once the
+    * tombstone fraction justifies the rewrite, after which serves pay
+    * neither the predicate nor the dead rows' scan bytes. Reads the
+    * landed x19 files (never recomputes the quantizer) and lands the
+    * survivor rows cid-partitioned exactly like its input. */
+  private def compactedLandingFor(s: SparkSession, dir: String): String =
+    x21Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_x21_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { x21Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      s.read.schema(x19ArtifactSchema).parquet(indexLandingFor(s, d))
+        .filter(col("vec_id") % 37 =!= 1)
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      out
+    })
 
   /** x19/x20's landed-artifact schema, declared so an EMPTY corpus
     * (fileless landing dir) reads as zero rows instead of a
@@ -954,6 +976,32 @@ object AnnQueries {
         .filter(col("qid") =!= col("nid")), 5)
     }),
 
+    // ---- X21: tombstone compaction — the maintenance step that ends
+    // x20's predicate-serving era: the landed index is REWRITTEN with
+    // the tombstoned rows dropped (reading the x19 files, never
+    // recomputing the quantizer — compaction is IO, not math), and the
+    // serve below runs x19's plain plan with NO deletion filter. The
+    // oracle is x20's (ground-up recomputation minus the deleted rows'
+    // serving role), so the gate proves the rewrite dropped exactly
+    // the tombstoned rows and nothing else: compacted-serve ≡
+    // filtered-serve ≡ recomputed-serve. Lifecycle complete: x19
+    // build/serve, x18 append, x20 delete, x21 compact. ----
+    "x21_compacted_serving" -> ((s, dir) => {
+      val ranks = s.read.schema(x19ArtifactSchema)
+        .parquet(compactedLandingFor(s, dir))
+      val e = vecs(s, dir)
+      val assigned = ranks.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), Seq("nid"))
+      val probes = ranks.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), Seq("qid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -1540,6 +1588,29 @@ object AnnQueries {
     // roles — proving the engine's serve-time filter over the landed
     // artifact equals a ground-up recomputation without those rows.
     "x20_tombstone_serving" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, v,
+        |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        | ${ivfArSql},
+        | assigned AS (SELECT vec_id, v, n2, cid FROM ar
+        |   WHERE arn = 1 AND vec_id % 37 <> 1),
+        | probes AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid FROM ar
+        |   WHERE arn <= 8 AND vec_id % 50 = 0 AND vec_id % 37 <> 1),
+        | pairs AS (SELECT p.qid, c.vec_id AS nid,
+        |     list_reduce(list_transform(list_zip(p.qv, c.v), z -> z[1] * z[2]),
+        |       (a, b) -> a + b) / sqrt(p.qn2 * c.n2) AS cosine
+        |   FROM probes p JOIN assigned c ON p.cid = c.cid AND p.qid <> c.vec_id),
+        | ranked AS (SELECT *, row_number() OVER
+        |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
+        |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // x21 shares x20's oracle verbatim: compaction must be a pure
+    // physical rewrite — serving the compacted artifact with no filter
+    // must equal the filtered serve, which equals the ground-up
+    // recomputation without the tombstoned rows.
+    "x21_compacted_serving" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         | n AS (SELECT vec_id, v,
