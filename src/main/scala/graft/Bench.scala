@@ -43,6 +43,14 @@ object Bench {
       // ScalingCheck isolation). 64 KiB keeps the floor below
       // total/parallelism wherever per-row compute still matters.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // split single-file scans: the sf fixtures are one parquet file
+      // per table (lineitem sf0.1 ≈ 11 MB), so the 128 MB default makes
+      // every scan stage ONE task and serializes map-side work (s19's
+      // z-key ran at ~1× parallelism on 32 cores). 4 MB mimics the
+      // many-split layout a real table has at cluster scale; a real
+      // deployment keeps the default — this tunes LOCAL parallelism,
+      // not the plan shape.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // sorted bucket scans: expose sortBy order from one-file-per-bucket
       // tables (s18) so bucketed merge joins need neither Exchange nor Sort

@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // see Bench: keep AQE from coalescing CPU-heavy verify stages
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // see Bench: split single-file fixture scans for local parallelism
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // sorted bucket scans: expose sortBy order from one-file-per-bucket

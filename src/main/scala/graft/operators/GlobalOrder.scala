@@ -98,7 +98,9 @@ object GlobalOrder {
       .groupBy(col("_go_pid") +: grp: _*)
       .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
     local.join(broadcast(offsets), "_go_pid" +: groupCols)
-      .withColumn(posCol, (col("_go_local") + col("_go_offset")).cast("int"))
+      // LONG position: an int cast silently wraps past 2^31 rows —
+      // this operator exists precisely for batches too big to window
+      .withColumn(posCol, (col("_go_local").cast("long") + col("_go_offset")))
       .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
   }
 
@@ -116,7 +118,8 @@ object GlobalOrder {
       .groupBy("_go_pid")
       .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
     local.join(broadcast(offsets), Seq("_go_pid"))
-      .withColumn(posCol, (col("_go_local") + col("_go_offset")).cast("int"))
+      // LONG position — see withPositionWithin
+      .withColumn(posCol, (col("_go_local").cast("long") + col("_go_offset")))
       .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
   }
 }

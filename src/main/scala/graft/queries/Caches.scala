@@ -66,6 +66,15 @@ object Caches {
     cp
   }
 
+  /** Drop catalog tables through whatever session is LIVE at cleanup
+    * time: a thunk that captured the creating session would both fail
+    * after that session stops and pin it against GC. No-op when no
+    * session is up (the in-memory catalog died with it anyway). */
+  def dropTables(tbls: String*): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+      .foreach(s => tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t")))
+
   /** Delete a materialized landing directory at release (s15/s16). */
   def trackPath(dir: String, path: java.io.File): Unit =
     track(dir) { () =>
@@ -85,11 +94,18 @@ object Caches {
     // already-stopped session for the s18/d24/d26 catalog landings)
     // must not abort the rest of the dir's cleanup or crash the caller
     // — release runs at bench/test boundaries where a partial cleanup
-    // beats a propagated failure
+    // beats a propagated failure. Only NON-fatal failures are
+    // swallowed: an OutOfMemoryError or other VirtualMachineError must
+    // propagate (the JVM is already broken), and an interrupt is
+    // re-flagged so the caller's cancellation still lands.
     thunks.foreach { t =>
       try t.apply()
-      catch { case e: Throwable =>
-        System.err.println(s"[caches] release thunk failed for $dir: ${e.getMessage}")
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[caches] release thunk interrupted for $dir: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[caches] release thunk failed for $dir: ${e.getMessage}")
       }
     }
     thunks.size + MatchQueries.release(s, dir, blocking)

@@ -454,7 +454,13 @@ object DedupQueries {
     * doc, appended per ingest batch, never rebuilt. */
   private val d24Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def bandLandingFor(s: SparkSession, dir: String): String =
+  private def bandLandingFor(s: SparkSession, dir: String): String = {
+    // revalidate the memo against THIS session's catalog: after a
+    // session stop/recreate in the same JVM without Caches.release the
+    // memoized name dangles (the new in-memory catalog lacks the
+    // table) where a path-based landing would still read fine
+    val memo = d24Landing.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) d24Landing.remove(dir, memo)
     d24Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
@@ -463,8 +469,7 @@ object DedupQueries {
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d24_${pid}_$tag")
       Caches.track(d)(() => {
         d24Landing.remove(d)
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        ()
+        Caches.dropTables(tbl)
       })
       Caches.trackPath(d, out)
       // BUCKETED by key, the high-cardinality half of the serve join's
@@ -481,6 +486,7 @@ object DedupQueries {
         .saveAsTable(tbl)
       tbl
     })
+  }
 
   /** D18/D24's shared serve pipeline: classify the arriving batch
     * (doc_id % 10 == 0) as exact / near / novel against corpus bands
@@ -1146,19 +1152,19 @@ object DedupQueries {
       // re-evaluates the whole batch-hash + index-join subtree per
       // consumer (4 index scans visible in the executed plan, ~4x the
       // serve cost). Both frames are small — batch-proportional — so
-      // one eager localCheckpoint each trades a tiny spill for running
-      // the propose and verify stages exactly ONCE per admission batch
-      // (blocks are freed by the ContextCleaner when the frames GC).
-      val cand = bg.join(bhot, Seq("b_id", "h"), "left_anti")
+      // one eager checkpoint each trades a tiny spill for running the
+      // propose and verify stages exactly ONCE per admission batch;
+      // Caches.checkpointed registers the backing RDDs so the blocks
+      // unpersist deterministically at Caches.release instead of
+      // accumulating until GC in a long session iterating many dirs.
+      val cand = Caches.checkpointed(dir, bg.join(bhot, Seq("b_id", "h"), "left_anti")
         .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
-        .select(col("b_id"), col("ib"), col("c_id"), col("ic"))
-        .localCheckpoint()
-      val ver = cand
+        .select(col("b_id"), col("ib"), col("c_id"), col("ic")))
+      val ver = Caches.checkpointed(dir, cand
         .join(slicedGrams(cand, docs, "b_id", "ib", K), Seq("b_id", "ib"))
         .join(slicedGrams(cand, docs, "c_id", "ic", K), Seq("c_id", "ic"))
         .filter(col("g_ib") === col("g_ic"))
-        .select("b_id", "c_id", "ib", "ic")
-        .localCheckpoint()
+        .select("b_id", "c_id", "ib", "ic"))
       val spans = ver.withColumn("delta", col("ib") - col("ic"))
         .withColumn("grp", col("ib") - row_number().over(
           Window.partitionBy("b_id", "c_id", "delta").orderBy("ib")))
@@ -1214,7 +1220,11 @@ object DedupQueries {
   private val d26Landing =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def d26LandingFor(s: SparkSession, dir: String): String =
+  private[graft] def d26LandingFor(s: SparkSession, dir: String): String = {
+    // same catalog revalidation as d24: a memoized table name from a
+    // stopped-and-recreated session must not be served dangling
+    val memo = d26Landing.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) d26Landing.remove(dir, memo)
     d26Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
@@ -1223,8 +1233,7 @@ object DedupQueries {
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d26_${pid}_$tag")
       Caches.track(d)(() => {
         d26Landing.remove(d)
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        ()
+        Caches.dropTables(tbl)
       })
       Caches.trackPath(d, out)
       val grams = d23DocsFor(s, d).filter(col("doc_id") % 10 =!= 0)
@@ -1246,6 +1255,7 @@ object DedupQueries {
         .saveAsTable(tbl)
       tbl
     })
+  }
 
   /** Documents admitted to the d23/d25 shared-span family: non-null
     * text of at least gram length. */

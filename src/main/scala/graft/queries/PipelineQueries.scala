@@ -418,7 +418,9 @@ object PipelineQueries {
         .withPosition(keyed, "pos", col("k"), col("doc_id"))
         .select(col("doc_id"),
           ((col("pos") - 1) % S).cast("long").as("shard"),
-          ((col("pos") - 1) / S).cast("long").as("pos_in_shard"))
+          // integral DIV, not Column./ (double division truncates past
+          // 2^53) — the family's exact-integer convention
+          expr(s"(pos - 1) div $S").cast("long").as("pos_in_shard"))
         .orderBy("doc_id")
     }),
 
@@ -593,7 +595,11 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def bucketedFor(s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, String) =
+      dir: String): (String, String) = {
+    // revalidate against THIS session's catalog (see d24/d26): a memo
+    // from a stopped-and-recreated session would dangle
+    val memo = s18Warehouse.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo._1)) s18Warehouse.remove(dir, memo)
     s18Warehouse.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
         dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -604,9 +610,7 @@ object PipelineQueries {
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_s18_${pid}_$tag")
       Caches.track(d)(() => {
         s18Warehouse.remove(d)
-        s.sql(s"DROP TABLE IF EXISTS $oT")
-        s.sql(s"DROP TABLE IF EXISTS $lT")
-        ()
+        Caches.dropTables(oT, lT)
       })
       Caches.trackPath(d, out)
       // repartition on the bucket column first: Spark's repartition and
@@ -631,6 +635,7 @@ object PipelineQueries {
         .saveAsTable(lT)
       (oT, lT)
     })
+  }
 
   /** The s18 join body, factored so PlanSpec can pin the JOIN's plan in
     * isolation: both scans carry bucket-provided hash distribution and
@@ -654,10 +659,22 @@ object PipelineQueries {
     * projection, and the one-time repartitionByRange(z) write buys
     * min/max row-group pruning on EVERY subsequent multi-dimensional
     * scan (the Delta/Iceberg OPTIMIZE ZORDER layout, expressed as
-    * plain Spark; ZOrderSpec measures the pruning win directly). */
-  private[graft] def zOrderKey(x: String, y: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(sequence(0, 15), 0L, (acc, i) -> acc" +
-      s" + ((($x >> i) & 1) << (2*i)) + ((($y >> i) & 1) << (2*i+1)))")
+    * plain Spark; ZOrderSpec measures the pruning win directly).
+    *
+    * Emitted as a FLAT 32-term sum with constant bit positions, not an
+    * `aggregate(sequence(0,15), …)` fold: the higher-order-function
+    * form evaluates an interpreted lambda per row OUTSIDE whole-stage
+    * codegen (16 boxed iterations each), which made s19 the suite's
+    * slowest query at ~1× parallelism; the unrolled form is plain
+    * integer arithmetic that codegens into the scan's projection. */
+  private[graft] def zOrderKey(x: String, y: String): org.apache.spark.sql.Column = {
+    // CAST to BIGINT before shifting: bit 15 of y lands at position 31,
+    // which overflows a 32-bit shift if the input column is INT
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i})",
+      s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
+    expr(terms.mkString(" + "))
+  }
 
   lazy val queriesExtra: Map[String, QueryFn] = Map(
     // ---- S19: Z-order clustering key — the layout query behind

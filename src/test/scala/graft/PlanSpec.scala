@@ -98,7 +98,7 @@ class PlanSpec extends AnyFunSuite {
     // Equivalence with the single-task global window on the same data.
     val rows = numbered.orderBy("pos")
       .select("pos", "anchor", "article").collect()
-    assert(rows.map(_.getInt(0)).toSeq === (1 to 100000))
+    assert(rows.map(_.getLong(0).toInt).toSeq === (1 to 100000))
     val keys = rows.map(r => (r.getLong(1), r.getLong(2)))
     assert(keys.sameElements(keys.sorted), "positions disagree with (anchor, article) order")
   }
@@ -168,7 +168,7 @@ class PlanSpec extends AnyFunSuite {
     val got = ranked.select("grp", "id", "pos").collect()
     assert(got.length === 100000)
     got.foreach { r =>
-      assert(expected((r.getString(0), r.getLong(1))) === r.getInt(2))
+      assert(expected((r.getString(0), r.getLong(1))) === r.getLong(2).toInt)
     }
   }
 
