@@ -157,13 +157,13 @@ object DedupQueries {
     udf((sh: Seq[String]) => graft.functions.Hashing.simhashPoly(realShingles(sh)))
   /** Native codegen dot product — see AnnQueries' note; d5 scores
     * 12.5M pairs at sf0.1 through this kernel. */
-  private def dotExpr(a: Column, b: Column): Column =
+  private[graft] def dotExpr(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.GraftDot(
       org.apache.spark.sql.graft.ColumnBridge.expression(a),
       org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** norm² as graft_dot(v, v) — identical sequential fold, bit-exact. */
-  private def norm2Expr(v: Column): Column = dotExpr(v, v)
+  private[graft] def norm2Expr(v: Column): Column = dotExpr(v, v)
 
   /** Two-level IVF coarse quantizer, shared by d14 and the ANN serving
     * family (AnnQueries x3/x4/x9/x10/x11/x12/x15).
@@ -454,7 +454,7 @@ object DedupQueries {
     * doc, appended per ingest batch, never rebuilt. */
   private val d24Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def bandLandingFor(s: SparkSession, dir: String): String = {
+  private[graft] def bandLandingFor(s: SparkSession, dir: String): String = {
     // revalidate the memo against THIS session's catalog: after a
     // session stop/recreate in the same JVM without Caches.release the
     // memoized name dangles (the new in-memory catalog lacks the
@@ -1130,7 +1130,69 @@ object DedupQueries {
     // the admit verdict (duplicated coverage < 50%, integer-exact).
     // Zero corpus re-hashing, zero corpus text scan on the novel
     // path — the serve cost is proportional to the BATCH. ----
-    "d26_substring_admission" -> ((s, dir) => {
+    "d26_substring_admission" -> ((s, dir) => substringAdmissionFor(s, dir)),
+
+    // ---- E15: the ONE-PASS ingest admission verdict — what a
+    // production ingest pipeline actually runs per arrival batch: one
+    // row per arriving document carrying all three duplication axes
+    // and the final admit bit, composed entirely from the LANDED /
+    // memoized corpus indexes (d24's bucketed band table for
+    // exact+near, d26's bucketed gram index for substring coverage,
+    // d14's memoized IVF-verified edge set for semantic), so serving
+    // the composed verdict re-hashes NOTHING corpus-side — the three
+    // standalone gates each scan the batch once on their own axis and
+    // the verdicts join on doc_id (three batch-sized join keys, no
+    // corpus shuffle). Admit = novel on the band axis AND substring
+    // coverage under 50% AND no semantic partner at cosine ≥ 0.45.
+    // The oracle nests the three standalone twins verbatim, so the
+    // hash gate proves composed ≡ independently-computed per axis. ----
+    "e15_ingest_verdict" -> ((s, dir) => {
+      val band = classifyBatchAgainst(s, dir,
+        s.table(bandLandingFor(s, dir))
+          .select(col("doc_id"), col("band"), col("key")))
+      val sub = substringAdmissionFor(s, dir).select(col("doc_id"),
+        col("n_partners").as("sub_partners"),
+        col("best_match").as("sub_match"),
+        col("dup_chars").as("sub_dup_chars"),
+        col("coverage_pct").as("sub_coverage"),
+        col("admit").as("sub_admit"))
+      // semantic axis: the d14 edge memo restricted to batch↔corpus
+      // pairs (embeddings' vec_id parallels documents' doc_id in this
+      // schema), deterministic argmax: highest rounded cosine, then
+      // smallest corpus id — the d18 tie-break convention
+      val cross = d14EdgesFor(s, dir)
+        .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+        .select(
+          when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("doc_id"),
+          when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("sem_id"),
+          col("cosine"))
+      val semBest = cross.groupBy("doc_id")
+        .agg(max(struct(col("cosine").as("c"), (-col("sem_id")).as("n"))).as("b"))
+        .select(col("doc_id"), (-col("b.n")).as("sem_match"), col("b.c").as("sem_cosine"))
+      band
+        .join(sub, Seq("doc_id"), "left")
+        .join(semBest, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("match_id"), col("similarity"),
+          coalesce(col("sub_partners"), lit(0L)).as("sub_partners"),
+          col("sub_match").cast("long").as("sub_match"),
+          coalesce(col("sub_dup_chars"), lit(0L)).as("sub_dup_chars"),
+          coalesce(col("sub_coverage"), lit(0.0)).as("sub_coverage"),
+          coalesce(col("sub_admit"), lit(true)).as("sub_admit"),
+          col("sem_match").cast("long").as("sem_match"),
+          col("sem_cosine"),
+          (col("status") === "novel" && coalesce(col("sub_admit"), lit(true)) &&
+            col("sem_match").isNull).as("admit"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** The d26 serve pipeline, factored so e15's composed ingest verdict
+    * reuses the identical substring axis (same landed index, same
+    * per-document caps, same interval math) without a second code
+    * path. One row per batch doc in the substring family (text ≥ 60
+    * chars); shorter arrivals have trivially zero coverage and are
+    * handled by the composer's defaults. */
+  private[queries] def substringAdmissionFor(s: SparkSession, dir: String): DataFrame = {
       val K = 60
       val docs = d23DocsFor(s, dir)
       val batch = docs.filter(col("doc_id") % 10 === 0)
@@ -1203,8 +1265,7 @@ object DedupQueries {
             .as("coverage_pct"),
           (coalesce(col("dup_chars"), lit(0L)) * lit(2L) < col("len")).as("admit"))
         .orderBy("doc_id")
-    })
-  )
+  }
 
   /** D26's landed artifact: the CORPUS (doc_id % 10 != 0) gram index —
     * every 60-gram's rolling hash with its (doc, position), df-capped
@@ -1838,7 +1899,15 @@ object DedupQueries {
     // per-doc interval unions, deterministic best-partner, admit
     // verdict. The gate passing IS the landed ≡ recomputed proof,
     // exactly like d24/x19.
-    "d26_substring_admission" ->
+    "d26_substring_admission" -> d26OracleSql,
+
+    "e15_ingest_verdict" -> e15OracleSql
+  )
+
+  /** d26's DuckDB twin, factored to a val so e15's composed oracle can
+    * nest it verbatim — the composed gate then PROVES the one-pass
+    * verdict equals running the three standalone gates and joining. */
+  private lazy val d26OracleSql: String =
       """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
         |    WHERE text IS NOT NULL AND length(text) >= 60),
         | gr AS (SELECT doc_id, i AS i0,
@@ -1898,7 +1967,37 @@ object DedupQueries {
         |LEFT JOIN dup u ON u.b_id = d.doc_id
         |WHERE d.doc_id % 10 = 0
         |ORDER BY d.doc_id""".stripMargin
-  )
+
+  /** e15's twin NESTS the three standalone oracles (d18's exhaustive
+    * band recompute, d26's substring replay, the exact all-pairs
+    * cosine set) as subqueries and left-joins them per arrival — so
+    * hash equality proves the composed one-pass Spark pipeline equals
+    * running each published gate independently. */
+  private lazy val e15OracleSql: String =
+    s"""WITH band AS (SELECT * FROM ($d18RecomputeSql)),
+       | sub AS (SELECT * FROM ($d26OracleSql)),
+       | semp AS (SELECT * FROM ($exactPairsSql)),
+       | semc AS (SELECT CASE WHEN id1 % 10 = 0 THEN id1 ELSE id2 END AS doc_id,
+       |     CASE WHEN id1 % 10 = 0 THEN id2 ELSE id1 END AS sem_id, cosine
+       |   FROM semp WHERE (id1 % 10 = 0) <> (id2 % 10 = 0)),
+       | semb AS (SELECT doc_id, sem_id, cosine,
+       |     row_number() OVER (PARTITION BY doc_id
+       |                        ORDER BY cosine DESC, sem_id) AS rn
+       |   FROM semc)
+       |SELECT b.doc_id, b.status, b.match_id, b.similarity,
+       |  CAST(COALESCE(s.n_partners, 0) AS BIGINT) AS sub_partners,
+       |  CAST(s.best_match AS BIGINT) AS sub_match,
+       |  CAST(COALESCE(s.dup_chars, 0) AS BIGINT) AS sub_dup_chars,
+       |  COALESCE(s.coverage_pct, CAST(0.0 AS DOUBLE)) AS sub_coverage,
+       |  COALESCE(s.admit, TRUE) AS sub_admit,
+       |  CAST(m.sem_id AS BIGINT) AS sem_match,
+       |  m.cosine AS sem_cosine,
+       |  (b.status = 'novel' AND COALESCE(s.admit, TRUE)
+       |    AND m.sem_id IS NULL) AS admit
+       |FROM band b
+       |LEFT JOIN sub s ON s.doc_id = b.doc_id
+       |LEFT JOIN (SELECT * FROM semb WHERE rn = 1) m ON m.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the
     * d2 query comment: the gate asserts full recall at the fixture's

@@ -103,6 +103,23 @@ class PlanSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "positions disagree with (anchor, article) order")
   }
 
+  test("e15 serves the composed verdict from the landed/memoized indexes") {
+    val df = SparkEntry.queries("e15_ingest_verdict")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // band axis reads d24's LANDED bucketed table, not recomputed
+    // corpus bands (the substring axis's d26 scan is hidden behind its
+    // eager serve checkpoints — its layout is pinned by DedupSpec on
+    // the landed table directly)
+    assert(plan.contains("graft_d24_bands"),
+      s"band axis did not read the landed d24 table:\n$plan")
+    // semantic axis reuses d14's memoized cached edge frame
+    assert(plan.contains("InMemoryTableScan"),
+      s"semantic axis did not reuse the d14 edge memo:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"composed verdict plans a cartesian product:\n$plan")
+  }
+
   test("e11 anomaly gate is a broadcast map-side filter (one stats shuffle only)") {
     val df = SparkEntry.queries("e11_anomaly")(spark, sfDir)
     df.collect()

@@ -403,4 +403,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size <= 256, "register state exceeded the fixed register space")
     } finally q.stop()
   }
+
+  test("streaming composed ingest verdict ≡ the batch e15 query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    def opt[T](r: org.apache.spark.sql.Row, i: Int, get: Int => T): Option[T] =
+      if (r.isNullAt(i)) None else Some(get(i))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> ((r.getString(1),
+      opt(r, 2, r.getLong), opt(r, 3, r.getDouble), r.getLong(4),
+      opt(r, 5, r.getLong), r.getLong(6), r.getDouble(7), r.getBoolean(8),
+      opt(r, 9, r.getLong), opt(r, 10, r.getDouble), r.getBoolean(11)))
+    val expected = graft.queries.DedupQueries
+      .queries("e15_ingest_verdict")(spark, dir)
+      .collect().map(key).toMap
+    // the fixture must exercise every axis or the parity proves nothing
+    assert(expected.values.exists(v => v._1 != "novel"), "band axis fires")
+    assert(expected.values.exists(_._4 > 0), "substring axis fires")
+    assert(expected.values.exists(_._9.nonEmpty), "semantic axis fires")
+    assert(expected.values.exists(!_._11), "some arrival is rejected")
+    assert(expected.values.exists(_._11), "some arrival is admitted")
+    val corpusDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val bandIdx = spark.table(
+      graft.queries.DedupQueries.bandLandingFor(spark, dir))
+    val gramIdx = spark.table(
+      graft.queries.DedupQueries.d26LandingFor(spark, dir))
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.ingestVerdict(
+        input.toDF().toDF("ts", "doc_id", "text"),
+        corpusDocs, bandIdx, gramIdx, vecs, corpusVecs)
+      .writeStream.format("memory").queryName("ingest_verdict")
+      .outputMode("append").start()
+    try {
+      // arrivals spread over several micro-batch event times: every
+      // cap/argmax is per-document, so the verdict must not depend on
+      // which micro-batch a doc rode in on
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "watermark advancer"))
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_verdict")
+        .filter(col("doc_id") =!= -999L).collect().map(key).toMap
+      assert(streamed === expected,
+        "stream composed verdict must equal the batch e15 result")
+      // ONE aggregation group per arrival in the horizon — state does
+      // not multiply with the number of axes, which is the point of
+      // folding all evidence through a single aggregation
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
+    } finally q.stop()
+  }
 }
