@@ -82,6 +82,128 @@ object MultimodalQueries {
     JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
   }
 
+  /** MP4/ISO-BMFF metadata record: container validity (ftyp first),
+    * major brand, mvhd timescale, derived duration in ms, trak count,
+    * and how many top-level boxes the walk crossed (a misread size —
+    * especially the 64-bit largesize branch — derails the walk and
+    * changes this count, so the gate pins the walk itself). */
+  case class Mp4Meta(doc_id: Long, is_mp4: Boolean, brand: Option[String],
+      timescale: Option[Long], duration_ms: Option[Long],
+      n_tracks: Option[Long], n_boxes: Option[Long])
+
+  /** Generic ISO-BMFF box walk (public layout per ISO/IEC 14496-12):
+    * top-level boxes are (size:be32, type:4cc) with two escapes — size
+    * == 1 means a 64-bit largesize follows the type (the form any file
+    * past 4 GiB uses for mdat, so a 100 TB video corpus hits it
+    * constantly), size == 0 means the box runs to EOF. The walk skips
+    * unknown boxes by size (it does NOT assume the fixture's layout),
+    * descends into moov for the mvhd header (version 0 and 1 field
+    * widths both handled) and the trak count, and a truncated or
+    * undersized box stops the walk with whatever parsed so far —
+    * degrade, don't die. */
+  private[graft] def decodeMp4(docId: Long, b0: Array[Byte]): Mp4Meta = {
+    val b = if (b0 == null) Array.empty[Byte] else b0
+    def be32(o: Long): Long =
+      ((b(o.toInt) & 0xFFL) << 24) | ((b(o.toInt + 1) & 0xFFL) << 16) |
+        ((b(o.toInt + 2) & 0xFFL) << 8) | (b(o.toInt + 3) & 0xFFL)
+    def be64(o: Long): Long = (be32(o) << 32) | be32(o + 4)
+    def typ(o: Long): String =
+      new String(b, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 8 || typ(4) != "ftyp")
+      return Mp4Meta(docId, is_mp4 = false, None, None, None, None, None)
+    var brand: Option[String] = None
+    var ts: Option[Long] = None
+    var durMs: Option[Long] = None
+    var ntr = 0L; var nbox = 0L
+    var i = 0L; var ok = true
+    while (ok && i + 8 <= b.length) {
+      val sz0 = be32(i)
+      val t = typ(i + 4)
+      val (hdr, sz) =
+        if (sz0 == 1 && i + 16 <= b.length) (16L, be64(i + 8))
+        else if (sz0 == 0) (8L, b.length - i) // box extends to EOF
+        else (8L, sz0)
+      if (sz < hdr || i + sz > b.length) ok = false // truncated: stop
+      else {
+        nbox += 1
+        t match {
+          case "ftyp" if sz >= 12 => brand = Some(typ(i + 8))
+          case "moov" =>
+            var j = i + hdr
+            var cok = true
+            while (cok && j + 8 <= i + sz) {
+              val csz0 = be32(j)
+              val ct = typ(j + 4)
+              val (chdr, csz) =
+                if (csz0 == 1 && j + 16 <= i + sz) (16L, be64(j + 8))
+                else (8L, csz0)
+              if (csz < chdr || j + csz > i + sz) cok = false
+              else {
+                ct match {
+                  case "mvhd" if csz >= chdr + 4 =>
+                    val v = b((j + chdr).toInt) & 0xFF
+                    val p = j + chdr + 4 // past version + flags
+                    if (v == 1 && p + 28 <= j + csz) {
+                      // v1: creation(8) modification(8) ts(4) dur(8)
+                      val t0 = be32(p + 16)
+                      if (t0 > 0) { ts = Some(t0); durMs = Some(be64(p + 20) * 1000L / t0) }
+                    } else if (v == 0 && p + 16 <= j + csz) {
+                      // v0: creation(4) modification(4) ts(4) dur(4)
+                      val t0 = be32(p + 8)
+                      if (t0 > 0) { ts = Some(t0); durMs = Some(be32(p + 12) * 1000L / t0) }
+                    }
+                  case "trak" => ntr += 1
+                  case _ =>
+                }
+                j += csz
+              }
+            }
+          case _ =>
+        }
+        i += sz
+      }
+    }
+    Mp4Meta(docId, is_mp4 = true, brand, ts, durMs, Some(ntr), Some(nbox))
+  }
+
+  /** The m9 fixture plant: a REAL minimal ISO-BMFF container over the
+    * text bytes — ftyp (brand cycled isom/mp42/avc1), a free box whose
+    * size VARIES per row (so moov's offset shifts and a fixed-offset
+    * read misparses), moov holding a spec-complete 108-byte version-0
+    * mvhd plus 1-3 empty trak boxes, and an mdat that every 5th doc
+    * writes in the 64-bit LARGESIZE form (size=1 + 8-byte extended
+    * size) — the escape a >4 GiB production mdat always uses. Every
+    * 17th doc is headerless (corrupt branch). */
+  private[graft] def mp4Media: org.apache.spark.sql.Column = {
+    def be32(v: org.apache.spark.sql.Column) = lpad(hex(v.cast("long")), 8, "0")
+    val brandHex = element_at(
+      array(lit("69736F6D"), lit("6D703432"), lit("61766331")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    // size 0x14 = 20: hdr(8) + brand(4) + minor(4) + one compatible(4)
+    val ftyp = concat(lit("00000014"), lit("66747970"), brandHex,
+      lit("00000000"), lit("69736F6D"))
+    val pad = (col("doc_id") % 23).cast("int")
+    val free = concat(be32(pad + 8), lit("66726565"), expr("repeat('00', CAST(doc_id % 23 AS INT))"))
+    val timescale = lit(600) * (col("doc_id") % 4 + 1)
+    val durTicks = lit(6000) + col("doc_id") % 90000
+    val matrix = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val mvhd = concat(lit("0000006C"), lit("6D766864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), be32(timescale), be32(durTicks),
+      lit("00010000"), lit("0100"), lit("00" * 10), lit(matrix),
+      lit("00" * 24), lit("00000002"))
+    val ntrak = (col("doc_id") % 3 + 1).cast("int")
+    val traks = expr("repeat('000000087472616B', CAST(doc_id % 3 + 1 AS INT))")
+    val moov = concat(be32(lit(116) + ntrak * 8), lit("6D6F6F76"), mvhd, traks)
+    val dataSize = length(col("text").cast("binary"))
+    val mdatHdr = when(col("doc_id") % 5 === 0,
+        concat(lit("00000001"), lit("6D646174"), lpad(hex(dataSize + 16), 16, "0")))
+      .otherwise(concat(be32(dataSize + 8), lit("6D646174")))
+    when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+      .otherwise(concat(unhex(concat(ftyp, free, moov, mdatHdr)),
+        col("text").cast("binary")))
+  }
+
   /** Windowed PCM energy over a RIFF/WAVE container: generic chunk
     * walk (word-aligned per the RIFF spec) to the `data` chunk, then
     * signed little-endian 16-bit samples squared-and-summed per
@@ -146,6 +268,29 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    // ---- M9: MP4/ISO-BMFF box-walk metadata — the video leg of the
+    // multimodal family (m1/m5 images, m6/m8 audio, m9 video
+    // containers): a generic nested box walk in the m1/m7
+    // mapPartitions shape parses ftyp brand, the moov/mvhd
+    // timescale → duration_ms, and the track count from planted
+    // containers whose box offsets SHIFT per row (variable-size free
+    // box) and whose mdat exercises the 64-bit largesize escape every
+    // 5th doc — the form any >4 GiB production media file uses, so a
+    // walk that can't hop it derails (the gated n_boxes count would
+    // change). DuckDB twin re-reads the fields at the arithmetic
+    // offsets. Every 17th blob is headerless (corrupt branch);
+    // truncation branches are MultimodalSpec-pinned. ----
+    "m9_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull) // see m1's note
+        .select(col("doc_id"), mp4Media.as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeMp4(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // ---- M8: audio feature extraction — windowed PCM energy over the
     // m6 fixture's REAL RIFF/WAVE container, treating the payload as
     // signed 16-bit LE samples: the honest no-codec slice of audio
@@ -351,6 +496,54 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // m9's twin rebuilds the planted container hex and re-reads brand /
+    // timescale / duration at the ARITHMETIC offsets (ftyp 24 + free
+    // 8+pad + moov header 8 + mvhd field layout), so the gate checks
+    // the engine's generic box walk — including the largesize hop on
+    // every 5th mdat — lands exactly where the per-row layout puts the
+    // fields. is_mp4 is the same byte-4 'ftyp' test the engine runs.
+    "m9_mp4_meta" -> {
+      def fold(start: String, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range($start, ($start) + $n), i -> " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |     ELSE '0000001466747970' ||
+         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '69736F6D'
+         |         WHEN 1 THEN '6D703432' ELSE '61766331' END ||
+         |       '0000000069736F6D' ||
+         |       lpad(hex(CAST(8 + doc_id % 23 AS INT)), 8, '0') || '66726565' ||
+         |       repeat('00', CAST(doc_id % 23 AS INT)) ||
+         |       lpad(hex(CAST(116 + (doc_id % 3 + 1) * 8 AS INT)), 8, '0') || '6D6F6F76' ||
+         |       '0000006C6D766864' || '000000000000000000000000' ||
+         |       lpad(hex(CAST(600 * (doc_id % 4 + 1) AS INT)), 8, '0') ||
+         |       lpad(hex(CAST(6000 + doc_id % 90000 AS INT)), 8, '0') ||
+         |       '000100000100' || repeat('00', 10) ||
+         |       '000100000000000000000000000000000001000000000000' ||
+         |       '000000000000000040000000' || repeat('00', 24) || '00000002' ||
+         |       repeat('000000087472616B', CAST(doc_id % 3 + 1 AS INT)) ||
+         |       CASE WHEN doc_id % 5 = 0 THEN '000000016D646174' ||
+         |           lpad(hex(CAST(octet_length(encode(text)) + 16 AS BIGINT)), 16, '0')
+         |         ELSE lpad(hex(CAST(octet_length(encode(text)) + 8 AS BIGINT)), 8, '0') ||
+         |           '6D646174' END || hex(encode(text)) END AS hs,
+         |   CAST(20 + 8 + doc_id % 23 AS BIGINT) AS mo
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs, mo + 8 AS vh,
+         |     substring(hs, 9, 8) = '66747970' AS is_mp4 FROM m)
+         |SELECT doc_id, is_mp4,
+         | CASE WHEN is_mp4 THEN
+         |   CASE substring(hs, 17, 8) WHEN '69736F6D' THEN 'isom'
+         |     WHEN '6D703432' THEN 'mp42' ELSE 'avc1' END END AS brand,
+         | CASE WHEN is_mp4 THEN ${fold("(vh + 20) * 2 + 1", 8)} END AS timescale,
+         | CASE WHEN is_mp4 THEN ${fold("(vh + 24) * 2 + 1", 8)} * 1000
+         |   // ${fold("(vh + 20) * 2 + 1", 8)} END AS duration_ms,
+         | CASE WHEN is_mp4 THEN CAST(doc_id % 3 + 1 AS BIGINT) END AS n_tracks,
+         | CASE WHEN is_mp4 THEN CAST(4 AS BIGINT) END AS n_boxes
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     // m8's twin re-reads the PCM payload from the TEXT hex (the plant's
     // data chunk is exactly the text bytes), rebuilds the signed 16-bit
     // LE samples, and replays the per-window square-sum in BIGINT.

@@ -135,4 +135,76 @@ class MultimodalSpec extends AnyFunSuite {
     val empty = MultimodalQueries.decodeJpeg(7L, Array.emptyByteArray)
     assert(!empty.is_jpeg)
   }
+
+  // ---- m9: ISO-BMFF box walk, branches beyond the gated layout ----
+
+  private def be32(v: Long): Array[Int] =
+    Array((v >> 24).toInt & 0xFF, (v >> 16).toInt & 0xFF, (v >> 8).toInt & 0xFF, v.toInt & 0xFF)
+  private def be64(v: Long): Array[Int] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+  private def cc(t: String): Array[Int] = t.getBytes("US-ASCII").map(_.toInt & 0xFF)
+  private def box(t: String, payload: Array[Int]*): Array[Int] = {
+    val p = payload.flatten.toArray
+    be32(8L + p.length) ++ cc(t) ++ p
+  }
+  private def bytes(xs: Array[Int]*): Array[Byte] = xs.flatten.map(_.toByte).toArray
+  private val ftyp = box("ftyp", cc("isom"), be32(0), cc("isom"))
+  private def mvhd0(ts: Long, dur: Long): Array[Int] =
+    box("mvhd", Array(0, 0, 0, 0), be32(0), be32(0), be32(ts), be32(dur),
+      Array.fill(80)(0))
+
+  test("mp4: moov displaced by arbitrary unknown boxes still parses") {
+    val m = MultimodalQueries.decodeMp4(1L, bytes(ftyp,
+      box("skip", Array.fill(37)(0)), box("uuid", Array.fill(3)(0)),
+      box("moov", mvhd0(1000, 5500), box("trak"), box("trak"), box("trak"))))
+    assert(m.is_mp4 && m.brand.contains("isom"))
+    assert(m.timescale.contains(1000L) && m.duration_ms.contains(5500L))
+    assert(m.n_tracks.contains(3L) && m.n_boxes.contains(4L))
+  }
+
+  test("mp4: 64-bit largesize mdat is hopped, not misparsed") {
+    val payload = Array.fill(40)(0x55)
+    val largeMdat = be32(1) ++ cc("mdat") ++ be64(16L + payload.length) ++ payload
+    val m = MultimodalQueries.decodeMp4(2L, bytes(ftyp, largeMdat,
+      box("moov", mvhd0(600, 600), box("trak"))))
+    assert(m.timescale.contains(600L) && m.duration_ms.contains(1000L))
+    assert(m.n_boxes.contains(3L), s"largesize hop derailed: $m")
+  }
+
+  test("mp4: version-1 mvhd reads the 64-bit duration layout") {
+    val mvhd1 = box("mvhd", Array(1, 0, 0, 0), be64(0), be64(0),
+      be32(48000), be64(96000L), Array.fill(80)(0))
+    val m = MultimodalQueries.decodeMp4(3L, bytes(ftyp, box("moov", mvhd1)))
+    assert(m.timescale.contains(48000L) && m.duration_ms.contains(2000L))
+  }
+
+  test("mp4: size-0 box runs to EOF") {
+    val m = MultimodalQueries.decodeMp4(4L, bytes(ftyp,
+      box("moov", mvhd0(1000, 1000)),
+      be32(0) ++ cc("mdat") ++ Array.fill(99)(0x77)))
+    assert(m.n_boxes.contains(3L) && m.duration_ms.contains(1000L))
+  }
+
+  test("mp4: truncated and corrupt containers degrade, never crash") {
+    // top-level box claims more bytes than exist: stop with what parsed
+    val truncated = MultimodalQueries.decodeMp4(5L, bytes(ftyp,
+      be32(4096) ++ cc("moov") ++ Array.fill(10)(0)))
+    assert(truncated.is_mp4 && truncated.n_boxes.contains(1L)
+      && truncated.timescale.isEmpty)
+    // child box overruns moov: child walk stops, top walk continues
+    val badChild = MultimodalQueries.decodeMp4(6L, bytes(ftyp,
+      box("moov", be32(4096) ++ cc("mvhd")), box("free")))
+    assert(badChild.n_boxes.contains(3L) && badChild.timescale.isEmpty)
+    // undersized box (size < 8) cannot advance: stop
+    val undersized = MultimodalQueries.decodeMp4(7L, bytes(ftyp,
+      be32(3) ++ cc("junk") ++ Array.fill(20)(0)))
+    assert(undersized.n_boxes.contains(1L))
+    // zero-timescale mvhd must not divide by zero
+    val zeroTs = MultimodalQueries.decodeMp4(8L, bytes(ftyp,
+      box("moov", mvhd0(0, 500))))
+    assert(zeroTs.timescale.isEmpty && zeroTs.duration_ms.isEmpty)
+    assert(!MultimodalQueries.decodeMp4(9L, Array.emptyByteArray).is_mp4)
+    assert(!MultimodalQueries.decodeMp4(10L, null).is_mp4)
+    assert(!MultimodalQueries.decodeMp4(11L,
+      "not a container at all, just text".getBytes("UTF-8")).is_mp4)
+  }
 }
