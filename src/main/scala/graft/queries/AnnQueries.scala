@@ -232,6 +232,38 @@ object AnnQueries {
       out
     })
 
+  private val x22Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** X22's landed artifact: the TRAINED (Lloyd) quantizer's probe
+    * ranking — x16's cell assignment and 4-wide probe lists written
+    * once per (JVM, dir) as cid-partitioned parquet, closing the gap
+    * where only the unsupervised two-level index (x19) had the
+    * build-once/serve-many contract while the index a production
+    * system actually TRAINS was recomputed per JVM. Training (the
+    * kmTrain rounds) runs exactly once, at landing time; the landed
+    * rows are (vec_id, arn, cid) — same 24-byte schema as x19, so the
+    * whole serve/tombstone/compact machinery applies unchanged. */
+  private def trainedLandingFor(s: SparkSession, dir: String): String =
+    x22Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_x22_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { x22Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      val cents = kmTrain(s, d)
+      // probe order = training's own metric: L2² on the integer grid,
+      // ties to the smaller code (kmDistances tuples sort (d, code))
+      val probesU = udf((v: Seq[Long]) =>
+        kmDistances(cents, v).sorted.take(4).map(_._2).zipWithIndex
+          .map { case (code, i) => (i + 1, code) }.toSeq)
+      kmQuantized(s, d)
+        .select(col("vec_id"), explode(probesU(col("qv"))).as("p"))
+        .select(col("vec_id"), col("p._1").as("arn"), col("p._2").as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      out
+    })
+
   /** x19/x20's landed-artifact schema, declared so an EMPTY corpus
     * (fileless landing dir) reads as zero rows instead of a
     * schema-inference error. */
@@ -1002,6 +1034,52 @@ object AnnQueries {
         .filter(col("qid") =!= col("nid")), 5)
     }),
 
+    // ---- X22: serving from the PERSISTED TRAINED index — x19's
+    // build-once/serve-many contract applied to the index family a
+    // production system actually trains: the Lloyd-trained cell
+    // assignment + probe lists land once (cid-partitioned, training
+    // never re-runs), and serve time is x19's plain relational plan —
+    // scan + id equi-joins + the rank window, no quantizer kernel or
+    // UDF anywhere in the serve plan. The oracle is x16's end-to-end
+    // train→index→search replay, so the hash gate proves landed-
+    // trained ≡ recomputed-trained. ----
+    "x22_trained_persisted" -> ((s, dir) => {
+      val ranks = s.read.schema(x19ArtifactSchema).parquet(trainedLandingFor(s, dir))
+      val e = vecs(s, dir)
+      val assigned = ranks.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), Seq("nid"))
+      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), Seq("qid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
+    // ---- X23: tombstone serving over the TRAINED landed index —
+    // x20's serve-time exclusion (same deletion feed, vec_id % 37 ==
+    // 1, same ride-the-scan predicate) applied to x22's artifact,
+    // proving the lifecycle machinery is index-family-agnostic. The
+    // oracle recomputes training from scratch and excludes the
+    // tombstoned rows from both serving roles. ----
+    "x23_trained_tombstone" -> ((s, dir) => {
+      val ranks = s.read.schema(x19ArtifactSchema).parquet(trainedLandingFor(s, dir))
+        .filter(col("vec_id") % 37 =!= 1)
+      val e = vecs(s, dir)
+      val assigned = ranks.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), Seq("nid"))
+      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), Seq("qid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -1124,6 +1202,45 @@ object AnnQueries {
   /** X14 twin CTE pair: full-vector argmin assignment against a
     * centroid list (64-dim analogue of [[assignSql]]) and the
     * integer-grid Lloyd update with empty-cluster carry-over. */
+  /** x16's end-to-end train→index→search DuckDB replay (grid
+    * quantization, √N seeds, two Lloyd rounds, 4-probe serve, exact
+    * cosine rank), parameterized by a serving-role exclusion predicate
+    * so x23's tombstone twin drops the deleted rows from BOTH roles —
+    * "" serves everything (x16, x22). */
+  private def trainedServeSql(excl: String): String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
+       |   FROM embeddings),
+       | prmk AS (SELECT GREATEST(1, count(*) //
+       |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM q),
+       | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q, prmk
+       |   WHERE vec_id % m = 3 % m),
+       | ${kmAssignSql("cb0", "a1")},
+       | ${kmLloydSql("a1", "cb0", "cb1")},
+       | ${kmAssignSql("cb1", "a2")},
+       | ${kmLloydSql("a2", "cb1", "cb2")},
+       | ${kmAssignSql("cb2", "af")},
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       | n AS (SELECT vec_id, v,
+       |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+       | probes AS (SELECT vec_id AS qid, code FROM (
+       |     SELECT vec_id, code, row_number() OVER
+       |       (PARTITION BY vec_id ORDER BY d, code) AS prn FROM af_d)
+       |   WHERE prn <= 4 AND vec_id % 50 = 0$excl),
+       | assigned AS (SELECT vec_id AS nid, code FROM af WHERE TRUE$excl),
+       | pairs AS (SELECT p.qid, a.nid,
+       |     list_reduce(list_transform(list_zip(nq.v, nn.v), z -> z[1] * z[2]),
+       |       (x, y) -> x + y) / sqrt(nq.n2 * nn.n2) AS cosine
+       |   FROM probes p JOIN assigned a USING (code)
+       |   JOIN n nq ON nq.vec_id = p.qid
+       |   JOIN n nn ON nn.vec_id = a.nid
+       |   WHERE p.qid <> a.nid),
+       | ranked AS (SELECT *, row_number() OVER
+       |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
+       |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   private def kmAssignSql(cb: String, out: String, src: String = "q") =
     s"""${out}_d AS (SELECT q.vec_id, c.code,
        |     CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
@@ -1235,39 +1352,17 @@ object AnnQueries {
     // x16's twin replays the ENTIRE pipeline — the x14 Lloyd prologue
     // to cb2, probe lists and assignment from the af_d distance table,
     // then the exact-cosine rank — one gate over train→index→search.
-    "x16_trained_ivf" ->
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
-         |   FROM embeddings),
-         | prmk AS (SELECT GREATEST(1, count(*) //
-         |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM q),
-         | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q, prmk
-         |   WHERE vec_id % m = 3 % m),
-         | ${kmAssignSql("cb0", "a1")},
-         | ${kmLloydSql("a1", "cb0", "cb1")},
-         | ${kmAssignSql("cb1", "a2")},
-         | ${kmLloydSql("a2", "cb1", "cb2")},
-         | ${kmAssignSql("cb2", "af")},
-         | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |       FROM embeddings),
-         | n AS (SELECT vec_id, v,
-         |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
-         | probes AS (SELECT vec_id AS qid, code FROM (
-         |     SELECT vec_id, code, row_number() OVER
-         |       (PARTITION BY vec_id ORDER BY d, code) AS prn FROM af_d)
-         |   WHERE prn <= 4 AND vec_id % 50 = 0),
-         | assigned AS (SELECT vec_id AS nid, code FROM af),
-         | pairs AS (SELECT p.qid, a.nid,
-         |     list_reduce(list_transform(list_zip(nq.v, nn.v), z -> z[1] * z[2]),
-         |       (x, y) -> x + y) / sqrt(nq.n2 * nn.n2) AS cosine
-         |   FROM probes p JOIN assigned a USING (code)
-         |   JOIN n nq ON nq.vec_id = p.qid
-         |   JOIN n nn ON nn.vec_id = a.nid
-         |   WHERE p.qid <> a.nid),
-         | ranked AS (SELECT *, row_number() OVER
-         |     (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank FROM pairs)
-         |SELECT qid, rank, nid, round(cosine, 4) AS cosine FROM ranked
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "x16_trained_ivf" -> trainedServeSql(""),
+
+    // x22's twin is x16's end-to-end train→index→search replay
+    // verbatim (the oracle never sees the landed artifact): the hash
+    // gate is the landed-trained ≡ recomputed-trained proof, the same
+    // contract x19's gate established for the unsupervised index.
+    "x22_trained_persisted" -> trainedServeSql(""),
+
+    // x23: the same replay minus the tombstoned rows' serving roles —
+    // x20's proof obligation, over the trained index family.
+    "x23_trained_tombstone" -> trainedServeSql(" AND vec_id % 37 <> 1"),
 
     // Lloyd twin: grid quantization, seed codebook = vec_id < 16, two
     // assignment+update rounds, final assignment → per-cluster stats;

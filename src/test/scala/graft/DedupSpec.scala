@@ -439,6 +439,10 @@ class DedupSpec extends AnyFunSuite {
         // the cell equi-join — the pure-relational serve plan is the
         // whole point of persisting the index
         "x19_persisted_ivf",
+        // x22 is the same contract over the TRAINED index family:
+        // training happens once at landing time, the serve plan is
+        // x19's pure-relational scan + equi-joins
+        "x22_trained_persisted",
         // d23's propose/verify/merge must stay on the 8-byte hash
         // equi-join and id rejoins — an all-pairs node here is the
         // quadratic blowup the gram hashing exists to avoid
