@@ -676,6 +676,40 @@ object PipelineQueries {
     expr(terms.mkString(" + "))
   }
 
+  /** s22/e16's change feed: orders collapsed to one change per
+    * (customer, epoch-day), last order (max o_orderkey) wins — the
+    * max(struct) picks the winner in ONE partial-aggregating pass, no
+    * window needed before the shuffle. */
+  private val scd2Cutoff = 9300L
+
+  private def scd2Feed(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("day"),
+        struct(col("o_orderkey").as("ok"),
+          col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")).as("st"))
+      .groupBy("custkey", "day")
+      .agg(max("st").as("st"))
+      .select(col("custkey"), col("day"),
+        col("st.priority").as("priority"), col("st.cents").as("cents"))
+
+  /** Change feed → SCD2 versions: one window per key ordered by day
+    * gives version number, valid_from, and valid_to = next version's
+    * start (NULL = open/current). One shuffle on the dimension key —
+    * the same partitioning the merge joins then reuse. */
+  private def scd2Versions(feed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("day")
+    feed
+      .withColumn("ver", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("day"))
+      .withColumn("valid_to", lead("day", 1).over(w))
+      .drop("day")
+  }
+
   lazy val queriesExtra: Map[String, QueryFn] = Map(
     // ---- S19: Z-order clustering key — the layout query behind
     // multi-dimensional pruning: interleaving (part, supplier) bits
@@ -723,6 +757,75 @@ object PipelineQueries {
         .agg(sum("n").as("n"), sum("cents").as("cents"))
         .withColumn("avg_cents", expr("cents div n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- S22: SCD Type-2 dimension MERGE — the versioned-dimension
+    // maintenance every warehouse runs nightly: the customer dimension
+    // keeps FULL history as validity intervals ([valid_from, valid_to),
+    // open = current), and the nightly job merges a change delta WITHOUT
+    // rebuilding history — close the affected keys' open rows at the
+    // delta's first change day, append the delta's own versions with
+    // continued numbering. The engine executes exactly that incremental
+    // path (history = feed < cutoff, delta = feed ≥ cutoff); the DuckDB
+    // twin rebuilds SCD2 from the FULL feed in one window pass, so hash
+    // equality is a machine-checked proof that merge(build(hist), delta)
+    // ≡ build(hist ∪ delta) — the invariant that lets the 100 TB
+    // dimension update touch O(delta + affected-keys) rows instead of
+    // O(history). Scale: the change feed collapses last-wins per
+    // (key, day) map-side-partially; the version window shuffles by key
+    // once; the two merge joins are keyed equi-joins against the
+    // delta-keys aggregate (batch-sized in production — broadcastable;
+    // left unhinted here so AQE decides at runtime). All BIGINT. ----
+    "s22_scd2_merge" -> ((s, dir) => {
+      val hist  = scd2Versions(scd2Feed(s, dir).filter(col("day") < scd2Cutoff))
+      val delta = scd2Feed(s, dir).filter(col("day") >= scd2Cutoff)
+      // first change day + version offset per affected key
+      val d0 = delta.groupBy("custkey").agg(min("day").as("d0"))
+      val base = hist.groupBy("custkey").agg(count(lit(1)).as("base"))
+      val closed = hist.join(d0, Seq("custkey"), "left")
+        .withColumn("valid_to", coalesce(col("valid_to"), col("d0")))
+        .drop("d0")
+      val appended = scd2Versions(delta).join(base, Seq("custkey"), "left")
+        .withColumn("ver", col("ver") + coalesce(col("base"), lit(0L)))
+        .drop("base")
+      closed.unionByName(appended)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("custkey", "ver", "valid_from", "valid_to",
+          "priority", "cents", "is_current")
+        .orderBy("custkey", "ver")
+    }),
+
+    // ---- E16: point-in-time join against the SCD2 dimension — the
+    // consumer that makes the validity intervals pay: each shipment is
+    // enriched with the customer version that was CURRENT at ship time
+    // (not today's row — joining facts to a type-1 dim is the classic
+    // retroactive-history bug). Executed as [[AsOfJoin]] on
+    // (custkey, valid_from ≤ shipday, latest wins): one shuffle + one
+    // sort, linear, no interval explosion — correct because SCD2
+    // intervals are contiguous per key, so "latest version starting
+    // ≤ t" ≡ "version whose interval contains t". The twin uses
+    // DuckDB's native ASOF LEFT JOIN (textbook form), so the gate
+    // proves the union-sort-carry formulation ≡ interval semantics;
+    // facts before a key's first version keep the NULL group. The gate
+    // aggregates to per-priority checksums (count + day and version
+    // sums) — any misassigned fact shifts a sum. ----
+    "e16_pit_join" -> ((s, dir) => {
+      val dim = scd2Versions(scd2Feed(s, dir))
+      val facts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+            .as("shipday"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey").as("custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("custkey"), col("shipday"))
+      graft.operators.AsOfJoin.join(facts, dim, Seq("custkey"),
+          col("shipday"), col("valid_from"), Seq("ver", "priority"),
+          col("ver"), "v")
+        .groupBy(col("v.priority").as("priority"))
+        .agg(count(lit(1)).as("n"), sum("shipday").as("sum_day"),
+          sum(col("v.ver")).as("sum_ver"))
+        .orderBy("priority")
     }),
 
     // ---- S18: bucketed co-located join — the warehouse-layout answer
@@ -1204,6 +1307,58 @@ object PipelineQueries {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // CAST(count(*) AS BIGINT) AS avg_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s22's twin rebuilds the SCD2 dimension from the FULL change feed
+    // in one window pass — no cutoff, no merge — so hash equality
+    // proves the engine's incremental close-and-append path exact.
+    "s22_scd2_merge" ->
+      s"""WITH raw AS (SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    o_orderkey, o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | feed AS (SELECT custkey, day, priority, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey, day
+        |      ORDER BY o_orderkey DESC) AS rn FROM raw) WHERE rn = 1),
+        | v AS (SELECT custkey,
+        |    CAST(row_number() OVER (PARTITION BY custkey ORDER BY day)
+        |      AS BIGINT) AS ver,
+        |    day AS valid_from,
+        |    lead(day) OVER (PARTITION BY custkey ORDER BY day) AS valid_to,
+        |    priority, cents FROM feed)
+        |SELECT custkey, ver, valid_from, valid_to, priority, cents,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY custkey, ver""".stripMargin,
+
+    // e16's twin is the TEXTBOOK point-in-time form — DuckDB's native
+    // ASOF LEFT JOIN on (key, shipday >= valid_from) — against the
+    // full-rebuild dimension, so the gate proves the engine's
+    // union-sort-carry as-of formulation implements the interval
+    // containment semantics.
+    "e16_pit_join" ->
+      s"""WITH raw AS (SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    o_orderkey, o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | feed AS (SELECT custkey, day, priority FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey, day
+        |      ORDER BY o_orderkey DESC) AS rn FROM raw) WHERE rn = 1),
+        | v AS (SELECT custkey,
+        |    CAST(row_number() OVER (PARTITION BY custkey ORDER BY day)
+        |      AS BIGINT) AS ver,
+        |    day AS valid_from, priority FROM feed),
+        | f AS (SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS shipday
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | pit AS (SELECT f.shipday, v.ver, v.priority
+        |   FROM f ASOF LEFT JOIN v
+        |     ON f.custkey = v.custkey AND f.shipday >= v.valid_from)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(shipday) AS BIGINT) AS sum_day,
+        |  CAST(sum(ver) AS BIGINT) AS sum_ver
+        |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s19's twin replays the bit interleave as list_sum over the same
     // 16 disjoint-bit terms — BIGINT throughout, so the gate is exact.

@@ -76,6 +76,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one key-hash shuffle, found $keyShuffles:\n$finalPlan")
   }
 
+  test("s22 SCD2 merge keeps every join equi-keyed (no interval explosion)") {
+    val df = SparkEntry.queries("s22_scd2_merge")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"SCD2 merge must stay on keyed equi-joins:\n$plan")
+  }
+
+  test("e16 point-in-time join is as-of-shaped: no range/interval join node") {
+    val df = SparkEntry.queries("e16_pit_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only join allowed is the facts' lineitem⋈orders equi-join;
+    // the dimension lookup itself must be the union-sort-carry window,
+    // never a pair-exploding theta join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PIT join must not plan a pair explosion:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"PIT join should carry versions via a window, not a join:\n$plan")
+  }
+
   test("e5 pivot aggregates with map-side partial combine over explicit values") {
     val df = SparkEntry.queries("e5_pivot")(spark, sfDir)
     df.collect()
