@@ -82,6 +82,119 @@ object MultimodalQueries {
     JpegMeta(docId, is_jpeg = true, None, None, None, Some(nseg))
   }
 
+  /** EXIF metadata record (m10): whether an APP1/Exif segment exists,
+    * the TIFF byte order ("II" little / "MM" big — the field every
+    * real-world EXIF parser must dispatch on), how many IFD0 entries
+    * actually fit inside the segment (a truncated IFD parses fewer
+    * than it declares), and the two inline-value tags the fixture
+    * plants: ImageWidth (0x0100, LONG) and Orientation (0x0112,
+    * SHORT). */
+  case class ExifMeta(doc_id: Long, has_exif: Boolean,
+      byte_order: Option[String], n_entries: Option[Long],
+      width: Option[Long], orientation: Option[Long])
+
+  /** JPEG marker walk to APP1/"Exif\0\0", then a real TIFF IFD parse
+    * (public layout per TIFF 6.0 / EXIF 2.3): byte-order mark
+    * dispatches every subsequent read (II = little, MM = big), magic
+    * 42 validates the header, the IFD0 offset is RELATIVE TO THE TIFF
+    * ORIGIN (the classic off-by-APP1 bug), and entries are 12 bytes —
+    * tag, type, count, then a 4-byte value field holding SHORT/LONG
+    * values inline. Entries past the segment's declared end are NOT
+    * read even when the IFD count claims them (truncated-IFD degrade
+    * branch: parse what fits, null what doesn't). A non-JPEG, a
+    * missing APP1, a bad byte-order mark, or a bad magic each null out
+    * progressively — degrade, don't die. */
+  private[queries] def decodeExif(docId: Long, b0: Array[Byte]): ExifMeta = {
+    val b = if (b0 == null) Array.empty[Byte] else b0
+    def u8(o: Int) = b(o) & 0xFF
+    def be16(o: Int): Int = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    val none = ExifMeta(docId, has_exif = false, None, None, None, None)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return none
+    var i = 2
+    while (i + 4 <= b.length && u8(i) == 0xFF) {
+      val m = u8(i + 1)
+      if (m == 0xD9 || m == 0xDA) return none // entropy data: no EXIF found
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+      else {
+        val segEnd = i + 2 + be16(i + 2)
+        if (m == 0xE1 && i + 10 <= b.length && u8(i + 4) == 'E' &&
+            u8(i + 5) == 'x' && u8(i + 6) == 'i' && u8(i + 7) == 'f' &&
+            u8(i + 8) == 0 && u8(i + 9) == 0) {
+          val t = i + 10 // TIFF origin: all offsets below are t-relative
+          val end = math.min(segEnd, b.length)
+          if (t + 8 > end) return ExifMeta(docId, has_exif = true, None, None, None, None)
+          val le = u8(t) == 0x49 && u8(t + 1) == 0x49
+          val bigE = u8(t) == 0x4D && u8(t + 1) == 0x4D
+          def r16(o: Int): Long =
+            if (le) (u8(o) | (u8(o + 1) << 8)).toLong else be16(o).toLong
+          def r32(o: Int): Long =
+            if (le) r16(o) | (r16(o + 2) << 16) else (r16(o) << 16) | r16(o + 2)
+          if (!(le || bigE) || r16(t + 2) != 42L)
+            return ExifMeta(docId, has_exif = true, None, None, None, None)
+          val bo = if (le) "II" else "MM"
+          val ifd = t + r32(t + 4).toInt
+          if (ifd < t || ifd + 2 > end)
+            return ExifMeta(docId, has_exif = true, Some(bo), None, None, None)
+          val declared = r16(ifd).toInt
+          var width: Option[Long] = None; var orient: Option[Long] = None
+          var parsed = 0L; var j = 0
+          while (j < declared && ifd + 2 + (j + 1) * 12 <= end) {
+            val e = ifd + 2 + j * 12
+            val tag = r16(e); val typ = r16(e + 2)
+            val v: Option[Long] =
+              if (typ == 3L) Some(r16(e + 8))      // SHORT: first 2 bytes
+              else if (typ == 4L) Some(r32(e + 8)) // LONG: all 4 bytes
+              else None
+            if (tag == 0x0100L) width = v
+            else if (tag == 0x0112L) orient = v
+            parsed += 1; j += 1
+          }
+          return ExifMeta(docId, has_exif = true, Some(bo), Some(parsed), width, orient)
+        }
+        i = segEnd
+      }
+    }
+    none
+  }
+
+  /** m10's planted container: SOI, a VARIABLE-length COM segment (so
+    * nothing sits at a fixed offset), then APP1/"Exif\0\0" with a TIFF
+    * IFD0 of two inline-value entries — ImageWidth (LONG) and
+    * Orientation (SHORT) — alternating the byte order per row (every
+    * 3rd row MM big-endian, else II little-endian: same VALUES, fully
+    * different byte layout, so only a parser that actually dispatches
+    * on the BOM round-trips both). Every 13th row truncates the
+    * segment after the first entry while the IFD still DECLARES two
+    * (truncated-IFD branch); every 17th row is headerless text
+    * (corrupt branch). */
+  private def exifMedia: org.apache.spark.sql.Column = {
+    val pad = (col("doc_id") % 19 + 4).cast("int")
+    val w = (lit(200) + col("doc_id") % 4000).cast("int")
+    val o = (lit(1) + col("doc_id") % 8).cast("int")
+    val wbe = lpad(hex(w), 8, "0")
+    val wle = concat(substring(wbe, 7, 2), substring(wbe, 5, 2),
+      substring(wbe, 3, 2), substring(wbe, 1, 2))
+    val obe = lpad(hex(o), 4, "0")
+    val ole = concat(substring(obe, 3, 2), substring(obe, 1, 2))
+    val mm = col("doc_id") % 3 === 0
+    val trunc = col("doc_id") % 13 === 0
+    val tiffHdr = when(mm, lit("4D4D002A000000080002"))
+      .otherwise(lit("49492A00080000000200"))
+    val entry1 = when(mm, concat(lit("01000004" + "00000001"), wbe))
+      .otherwise(concat(lit("00010400" + "01000000"), wle))
+    val entry2 = when(mm, concat(lit("01120003" + "00000001"), obe, lit("0000")))
+      .otherwise(concat(lit("12010300" + "01000000"), ole, lit("0000")))
+    val header = concat(
+      lit("FFD8FFFE"), lpad(hex(pad + 2), 4, "0"),
+      expr("repeat('41', CAST(doc_id % 19 + 4 AS INT))"),
+      lit("FFE1"), when(trunc, lit("001E")).otherwise(lit("002E")),
+      lit("457869660000"), tiffHdr, entry1,
+      when(trunc, lit("")).otherwise(concat(entry2, lit("00000000"))),
+      lit("FFD9"))
+    when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+      .otherwise(concat(unhex(header), col("text").cast("binary")))
+  }
+
   /** MP4/ISO-BMFF metadata record: container validity (ftyp first),
     * major brand, mvhd timescale, derived duration in ms, trak count,
     * and how many top-level boxes the walk crossed (a misread size —
@@ -287,6 +400,29 @@ object MultimodalQueries {
         .select(col("doc_id"), mp4Media.as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => decodeMp4(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // ---- M10: EXIF/TIFF IFD metadata — the image-metadata leg every
+    // multimodal ingest runs before any pixel decode (orientation
+    // decides whether the tensor needs a rotate; width feeds the
+    // resize plan; camera-sourced vs synthetic filtering starts from
+    // EXIF presence). The fixture plants a REAL APP1/Exif segment
+    // behind a variable-length COM segment, alternating TIFF byte
+    // order per row; the decode is the generic marker walk + a
+    // BOM-dispatched IFD parse in the m1 mapPartitions shape. The
+    // DuckDB twin rebuilds the planted hex and re-reads width and
+    // orientation AT THE ARITHMETIC OFFSETS with the matching
+    // endianness, so the gate proves the walk, the byte-order
+    // dispatch, and the truncated-IFD bound all land exactly. ----
+    "m10_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull) // see m1's note
+        .select(col("doc_id"), exifMedia.as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeExif(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
@@ -502,6 +638,62 @@ object MultimodalQueries {
     // the engine's generic box walk — including the largesize hop on
     // every 5th mdat — lands exactly where the per-row layout puts the
     // fields. is_mp4 is the same byte-4 'ftyp' test the engine runs.
+    // m10's twin rebuilds the planted hex and re-reads the width and
+    // orientation value fields at the ARITHMETIC offsets ((34+pad) and
+    // (46+pad) bytes, pad = the COM segment's variable length) with
+    // the row's declared endianness — big-endian fold for MM rows,
+    // byte-reversed combine for II rows — so a decoder that ignored
+    // the BOM or mis-walked the COM segment hash-mismatches.
+    "m10_exif_meta" -> {
+      def byteAt(k: String) =
+        s"(CAST(strpos('0123456789ABCDEF', substring(hs, CAST($k AS INT), 1)) - 1 AS BIGINT) * 16 + " +
+          s"strpos('0123456789ABCDEF', substring(hs, CAST(($k) + 1 AS INT), 1)) - 1)"
+      def beFold(start: String, nBytes: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(0, $nBytes), k -> ${byteAt(s"($start) + 2 * k")})), " +
+          "(a, b) -> a * 256 + b)"
+      def leFold(start: String, nBytes: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(0, $nBytes), k -> ${byteAt(s"($start) + 2 * (${nBytes - 1} - k)")})), " +
+          "(a, b) -> a * 256 + b)"
+      s"""WITH w0 AS (SELECT doc_id, text,
+         |    lpad(hex(CAST(200 + doc_id % 4000 AS INT)), 8, '0') AS wbe,
+         |    lpad(hex(CAST(1 + doc_id % 8 AS INT)), 4, '0') AS obe
+         |   FROM documents),
+         | m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text)) ELSE
+         |     'FFD8FFFE' || lpad(hex(CAST(doc_id % 19 + 6 AS INT)), 4, '0') ||
+         |     repeat('41', CAST(doc_id % 19 + 4 AS INT)) ||
+         |     'FFE1' || CASE WHEN doc_id % 13 = 0 THEN '001E' ELSE '002E' END ||
+         |     '457869660000' ||
+         |     CASE WHEN doc_id % 3 = 0 THEN '4D4D002A000000080002'
+         |       ELSE '49492A00080000000200' END ||
+         |     CASE WHEN doc_id % 3 = 0 THEN '0100000400000001' || wbe
+         |       ELSE '0001040001000000' ||
+         |         substring(wbe, 7, 2) || substring(wbe, 5, 2) ||
+         |         substring(wbe, 3, 2) || substring(wbe, 1, 2) END ||
+         |     CASE WHEN doc_id % 13 = 0 THEN '' ELSE
+         |       CASE WHEN doc_id % 3 = 0 THEN '0112000300000001' || obe || '0000'
+         |         ELSE '1201030001000000' ||
+         |           substring(obe, 3, 2) || substring(obe, 1, 2) || '0000' END ||
+         |       '00000000' END ||
+         |     'FFD9' || hex(encode(text)) END AS hs,
+         |   doc_id % 19 + 4 AS pad
+         |  FROM w0)
+         |SELECT doc_id, doc_id % 17 <> 0 AS has_exif,
+         | CASE WHEN doc_id % 17 <> 0 THEN
+         |   CASE WHEN doc_id % 3 = 0 THEN 'MM' ELSE 'II' END END AS byte_order,
+         | CASE WHEN doc_id % 17 <> 0 THEN
+         |   CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 2 END AS BIGINT) END AS n_entries,
+         | CASE WHEN doc_id % 17 <> 0 THEN
+         |   CASE WHEN doc_id % 3 = 0 THEN ${beFold("(34 + pad) * 2 + 1", 4)}
+         |     ELSE ${leFold("(34 + pad) * 2 + 1", 4)} END END AS width,
+         | CASE WHEN doc_id % 17 <> 0 AND doc_id % 13 <> 0 THEN
+         |   CASE WHEN doc_id % 3 = 0 THEN ${beFold("(46 + pad) * 2 + 1", 2)}
+         |     ELSE ${leFold("(46 + pad) * 2 + 1", 2)} END END AS orientation
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     "m9_mp4_meta" -> {
       def fold(start: String, n: Int) =
         s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -207,4 +207,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!MultimodalQueries.decodeMp4(11L,
       "not a container at all, just text".getBytes("UTF-8")).is_mp4)
   }
+
+  // --- m10: EXIF/TIFF IFD walk, beyond the fixture's planted layout ---
+
+  private def exifApp1(tiff: Array[Int], lenOverride: Int = -1): Array[Byte] = {
+    val seg = Array(0x45, 0x78, 0x69, 0x66, 0, 0) ++ tiff
+    val len = if (lenOverride > 0) lenOverride else seg.length + 2
+    (Array(0xFF, 0xD8, 0xFF, 0xE1, len >> 8, len & 0xFF) ++ seg ++
+      Array(0xFF, 0xD9)).map(_.toByte)
+  }
+
+  test("exif: MM IFD displaced from the TIFF origin parses at the t-relative offset") {
+    val tiff = Array(0x4D, 0x4D, 0x00, 0x2A, 0, 0, 0, 12, 0xEE, 0xEE, 0xEE, 0xEE,
+      0x00, 0x01,
+      0x01, 0x00, 0x00, 0x04, 0, 0, 0, 1, 0, 0, 2, 128, // ImageWidth LONG 640
+      0, 0, 0, 0)
+    val m = MultimodalQueries.decodeExif(1L, exifApp1(tiff))
+    assert(m.has_exif && m.byte_order.contains("MM") && m.n_entries.contains(1L))
+    assert(m.width.contains(640L) && m.orientation.isEmpty, s"displaced IFD misparsed: $m")
+  }
+
+  test("exif: II entries parse in any order; SHORT reads 2 bytes, LONG reads 4") {
+    val tiff = Array(0x49, 0x49, 0x2A, 0x00, 8, 0, 0, 0,
+      0x02, 0x00,
+      0x12, 0x01, 0x03, 0x00, 1, 0, 0, 0, 6, 0, 0, 0,          // Orientation SHORT 6
+      0x00, 0x01, 0x04, 0x00, 1, 0, 0, 0, 0x20, 0x03, 0, 0,    // ImageWidth LONG 800
+      0, 0, 0, 0)
+    val m = MultimodalQueries.decodeExif(2L, exifApp1(tiff))
+    assert(m.byte_order.contains("II") && m.n_entries.contains(2L))
+    assert(m.width.contains(800L) && m.orientation.contains(6L), s"II misparsed: $m")
+  }
+
+  test("exif: IFD declaring more entries than the segment holds parses what fits") {
+    val tiff = Array(0x49, 0x49, 0x2A, 0x00, 8, 0, 0, 0,
+      0x03, 0x00, // declares 3 entries; only one is present
+      0x00, 0x01, 0x04, 0x00, 1, 0, 0, 0, 0x40, 0, 0, 0)
+    val m = MultimodalQueries.decodeExif(3L, exifApp1(tiff))
+    assert(m.n_entries.contains(1L) && m.width.contains(64L) && m.orientation.isEmpty,
+      s"truncated IFD must parse what fits: $m")
+  }
+
+  test("exif: bad byte-order mark or magic degrades to has_exif with null fields") {
+    val m1 = MultimodalQueries.decodeExif(4L,
+      exifApp1(Array(0x5A, 0x5A, 0x2A, 0x00, 8, 0, 0, 0)))
+    assert(m1.has_exif && m1.byte_order.isEmpty && m1.n_entries.isEmpty)
+    val m2 = MultimodalQueries.decodeExif(5L,
+      exifApp1(Array(0x49, 0x49, 0x2B, 0x00, 8, 0, 0, 0)))
+    assert(m2.has_exif && m2.byte_order.isEmpty)
+  }
+
+  test("exif: non-Exif APP1 (XMP) is skipped; absence and garbage report has_exif false") {
+    val xmp = "http://ns.adobe.com/".getBytes("US-ASCII").map(_ & 0xFF)
+    val seg = Array(0xFF, 0xE1, 0, xmp.length + 2) ++ xmp
+    val b = (Array(0xFF, 0xD8) ++ seg ++ Array(0xFF, 0xD9)).map(_.toByte)
+    assert(!MultimodalQueries.decodeExif(6L, b).has_exif)
+    assert(!MultimodalQueries.decodeExif(7L, null).has_exif)
+    assert(!MultimodalQueries.decodeExif(8L, "plain text".getBytes("UTF-8")).has_exif)
+  }
 }
