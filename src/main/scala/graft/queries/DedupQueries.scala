@@ -389,6 +389,20 @@ object DedupQueries {
   private val d9Clusters =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** d27's split assignment: 8/1/1 by the multiplicative hash of the
+    * CLUSTER label (t24's cross-engine hash idiom) — exposed so
+    * DedupSpec can drive the leakage invariant on both the cluster-
+    * keyed (safe) and doc-keyed (leaky) variants. */
+  private[graft] def d27Split(labeled: DataFrame,
+      keyCol: String = "cluster_id"): DataFrame =
+    labeled
+      .withColumn("hkey", (col(keyCol) * 2654435761L) % 1000000007L)
+      .withColumn("split",
+        when(col("hkey") % 10 < 8, "train")
+          .when(col("hkey") % 10 === 8, "val")
+          .otherwise("test"))
+      .drop("hkey")
+
   private def d9ClustersFor(s: SparkSession, dir: String): DataFrame =
     d9Clusters.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { d9Clusters.remove(d); () })
@@ -755,6 +769,38 @@ object DedupQueries {
       // edges AND the converged assignment are memoized per (JVM, dir)
       // — built once, dropped by Caches.release; see d9ClustersFor
       d9ClustersFor(s, dir).orderBy("doc_id")),
+
+    // ---- D27: leakage-safe train/val/test split — the contamination
+    // guard t24's plain stratified split cannot give: if two near-
+    // duplicate documents land on opposite sides of the train/test
+    // line, the benchmark leaks (Lee et al.'s core argument for dedup
+    // before splitting). The split decision here is a pure hash of the
+    // CLUSTER label (d9's connected-component assignment, memoized),
+    // so every member of a dup cluster lands in the same split by
+    // construction — singletons (docs outside the dup graph) are their
+    // own cluster. Scale: the label frame is the already-converged BSP
+    // fixpoint (growth exponent 0.76, BASELINE.md); on top of it the
+    // whole operator is ONE doc_id equi-join plus a map-side hash —
+    // nothing here grows faster than the corpus. The gate aggregates
+    // per-split doc/cluster/char totals; the DuckDB twin replays the
+    // reachability + the same label-hash arithmetic, so a split that
+    // hashed per-DOC instead of per-cluster mismatches (different
+    // totals), and DedupSpec asserts the no-cluster-spans-splits
+    // invariant directly plus that the naive per-doc split DOES leak
+    // on the planted dup fixture. ----
+    "d27_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val labeled = docs
+        .join(d9ClustersFor(s, dir).select("doc_id", "cluster_id"),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      d27Split(labeled)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("split")
+    }),
 
     // ---- D13: semantic duplicate clusters — the embedding-space
     // composition of d5 and d9: cosine-similar PAIRS (d5's exact edge
@@ -1653,6 +1699,24 @@ object DedupQueries {
     // loop's fixpoint.
     "d9_dup_clusters" -> d9ClustersSql,
 
+    // d27's twin replays the d9 reachability, coalesces singletons to
+    // their own label, and applies the same label-hash split — a
+    // per-DOC split would produce different totals and hash-mismatch.
+    "d27_leakage_split" -> s"""$d9ReachCte,
+         | cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |   FROM reach GROUP BY node),
+         | lab AS (SELECT d.doc_id, d.n_chars,
+         |     COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |   FROM documents d LEFT JOIN cl USING (doc_id)),
+         | sp AS (SELECT *, CASE
+         |     WHEN (cluster_id * 2654435761) % 1000000007 % 10 < 8 THEN 'train'
+         |     WHEN (cluster_id * 2654435761) % 1000000007 % 10 = 8 THEN 'val'
+         |     ELSE 'test' END AS split FROM lab)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Same sequential double fold as the Spark UDF (0.0 + x₀ + x₁ + …
     // equals DuckDB's first-element-seeded list_reduce exactly).
     // d5's exact cosine edge set + d9's recursive reachability.
@@ -2021,7 +2085,10 @@ object DedupQueries {
   /** Connected components as a recursive CTE over the same exhaustive
     * edge set — the min reachable label is exactly the Spark loop's
     * fixpoint. Shared by d9's gate and d17's rollup. */
-  private lazy val d9ClustersSql: String = s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
+  /** d9's dup-graph reachability as a reusable WITH prefix (ends at the
+    * `reach` recursive CTE, no trailing comma) — shared by the d9 twin
+    * and d27's cluster-consistent split twin. */
+  private lazy val d9ReachCte: String = s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
          |              FROM documents),
          | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
          | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -2036,7 +2103,9 @@ object DedupQueries {
          | reach(node, lab) AS (
          |   SELECT DISTINCT a, a FROM edges
          |   UNION
-         |   SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+         |   SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)""".stripMargin
+
+  private lazy val d9ClustersSql: String = s"""$d9ReachCte
          |SELECT node AS doc_id, min(lab) AS cluster_id,
          | node = min(lab) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin

@@ -491,4 +491,26 @@ class DedupSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"d26's landed index side re-shuffles despite bucketing ($exchanges exchanges):\n$plan")
   }
+
+  test("d27 split is cluster-consistent; the naive per-doc split provably leaks") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val clusters = SparkEntry.queries("d9_dup_clusters")(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // the invariant the operator exists for: no dup cluster spans splits
+    val spanning = DedupQueries.d27Split(labeled)
+      .groupBy("cluster_id").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(spanning == 0L, s"$spanning clusters span train/val/test")
+    // and the baseline it guards against: hashing per DOC (t24's idiom
+    // applied naively) splits at least one planted dup cluster
+    val naiveLeaks = DedupQueries.d27Split(labeled, keyCol = "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(naiveLeaks > 0L,
+      "fixture has multi-doc dup clusters, so per-doc hashing must leak — " +
+        "if this fails the invariant test above is vacuous")
+    graft.queries.Caches.release(spark, sfDir)
+  }
 }
