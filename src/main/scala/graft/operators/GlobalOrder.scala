@@ -104,6 +104,38 @@ object GlobalOrder {
       .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
   }
 
+  /** Scale-safe PER-GROUP exclusive running total — [[withRunningTotal]]
+    * grouped the way [[withPositionWithin]] grouped [[withPosition]]:
+    * equivalent to `sum(weight) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)` (nulls as 0)
+    * without funneling any group through a single task. Same audience
+    * note as withPositionWithin: FEW, LARGE groups (sources, strata) —
+    * the offsets side is O(P · distinct groups). */
+  def withRunningTotalWithin(df: DataFrame, outCol: String, groupCols: Seq[String],
+      weight: Column, sortCols: Column*): DataFrame = {
+    val grp = groupCols.map(col)
+    val sorted = df
+      .repartitionByRange((grp ++ sortCols): _*)
+      .withColumn("_go_pid", spark_partition_id())
+      .withColumn("_go_w", weight.cast("long"))
+    val localW = Window.partitionBy(col("_go_pid") +: grp: _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sorted.withColumn("_go_local",
+      coalesce(sum(col("_go_w")).over(localW), lit(0L)))
+    val counts = sorted.groupBy(col("_go_pid") +: grp: _*).agg(sum("_go_w").as("_go_cnt"))
+    val countsB = counts.select(
+      groupCols.map(g => col(g).as(s"_go_g_$g")) :+
+        col("_go_pid").as("_go_pid_b") :+ col("_go_cnt").as("_go_cnt_b"): _*)
+    val sameGroup = groupCols.map(g => col(s"_go_g_$g") <=> col(g)).reduce(_ && _)
+    val offsets = counts
+      .join(broadcast(countsB), sameGroup && col("_go_pid_b") < col("_go_pid"), "left")
+      .groupBy(col("_go_pid") +: grp: _*)
+      .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
+    local.join(broadcast(offsets), "_go_pid" +: groupCols)
+      .withColumn(outCol, col("_go_local") + col("_go_offset"))
+      .drop("_go_pid", "_go_w", "_go_local", "_go_offset", "_go_cnt")
+  }
+
   def withPosition(df: DataFrame, posCol: String, sortCols: Column*): DataFrame = {
     val sorted = df
       .repartitionByRange(sortCols: _*)

@@ -828,6 +828,42 @@ object PipelineQueries {
         .orderBy("priority")
     }),
 
+    // ---- T37: token-budget curation — the selection step that turns
+    // "we scored every document" into "here is the training set": each
+    // source keeps its highest-quality documents until its token
+    // budget (40% of its own token mass — a uniform downsampling rate
+    // under quality ordering) is spent; the document that crosses the
+    // budget line is admitted (exclusive prefix < budget), making the
+    // cut deterministic and integer-exact. Executed with the grouped
+    // distributed prefix-sum ([[graft.operators.GlobalOrder
+    // .withRunningTotalWithin]]): range shards scan in parallel, only
+    // per-(shard, source) totals cross a broadcast join — no
+    // single-partition window, so the skewed-source case (one source
+    // holding most of a 100 TB corpus) cannot funnel through one task.
+    // The DuckDB twin is the textbook `sum() OVER (PARTITION BY source
+    // ORDER BY quality DESC)` replay, so hash equality proves the
+    // sharded prefix-sum ≡ the sequential window. ----
+    "t37_budget_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars").as("q"))
+      val budgets = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
+      val ordered = graft.operators.GlobalOrder.withRunningTotalWithin(
+        docs, "cum", Seq("source"), col("toks"), col("q").desc, col("doc_id"))
+      ordered.join(broadcast(budgets), Seq("source"))
+        .filter(col("cum") < col("budget"))
+        .groupBy("source")
+        .agg(max("budget").as("budget"),
+          count(lit(1)).as("n_kept"),
+          sum("toks").as("kept_tokens"),
+          min("q").as("min_quality"))
+        .orderBy("source")
+    }),
+
     // ---- S18: bucketed co-located join — the warehouse-layout answer
     // to the suite's biggest repeated shuffle: pre-bucketing both
     // sides of the orders⋈lineitem join on the join key makes the
@@ -1359,6 +1395,25 @@ object PipelineQueries {
         |  CAST(sum(shipday) AS BIGINT) AS sum_day,
         |  CAST(sum(ver) AS BIGINT) AS sum_ver
         |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t37's twin is the sequential-window textbook form of the grouped
+    // prefix sum — hash equality proves the sharded formulation exact.
+    "t37_budget_curation" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    n_chars AS q FROM documents),
+        | b AS (SELECT source, CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget
+        |   FROM d GROUP BY 1),
+        | c AS (SELECT *, CAST(COALESCE(sum(toks) OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum FROM d)
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(toks) AS BIGINT) AS kept_tokens,
+        |  min(q) AS min_quality
+        |FROM c JOIN b USING (source) WHERE cum < budget
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s19's twin replays the bit interleave as list_sum over the same
     // 16 disjoint-bit terms — BIGINT throughout, so the gate is exact.

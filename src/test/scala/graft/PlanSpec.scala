@@ -235,6 +235,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"t21 prefix sum not partitioned:\n$plan")
   }
 
+  test("t37 budget curation runs the grouped prefix sum with no single-partition exchange") {
+    // GlobalOrder.withRunningTotalWithin — the `sum() OVER (PARTITION
+    // BY source ORDER BY q DESC)` formulation would funnel a dominant
+    // source through one task; the sharded form must not plan
+    // Exchange SinglePartition anywhere
+    val df = SparkEntry.queries("t37_budget_curation")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"t37 prefix sum not partitioned:\n$plan")
+  }
+
   test("j10 bloom prune filters the probe map-side before the only (broadcast) join") {
     val df = SparkEntry.queries("j10_bloom_prune")(spark, sfDir)
     df.collect()
