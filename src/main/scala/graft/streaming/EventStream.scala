@@ -77,6 +77,26 @@ object EventStream {
       org.apache.spark.sql.functions.broadcast(dim),
       events("user_id") === dim(dimKey), "left")
 
+  /** Stream-static point-in-time enrichment — the streaming twin of the
+    * batch e16 query: arriving facts pick the dimension version whose
+    * SCD2 validity interval contains the fact time. The batch side uses
+    * the [[graft.operators.AsOfJoin]] union-sort-carry kernel (a window
+    * over the union — unavailable on an unbounded stream); here the
+    * STATIC side is the landed dimension whose intervals are disjoint
+    * and contiguous per key, so the interval-containment join matches
+    * AT MOST ONE version per fact and needs no state, dedup, or
+    * watermark: a stateless per-micro-batch broadcast join, the serve
+    * shape you want at 100 TB where the dimension is tiny next to the
+    * fact stream. StreamingSpec proves stream ≡ the as-of kernel row
+    * for row — the machine-checked form of the contiguity argument. */
+  def enrichPointInTime(facts: DataFrame, dim: DataFrame,
+      key: String, factTime: org.apache.spark.sql.Column): DataFrame =
+    facts.join(org.apache.spark.sql.functions.broadcast(dim),
+      facts(key) === dim(key) &&
+        dim("valid_from") <= factTime &&
+        (dim("valid_to").isNull || factTime < dim("valid_to")),
+      "left")
+
   /** Streaming dedup: drop events whose `event_id` was already seen
     * within the watermark horizon — the streaming twin of the batch
     * dedup suite (at-least-once sources → effectively-once downstream).

@@ -99,6 +99,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static point-in-time enrichment ≡ the AsOfJoin batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // SCD2 dim: key 1 has two contiguous versions split at t=10; key 2
+    // starts at t=5 (facts before it must enrich to null)
+    val dim = spark.createDataFrame(Seq(
+      (1L, 1L, 0L, Option(10L), "A"), (1L, 2L, 10L, Option.empty[Long], "B"),
+      (2L, 1L, 5L, Option.empty[Long], "C")))
+      .toDF("custkey", "ver", "valid_from", "valid_to", "payload")
+    val factRows = Seq((1L, 0L), (1L, 9L), (1L, 10L), (1L, 15L),
+      (2L, 3L), (2L, 5L), (3L, 7L))
+    val input = MemoryStream[(Long, Long)]
+    val streamFacts = input.toDF().toDF("custkey", "t")
+    val q = EventStream.enrichPointInTime(streamFacts, dim, "custkey", col("t"))
+      .select(streamFacts("custkey"), col("t"), col("ver"), col("payload"))
+      .writeStream.format("memory").queryName("pit").outputMode("append").start()
+    try {
+      input.addData(factRows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(factRows.drop(3): _*) // micro-batch split must not matter
+      q.processAllAvailable()
+      val streamed = spark.table("pit").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      val facts = spark.createDataFrame(factRows).toDF("custkey", "t")
+      val batch = graft.operators.AsOfJoin.join(facts,
+          dim.select(col("custkey"), col("valid_from"), col("ver"), col("payload")),
+          Seq("custkey"), col("t"), col("valid_from"),
+          Seq("ver", "payload"), col("ver"), "v")
+        .select(col("custkey"), col("t"), col("v.ver"), col("v.payload"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      assert(streamed === batch,
+        s"interval-containment stream != as-of batch:\n$streamed\n$batch")
+      assert(streamed.contains((1L, 10L, Some(2L), Some("B"))),
+        "boundary fact must land in the LATER version (inclusive valid_from)")
+      assert(streamed.contains((2L, 3L, None, None)) && streamed.contains((3L, 7L, None, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join emits exactly the batch pair set") {
     implicit val sqlCtx = spark.sqlContext
     // (event_id, ts, user_id) rows — attribute() needs ids, which the
