@@ -864,6 +864,49 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- S24: declarative constraint audit — the Deequ/dbt-test
+    // shape: a constraint SET (not-null, key uniqueness, range,
+    // accepted values, two referential-integrity legs) evaluated as
+    // ONE conditional-aggregation pass per table instead of one scan
+    // per constraint — the difference between auditing a 100 TB table
+    // in a day and in an hour. The scan-level rules fold into a single
+    // hash aggregate over each table (count-distinct rides the same
+    // aggregate via expand); each FK leg is one left join with the
+    // violation counted map-side (the dim side broadcasts when small;
+    // the fact-fact leg is a plain keyed join the planner sizes).
+    // Output is one row per rule: checked and violated counts, exact
+    // BIGINT, hash-gated against DuckDB's direct per-rule SQL. ----
+    "s24_constraint_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val scanAgg = o.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), lit(0L)).as("v_nn"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("v_uq"),
+        coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("v_rng"),
+        coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)), lit(0L)).as("v_acc"))
+      def fkLeg(rule: String, fact: org.apache.spark.sql.DataFrame, key: String,
+          dimKeys: org.apache.spark.sql.DataFrame, dimKey: String) =
+        fact.select(col(key)).filter(col(key).isNotNull)
+          .join(dimKeys.select(col(dimKey)), col(key) === col(dimKey), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            coalesce(sum(when(col(dimKey).isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_violations"))
+          .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+      scanAgg.select(expr(
+          "stack(4, " +
+            "'orders.o_custkey NOT NULL', n, v_nn, " +
+            "'orders.o_orderkey UNIQUE', n, v_uq, " +
+            "'orders.o_totalprice > 0', n, v_rng, " +
+            "'orders.o_orderstatus IN (O,F,P)', n, v_acc" +
+          ") AS (rule, n_checked, n_violations)"))
+        .unionByName(fkLeg("orders.o_custkey REFERENCES customer",
+          o, "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(fkLeg("lineitem.l_orderkey REFERENCES orders",
+          Tables.lineitem(s, dir), "l_orderkey", o, "o_orderkey"))
+        .orderBy("rule")
+    }),
+
     // ---- S18: bucketed co-located join — the warehouse-layout answer
     // to the suite's biggest repeated shuffle: pre-bucketing both
     // sides of the orders⋈lineitem join on the join key makes the
@@ -1395,6 +1438,33 @@ object PipelineQueries {
         |  CAST(sum(shipday) AS BIGINT) AS sum_day,
         |  CAST(sum(ver) AS BIGINT) AS sum_ver
         |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s24's twin evaluates each rule as direct per-rule SQL — the
+    // readable form — so the gate proves the engine's folded
+    // one-pass-per-table aggregation computes the same audit.
+    "s24_constraint_audit" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_nn,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+        |    CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_rng,
+        |    CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_acc
+        |  FROM orders),
+        | fk1 AS (SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |   FROM orders od LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+        |   WHERE od.o_custkey IS NOT NULL),
+        | fk2 AS (SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(coalesce(sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |   FROM lineitem l LEFT JOIN orders od ON l.l_orderkey = od.o_orderkey
+        |   WHERE l.l_orderkey IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT 'orders.o_custkey NOT NULL' AS rule, n AS n_checked, v_nn AS n_violations FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey UNIQUE', n, v_uq FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice > 0', n, v_rng FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus IN (O,F,P)', n, v_acc FROM o
+        |  UNION ALL SELECT 'orders.o_custkey REFERENCES customer', n_checked, n_violations FROM fk1
+        |  UNION ALL SELECT 'lineitem.l_orderkey REFERENCES orders', n_checked, n_violations FROM fk2)
+        |ORDER BY 1""".stripMargin,
 
     // t37's twin is the sequential-window textbook form of the grouped
     // prefix sum — hash equality proves the sharded formulation exact.

@@ -342,4 +342,34 @@ class QualitySpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_clipped") >= 1)
     }
   }
+
+  test("s24 constraint audit counts planted violations of every rule exactly") {
+    val dir = Files.createTempDirectory("graft_s24_probe").toString
+    // orders: one null custkey, one duplicated orderkey, one negative
+    // price, one bad status, one FK-dangling custkey (99)
+    Seq(
+      (Option(1L), 10L, 100.0, "O"),
+      (Option(1L), 11L, 50.0, "F"),
+      (Option.empty[Long], 12L, 10.0, "O"),   // NOT NULL violation
+      (Option(2L), 13L, -5.0, "P"),           // range violation
+      (Option(2L), 13L, 20.0, "X"),           // dup orderkey + bad status
+      (Option(99L), 14L, 30.0, "O"))          // dangling FK
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    // lineitem: two rows referencing order 10, one dangling (77)
+    Seq(10L, 10L, 77L).toDF("l_orderkey").write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("s24_constraint_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("orders.o_custkey NOT NULL") === ((6L, 1L)))
+    assert(rows("orders.o_orderkey UNIQUE") === ((6L, 1L)))
+    assert(rows("orders.o_totalprice > 0") === ((6L, 1L)))
+    assert(rows("orders.o_orderstatus IN (O,F,P)") === ((6L, 1L)))
+    // 5 non-null custkeys checked; the 99 dangles
+    assert(rows("orders.o_custkey REFERENCES customer") === ((5L, 1L)))
+    // dup orderkey 13 in the dim side must not double-count fact rows:
+    // lineitem has no key 13 — 3 checked, the 77 dangles
+    assert(rows("lineitem.l_orderkey REFERENCES orders") === ((3L, 1L)))
+    graft.queries.Caches.release(spark, dir)
+  }
 }
