@@ -759,6 +759,42 @@ object PipelineQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- E17: retraction merge — e14 handles INSERT-only deltas; real
+    // change feeds carry corrections and deletes, and recomputing the
+    // 100 TB rollup for either is the failure mode incremental view
+    // maintenance exists to avoid. The DBSP/Z-set form: every change
+    // becomes a signed partial — a correction emits (Δcount=0,
+    // Δsum=new−old), a delete emits (−1, −old) — and merge is the SAME
+    // union + re-aggregate as the insert path, because (count, sum) is
+    // an abelian-group aggregate where retraction is just a negative
+    // element. Deletes win over corrections on the same key. The twin
+    // recomputes from the CORRECTED table from scratch, so hash
+    // equality proves base ⊕ signed-delta ≡ recompute(corrected) — in
+    // exact BIGINT, where the proof is unconditional (float partials
+    // would reorder). At scale: the base aggregate is a stored table
+    // (here recomputed inline, e14's convention) and the delta side
+    // touches O(changes) rows. ----
+    "e17_retraction_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.select(col("o_orderpriority"),
+        lit(1L).as("dn"), col("cents").as("dc"))
+      // corrections: +10% price on o_orderkey % 50 == 7 (unless deleted)
+      val corrections = o
+        .filter(col("o_orderkey") % 50 === 7 && col("o_orderkey") % 97 =!= 3)
+        .select(col("o_orderpriority"), lit(0L).as("dn"),
+          (expr("cents * 110 div 100") - col("cents")).as("dc"))
+      // deletes: full retraction of o_orderkey % 97 == 3
+      val deletes = o.filter(col("o_orderkey") % 97 === 3)
+        .select(col("o_orderpriority"), lit(-1L).as("dn"), (-col("cents")).as("dc"))
+      base.unionByName(corrections).unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(sum("dn").as("n"), sum("dc").as("cents"))
+        .withColumn("avg_cents", expr("cents div n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- S22: SCD Type-2 dimension MERGE — the versioned-dimension
     // maintenance every warehouse runs nightly: the customer dimension
     // keeps FULL history as validity intervals ([valid_from, valid_to),
@@ -1386,6 +1422,20 @@ object PipelineQueries {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // CAST(count(*) AS BIGINT) AS avg_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // e17's twin applies corrections/deletes to the table directly and
+    // aggregates FROM SCRATCH — hash equality proves the signed-delta
+    // merge path exact.
+    "e17_retraction_merge" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 50 = 7
+        |      THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) * 110 // 100 AS BIGINT)
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey % 97 <> 3)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s22's twin rebuilds the SCD2 dimension from the FULL change feed
     // in one window pass — no cutoff, no merge — so hash equality
