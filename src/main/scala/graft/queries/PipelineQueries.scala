@@ -759,6 +759,32 @@ object PipelineQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- E18: dynamic partition pruning — the join-shaped cousin of
+    // s15's static pruning, and the optimizer feature that decides
+    // whether a 100 TB day-partitioned fact scan reads 3 partitions or
+    // 3,000: the qualifying days are NOT a literal (they come from a
+    // filtered dim subquery), so static pruning cannot apply; Spark
+    // instead broadcasts the dim and injects its day set into the
+    // fact scan's PartitionFilters at runtime (PlanSpec pins the
+    // `dynamicpruning` subquery in the scan). The fact side is s15's
+    // day-partitioned landing — a REAL partitioned layout, so the
+    // pruning is file-listing-level, not row-level. Aggregation output
+    // is exact BIGINT cents; the twin replays the semi-join
+    // relationally (DuckDB has no partition concept — same answer,
+    // different physics, which is the point of the gate). ----
+    "e18_dpp_join" -> ((s, dir) => {
+      val fact = s.read.parquet(landingFor(s, dir))
+      val dim = Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .filter(col("event_type") === "purchase" && col("value") >= 300.0)
+        .select("day").distinct()
+      fact.join(broadcast(dim), Seq("day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy("event_type")
+    }),
+
     // ---- E17: retraction merge — e14 handles INSERT-only deltas; real
     // change feeds carry corrections and deletes, and recomputing the
     // 100 TB rollup for either is the failure mode incremental view
@@ -1422,6 +1448,19 @@ object PipelineQueries {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |   // CAST(count(*) AS BIGINT) AS avg_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // e18's twin replays the day semi-join relationally — DuckDB has no
+    // partition concept, so equality proves the runtime-pruned scan
+    // read exactly the qualifying days' rows and nothing else.
+    "e18_dpp_join" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+        |   FROM events WHERE event_type = 'purchase' AND "value" >= 300.0),
+        | f AS (SELECT event_type, "value",
+        |    epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM f JOIN d USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // e17's twin applies corrections/deletes to the table directly and
     // aggregates FROM SCRATCH — hash equality proves the signed-delta

@@ -235,6 +235,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"t21 prefix sum not partitioned:\n$plan")
   }
 
+  test("e18's fact scan carries a dynamic-pruning partition filter from the dim subquery") {
+    // the qualifying-day set is a runtime subquery, so static pruning
+    // cannot apply — the scan must show a dynamicpruning expression in
+    // its PartitionFilters or the 100 TB fact read is a full scan
+    val df = SparkEntry.queries("e18_dpp_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"e18 fact scan is not dynamically pruned:\n$plan")
+  }
+
   test("t37 budget curation runs the grouped prefix sum with no single-partition exchange") {
     // GlobalOrder.withRunningTotalWithin — the `sum() OVER (PARTITION
     // BY source ORDER BY q DESC)` formulation would funnel a dominant
