@@ -676,6 +676,29 @@ object PipelineQueries {
     expr(terms.mkString(" + "))
   }
 
+  /** s25's day-partitioned backfill target, written ONCE per (JVM,
+    * dir) — its OWN landing (never s15's: s25 mutates partitions in
+    * place, and sharing would corrupt the read-only pruning gates).
+    * The gated query then dynamic-overwrites a subset of days each
+    * run; the overwrite is idempotent (same days, same derived rows),
+    * so re-runs and bench passes converge to the same on-disk state. */
+  private val s25Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def backfillLandingFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    s25Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s25_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { s25Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      Tables.events(s, d)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
   /** s22/e16's change feed: orders collapsed to one change per
     * (customer, epoch-day), last order (max o_orderkey) wins — the
     * max(struct) picks the winner in ONE partial-aggregating pass, no
@@ -783,6 +806,36 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
         .orderBy("event_type")
+    }),
+
+    // ---- S25: dynamic-partition-overwrite backfill — e18's write-path
+    // counterpart and the op behind every "re-run yesterday's
+    // pipeline" correction: the revised rows land with
+    // `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    // partitions present in the delta (here the day % 7 == 3 days,
+    // value doubled) and leaves every other day's files physically
+    // untouched — static overwrite mode would truncate the whole
+    // table, THE classic backfill data-loss bug, and SinkSpec pins the
+    // untouched-partition file lists to prove dynamic semantics. At
+    // 100 TB this is the difference between rewriting 1/7th of a table
+    // and all of it. The gate reads the merged state back and
+    // aggregates per day; the twin recomputes the expected merged
+    // table relationally. Idempotent by construction, so bench re-runs
+    // converge. ----
+    "s25_backfill_overwrite" -> ((s, dir) => {
+      val out = backfillLandingFor(s, dir)
+      Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .filter(col("day") % 7 === 3)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .withColumn("replaced", col("day") % 7 === 3)
+        .orderBy("day")
     }),
 
     // ---- E17: retraction merge — e14 handles INSERT-only deltas; real
@@ -1461,6 +1514,19 @@ object PipelineQueries {
         |  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM f JOIN d USING (day)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s25's twin recomputes the expected post-backfill table
+    // relationally — equality proves the dynamic overwrite replaced
+    // exactly the delta's partitions and nothing else.
+    "s25_backfill_overwrite" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 3
+        |      THEN "value" * 2 ELSE "value" END AS v
+        |  FROM events)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  day % 7 = 3 AS replaced
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // e17's twin applies corrections/deletes to the table directly and
     // aggregates FROM SCRATCH — hash equality proves the signed-delta

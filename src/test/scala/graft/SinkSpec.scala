@@ -103,4 +103,27 @@ class SinkSpec extends AnyFunSuite {
     val b = Versioned.read(spark, root, Some(2)).orderBy("p_partkey").collect().map(_.toSeq)
     assert(a === b)
   }
+
+  test("s25 dynamic overwrite replaces only the delta's partitions, byte-untouched elsewhere") {
+    // first run materializes the landing and performs the overwrite
+    SparkEntry.queries("s25_backfill_overwrite")(spark, sfDir).collect()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val landing = tmp.listFiles()
+      .filter(f => f.getName.startsWith(s"graft_s25_${pid}_")).head
+    def snapshot(replaced: Boolean): Map[String, Seq[(String, Long, Long)]] =
+      landing.listFiles().filter(_.getName.startsWith("day="))
+        .filter(d => (d.getName.stripPrefix("day=").toLong % 7 == 3) == replaced)
+        .map(d => d.getName -> d.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length(), f.lastModified()))).toMap
+    val untouchedBefore = snapshot(replaced = false)
+    assert(untouchedBefore.nonEmpty && snapshot(replaced = true).nonEmpty)
+    // second run overwrites the SAME day=…%7==3 partitions again; with
+    // dynamic mode the other days' files must be bit-identical — the
+    // static-mode failure here is the whole table truncated
+    SparkEntry.queries("s25_backfill_overwrite")(spark, sfDir).collect()
+    assert(snapshot(replaced = false) === untouchedBefore,
+      "non-delta partitions were rewritten — overwrite is not dynamic")
+    graft.queries.Caches.release(spark, sfDir)
+  }
 }
