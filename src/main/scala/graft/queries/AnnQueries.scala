@@ -264,6 +264,33 @@ object AnnQueries {
       out
     })
 
+  private val x24Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** X24's landed artifact: the OLD-trained index over the OLD corpus —
+    * centroids from [[kmTrainOld]] (trained on vec_id % 5 != 4 ONLY,
+    * x18's frozen-index convention), probe rankings for the old rows,
+    * landed cid-partitioned like x22's. The append path then assigns
+    * ONLY the delta against these frozen centroids — training never
+    * re-runs, the landed files never rewrite. */
+  private def trainedOldLandingFor(s: SparkSession, dir: String): String =
+    x24Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_x24_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      Caches.track(d)(() => { x24Landing.remove(d); () })
+      Caches.trackPath(d, new java.io.File(out))
+      val cents = kmTrainOld(s, d)
+      val probesU = udf((v: Seq[Long]) =>
+        kmDistances(cents, v).sorted.take(4).map(_._2).zipWithIndex
+          .map { case (code, i) => (i + 1, code) }.toSeq)
+      kmQuantized(s, d).filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id"), explode(probesU(col("qv"))).as("p"))
+        .select(col("vec_id"), col("p._1").as("arn"), col("p._2").as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out)
+      out
+    })
+
   /** x19/x20's landed-artifact schema, declared so an EMPTY corpus
     * (fileless landing dir) reads as zero rows instead of a
     * schema-inference error. */
@@ -1080,6 +1107,43 @@ object AnnQueries {
         .filter(col("qid") =!= col("nid")), 5)
     }),
 
+    // ---- X24: append to the TRAINED landed index — the last open leg
+    // of the trained family's lifecycle (build/serve x22, delete x23,
+    // compact via x21's machinery): new vectors (vec_id % 5 == 4,
+    // x18's split) are assigned to the FROZEN old-trained centroids —
+    // training never re-runs, the landed files never rewrite — and the
+    // delta's (vec_id, arn, cid) rows union with the landed artifact
+    // into one servable index; serve is x19's plain relational plan
+    // over the union. The oracle replays train-on-OLD → assign-ALL →
+    // serve in DuckDB (the parameterized trained-serve replay with the
+    // training set filtered), so the hash gate proves landed-old ∪
+    // assigned-delta ≡ the from-scratch frozen-centroid index — quan-
+    // tization drift from appending without retraining shows up as
+    // recall decay (x18 measures inertia), never as a wrong result. ----
+    "x24_trained_append" -> ((s, dir) => {
+      val landed = s.read.schema(x19ArtifactSchema)
+        .parquet(trainedOldLandingFor(s, dir))
+      val cents = kmTrainOld(s, dir)
+      val probesU = udf((v: Seq[Long]) =>
+        kmDistances(cents, v).sorted.take(4).map(_._2).zipWithIndex
+          .map { case (code, i) => (i + 1, code) }.toSeq)
+      val delta = kmQuantized(s, dir).filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), explode(probesU(col("qv"))).as("p"))
+        .select(col("vec_id"), col("p._1").as("arn"), col("p._2").as("cid"))
+      val ranks = landed.unionByName(delta)
+      val e = vecs(s, dir)
+      val assigned = ranks.filter(col("arn") === 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), Seq("nid"))
+      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cid"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), Seq("qid"))
+      topK(broadcast(probes).join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid")), 5)
+    }),
+
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
     // the bucket id a pure arithmetic function of the vector, so the
     // whole query — signature, bucket join, rank — is hash-gated against
@@ -1207,17 +1271,18 @@ object AnnQueries {
     * cosine rank), parameterized by a serving-role exclusion predicate
     * so x23's tombstone twin drops the deleted rows from BOTH roles —
     * "" serves everything (x16, x22). */
-  private def trainedServeSql(excl: String): String =
+  private def trainedServeSql(excl: String, trainFilter: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id, list_transform(embedding,
        |     x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS qv
        |   FROM embeddings),
+       | qt AS (SELECT * FROM q WHERE $trainFilter),
        | prmk AS (SELECT GREATEST(1, count(*) //
-       |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM q),
-       | cb0 AS (SELECT vec_id AS code, qv AS cv FROM q, prmk
+       |     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM qt),
+       | cb0 AS (SELECT vec_id AS code, qv AS cv FROM qt, prmk
        |   WHERE vec_id % m = 3 % m),
-       | ${kmAssignSql("cb0", "a1")},
+       | ${kmAssignSql("cb0", "a1", "qt")},
        | ${kmLloydSql("a1", "cb0", "cb1")},
-       | ${kmAssignSql("cb1", "a2")},
+       | ${kmAssignSql("cb1", "a2", "qt")},
        | ${kmLloydSql("a2", "cb1", "cb2")},
        | ${kmAssignSql("cb2", "af")},
        | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1363,6 +1428,12 @@ object AnnQueries {
     // x23: the same replay minus the tombstoned rows' serving roles —
     // x20's proof obligation, over the trained index family.
     "x23_trained_tombstone" -> trainedServeSql(" AND vec_id % 37 <> 1"),
+
+    // x24: the replay with the TRAINING set restricted to the old
+    // corpus (vec_id % 5 != 4) while assignment and serving cover
+    // everything — proving landed-old ∪ frozen-centroid-assigned-delta
+    // ≡ the from-scratch index over the same centroids.
+    "x24_trained_append" -> trainedServeSql("", "vec_id % 5 <> 4"),
 
     // Lloyd twin: grid quantization, seed codebook = vec_id < 16, two
     // assignment+update rounds, final assignment → per-cluster stats;

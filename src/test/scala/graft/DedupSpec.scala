@@ -443,6 +443,9 @@ class DedupSpec extends AnyFunSuite {
         // training happens once at landing time, the serve plan is
         // x19's pure-relational scan + equi-joins
         "x22_trained_persisted",
+        // x24 unions the landed-old artifact with the frozen-centroid
+        // delta assignment; serve must stay scan + equi-joins
+        "x24_trained_append",
         // d23's propose/verify/merge must stay on the 8-byte hash
         // equi-join and id rejoins — an all-pairs node here is the
         // quadratic blowup the gram hashing exists to avoid
