@@ -796,7 +796,11 @@ object PipelineQueries {
     // relationally (DuckDB has no partition concept — same answer,
     // different physics, which is the point of the gate). ----
     "e18_dpp_join" -> ((s, dir) => {
-      val fact = s.read.parquet(landingFor(s, dir))
+      // explicit schema: an empty events slice lands fileless (s15's
+      // documented inference trap) — empty in must mean empty out
+      val landedSchema = Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000")).schema
+      val fact = s.read.schema(landedSchema).parquet(landingFor(s, dir))
       val dim = Tables.events(s, dir)
         .withColumn("day", expr("unix_micros(ts) div 86400000000"))
         .filter(col("event_type") === "purchase" && col("value") >= 300.0)
@@ -830,7 +834,10 @@ object PipelineQueries {
         .withColumn("value", col("value") * 2)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(out)
-      s.read.parquet(out)
+      // explicit schema — same fileless-landing trap as s15/e18
+      val landedSchema = Tables.events(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000")).schema
+      s.read.schema(landedSchema).parquet(out)
         .groupBy(col("day").cast("long").as("day"))
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
