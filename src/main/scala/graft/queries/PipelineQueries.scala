@@ -986,6 +986,42 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- T38: corpus snapshot diff — the dataset-versioning audit
+    // (DVC/LakeFS shape) every managed training corpus needs: given
+    // snapshot A and snapshot B, report per-status (added / removed /
+    // changed / unchanged) document and character counts. Snapshot B
+    // is derived deterministically (doc_id % 13 == 8 removed,
+    // % 11 == 5 revised, % 17 == 2 re-added under a shifted id) so
+    // the twin can replay it. Mechanics that matter at 100 TB: ONE
+    // hash-partitioned full-outer join on the key; presence flags —
+    // not text nullness — decide added/removed (a null-text document
+    // present in both snapshots is 'unchanged', not 'added': the
+    // null-riddled sweep exists exactly for this trap); change
+    // detection is null-safe equality evaluated map-side post-join.
+    // In production the text compare would be a stored content hash —
+    // same join shape, smaller payload. ----
+    "t38_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), col("text").as("text_a"), lit(1).as("in_a"))
+      val b = docs.filter(col("doc_id") % 13 =!= 8)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text_b"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 2)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text").as("text_b")))
+        .withColumn("in_b", lit(1))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(!(col("text_a") <=> col("text_b")), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text_b"))).as("chars_new"))
+        .orderBy("status")
+    }),
+
     // ---- S24: declarative constraint audit — the Deequ/dbt-test
     // shape: a constraint SET (not-null, key uniqueness, range,
     // accepted values, two referential-integrity legs) evaluated as
@@ -1600,6 +1636,26 @@ object PipelineQueries {
         |  CAST(sum(shipday) AS BIGINT) AS sum_day,
         |  CAST(sum(ver) AS BIGINT) AS sum_ver
         |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t38's twin derives snapshot B with the same arithmetic and diffs
+    // with IS DISTINCT FROM — the relational textbook form.
+    "t38_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text, 1 AS in_a FROM documents),
+        | b AS (SELECT doc_id,
+        |     CASE WHEN doc_id % 11 = 5 THEN text || ' [rev2]' ELSE text END AS text,
+        |     1 AS in_b
+        |   FROM documents WHERE doc_id % 13 <> 8
+        |   UNION ALL
+        |   SELECT doc_id + 10000000, text, 1 FROM documents WHERE doc_id % 17 = 2),
+        | j AS (SELECT a.text AS ta, b.text AS tb, in_a, in_b
+        |   FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        | st AS (SELECT CASE WHEN in_a IS NULL THEN 'added'
+        |     WHEN in_b IS NULL THEN 'removed'
+        |     WHEN ta IS DISTINCT FROM tb THEN 'changed'
+        |     ELSE 'unchanged' END AS status, tb FROM j)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(len(tb)) AS BIGINT) AS chars_new
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s24's twin evaluates each rule as direct per-rule SQL — the
     // readable form — so the gate proves the engine's folded

@@ -537,6 +537,34 @@ object EventStream {
                  AND click_ts >= purchase_ts - interval $windowMinutes minutes"""))
       .select("purchase_id", "user_id", "click_id", "click_ts", "purchase_ts")
 
+  /** Stream-stream LEFT OUTER attribution — [[attribute]]'s negative
+    * half, and the op that generates "did NOT convert" training labels
+    * online: a click that finds no purchase in its window emits with
+    * null purchase fields, but ONLY once both watermarks guarantee no
+    * qualifying purchase can still arrive — Structured Streaming holds
+    * the click in state until the purchase-side watermark passes the
+    * window end, which is the correctness property a hand-rolled
+    * timeout map loses (emit too early and a late purchase turns an
+    * emitted negative into a lie). State per click is bounded by the
+    * watermark horizon, so a 100 TB/day click stream holds only the
+    * open window. StreamingSpec drives both the matched and the
+    * timeout-emitted rows and checks them against the batch left-join
+    * twin. */
+  def attributeWithTimeout(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    clicks.select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+      .join(
+        purchases.select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour"),
+        expr(s"""user_id = p_user AND purchase_ts >= click_ts
+                 AND purchase_ts <= click_ts + interval $windowMinutes minutes"""),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

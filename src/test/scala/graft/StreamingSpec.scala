@@ -173,6 +173,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unmatched clicks only after the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def named(s: MemoryStream[(Long, Timestamp, Long)]) =
+      s.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.attributeWithTimeout(named(clicks), named(purchases), 30)
+      .writeStream.format("memory").queryName("attr_lo").outputMode("append").start()
+    try {
+      // user 1 clicks and buys inside the window; user 2 clicks and never buys
+      clicks.addData((101L, ts(0), 1L), (102L, ts(0), 2L))
+      purchases.addData((201L, ts(10), 1L))
+      q.processAllAvailable()
+      val early = spark.table("attr_lo").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(102L),
+        "negative emitted before the watermark could rule out a late purchase")
+      // advance both watermarks far past the window, twice (eviction
+      // runs on the batch after the watermark moves)
+      for (m <- Seq(300, 600)) {
+        clicks.addData((100L + m, ts(m), 9L)); purchases.addData((200L + m, ts(m), 9L))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_lo").collect()
+        .filter(_.getLong(0) <= 102).map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(streamed === Map(101L -> Some(201L), 102L -> None),
+        s"left-outer attribution wrong: $streamed")
+      // batch twin: the same kernel over bounded frames (watermarks are
+      // no-ops there, the join is a plain left join)
+      val cdf = Seq((101L, ts(0), 1L), (102L, ts(0), 2L)).toDF("event_id", "ts", "user_id")
+      val pdf = Seq((201L, ts(10), 1L)).toDF("event_id", "ts", "user_id")
+      val batch = EventStream.attributeWithTimeout(cdf, pdf, 30).collect()
+        .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(streamed === batch, s"stream != batch twin: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming 3-sigma anomaly gate flags the planted outlier, matching its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
