@@ -770,6 +770,47 @@ object DedupQueries {
       // — built once, dropped by Caches.release; see d9ClustersFor
       d9ClustersFor(s, dir).orderBy("doc_id")),
 
+    // ---- D28: INCREMENTAL connected components — the dup graph is
+    // append-mostly in production (each ingest batch contributes new
+    // near-dup edges), and re-running the full BSP fixpoint nightly
+    // over a 100 TB corpus's edge set is the cost this operator
+    // deletes: new edges only re-cluster the components they TOUCH.
+    // Mechanics: old labels (the converged fixpoint over the old edge
+    // set) identify affected components via the delta's endpoints; the
+    // subgraph = affected components' old edges ∪ delta re-runs the
+    // same BSP min-label kernel; every other component's labels pass
+    // through untouched (an anti-join, no recompute). Work is
+    // O(affected subgraph + one pass over labels), not O(graph) — the
+    // merge-two-components case and the absorb-isolated-node case both
+    // fall out of re-clustering the touched subgraph. The oracle is
+    // d9's FULL recursive-CTE recompute over all edges, so the hash
+    // gate proves merge(labels_old, delta) ≡ recompute(edges_all) —
+    // the IVM contract, applied to a fixpoint computation. ----
+    "d28_incremental_cc" -> ((s, dir) => {
+      val edges = d2EdgesFor(s, dir).select("doc1", "doc2")
+      val isDelta = (col("doc1") * 31 + col("doc2")) % 5 === 0
+      val labelsOld = minLabelClusters(edges.filter(!isDelta), dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val delta = edges.filter(isDelta)
+      val deltaNodes = delta.select(col("doc1").as("doc_id"))
+        .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
+      val affected = labelsOld.join(deltaNodes, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct()
+      val members = labelsOld.join(affected, Seq("cluster_id"), "left_semi")
+      // an old edge's endpoints share a component, so filtering doc1
+      // against the member set keeps exactly the affected subgraph
+      val subEdges = edges.filter(!isDelta)
+        .join(members.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+        .unionByName(delta)
+      val relabeled = minLabelClusters(subEdges, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      labelsOld.join(affected, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(relabeled)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D27: leakage-safe train/val/test split — the contamination
     // guard t24's plain stratified split cannot give: if two near-
     // duplicate documents land on opposite sides of the train/test
@@ -1698,6 +1739,11 @@ object DedupQueries {
     // cluster id is the minimum reachable label — exactly the Spark
     // loop's fixpoint.
     "d9_dup_clusters" -> d9ClustersSql,
+
+    // d28's twin is d9's FULL recompute over the complete edge set —
+    // the oracle never sees the old/delta split, so hash equality is
+    // the incremental-maintenance proof.
+    "d28_incremental_cc" -> d9ClustersSql,
 
     // d27's twin replays the d9 reachability, coalesces singletons to
     // their own label, and applies the same label-hash split — a

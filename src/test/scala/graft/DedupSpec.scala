@@ -446,6 +446,9 @@ class DedupSpec extends AnyFunSuite {
         // x24 unions the landed-old artifact with the frozen-centroid
         // delta assignment; serve must stay scan + equi-joins
         "x24_trained_append",
+        // d28's affected-subgraph carve-out is semi/anti-joins on
+        // labels; a cartesian here would rescan the whole graph
+        "d28_incremental_cc",
         // d23's propose/verify/merge must stay on the 8-byte hash
         // equi-join and id rejoins — an all-pairs node here is the
         // quadratic blowup the gram hashing exists to avoid
