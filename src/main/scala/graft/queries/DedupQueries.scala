@@ -73,7 +73,14 @@ object DedupQueries {
     * loops — see that method's note for the measured pathology a
     * cache()-per-round loop develops. Checkpoint RDDs release with the
     * dir's other memos. */
+  /** Count of BSP fixpoint launches — lets DedupSpec prove d29's
+    * serve path runs exactly ONE fixpoint (the affected-subgraph
+    * relabel) per invocation, with the old-side labels coming from the
+    * landed artifact instead of a second inline loop. */
+  private[graft] val bspRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def minLabelClusters(pairs: DataFrame, dir: String): DataFrame = {
+    bspRuns.incrementAndGet()
     val edges = Caches.checkpointed(dir, pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2"))))
     var labels = Caches.checkpointed(dir, edges.select(col("doc1").as("doc_id")).distinct()
@@ -392,11 +399,17 @@ object DedupQueries {
   /** d27's split assignment: 8/1/1 by the multiplicative hash of the
     * CLUSTER label (t24's cross-engine hash idiom) — exposed so
     * DedupSpec can drive the leakage invariant on both the cluster-
-    * keyed (safe) and doc-keyed (leaky) variants. */
+    * keyed (safe) and doc-keyed (leaky) variants. The key is reduced
+    * mod p BEFORE the multiply so ids above ~3.47e9 can't overflow
+    * Long (a wrapped-negative hkey would send the whole overflowed id
+    * range to 'train'); the residue ≤ p−1 times 2654435761 stays under
+    * 2.66e18 < Long.MaxValue in both engines, and pmod keeps the
+    * result non-negative over the full id space. */
   private[graft] def d27Split(labeled: DataFrame,
       keyCol: String = "cluster_id"): DataFrame =
     labeled
-      .withColumn("hkey", (col(keyCol) * 2654435761L) % 1000000007L)
+      .withColumn("hkey",
+        pmod(pmod(col(keyCol), lit(1000000007L)) * 2654435761L, lit(1000000007L)))
       .withColumn("split",
         when(col("hkey") % 10 < 8, "train")
           .when(col("hkey") % 10 === 8, "val")
@@ -499,6 +512,54 @@ object DedupQueries {
         .option("path", out.getAbsolutePath)
         .saveAsTable(tbl)
       tbl
+    })
+  }
+
+  /** d28/d29's delta split of the verified edge set — in production
+    * the delta is the current ingest batch's new near-dup edges; here
+    * a deterministic 20% carve of d2's edges plays that role. */
+  private[graft] def d28IsDelta: Column =
+    (col("doc1") * 31 + col("doc2")) % 5 === 0
+
+  private[graft] def d29Partition(c: Column): Column =
+    pmod(c, lit(16L)).cast("int")
+
+  /** D29's landed artifact: the CONVERGED dup-cluster labels (the d9
+    * fixpoint over the pre-delta edge set) written once per (JVM, dir)
+    * as parquet partitioned by `part = pmod(cluster_id, 16)` — the
+    * label STORE a production incremental-CC pipeline reads instead of
+    * re-running the O(graph) fixpoint per batch. Label-keyed
+    * partitioning makes the merge write-back surgical: a cluster's
+    * rows live in one partition, so dynamic-partition-overwrite
+    * replaces exactly the partitions affected clusters touch and
+    * leaves every other partition's files byte-identical (SinkSpec-
+    * style pin in DedupSpec). At 100 TB `part` widens to O(thousands)
+    * and the same physics holds — rewrite cost is O(affected
+    * partitions), not O(label store). */
+  private val d29Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val d29Schema = "doc_id BIGINT, cluster_id BIGINT, part INT"
+
+  private[graft] def labelLandingFor(s: SparkSession, dir: String): String = {
+    // revalidate against the filesystem: a released dir's landing was
+    // deleted by trackPath, so a dangling memo must rebuild
+    val memo = d29Landing.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) d29Landing.remove(dir, memo)
+    d29Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d29_${pid}_$tag")
+      Caches.track(d)(() => { d29Landing.remove(d); () })
+      Caches.trackPath(d, out)
+      val edges = d2EdgesFor(s, d).select("doc1", "doc2")
+      minLabelClusters(edges.filter(!d28IsDelta), d)
+        .select(col("doc_id"), col("cluster_id"),
+          d29Partition(col("cluster_id")).as("part"))
+        .repartition(16, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(out.getAbsolutePath)
+      out.getAbsolutePath
     })
   }
 
@@ -788,10 +849,9 @@ object DedupQueries {
     // the IVM contract, applied to a fixpoint computation. ----
     "d28_incremental_cc" -> ((s, dir) => {
       val edges = d2EdgesFor(s, dir).select("doc1", "doc2")
-      val isDelta = (col("doc1") * 31 + col("doc2")) % 5 === 0
-      val labelsOld = minLabelClusters(edges.filter(!isDelta), dir)
+      val labelsOld = minLabelClusters(edges.filter(!d28IsDelta), dir)
         .select(col("doc_id"), col("cluster_id"))
-      val delta = edges.filter(isDelta)
+      val delta = edges.filter(d28IsDelta)
       val deltaNodes = delta.select(col("doc1").as("doc_id"))
         .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
       val affected = labelsOld.join(deltaNodes, Seq("doc_id"), "left_semi")
@@ -799,7 +859,7 @@ object DedupQueries {
       val members = labelsOld.join(affected, Seq("cluster_id"), "left_semi")
       // an old edge's endpoints share a component, so filtering doc1
       // against the member set keeps exactly the affected subgraph
-      val subEdges = edges.filter(!isDelta)
+      val subEdges = edges.filter(!d28IsDelta)
         .join(members.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
         .unionByName(delta)
       val relabeled = minLabelClusters(subEdges, dir)
@@ -808,6 +868,63 @@ object DedupQueries {
         .select(col("doc_id"), col("cluster_id"))
         .unionByName(relabeled)
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- D29: LANDED label store + incremental merge WRITE-BACK —
+    // the production form of d28, closing the landed-artifact contract
+    // (the one leg d28 stopped short of): the converged labels live in
+    // a label-partitioned parquet store ([[labelLandingFor]]), the
+    // serve path reads `labels_old` FROM that store (no inline
+    // old-side fixpoint — DedupSpec pins exactly ONE BSP launch per
+    // invocation, the affected-subgraph relabel), re-clusters only the
+    // components the delta touches, and writes the merged labels BACK
+    // with dynamic-partition-overwrite as the store's next version.
+    // The write frame carries the full content of every TOUCHED
+    // partition (relabeled rows ∪ passthrough rows co-resident in a
+    // touched partition), so untouched partitions' files stay
+    // byte-identical (SinkSpec-style pin) — at 100 TB the nightly
+    // label update rewrites O(affected partitions), not the store.
+    // The gate then reads the STORE back, so hash equality against
+    // d9's full recursive-CTE recompute proves the landed artifact
+    // itself — not a transient frame — equals recompute(edges_all).
+    // Idempotent: a re-run merges already-merged labels onto the same
+    // fixpoint, so bench re-invocations converge (same hash). ----
+    "d29_landed_labels" -> ((s, dir) => {
+      val path = labelLandingFor(s, dir)
+      val labelsOld = s.read.schema(d29Schema).parquet(path)
+      val edges = d2EdgesFor(s, dir).select("doc1", "doc2")
+      val delta = edges.filter(d28IsDelta)
+      val deltaNodes = delta.select(col("doc1").as("doc_id"))
+        .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
+      val affected = labelsOld.join(deltaNodes, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct()
+      val members = labelsOld.join(affected, Seq("cluster_id"), "left_semi")
+      val subEdges = edges.filter(!d28IsDelta)
+        .join(members.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+        .unionByName(delta)
+      val relabeled = minLabelClusters(subEdges, dir)
+        .select(col("doc_id"), col("cluster_id"))
+        .withColumn("part", d29Partition(col("cluster_id")))
+      val passthrough = labelsOld
+        .join(affected, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"), col("part"))
+      // touched = partitions that must change content: where affected
+      // clusters' rows LIVED (rows leave) ∪ where relabeled rows LAND
+      val touched = members.select(col("part")).distinct()
+        .unionByName(relabeled.select(col("part"))).distinct()
+      // full content of each touched partition; checkpoint cuts the
+      // lineage back to the store so the overwrite isn't a self-read
+      val writeBack = Caches.checkpointed(dir,
+        passthrough.unionByName(relabeled)
+          .join(touched, Seq("part"), "left_semi"))
+      writeBack
+        .repartition(16, col("part"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part").parquet(path)
+      s.read.schema(d29Schema).parquet(path)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
     }),
 
@@ -1745,6 +1862,10 @@ object DedupQueries {
     // the incremental-maintenance proof.
     "d28_incremental_cc" -> d9ClustersSql,
 
+    // d29: the landed store after merge write-back must equal the
+    // same full recompute — the strongest landed ≡ recomputed form.
+    "d29_landed_labels" -> d9ClustersSql,
+
     // d27's twin replays the d9 reachability, coalesces singletons to
     // their own label, and applies the same label-hash split — a
     // per-DOC split would produce different totals and hash-mismatch.
@@ -1755,8 +1876,10 @@ object DedupQueries {
          |     COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
          |   FROM documents d LEFT JOIN cl USING (doc_id)),
          | sp AS (SELECT *, CASE
-         |     WHEN (cluster_id * 2654435761) % 1000000007 % 10 < 8 THEN 'train'
-         |     WHEN (cluster_id * 2654435761) % 1000000007 % 10 = 8 THEN 'val'
+         |     WHEN ((cluster_id % 1000000007 + 1000000007) % 1000000007
+         |           * 2654435761) % 1000000007 % 10 < 8 THEN 'train'
+         |     WHEN ((cluster_id % 1000000007 + 1000000007) % 1000000007
+         |           * 2654435761) % 1000000007 % 10 = 8 THEN 'val'
          |     ELSE 'test' END AS split FROM lab)
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,

@@ -877,6 +877,10 @@ object PipelineQueries {
       base.unionByName(corrections).unionByName(deletes)
         .groupBy("o_orderpriority")
         .agg(sum("dn").as("n"), sum("dc").as("cents"))
+        // a fully-retracted group folds to n=0 — the from-scratch
+        // recompute (the oracle) has no such group at all, so drop it
+        // here rather than emit an n=0 / NULL-avg ghost row
+        .filter(col("n") =!= 0)
         .withColumn("avg_cents", expr("cents div n"))
         .orderBy("o_orderpriority")
     }),

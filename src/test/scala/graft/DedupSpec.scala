@@ -519,4 +519,50 @@ class DedupSpec extends AnyFunSuite {
         "if this fails the invariant test above is vacuous")
     graft.queries.Caches.release(spark, sfDir)
   }
+
+  test("d29 serve runs ONE BSP pass and the write-back only touches affected partitions") {
+    // converge the store: build the landing + one merge write-back
+    SparkEntry.queries("d29_landed_labels")(spark, sfDir).collect()
+    val path = DedupQueries.labelLandingFor(spark, sfDir)
+    // per-partition file inventory (name → (size, mtime)): dynamic
+    // overwrite writes NEW task-UUID file names into every partition
+    // it replaces, so an unchanged inventory means the partition's
+    // files were never rewritten — byte-identity by inode
+    def snap(): Map[String, Map[String, (Long, Long)]] = {
+      val root = new java.io.File(path)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("part="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    }
+    val before = snap()
+    val runs0 = DedupQueries.bspRuns.get()
+    SparkEntry.queries("d29_landed_labels")(spark, sfDir).collect()
+    // the landed-store contract: labels_old comes from parquet, so the
+    // serve path launches exactly one fixpoint — the subgraph relabel
+    // (d28 launches two: old-side convergence + relabel)
+    assert(DedupQueries.bspRuns.get() - runs0 === 1L,
+      "d29 serve must run exactly one BSP fixpoint (the affected-subgraph relabel)")
+    val after = snap()
+    // independently recompute the partitions affected clusters touch
+    val delta = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
+      .filter(DedupQueries.d28IsDelta)
+    val deltaNodes = delta.select(col("doc1").as("doc_id"))
+      .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
+    val labels = spark.read.schema(DedupQueries.d29Schema).parquet(path)
+    val affected = labels.join(deltaNodes, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val touchedParts = labels.join(affected, Seq("cluster_id"), "left_semi")
+      .select("part").distinct().collect().map(r => s"part=${r.getInt(0)}").toSet
+    val changed = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    assert(changed.nonEmpty, "fixture has delta edges, so some partitions must be rewritten")
+    assert(changed.subsetOf(touchedParts),
+      s"write-back rewrote partitions outside the affected set: ${changed -- touchedParts}")
+    assert((before.keySet -- changed).nonEmpty,
+      "fixture must leave some partitions untouched or the surgical-write pin is vacuous")
+    graft.queries.Caches.release(spark, sfDir)
+  }
 }
