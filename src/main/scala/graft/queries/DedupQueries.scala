@@ -573,15 +573,23 @@ object DedupQueries {
     * (best rounded Jaccard, then smallest corpus id). */
   private def classifyBatchAgainst(s: SparkSession, dir: String,
       corpusBands: DataFrame): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val batch = docs.filter(col("doc_id") % 10 === 0)
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+    classifyBatch(s, dir, batch.select("doc_id", "text"), bandsOf(batch), corpusBands)
+  }
+
+  /** The band-axis classifier over a PRE-FEATURIZED batch: `batch` is
+    * (doc_id, text), `batchBands` its (doc_id, band, key) rows — so
+    * e15's composed verdict can feed both from one checkpointed
+    * arrival scan instead of re-deriving the batch per axis. */
+  private def classifyBatch(s: SparkSession, dir: String, batch: DataFrame,
+      batchBands: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
     val exact = batch.as("b")
       .join(corpus.as("c"), col("b.text") === col("c.text"))
       .groupBy(col("b.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_id"))
     val sh = Caches.trackCached(dir, docShingles(s, dir))
-    val cand = bandsOf(batch).as("a").join(corpusBands.as("b"),
+    val cand = batchBands.as("a").join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
@@ -1351,10 +1359,32 @@ object DedupQueries {
     // The oracle nests the three standalone twins verbatim, so the
     // hash gate proves composed ≡ independently-computed per axis. ----
     "e15_ingest_verdict" -> ((s, dir) => {
-      val band = classifyBatchAgainst(s, dir,
+      // ONE batch scan: the arrival slice is read once and featurized
+      // once — text, length, shingles (band axis), gram hashes
+      // (substring axis) — into an eagerly-checkpointed frame all
+      // axes consume (the semantic axis keys on the arrival ids; its
+      // vectors ride the d14 memo). Before this, each axis re-derived
+      // and re-hashed the batch independently (three text passes);
+      // at 100 TB/day of arrivals that's two redundant corpus-scale
+      // scans per ingest. Checkpoint size is batch-proportional
+      // (shingles + one 8-byte hash per char position).
+      val arrival = Caches.checkpointed(dir,
+        withShingles(Tables.documents(s, dir)
+            .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
+          .withColumn("len", length(col("text")))
+          .withColumn("grams",
+            graft.plans.GraftGramHashes.column(col("text"), 60)))
+      val band = classifyBatch(s, dir, arrival.select("doc_id", "text"),
+        arrival.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+          .toDF("doc_id", "band", "key"),
         s.table(bandLandingFor(s, dir))
           .select(col("doc_id"), col("band"), col("key")))
-      val sub = substringAdmissionFor(s, dir).select(col("doc_id"),
+      val subBatch = arrival
+        .filter(col("text").isNotNull && col("len") >= 60)
+        .select(col("doc_id"), col("text"), col("len"))
+      val bg = arrival.filter(col("text").isNotNull && col("len") >= 60)
+        .select(col("doc_id").as("b_id"), posexplode(col("grams")).as(Seq("ib", "h")))
+      val sub = substringAdmission(s, dir, subBatch, bg).select(col("doc_id"),
         col("n_partners").as("sub_partners"),
         col("best_match").as("sub_match"),
         col("dup_chars").as("sub_dup_chars"),
@@ -1397,13 +1427,25 @@ object DedupQueries {
     * chars); shorter arrivals have trivially zero coverage and are
     * handled by the composer's defaults. */
   private[queries] def substringAdmissionFor(s: SparkSession, dir: String): DataFrame = {
+    val K = 60
+    val batch = d23DocsFor(s, dir).filter(col("doc_id") % 10 === 0)
+    val bg = batch.select(col("doc_id").as("b_id"),
+      posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
+        .as(Seq("ib", "h")))
+    substringAdmission(s, dir, batch, bg)
+  }
+
+  /** The substring-axis admission over a PRE-FEATURIZED batch:
+    * `batch` is (doc_id, text, len) restricted to the gram family
+    * (non-null, len ≥ 60), `bg` its exploded (b_id, ib, h) gram
+    * hashes — e15 feeds both from one checkpointed arrival scan.
+    * Corpus text still comes from [[d23DocsFor]], read only for docs
+    * holding candidates (the c-side slicedGrams gather). */
+  private def substringAdmission(s: SparkSession, dir: String,
+      batch: DataFrame, bg: DataFrame): DataFrame = {
       val K = 60
       val docs = d23DocsFor(s, dir)
-      val batch = docs.filter(col("doc_id") % 10 === 0)
       val idx = s.table(d26LandingFor(s, dir))
-      val bg = batch.select(col("doc_id").as("b_id"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
-          .as(Seq("ib", "h")))
       // the probe-side guard is PER DOCUMENT (not per batch): an
       // arrival's verdict must not depend on what else happened to
       // arrive with it, and a degenerate constant-character doc is
@@ -1427,7 +1469,7 @@ object DedupQueries {
         .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
         .select(col("b_id"), col("ib"), col("c_id"), col("ic")))
       val ver = Caches.checkpointed(dir, cand
-        .join(slicedGrams(cand, docs, "b_id", "ib", K), Seq("b_id", "ib"))
+        .join(slicedGrams(cand, batch, "b_id", "ib", K), Seq("b_id", "ib"))
         .join(slicedGrams(cand, docs, "c_id", "ic", K), Seq("c_id", "ic"))
         .filter(col("g_ib") === col("g_ic"))
         .select("b_id", "c_id", "ib", "ic"))

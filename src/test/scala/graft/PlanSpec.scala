@@ -139,6 +139,18 @@ class PlanSpec extends AnyFunSuite {
       s"semantic axis did not reuse the d14 edge memo:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"composed verdict plans a cartesian product:\n$plan")
+    // ONE batch scan: every axis reads the arrival slice through the
+    // shared checkpointed features frame (a LogicalRDD in the plan),
+    // so the only documents FileScan left in the final plan is the
+    // exact axis's CORPUS side (before the shared frame, each axis
+    // re-scanned and re-featurized the batch — ~5 documents scans)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val docScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"composed verdict re-scans the arrival batch ($docScans documents scans):\n$plan")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"arrival features are not served from the shared checkpoint:\n$plan")
   }
 
   test("e11 anomaly gate is a broadcast map-side filter (one stats shuffle only)") {
