@@ -974,12 +974,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("toks"),
           col("n_chars").as("q"))
-      val budgets = Tables.documents(s, dir)
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
-        .groupBy("source")
-        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
       val ordered = graft.operators.GlobalOrder.withRunningTotalWithin(
         docs, "cum", Seq("source"), col("toks"), col("q").desc, col("doc_id"))
+      // budgets aggregate the SAME tokenized frame post-prefix-sum:
+      // both consumers share the operator's range exchange (ReuseExchange
+      // dedupes the identical subtree), so the corpus text is scanned
+      // and tokenized ONCE — the previous independent derivation cost a
+      // second full text pass (real money at 100 TB)
+      val budgets = ordered
+        .groupBy("source")
+        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
       ordered.join(broadcast(budgets), Seq("source"))
         .filter(col("cum") < col("budget"))
         .groupBy("source")

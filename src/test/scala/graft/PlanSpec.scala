@@ -267,6 +267,20 @@ class PlanSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"t37 prefix sum not partitioned:\n$plan")
+    // ONE corpus TEXT scan: the budget aggregate derives from the same
+    // tokenized frame post-prefix-sum, sharing the operator's range
+    // exchange (ReusedExchange) — before, an independent derivation
+    // read and tokenized the text column a second time (a full extra
+    // text pass at 100 TB). Column-pruned branches may still take a
+    // narrow no-text documents scan; only text reads are the cost.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val textScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents") &&
+        l.contains("text:string"))
+    assert(textScans == 1,
+      s"t37 reads/tokenizes the corpus text $textScans times (want 1):\n$plan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"t37's budget branch does not reuse the prefix-sum exchange:\n$plan")
   }
 
   test("j10 bloom prune filters the probe map-side before the only (broadcast) join") {
