@@ -302,6 +302,39 @@ object AnnQueries {
     org.apache.spark.sql.types.StructField("cid",
       org.apache.spark.sql.types.LongType)))
 
+  /** Read a landed (vec_id, arn, cid) rank artifact with the explicit
+    * writer schema (empty-corpus landings are fileless — s15's trap). */
+  private def landedRanks(s: SparkSession, path: String): DataFrame =
+    s.read.schema(x19ArtifactSchema).parquet(path)
+
+  /** x20/x23's serve-time deletion feed: tombstoned vectors neither
+    * serve as neighbors nor issue queries; the predicate rides the
+    * artifact scan (no file rewrite — that's x21's compaction). */
+  private def notTombstoned: org.apache.spark.sql.Column = col("vec_id") % 37 =!= 1
+
+  /** THE landed-index serve plan, shared by x19–x24: pure relational
+    * work over a (vec_id, arn, cid) rank frame — nearest-cell members
+    * and probe lists filtered off the same scan, id equi-joins back to
+    * the vector store, broadcast probe × cell-members equi-join, rank
+    * window top-5. No quantizer kernel, no UDF, no training anywhere
+    * in the serve plan; the six lifecycle gates differ ONLY in where
+    * `ranks` comes from (landed / filtered / compacted / delta-union)
+    * and the probe width. */
+  private def serveLanded(s: SparkSession, dir: String, ranks: DataFrame,
+      nprobe: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val assigned = ranks.filter(col("arn") === 1)
+      .select(col("vec_id").as("nid"), col("cid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("n2").as("nn2")), Seq("nid"))
+    val probes = ranks.filter(col("arn") <= nprobe && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("cid"))
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2")), Seq("qid"))
+    topK(broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid")), 5)
+  }
+
   private def indexLandingFor(s: SparkSession, dir: String): String =
     x19Landing.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.nameUUIDFromBytes(
@@ -989,20 +1022,8 @@ object AnnQueries {
     // artifact serves EXACTLY what the in-memory index serves (the
     // DuckDB twin recomputes assignment from raw vectors), so index
     // persistence is hash-checked, not asserted. ----
-    "x19_persisted_ivf" -> ((s, dir) => {
-      val ranks = s.read.schema(x19ArtifactSchema).parquet(indexLandingFor(s, dir))
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
-    }),
+    "x19_persisted_ivf" -> ((s, dir) =>
+      serveLanded(s, dir, landedRanks(s, indexLandingFor(s, dir)), nprobe = 8)),
 
     // ---- X20: tombstone deletion — the third leg of the index
     // lifecycle (x19 build/serve, x18 append, x20 delete): vectors
@@ -1019,21 +1040,10 @@ object AnnQueries {
     // deleting a member does not move centroids any more than it
     // does in any IVF), so the gate proves filtered-serve ≡
     // recomputed-serve. ----
-    "x20_tombstone_serving" -> ((s, dir) => {
-      val ranks = s.read.schema(x19ArtifactSchema).parquet(indexLandingFor(s, dir))
-        .filter(col("vec_id") % 37 =!= 1)
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
-    }),
+    "x20_tombstone_serving" -> ((s, dir) =>
+      serveLanded(s, dir,
+        landedRanks(s, indexLandingFor(s, dir)).filter(notTombstoned),
+        nprobe = 8)),
 
     // ---- X21: tombstone compaction — the maintenance step that ends
     // x20's predicate-serving era: the landed index is REWRITTEN with
@@ -1045,21 +1055,8 @@ object AnnQueries {
     // the tombstoned rows and nothing else: compacted-serve ≡
     // filtered-serve ≡ recomputed-serve. Lifecycle complete: x19
     // build/serve, x18 append, x20 delete, x21 compact. ----
-    "x21_compacted_serving" -> ((s, dir) => {
-      val ranks = s.read.schema(x19ArtifactSchema)
-        .parquet(compactedLandingFor(s, dir))
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 8 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
-    }),
+    "x21_compacted_serving" -> ((s, dir) =>
+      serveLanded(s, dir, landedRanks(s, compactedLandingFor(s, dir)), nprobe = 8)),
 
     // ---- X22: serving from the PERSISTED TRAINED index — x19's
     // build-once/serve-many contract applied to the index family a
@@ -1070,20 +1067,8 @@ object AnnQueries {
     // UDF anywhere in the serve plan. The oracle is x16's end-to-end
     // train→index→search replay, so the hash gate proves landed-
     // trained ≡ recomputed-trained. ----
-    "x22_trained_persisted" -> ((s, dir) => {
-      val ranks = s.read.schema(x19ArtifactSchema).parquet(trainedLandingFor(s, dir))
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
-    }),
+    "x22_trained_persisted" -> ((s, dir) =>
+      serveLanded(s, dir, landedRanks(s, trainedLandingFor(s, dir)), nprobe = 4)),
 
     // ---- X23: tombstone serving over the TRAINED landed index —
     // x20's serve-time exclusion (same deletion feed, vec_id % 37 ==
@@ -1091,21 +1076,10 @@ object AnnQueries {
     // proving the lifecycle machinery is index-family-agnostic. The
     // oracle recomputes training from scratch and excludes the
     // tombstoned rows from both serving roles. ----
-    "x23_trained_tombstone" -> ((s, dir) => {
-      val ranks = s.read.schema(x19ArtifactSchema).parquet(trainedLandingFor(s, dir))
-        .filter(col("vec_id") % 37 =!= 1)
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
-    }),
+    "x23_trained_tombstone" -> ((s, dir) =>
+      serveLanded(s, dir,
+        landedRanks(s, trainedLandingFor(s, dir)).filter(notTombstoned),
+        nprobe = 4)),
 
     // ---- X24: append to the TRAINED landed index — the last open leg
     // of the trained family's lifecycle (build/serve x22, delete x23,
@@ -1130,18 +1104,7 @@ object AnnQueries {
       val delta = kmQuantized(s, dir).filter(col("vec_id") % 5 === 4)
         .select(col("vec_id"), explode(probesU(col("qv"))).as("p"))
         .select(col("vec_id"), col("p._1").as("arn"), col("p._2").as("cid"))
-      val ranks = landed.unionByName(delta)
-      val e = vecs(s, dir)
-      val assigned = ranks.filter(col("arn") === 1)
-        .select(col("vec_id").as("nid"), col("cid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("n2").as("nn2")), Seq("nid"))
-      val probes = ranks.filter(col("arn") <= 4 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("cid"))
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2")), Seq("qid"))
-      topK(broadcast(probes).join(assigned, Seq("cid"))
-        .filter(col("qid") =!= col("nid")), 5)
+      serveLanded(s, dir, landed.unionByName(delta), nprobe = 4)
     }),
 
     // ---- X2: sign-LSH bucketed top-5. The integer-weight planes make
