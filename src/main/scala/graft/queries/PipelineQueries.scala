@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline surface, round 4: CDC-style merge/upsert,
@@ -194,6 +195,48 @@ object PipelineQueries {
        |      ELSE acc || chr(31) || x END), chr(31)) AS sym
        |   FROM $prev, b$r)""".stripMargin
   }
+
+  /** t39's lang-ID replay CTE — planted per-language transform, char
+    * trigrams, profile training (top-200 grams per language, count
+    * desc / gram asc), BIGINT fixed-point scoring, dense argmax +
+    * margin — the common prefix of the t39 and t40 twins. */
+  private lazy val t39LangIdCte: String =
+    """WITH d2 AS (SELECT doc_id, lang, CASE lang
+      |     WHEN 'es' THEN translate(text, 'aeio', 'áéíó')
+      |     WHEN 'de' THEN translate(text, 'aeou', 'äëöü')
+      |     WHEN 'fr' THEN translate(text, 'aeiu', 'àéîû')
+      |     WHEN 'zh' THEN translate(text, 'aeiou', '的一是不了')
+      |     ELSE text END AS t
+      |   FROM documents WHERE text IS NOT NULL AND length(text) >= 3),
+      | grams AS (SELECT doc_id, lang, unnest(list_transform(
+      |     range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+      |   FROM d2),
+      | prof AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+      |   FROM grams WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+      | tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1),
+      | wts AS (SELECT p.lang AS plang, p.g,
+      |     CAST(p.cnt * 1000000 // t.tot AS BIGINT) AS w
+      |   FROM (SELECT lang, g, cnt, row_number() OVER (
+      |       PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rk FROM prof) p
+      |   JOIN tot t USING (lang) WHERE p.rk <= 200),
+      | test AS (SELECT * FROM grams WHERE doc_id % 5 = 0),
+      | hits AS (SELECT doc_id, plang, CAST(sum(w) AS BIGINT) AS score
+      |   FROM test JOIN wts USING (g) GROUP BY 1, 2),
+      | dense AS (SELECT d.doc_id, d.lang, l.plang,
+      |     COALESCE(h.score, 0) AS score
+      |   FROM (SELECT DISTINCT doc_id, lang FROM test) d
+      |   CROSS JOIN (SELECT DISTINCT plang FROM wts) l
+      |   LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = l.plang),
+      | ranked AS (SELECT *, row_number() OVER (
+      |     PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+      |   FROM dense),
+      | verdicts AS (SELECT b.doc_id, b.lang AS true_lang,
+      |     b.plang AS pred_lang, CAST(b.score AS BIGINT) AS score,
+      |     CAST(b.score - COALESCE(s2.score, 0) AS BIGINT) AS margin,
+      |     b.plang = b.lang AS correct
+      |   FROM (SELECT * FROM ranked WHERE rn = 1) b
+      |   LEFT JOIN (SELECT doc_id, score FROM ranked WHERE rn = 2) s2
+      |     USING (doc_id))""".stripMargin
 
   /** The full three-round training chain, word table → s3 final vocab —
     * the common prefix of t27's and t34's oracle twins. */
@@ -581,6 +624,110 @@ object PipelineQueries {
   // so floor/frac arithmetic is identical across engines' numeric types
   private lazy val mixtureWeights: Seq[(String, Double)] = Seq(
     "src1" -> 1.5, "src2" -> 0.25, "src3" -> 2.0, "src4" -> 0.75, "src5" -> 1.0)
+
+  /** Largest-remainder (Hamilton) seat apportionment over a per-key
+    * count frame — t33's α = 0.5 temperature mixture, factored so the
+    * predicted-language mixture (t40) reuses the identical BIGINT
+    * arithmetic: weights are floor(√n·10⁶) micro-units (sqrt is
+    * IEEE-correctly-rounded on both engines, so the floor is
+    * bit-identical), quotas are integer div/mod against the exact
+    * integer weight total, leftover seats go to the largest integer
+    * remainders (ties to key asc). Invariant: Σalloc = budget exactly.
+    * The ranking window runs over the per-key aggregate (≤ |keys|
+    * rows), never the corpus. */
+  private def hamiltonAllocate(counts: DataFrame, keyCol: String,
+      budget: Long): DataFrame = {
+    val src = counts
+      .withColumn("wm", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val q = src.crossJoin(broadcast(src.agg(sum(col("wm")).as("w_tot"))))
+      .withColumn("base", expr(s"($budget * wm) div w_tot"))
+      .withColumn("rem", expr(s"($budget * wm) % w_tot"))
+    q.crossJoin(broadcast(q.agg((lit(budget) - sum(col("base"))).as("leftover"))))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(keyCol).asc)))
+      .select(col(keyCol), col("n"), col("wm"), col("base"), col("rem"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(keyCol)
+  }
+
+  /** t39's PLANTED multilingual corpus: the fixture's `lang` column is
+    * a random label over the same English token soup (measured: a
+    * trigram classifier on the raw text scores ≈ chance), so the
+    * linguistic signal is planted deterministically — each language
+    * maps a distinct vowel subset to its own diacritic/CJK characters
+    * (one `translate` pass, replayed verbatim by the DuckDB twin, the
+    * t38 derive-in-query convention). The transform is what gives the
+    * profiles disjoint high-mass trigram regions, like real
+    * orthographies do. */
+  private def plantedLangText: Column =
+    when(col("lang") === "es", translate(col("text"), "aeio", "áéíó"))
+      .when(col("lang") === "de", translate(col("text"), "aeou", "äëöü"))
+      .when(col("lang") === "fr", translate(col("text"), "aeiu", "àéîû"))
+      .when(col("lang") === "zh", translate(col("text"), "aeiou", "的一是不了"))
+      .otherwise(col("text"))
+
+  /** t39's per-document language-ID frame, memoized per (JVM, dir)
+    * because t40's mixture keys on the prediction. Char trigrams come
+    * from ONE split-to-chars pass + O(1) array indexing (the t23
+    * discipline — per-position substring re-scans UTF-8 from byte 0);
+    * profile training is one (lang, gram) partial-aggregated shuffle
+    * over the labeled split; the profile itself is df-capped to the
+    * top-200 grams per language (count desc, gram asc) — a BOUNDED,
+    * broadcastable artifact however large the corpus; scoring is one
+    * gram equi-join against the broadcast profile + a per-doc groupBy.
+    * Scores are BIGINT fixed-point frequencies (cnt·10⁶ div total):
+    * log-odds would need ln(), which is NOT correctly-rounded across
+    * engines (the t33 floor(sqrt) precedent covers only IEEE-exact
+    * ops), so the linear-frequency surrogate keeps the argmax
+    * integer-exact and cross-engine gateable. Argmax tie-break: score
+    * desc, language asc; margin = best − runner-up. */
+  private val t39Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def langIdFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t39Memo.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { t39Memo.remove(d); () })
+      val d2 = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), plantedLangText.as("t"))
+      val grams = d2
+        .withColumn("cs", split(col("t"), ""))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(t) - 2)," +
+            " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
+      val prof = grams.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      val tot = prof.groupBy("lang").agg(sum("cnt").as("tot"))
+      val weights = prof
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)))
+        .filter(col("rk") <= 200)
+        .join(tot, Seq("lang"))
+        .select(col("lang").as("plang"), col("g"),
+          expr("cnt * 1000000 div tot").as("w"))
+      val test = grams.filter(col("doc_id") % 5 === 0)
+      val hits = test.join(broadcast(weights), Seq("g"))
+        .groupBy("doc_id", "plang").agg(sum("w").as("score"))
+      // dense (doc × language) scores: a doc whose grams miss a
+      // language's profile still competes with score 0 there, so the
+      // argmax and margin are total functions of the language set
+      val dense = test.select("doc_id", "lang").distinct()
+        .crossJoin(broadcast(weights.select("plang").distinct()))
+        .join(hits, Seq("doc_id", "plang"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+      val ranked = dense.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)))
+      val bst = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("plang").as("pred_lang"), col("score"))
+      val snd = ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("score2"))
+      Caches.trackCached(d, bst.join(snd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("score"),
+          (col("score") - coalesce(col("score2"), lit(0L))).as("margin"),
+          (col("pred_lang") === col("true_lang")).as("correct")))
+    })
 
   /** S18's bucketed warehouse: orders and lineitem written ONCE per
     * (JVM, source dir) as catalog tables bucketed 8-ways on the join
@@ -1030,6 +1177,37 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // ---- T39: per-document language identification — the FIRST
+    // routing decision a multilingual crawl makes, and the key every
+    // per-language curation op (mixture, per-lang dedup, per-lang
+    // quality) needs: character-trigram frequency profiles trained on
+    // the labeled split (doc_id % 5 != 0) of the planted multilingual
+    // corpus ([[plantedLangText]]), each unlabeled document scored by
+    // BIGINT fixed-point profile weights and assigned its argmax
+    // language with a margin. fastText-class mechanics, Spark-first
+    // shape: the profile is a df-capped top-200-grams-per-language
+    // BROADCAST artifact (bounded at any corpus size), training is one
+    // partial-aggregated (lang, gram) shuffle, scoring is one
+    // broadcast equi-join + per-doc groupBy — no corpus-side window,
+    // no UDF. The DuckDB twin replays the transform, the training AND
+    // the scoring, so profile construction is hash-checked too. See
+    // [[langIdFor]] for the integer-exactness argument. ----
+    "t39_lang_id" -> ((s, dir) => langIdFor(s, dir).orderBy("doc_id")),
+
+    // ---- T40: predicted-language temperature mixture — t33's α = 0.5
+    // apportionment keyed by t39's PREDICTION, wiring language ID into
+    // the sampling stage the way a production multilingual pipeline
+    // chains them (route → rebalance): per predicted language, the
+    // scored split's document count feeds the same Hamilton
+    // largest-remainder BIGINT arithmetic; Σalloc = budget exactly.
+    // The composition is the point of the gate — the twin replays
+    // lang-ID end-to-end INSIDE the mixture query. ----
+    "t40_predlang_mix" -> ((s, dir) =>
+      hamiltonAllocate(
+        langIdFor(s, dir).groupBy("pred_lang")
+          .agg(count(lit(1)).cast("long").as("n")),
+        "pred_lang", 100000L)),
+
     // ---- S24: declarative constraint audit — the Deequ/dbt-test
     // shape: a constraint SET (not-null, key uniqueness, range,
     // accepted values, two referential-integrity legs) evaluated as
@@ -1450,21 +1628,11 @@ object PipelineQueries {
     // the largest integer remainders (ties to source name). Invariant:
     // Σalloc = 100000 exactly. The ranking window runs over the
     // per-source aggregate (≤ |sources| rows), never the corpus. ----
-    "t33_temperature_mix" -> ((s, dir) => {
-      val budget = 100000L
-      val src = Tables.documents(s, dir)
-        .groupBy("source").agg(count(lit(1)).cast("long").as("n"))
-        .withColumn("wm", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
-      val q = src.crossJoin(broadcast(src.agg(sum(col("wm")).as("w_tot"))))
-        .withColumn("base", expr(s"($budget * wm) div w_tot"))
-        .withColumn("rem", expr(s"($budget * wm) % w_tot"))
-      q.crossJoin(broadcast(q.agg((lit(budget) - sum(col("base"))).as("leftover"))))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source").asc)))
-        .select(col("source"), col("n"), col("wm"), col("base"), col("rem"),
-          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
-        .orderBy("source")
-    }),
+    "t33_temperature_mix" -> ((s, dir) =>
+      hamiltonAllocate(
+        Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).cast("long").as("n")),
+        "source", 100000L)),
 
     // ---- T35: Zipf rank-frequency slope — the corpus-health
     // diagnostic behind "does this source look like natural language":
@@ -1955,6 +2123,30 @@ object PipelineQueries {
         |  round((a[2] - ((n * a[3] - a[1] * a[2]) / (n * a[4] - a[1] * a[1])) * a[1]) / n,
         |    4) AS intercept
         |FROM ac ORDER BY source""".stripMargin,
+
+    // t39/t40: the full lang-ID replay — planted transform, trigram
+    // profile TRAINING (top-200 per language), fixed-point scoring,
+    // argmax + margin — shared by both oracles (parameterized-replay
+    // convention, like trainedServeSql / d9ReachCte).
+    "t39_lang_id" -> s"""$t39LangIdCte
+       |SELECT doc_id, true_lang, pred_lang, score, margin, correct
+       |FROM verdicts ORDER BY doc_id""".stripMargin,
+
+    "t40_predlang_mix" -> s"""$t39LangIdCte,
+       | s AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n
+       |   FROM verdicts GROUP BY 1),
+       | w AS (SELECT pred_lang, n,
+       |     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wm FROM s),
+       | t AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot FROM w),
+       | q AS (SELECT pred_lang, n, wm,
+       |     (100000 * wm) // w_tot AS base, (100000 * wm) % w_tot AS rem
+       |   FROM w, t),
+       | l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM q),
+       | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, pred_lang) AS rk
+       |   FROM q)
+       |SELECT pred_lang, n, wm, base, rem,
+       |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+       |FROM r, l ORDER BY pred_lang""".stripMargin,
 
     "t33_temperature_mix" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n

@@ -372,4 +372,28 @@ class QualitySpec extends AnyFunSuite {
     assert(rows("lineitem.l_orderkey REFERENCES orders") === ((3L, 1L)))
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("t39 language ID separates the planted orthographies with positive margins") {
+    val rows = SparkEntry.queries("t39_lang_id")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no scored documents")
+    // the planted vowel transforms give each language a disjoint
+    // high-mass trigram region — the classifier must recover every
+    // label (a broken profile or scoring pass shows up as confusion)
+    val wrong = rows.filterNot(_.getAs[Boolean]("correct"))
+    assert(wrong.isEmpty,
+      s"misclassified: ${wrong.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq}")
+    // argmax must be strict: a zero margin means a tie broken by name,
+    // i.e. no signal — every planted doc should have real separation
+    assert(rows.forall(_.getAs[Long]("margin") > 0L),
+      "some verdicts carry zero margin (no separation)")
+  }
+
+  test("t40 mixture allocation is exact: seats sum to the budget, every language seated") {
+    val rows = SparkEntry.queries("t40_predlang_mix")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 100000L,
+      "Hamilton apportionment must hand out the budget exactly")
+    assert(rows.length === 5, s"expected 5 predicted languages, got ${rows.length}")
+    assert(rows.forall(_.getAs[Long]("alloc") > 0L), "a language starved")
+    graft.queries.Caches.release(spark, sfDir)
+  }
 }
