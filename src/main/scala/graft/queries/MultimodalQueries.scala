@@ -279,6 +279,140 @@ object MultimodalQueries {
     Mp4Meta(docId, is_mp4 = true, brand, ts, durMs, Some(ntr), Some(nbox))
   }
 
+  /** PDF structural metadata: header validity/version, page count from
+    * the /Type /Pages node, object count from the xref subsection
+    * header, the content stream's /Length, and whether the startxref
+    * pointer actually lands on the xref table (the structural-
+    * integrity bit an ingest pipeline gates on before dispatching to a
+    * real text extractor). */
+  case class PdfMeta(doc_id: Long, is_pdf: Boolean, version: Option[String],
+      n_pages: Option[Long], n_objects: Option[Long],
+      stream_len: Option[Long], xref_ok: Option[Boolean])
+
+  /** Real PDF structural walk over the raw bytes (public layout per
+    * ISO 32000-1): `%PDF-1.x` header; the LAST `startxref` (the spec's
+    * rule — incremental updates append trailers, and the planted
+    * payload may contain the token) dereferenced to the byte offset it
+    * names, which must hold the `xref` keyword for xref_ok — the
+    * planted comment line, kids list, and payload all SHIFT the table
+    * per row, so only correct pointer arithmetic lands; the subsection
+    * header `0 K` gives the object count; the first `/Type/Pages`
+    * node's `/Count` gives pages; the first `/Length` the content
+    * stream size. Every scan is bounds-checked; anything missing
+    * degrades to None (truncation branches MultimodalSpec-pinned). */
+  private[graft] def decodePdf(docId: Long, b0: Array[Byte]): PdfMeta = {
+    val b = if (b0 == null) Array.empty[Byte] else b0
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def str(o: Int, len: Int): String =
+      if (o >= 0 && o + len <= b.length) new String(b, o, len, ascii) else ""
+    def find(pat: String, from: Int): Int = {
+      val p = pat.getBytes(ascii)
+      var i = math.max(0, from)
+      while (i + p.length <= b.length) {
+        var j = 0
+        while (j < p.length && b(i + j) == p(j)) j += 1
+        if (j == p.length) return i
+        i += 1
+      }
+      -1
+    }
+    def rfind(pat: String): Int = {
+      val p = pat.getBytes(ascii)
+      var i = b.length - p.length
+      while (i >= 0) {
+        var j = 0
+        while (j < p.length && b(i + j) == p(j)) j += 1
+        if (j == p.length) return i
+        i -= 1
+      }
+      -1
+    }
+    // bounded decimal parse: at most 15 digits, None if none present
+    def digits(o: Int): Option[Long] = {
+      var i = o; var v = 0L; var n = 0
+      while (i < b.length && n < 15 && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; n += 1
+      }
+      if (n > 0) Some(v) else None
+    }
+    if (b.length < 9 || str(0, 5) != "%PDF-")
+      return PdfMeta(docId, is_pdf = false, None, None, None, None, None)
+    val version = Some(str(5, 3))
+    val pagesAt = find("/Type/Pages", 0)
+    val nPages =
+      if (pagesAt < 0) None
+      else { val c = find("/Count ", pagesAt); if (c < 0) None else digits(c + 7) }
+    val lenAt = find("/Length ", 0)
+    val streamLen = if (lenAt < 0) None else digits(lenAt + 8)
+    val sx = rfind("startxref")
+    val (nObjects, xrefOk) =
+      if (sx < 0) (None, Some(false))
+      else digits(sx + 10) match {
+        case Some(off) if off + 7 <= b.length && str(off.toInt, 5) == "xref\n" =>
+          // subsection header "0 K": object 0 is the free-list head
+          (if (str(off.toInt + 5, 2) == "0 ") digits(off.toInt + 7) else None,
+            Some(true))
+        case _ => (None, Some(false))
+      }
+    PdfMeta(docId, is_pdf = true, version, nPages, nObjects, streamLen, xrefOk)
+  }
+
+  private def hexOf(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .map("%02X".format(_)).mkString
+
+  /** The m11 fixture plant: a REAL minimal PDF over the text bytes —
+    * `%PDF-1.4`..`1.7` header; a binary comment line whose length
+    * VARIES per row (so every later object offset shifts and a
+    * fixed-offset read misparses — m9's free-box trick); a catalog, a
+    * /Type /Pages node with 1-5 kids, that many page objects, and a
+    * content stream object carrying the document text as its payload;
+    * then a byte-correct xref table (every entry's 10-digit offset
+    * computed from the same arithmetic the twin replays) and a trailer
+    * whose startxref names the table's true byte offset. Every 17th
+    * doc is headerless (corrupt branch). */
+  private[graft] def pdfMedia: org.apache.spark.sql.Column = {
+    def asciiHex(c: org.apache.spark.sql.Column) = hex(c.cast("string").cast("binary"))
+    def digitHex(d: org.apache.spark.sql.Column) = hex(lit(48) + d) // one digit 0-9
+    val n = (col("doc_id") % 5 + 1).cast("int") // pages
+    val cpad = (col("doc_id") % 23 + 4).cast("int") // comment bytes
+    val L = length(col("text").cast("binary"))
+    val header = concat(lit(hexOf("%PDF-1.")),
+      digitHex((col("doc_id") % 4 + 4).cast("int")), lit(hexOf("\n")))
+    val comment = concat(lit(hexOf("%")),
+      expr("repeat('E2', CAST(doc_id % 23 + 4 AS INT))"), lit(hexOf("\n")))
+    val off1 = cpad + 11
+    val obj1 = lit(hexOf("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"))
+    val off2 = off1 + 43
+    val kids = element_at(array((1 to 5).map(k =>
+      lit(hexOf((3 until 3 + k).map(i => s"$i 0 R").mkString(" ")))): _*), n)
+    val obj2 = concat(lit(hexOf("2 0 obj<</Type/Pages/Kids[")), kids,
+      lit(hexOf("]/Count ")), digitHex(n), lit(hexOf(">>endobj\n")))
+    val off3 = off2 + n * 6 + 43
+    val pageObjs = element_at(array((1 to 5).map(k =>
+      lit(hexOf((3 until 3 + k)
+        .map(i => s"$i 0 obj<</Type/Page/Parent 2 0 R>>endobj\n").mkString))): _*), n)
+    val offS = off3 + n * 41
+    val streamObj = concat(digitHex(n + 3), lit(hexOf(" 0 obj<</Length ")),
+      asciiHex(L), lit(hexOf(">>stream\n")), hex(col("text").cast("binary")),
+      lit(hexOf("\nendstream endobj\n")))
+    val xrefOff = offS.cast("long") + 44 + length(L.cast("string")) + L
+    def entry(off: org.apache.spark.sql.Column) =
+      concat(asciiHex(lpad(off.cast("string"), 10, "0")), lit(hexOf(" 00000 n \n")))
+    val xref = concat(Seq(
+      lit(hexOf("xref\n0 ")), digitHex(n + 4), lit(hexOf("\n")),
+      lit(hexOf("0000000000 65535 f \n")),
+      entry(off1), entry(off2)) ++
+      (0 until 5).map(j => when(n > j, entry(off3 + j * 41)).otherwise(lit(""))) ++
+      Seq(entry(offS)): _*)
+    val trailer = concat(lit(hexOf("trailer<</Size ")), digitHex(n + 4),
+      lit(hexOf("/Root 1 0 R>>\nstartxref\n")), asciiHex(xrefOff),
+      lit(hexOf("\n%%EOF")))
+    when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+      .otherwise(unhex(concat(header, comment, obj1, obj2, pageObjs,
+        streamObj, xref, trailer)))
+  }
+
   /** The m9 fixture plant: a REAL minimal ISO-BMFF container over the
     * text bytes — ftyp (brand cycled isom/mp42/avc1), a free box whose
     * size VARIES per row (so moov's offset shifts and a fixed-offset
@@ -423,6 +557,30 @@ object MultimodalQueries {
         .select(col("doc_id"), exifMedia.as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => decodeExif(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // ---- M11: PDF structural metadata — the document leg of the
+    // multimodal family (text-pipeline corpora are PDF-heavy, and the
+    // header/xref/page-count walk is the triage every ingest runs
+    // before spending a real extractor on the file): header version,
+    // /Type /Pages → /Count page count, xref object count, content-
+    // stream /Length, and the startxref → xref pointer check — the
+    // integrity bit that catches truncated/garbage PDFs. The planted
+    // container is byte-real: a variable-length binary comment shifts
+    // every object per row, and the xref table's 10-digit entries and
+    // the startxref value are computed from the same offset arithmetic
+    // the DuckDB twin replays — so a walk that mis-counts a single
+    // byte anywhere flips xref_ok and the gate. m1 mapPartitions
+    // shape; every 17th doc headerless (corrupt branch). ----
+    "m11_pdf_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull) // see m1's note
+        .select(col("doc_id"), pdfMedia.as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodePdf(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
@@ -644,6 +802,67 @@ object MultimodalQueries {
     // the row's declared endianness — big-endian fold for MM rows,
     // byte-reversed combine for II rows — so a decoder that ignored
     // the BOM or mis-walked the COM segment hash-mismatches.
+    // m11: the twin rebuilds the planted PDF hex byte for byte (the
+    // constant pieces are the SAME hexOf literals the fixture uses;
+    // the variable pieces — version digit, comment pad, kids list,
+    // xref entry offsets, startxref — are recomputed from the doc_id
+    // arithmetic) and then CHECKS the startxref pointer against its
+    // own hex, so a one-byte error in either engine's offset
+    // bookkeeping flips xref_ok and the hash.
+    "m11_pdf_meta" -> {
+      def dig(e: String) = s"hex(chr(CAST(48 + $e AS INT)))"
+      def entry(off: String) =
+        s"hex(lpad(CAST($off AS VARCHAR), 10, '0')) || '${hexOf(" 00000 n \n")}'"
+      val kidsCase = (1 to 5).map(k =>
+        s"WHEN $k THEN '${hexOf((3 until 3 + k).map(i => s"$i 0 R").mkString(" "))}'")
+        .mkString(" ")
+      val pagesCase = (1 to 5).map(k =>
+        s"WHEN $k THEN '${hexOf((3 until 3 + k)
+          .map(i => s"$i 0 obj<</Type/Page/Parent 2 0 R>>endobj\n").mkString)}'")
+        .mkString(" ")
+      val pageEntries = (0 until 5).map(j =>
+        s"CASE WHEN n > $j THEN ${entry(s"c + 6 * n + 97 + 41 * $j")} ELSE '' END")
+        .mkString(" || ")
+      s"""WITH m AS (SELECT doc_id, text,
+         |   CAST(doc_id % 5 + 1 AS BIGINT) AS n,
+         |   CAST(doc_id % 23 + 4 AS BIGINT) AS c,
+         |   CAST(octet_length(encode(text)) AS BIGINT) AS L
+         |  FROM documents),
+         | o AS (SELECT *,
+         |   c + 47 * n + 141 + length(CAST(L AS VARCHAR)) + L AS xref_off FROM m),
+         | h AS (SELECT doc_id, n, L, xref_off,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text)) ELSE
+         |     '${hexOf("%PDF-1.")}' || ${dig("doc_id % 4 + 4")} || '0A' ||
+         |     '25' || repeat('E2', CAST(c AS INT)) || '0A' ||
+         |     '${hexOf("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")}' ||
+         |     '${hexOf("2 0 obj<</Type/Pages/Kids[")}' ||
+         |     CASE CAST(n AS INT) $kidsCase END ||
+         |     '${hexOf("]/Count ")}' || ${dig("n")} || '${hexOf(">>endobj\n")}' ||
+         |     CASE CAST(n AS INT) $pagesCase END ||
+         |     ${dig("n + 3")} || '${hexOf(" 0 obj<</Length ")}' ||
+         |     hex(CAST(L AS VARCHAR)) || '${hexOf(">>stream\n")}' ||
+         |     hex(encode(text)) || '${hexOf("\nendstream endobj\n")}' ||
+         |     '${hexOf("xref\n0 ")}' || ${dig("n + 4")} || '0A' ||
+         |     '${hexOf("0000000000 65535 f \n")}' ||
+         |     ${entry("c + 11")} || ${entry("c + 54")} ||
+         |     $pageEntries ||
+         |     ${entry("c + 47 * n + 97")} ||
+         |     '${hexOf("trailer<</Size ")}' || ${dig("n + 4")} ||
+         |     '${hexOf("/Root 1 0 R>>\nstartxref\n")}' ||
+         |     hex(CAST(xref_off AS VARCHAR)) || '${hexOf("\n%%EOF")}'
+         |   END AS hs FROM o),
+         | p AS (SELECT *, substring(hs, 1, 10) = '${hexOf("%PDF-")}' AS is_pdf FROM h)
+         |SELECT doc_id, is_pdf,
+         |  CASE WHEN is_pdf THEN '1.' || chr(CAST(52 + doc_id % 4 AS INT)) END AS version,
+         |  CASE WHEN is_pdf THEN n END AS n_pages,
+         |  CASE WHEN is_pdf THEN n + 4 END AS n_objects,
+         |  CASE WHEN is_pdf THEN L END AS stream_len,
+         |  CASE WHEN is_pdf THEN
+         |    substring(hs, CAST(xref_off * 2 + 1 AS INT), 10) = '${hexOf("xref\n")}'
+         |  END AS xref_ok
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     "m10_exif_meta" -> {
       def byteAt(k: String) =
         s"(CAST(strpos('0123456789ABCDEF', substring(hs, CAST($k AS INT), 1)) - 1 AS BIGINT) * 16 + " +

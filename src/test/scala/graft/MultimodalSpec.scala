@@ -264,4 +264,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!MultimodalQueries.decodeExif(7L, null).has_exif)
     assert(!MultimodalQueries.decodeExif(8L, "plain text".getBytes("UTF-8")).has_exif)
   }
+
+  // ---- m11: PDF structural walk, branches beyond the gated layout ----
+
+  private def pdf(parts: String*): Array[Byte] =
+    parts.mkString.getBytes("ISO-8859-1")
+
+  private val pdfBody =
+    "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+      "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+      "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n" +
+      "4 0 obj<</Length 5>>stream\nhello\nendstream endobj\n"
+
+  test("pdf: startxref is followed to the table; a stale pointer flips xref_ok only") {
+    val header = "%PDF-1.6\n"
+    val xref = "xref\n0 5\n" + "0000000000 65535 f \n" * 5
+    val off = (header + pdfBody).length
+    val good = pdf(header, pdfBody, xref,
+      s"trailer<</Size 5/Root 1 0 R>>\nstartxref\n$off\n%%EOF")
+    val m = MultimodalQueries.decodePdf(1L, good)
+    assert(m.is_pdf && m.version.contains("1.6") && m.xref_ok.contains(true))
+    assert(m.n_pages.contains(1L) && m.n_objects.contains(5L) && m.stream_len.contains(5L))
+    // same bytes, pointer off by one: structure still reports, integrity bit drops
+    val stale = pdf(header, pdfBody, xref,
+      s"trailer<</Size 5/Root 1 0 R>>\nstartxref\n${off + 1}\n%%EOF")
+    val s = MultimodalQueries.decodePdf(2L, stale)
+    assert(s.is_pdf && s.xref_ok.contains(false) && s.n_objects.isEmpty)
+    assert(s.n_pages.contains(1L) && s.stream_len.contains(5L),
+      s"a bad xref pointer must not take down the object walk: $s")
+  }
+
+  test("pdf: truncation before the trailer degrades to xref_ok false, not a crash") {
+    val t = MultimodalQueries.decodePdf(3L, pdf("%PDF-1.4\n", pdfBody))
+    assert(t.is_pdf && t.version.contains("1.4") && t.xref_ok.contains(false))
+    assert(t.n_pages.contains(1L) && t.stream_len.contains(5L))
+    // truncated mid-header: too short to carry a version
+    assert(!MultimodalQueries.decodePdf(4L, "%PDF".getBytes("US-ASCII")).is_pdf)
+  }
+
+  test("pdf: a payload containing 'startxref' must not shadow the real trailer") {
+    val header = "%PDF-1.5\n"
+    val trap = "5 0 obj<</Length 21>>stream\nstartxref\n999999999\n\nendstream endobj\n"
+    val body = pdfBody + trap
+    val xref = "xref\n0 6\n" + "0000000000 65535 f \n" * 6
+    val off = (header + body).length
+    val m = MultimodalQueries.decodePdf(5L, pdf(header, body, xref,
+      s"trailer<</Size 6/Root 1 0 R>>\nstartxref\n$off\n%%EOF"))
+    assert(m.xref_ok.contains(true) && m.n_objects.contains(6L),
+      s"the LAST startxref (the spec's rule) must win: $m")
+  }
+
+  test("pdf: garbage, null, and headerless bytes report is_pdf false") {
+    assert(!MultimodalQueries.decodePdf(6L, null).is_pdf)
+    assert(!MultimodalQueries.decodePdf(7L, Array.emptyByteArray).is_pdf)
+    assert(!MultimodalQueries.decodePdf(8L, "plain text body".getBytes("UTF-8")).is_pdf)
+  }
 }
