@@ -1208,6 +1208,35 @@ object PipelineQueries {
           .agg(count(lit(1)).cast("long").as("n")),
         "pred_lang", 100000L)),
 
+    // ---- T41: sequence packing — the step between curation and the
+    // trainer: GPT-style concat-and-chunk, where the tokenized corpus
+    // is concatenated in a deterministic order and cut into fixed
+    // 512-token training sequences (padding waste → 0; a document may
+    // span a chunk boundary). The whole operator is the DISTRIBUTED
+    // prefix sum ([[graft.operators.GlobalOrder.withRunningTotal]] —
+    // range shards scan locally, shard totals cross a broadcast
+    // triangular join, no single-partition window anywhere) plus
+    // map-side integer div/mod: each document's first/last sequence id,
+    // offset within its first sequence, and how many chunk boundaries
+    // it crosses — exactly the manifest a data loader needs to slice
+    // batches without materializing the concatenation. The twin is the
+    // sequential `sum() OVER (ORDER BY doc_id)` window, so the gate
+    // proves the sharded prefix sum ≡ the single-task semantics at
+    // BIGINT exactness. ----
+    "t41_sequence_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      graft.operators.GlobalOrder
+        .withRunningTotal(docs, "cum", col("toks"), col("doc_id"))
+        .select(col("doc_id"), col("toks"), col("cum"),
+          expr("cum div 512").as("seq_first"),
+          expr("cum % 512").as("seq_off"),
+          expr("(cum + toks - 1) div 512").as("seq_last"))
+        .withColumn("n_crossings", col("seq_last") - col("seq_first"))
+        .orderBy("doc_id")
+    }),
+
     // ---- S24: declarative constraint audit — the Deequ/dbt-test
     // shape: a constraint SET (not-null, key uniqueness, range,
     // accepted values, two referential-integrity legs) evaluated as
@@ -2147,6 +2176,20 @@ object PipelineQueries {
        |SELECT pred_lang, n, wm, base, rem,
        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
        |FROM r, l ORDER BY pred_lang""".stripMargin,
+
+    "t41_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |   FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, toks,
+        |    CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum FROM d)
+        |SELECT doc_id, toks, cum,
+        |  cum // 512 AS seq_first, cum % 512 AS seq_off,
+        |  (cum + toks - 1) // 512 AS seq_last,
+        |  (cum + toks - 1) // 512 - cum // 512 AS n_crossings
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t33_temperature_mix" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n

@@ -283,6 +283,25 @@ class PlanSpec extends AnyFunSuite {
       s"t37's budget branch does not reuse the prefix-sum exchange:\n$plan")
   }
 
+  test("t41 sequence packing runs the global prefix sum with no single-partition exchange") {
+    val df = SparkEntry.queries("t41_sequence_packing")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"t41 prefix sum funnelled:\n$plan")
+    // packing invariants: contiguous token stream (no gaps), every
+    // crossing count non-negative and consistent with the chunk size
+    val rows = df.collect()
+    val byId = rows.sortBy(_.getLong(0))
+    var expect = 0L
+    byId.foreach { r =>
+      assert(r.getAs[Long]("cum") === expect,
+        s"gap in the packed stream at doc ${r.getLong(0)}")
+      expect += r.getAs[Long]("toks")
+      assert(r.getAs[Long]("n_crossings") >= 0L &&
+        r.getAs[Long]("n_crossings") <= r.getAs[Long]("toks") / 512 + 1)
+    }
+  }
+
   test("j10 bloom prune filters the probe map-side before the only (broadcast) join") {
     val df = SparkEntry.queries("j10_bloom_prune")(spark, sfDir)
     df.collect()
