@@ -659,7 +659,7 @@ object PipelineQueries {
     * t38 derive-in-query convention). The transform is what gives the
     * profiles disjoint high-mass trigram regions, like real
     * orthographies do. */
-  private def plantedLangText: Column =
+  private[graft] def plantedLangText: Column =
     when(col("lang") === "es", translate(col("text"), "aeio", "áéíó"))
       .when(col("lang") === "de", translate(col("text"), "aeou", "äëöü"))
       .when(col("lang") === "fr", translate(col("text"), "aeiu", "àéîû"))
@@ -684,29 +684,47 @@ object PipelineQueries {
   private val t39Memo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def langIdFor(s: org.apache.spark.sql.SparkSession,
+  /** The planted corpus's per-doc char trigrams (one split-to-chars
+    * pass + O(1) array indexing — the t23 discipline). */
+  private def langGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    t39Memo.computeIfAbsent(dir, d => {
-      Caches.track(d)(() => { t39Memo.remove(d); () })
-      val d2 = Tables.documents(s, d)
-        .filter(col("text").isNotNull && length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), plantedLangText.as("t"))
-      val grams = d2
-        .withColumn("cs", split(col("t"), ""))
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, length(t) - 2)," +
-            " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
-      val prof = grams.filter(col("doc_id") % 5 =!= 0)
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), plantedLangText.as("t"))
+      .withColumn("cs", split(col("t"), ""))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(t) - 2)," +
+          " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
+
+  /** The TRAINED language profile — (plang, g, w) fixed-point weights,
+    * top-200 grams per language — memoized per (JVM, dir) so the
+    * streaming twin serves the same artifact the batch gate scores
+    * with (the landed-index contract, profile edition). */
+  private val t39Profile =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def langProfileFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t39Profile.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { t39Profile.remove(d); () })
+      val prof = langGrams(s, d).filter(col("doc_id") % 5 =!= 0)
         .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
       val tot = prof.groupBy("lang").agg(sum("cnt").as("tot"))
-      val weights = prof
+      Caches.trackCached(d, prof
         .withColumn("rk", row_number().over(
           Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)))
         .filter(col("rk") <= 200)
         .join(tot, Seq("lang"))
         .select(col("lang").as("plang"), col("g"),
-          expr("cnt * 1000000 div tot").as("w"))
-      val test = grams.filter(col("doc_id") % 5 === 0)
+          expr("cnt * 1000000 div tot").as("w")))
+    })
+
+  private def langIdFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t39Memo.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { t39Memo.remove(d); () })
+      val weights = langProfileFor(s, d)
+      val test = langGrams(s, d).filter(col("doc_id") % 5 === 0)
       val hits = test.join(broadcast(weights), Seq("g"))
         .groupBy("doc_id", "plang").agg(sum("w").as("score"))
       // dense (doc × language) scores: a doc whose grams miss a

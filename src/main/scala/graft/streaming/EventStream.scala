@@ -435,6 +435,58 @@ object EventStream {
         col("r._11").as("admit"))
   }
 
+  /** Stream twin of the batch t39 language-ID gate: arrivals (ts,
+    * doc_id, text) scored against the TRAINED profile (static side —
+    * [[graft.queries.PipelineQueries.langProfileFor]]'s memoized
+    * artifact; a refreshed profile takes effect on the next
+    * micro-batch, the landed-index refresh contract). One trigram pass
+    * per arrival; a STATELESS stream-static broadcast equi-join on the
+    * gram (the profile is bounded — top-200 grams per language — so it
+    * always broadcasts); a sentinel so gram-less arrivals still
+    * verdict; ONE watermark-bounded (ts, doc) aggregation folding the
+    * per-language sums + dense argmax + margin locally per document.
+    * The language list is collected driver-side from the static
+    * profile (≤ |languages| rows), so languages an arrival never hits
+    * zero-fill exactly as the batch dense frame does — verdicts are
+    * micro-batch-invariant (sums are associative, the fold is per
+    * document). Positions are UTF-16-unit indexed (BMP parity with the
+    * batch split-to-chars pass — the slicedGrams note). State is
+    * O(arrivals per horizon), independent of corpus and stream size. */
+  def identifyLanguage(arrivals: DataFrame, profile: DataFrame): DataFrame = {
+    val langs = profile.select("plang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val trigramsU = udf((t: String) =>
+      if (t == null || t.length < 3) Seq.empty[String]
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3)))
+    val a = arrivals.withWatermark("ts", "2 hours")
+    val hits = a
+      .select(col("ts"), col("doc_id"), explode(trigramsU(col("text"))).as("g"))
+      .join(broadcast(profile.select(col("g"), col("plang"), col("w"))), Seq("g"))
+      .select(col("ts"), col("doc_id"), col("plang"), col("w"))
+    val sentinel = a.select(col("ts"), col("doc_id"),
+      lit(null).cast("string").as("plang"), lit(0L).as("w"))
+    val verdictU = udf((ev: Seq[org.apache.spark.sql.Row]) => {
+      val sums = ev.filter(!_.isNullAt(0)).groupBy(_.getString(0))
+        .map { case (l, rs) => l -> rs.map(_.getLong(1)).sum }
+      // langs ascending + strict-greater replacement ⇒ ties go to the
+      // smallest language name, the batch rank window's tie-break
+      val dense = langs.map(l => l -> sums.getOrElse(l, 0L))
+      if (dense.isEmpty) (null: String, 0L, 0L)
+      else {
+        val (bestL, bestS) = dense.maxBy(_._2)
+        val second = dense.collect { case (l, s) if l != bestL => s }
+          .maxOption.getOrElse(0L)
+        (bestL, bestS, bestS - second)
+      }
+    })
+    hits.unionByName(sentinel)
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(collect_list(struct(col("plang"), col("w"))).as("ev"))
+      .select(col("doc_id"), verdictU(col("ev")).as("r"))
+      .select(col("doc_id"), col("r._1").as("pred_lang"),
+        col("r._2").as("score"), col("r._3").as("margin"))
+  }
+
   /** Streaming count-min sketch — the stream twin of the batch
     * `t28_heavy_hitters` sketch: the unbounded token stream folds into
     * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row

@@ -539,4 +539,49 @@ class StreamingSpec extends AnyFunSuite {
         s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
     } finally q.stop()
   }
+
+  test("streaming language ID equals the batch t39 verdicts micro-batch-invariantly") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestBase.sfDir
+    val expected = graft.queries.PipelineQueries
+      .queries("t39_lang_id")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Long]("score"), r.getAs[Long]("margin"))))
+      .toMap
+    assert(expected.nonEmpty, "batch gate scored no documents")
+    // arrivals = the scored split's PLANTED text (production docs
+    // arrive already in their language; the planting is the fixture's
+    // multilingual stand-in, same transform as the batch side)
+    val arrivals = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3 &&
+        col("doc_id") % 5 === 0)
+      .select(col("doc_id"), graft.queries.PipelineQueries.plantedLangText.as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val profile = graft.queries.PipelineQueries.langProfileFor(spark, dir)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.identifyLanguage(
+        input.toDF().toDF("ts", "doc_id", "text"), profile)
+      .writeStream.format("memory").queryName("lang_id")
+      .outputMode("append").start()
+    try {
+      // spread over micro-batch event times: per-language sums are
+      // associative and the fold is per document, so the verdict must
+      // not depend on the batching
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "watermark advancer"))
+      q.processAllAvailable()
+      val streamed = spark.table("lang_id")
+        .filter(col("doc_id") =!= -999L).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed === expected,
+        "stream language verdicts must equal the batch t39 result")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
 }
