@@ -196,6 +196,22 @@ object PipelineQueries {
        |   FROM $prev, b$r)""".stripMargin
   }
 
+  /** t41/t42's packing oracle — the full sequential-window recompute
+    * (t42's incremental union must hash-equal it). */
+  private lazy val t41PackingSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |   FROM documents WHERE text IS NOT NULL),
+      | c AS (SELECT doc_id, toks,
+      |    CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cum FROM d)
+      |SELECT doc_id, toks, cum,
+      |  cum // 512 AS seq_first, cum % 512 AS seq_off,
+      |  (cum + toks - 1) // 512 AS seq_last,
+      |  (cum + toks - 1) // 512 - cum // 512 AS n_crossings
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** t39's lang-ID replay CTE — planted per-language transform, char
     * trigrams, profile training (top-200 grams per language, count
     * desc / gram asc), BIGINT fixed-point scoring, dense argmax +
@@ -1226,6 +1242,47 @@ object PipelineQueries {
           .agg(count(lit(1)).cast("long").as("n")),
         "pred_lang", 100000L)),
 
+    // ---- T42: INCREMENTAL sequence packing — t41's append path, the
+    // IVM leg that makes packing viable on a growing corpus: ingest
+    // appends documents with ids AFTER the packed history (the
+    // monotone-id append contract every log-structured corpus store
+    // provides), so the history's prefix sums are FROZEN — the delta
+    // re-packs alone, offset by the landed token total (one scalar),
+    // and unions with the historical manifest untouched. Work is
+    // O(delta), not O(corpus); the oracle is t41's FULL sequential
+    // recompute over everything, so the hash gate proves
+    // pack(hist) ∪ shift(pack(delta)) ≡ pack(hist ∪ delta) — e14's
+    // incremental discipline applied to the packing manifest. The
+    // cutoff derives from the corpus's own id quantile (top ~20% of
+    // ids play the arrival batch), mirrored exactly by the twin. ----
+    "t42_incremental_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      val cut = docs.agg((max("doc_id") * 4 / 5).cast("long").as("cut"))
+      val tagged = docs.crossJoin(broadcast(cut))
+      val hist = tagged.filter(col("doc_id") < col("cut")).select("doc_id", "toks")
+      val delta = tagged.filter(col("doc_id") >= col("cut")).select("doc_id", "toks")
+      // in production histPacked is the LANDED manifest and histTotal a
+      // stored scalar; here both recompute inline (e14's convention —
+      // the gate proves the merge algebra, the landing is t41's shape)
+      val histPacked = graft.operators.GlobalOrder
+        .withRunningTotal(hist, "cum", col("toks"), col("doc_id"))
+      val histTotal = hist.agg(coalesce(sum("toks"), lit(0L)).as("base"))
+      val deltaPacked = graft.operators.GlobalOrder
+        .withRunningTotal(delta, "cum", col("toks"), col("doc_id"))
+        .crossJoin(broadcast(histTotal))
+        .withColumn("cum", col("cum") + col("base"))
+        .drop("base")
+      histPacked.unionByName(deltaPacked)
+        .select(col("doc_id"), col("toks"), col("cum"),
+          expr("cum div 512").as("seq_first"),
+          expr("cum % 512").as("seq_off"),
+          expr("(cum + toks - 1) div 512").as("seq_last"))
+        .withColumn("n_crossings", col("seq_last") - col("seq_first"))
+        .orderBy("doc_id")
+    }),
+
     // ---- T41: sequence packing — the step between curation and the
     // trainer: GPT-style concat-and-chunk, where the tokenized corpus
     // is concatenated in a deterministic order and cut into fixed
@@ -2195,19 +2252,12 @@ object PipelineQueries {
        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
        |FROM r, l ORDER BY pred_lang""".stripMargin,
 
-    "t41_sequence_packing" ->
-      """WITH d AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        |   FROM documents WHERE text IS NOT NULL),
-        | c AS (SELECT doc_id, toks,
-        |    CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |    AS cum FROM d)
-        |SELECT doc_id, toks, cum,
-        |  cum // 512 AS seq_first, cum % 512 AS seq_off,
-        |  (cum + toks - 1) // 512 AS seq_last,
-        |  (cum + toks - 1) // 512 - cum // 512 AS n_crossings
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "t41_sequence_packing" -> t41PackingSql,
+
+    // t42: the SAME full sequential recompute — hash equality proves
+    // pack(hist) ∪ shift(pack(delta)) ≡ pack(hist ∪ delta), the
+    // incremental-maintenance contract (d28/d29's oracle convention).
+    "t42_incremental_packing" -> t41PackingSql,
 
     "t33_temperature_mix" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
