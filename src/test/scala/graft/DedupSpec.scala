@@ -449,6 +449,10 @@ class DedupSpec extends AnyFunSuite {
         // d28's affected-subgraph carve-out is semi/anti-joins on
         // labels; a cartesian here would rescan the whole graph
         "d28_incremental_cc",
+        // d29 serves the same carve-out from the LANDED label store —
+        // the same contract, with the store scan in place of the
+        // inline old-side fixpoint
+        "d29_landed_labels",
         // d23's propose/verify/merge must stay on the 8-byte hash
         // equi-join and id rejoins — an all-pairs node here is the
         // quadratic blowup the gram hashing exists to avoid
