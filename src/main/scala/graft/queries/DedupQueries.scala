@@ -515,6 +515,45 @@ object DedupQueries {
     })
   }
 
+  /** E20's landed DELTA band table: wave-1 arrivals (doc_id % 20 == 0)
+    * are classified against the d24 corpus index, the NOVEL ones are
+    * admitted, and their bands land ONCE per (JVM, dir) as a second
+    * bucketed table with d24's exact bucket spec — the index-
+    * maintenance leg of ingest. The BASE index files are never
+    * rewritten (lambda shape: base + small delta, folded at compaction
+    * cadence — x21's story applied to the band family); DedupSpec pins
+    * the base landing byte-untouched across the append. */
+  private val e20Delta = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e20DeltaLandingFor(s: SparkSession, dir: String): String = {
+    val memo = e20Delta.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) e20Delta.remove(dir, memo)
+    e20Delta.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e20_delta_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e20_${pid}_$tag")
+      Caches.track(d)(() => {
+        e20Delta.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      val wave1 = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      val admitted = classifyBatch(s, d, wave1.select("doc_id", "text"),
+          bandsOf(wave1),
+          s.table(bandLandingFor(s, d)).select("doc_id", "band", "key"))
+        .filter(col("status") === "novel").select("doc_id")
+      bandsOf(wave1.join(admitted, Seq("doc_id"), "left_semi"))
+        .repartition(32, col("key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "key").sortBy("key")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    })
+  }
+
   /** d28/d29's delta split of the verified edge set — in production
     * the delta is the current ingest batch's new near-dup edges; here
     * a deterministic 20% carve of d2's edges plays that role. */
@@ -580,10 +619,15 @@ object DedupQueries {
   /** The band-axis classifier over a PRE-FEATURIZED batch: `batch` is
     * (doc_id, text), `batchBands` its (doc_id, band, key) rows — so
     * e15's composed verdict can feed both from one checkpointed
-    * arrival scan instead of re-deriving the batch per axis. */
+    * arrival scan instead of re-deriving the batch per axis.
+    * `corpusDocs` is the exact-axis text table (defaults to the
+    * standard corpus split; e20 passes corpus ∪ admitted-delta so
+    * freshly admitted documents participate in every axis). */
   private def classifyBatch(s: SparkSession, dir: String, batch: DataFrame,
-      batchBands: DataFrame, corpusBands: DataFrame): DataFrame = {
-    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      batchBands: DataFrame, corpusBands: DataFrame,
+      corpusDocsOpt: Option[DataFrame] = None): DataFrame = {
+    val corpus = corpusDocsOpt.getOrElse(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
     val exact = batch.as("b")
       .join(corpus.as("c"), col("b.text") === col("c.text"))
       .groupBy(col("b.doc_id").as("doc_id"))
@@ -1417,6 +1461,39 @@ object DedupQueries {
           (col("status") === "novel" && coalesce(col("sub_admit"), lit(true)) &&
             col("sem_match").isNull).as("admit"))
         .orderBy("doc_id")
+    }),
+
+    // ---- E20: admit-then-APPEND — the index-maintenance leg the
+    // verdict operators stop short of: once an arrival is admitted,
+    // the landed dedup index must learn it, or the next wave's exact/
+    // near duplicates of fresh content sail through. Wave 1
+    // (doc_id % 20 == 0) classifies against the landed d24 corpus
+    // index; its NOVEL docs land their bands as a bucketed DELTA table
+    // ([[e20DeltaLandingFor]] — base index files untouched, the x24
+    // lambda shape applied to the band family); wave 2
+    // (doc_id % 20 == 10) then classifies against corpus ∪ admitted —
+    // BOTH axes: its band candidates come from the base ∪ delta scan,
+    // its exact axis from the widened text table. The oracle replays
+    // wave-1 classify → admit → wave-2 classify relationally (the
+    // parameterized [[classifyRecomputeSql]] nested twice), so the
+    // gate proves serve-over-landed-delta ≡ recompute-over-updated-
+    // corpus. Scale: the delta is batch-sized (broadcastable in the
+    // probe join); compaction folds it into the base on x21's cadence. ----
+    "e20_admit_and_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wave2 = docs.filter(col("doc_id") % 20 === 10)
+      val admittedBands = s.table(e20DeltaLandingFor(s, dir))
+        .select("doc_id", "band", "key")
+      val combinedBands = s.table(bandLandingFor(s, dir))
+        .select("doc_id", "band", "key")
+        .unionByName(admittedBands)
+      val corpus2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(docs.join(
+          admittedBands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"))
+      classifyBatch(s, dir, wave2.select("doc_id", "text"), bandsOf(wave2),
+        combinedBands, Some(corpus2))
     })
   )
 
@@ -1681,18 +1758,25 @@ object DedupQueries {
 
   /** The exhaustive batch-vs-corpus classification twin shared by
     * d18 (in-plan corpus bands) and d24 (landed corpus bands). */
-  private lazy val d18RecomputeSql: String =
-    s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-       | corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+  /** The batch-classifier replay, parameterized over the two sides
+    * (each a full `SELECT doc_id, text FROM …`): d18/d24 instantiate
+    * the standard 90/10 split; e20 nests one instantiation inside the
+    * other's corpus (admit wave 1, then classify wave 2 against
+    * corpus ∪ admitted) — the trainedServeSql convention applied to
+    * the band family. */
+  private def classifyRecomputeSql(batchSel: String, corpusSel: String): String =
+    s"""WITH batch AS ($batchSel),
+       | corpus AS ($corpusSel),
        | ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
        |   FROM batch b JOIN corpus c ON b.text = c.text GROUP BY b.doc_id),
-       | docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-       | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+       | bsized AS (SELECT doc_id, sh, len(sh) AS sz FROM
+       |   (SELECT doc_id, $shinglesSql AS sh FROM batch)),
+       | csized AS (SELECT doc_id, sh, len(sh) AS sz FROM
+       |   (SELECT doc_id, $shinglesSql AS sh FROM corpus)),
        | cand AS (SELECT b.doc_id AS doc1, c.doc_id AS doc2,
        |     b.sh AS sh1, b.sz AS sz1, c.sh AS sh2, c.sz AS sz2
-       |   FROM sized b JOIN sized c
-       |     ON b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
-       |    AND b.sz >= 0.8 * c.sz AND c.sz >= 0.8 * b.sz),
+       |   FROM bsized b JOIN csized c
+       |     ON b.sz >= 0.8 * c.sz AND c.sz >= 0.8 * b.sz),
        | verified AS (SELECT doc1, doc2,
        |     len(list_intersect(sh1, sh2)) * 1.0 /
        |       (sz1 + sz2 - len(list_intersect(sh1, sh2))) AS j
@@ -1711,6 +1795,10 @@ object DedupQueries {
        |LEFT JOIN ex e ON e.doc_id = b.doc_id
        |LEFT JOIN (SELECT * FROM nearr WHERE rn = 1) n ON n.doc1 = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  private lazy val d18RecomputeSql: String = classifyRecomputeSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")
 
   val oracle: Map[String, String] = Map(
     // Twin of the 5-round integer PageRank: one CTE pair per round,
@@ -1955,6 +2043,18 @@ object DedupQueries {
     // exact Jaccard, ranked by (rounded j DESC, corpus id ASC) like the
     // Spark argmax struct. Exact dups rank via the same text equi-join.
     "d18_incremental_dedup" -> d18RecomputeSql,
+
+    // e20: wave-1 classify nested INSIDE wave-2's corpus — the twin
+    // replays admit-then-append relationally, so the gate proves the
+    // landed-delta serve ≡ recompute over the updated corpus.
+    "e20_admit_and_append" -> classifyRecomputeSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 10",
+      s"""SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+         | UNION ALL SELECT d.doc_id, d.text FROM documents d
+         | WHERE d.doc_id IN (SELECT doc_id FROM (${classifyRecomputeSql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")})
+         |   WHERE status = 'novel')""".stripMargin),
 
     // d24 serves from the LANDED band index; its oracle is the same
     // exhaustive recomputation — the hash gate is the proof that

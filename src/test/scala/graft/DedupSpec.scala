@@ -524,6 +524,54 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, sfDir)
   }
 
+  test("e20 admitted wave-1 docs catch wave-2 duplicates; refused dups never land; base untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e20").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val bNear = b.replace(" twenty", " twentyone") // near-dup of b (shared prefix shingles)
+    val c = "red orange yellow green blue indigo violet cyan magenta white " +
+      "black brown grey silver gold bronze copper iron steel tin"
+    Seq(
+      (1L, a, "en", "src0"),      // corpus
+      (20L, b, "en", "src0"),     // wave 1: novel → ADMITTED
+      (40L, a, "en", "src0"),     // wave 1: exact dup of corpus → refused
+      (30L, b, "en", "src0"),     // wave 2: exact dup of ADMITTED 20
+      (70L, bNear, "en", "src0"), // wave 2: near-dup of ADMITTED 20
+      (50L, c, "en", "src0"))     // wave 2: novel
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // snapshot the BASE index files: the append must never rewrite them
+    DedupQueries.bandLandingFor(spark, dir) // materialize the base landing
+    val tag = java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_d24_${ProcessHandle.current().pid()}_$tag")
+    assert(baseDir.isDirectory, s"base landing dir missing: $baseDir")
+    def snap(d: java.io.File): Map[String, Long] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snap(baseDir)
+    // only the truly novel wave-1 doc lands in the delta
+    val delta = spark.table(DedupQueries.e20DeltaLandingFor(spark, dir))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(delta === Set(20L),
+      s"delta must hold exactly the admitted wave-1 doc, got $delta")
+    assert(snap(baseDir) === before, "the base d24 landing was rewritten by the append")
+    val out = SparkEntry.queries("e20_admit_and_append")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(30L) === (("exact", Some(20L))),
+      s"wave-2 exact dup of the admitted doc missed: ${out(30L)}")
+    assert(out(70L)._1 === "near" && out(70L)._2 === Some(20L),
+      s"wave-2 near dup of the admitted doc missed: ${out(70L)}")
+    assert(out(50L)._1 === "novel")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d29 serve runs ONE BSP pass and the write-back only touches affected partitions") {
     // converge the store: build the landing + one merge write-back
     SparkEntry.queries("d29_landed_labels")(spark, sfDir).collect()
