@@ -1463,6 +1463,56 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- E21: the end-to-end CURATION FUNNEL — the whole pre-training
+    // data pipeline as ONE query, each stage an already-gated operator:
+    // ROUTE every document by predicted language (t39's trained profile
+    // applied to the full corpus — offline-train/online-apply);
+    // DEDUP by keeping each d9 cluster's canonical doc (docs outside
+    // the dup graph are their own canonical); BUDGET per predicted
+    // language — keep the highest-quality survivors (n_chars, t37's
+    // proxy) until 40% of that language's surviving token mass is
+    // spent, via the grouped distributed prefix sum. Output is the
+    // funnel report per language: routed → deduped → kept counts and
+    // token masses. The twin nests the full-corpus lang-ID replay, the
+    // d9 recursive-CTE reachability, and the sequential budget window,
+    // so the hash gate proves the composed funnel ≡ its independently-
+    // computed stages. Unroutable docs (null / < 3 chars) quarantine
+    // before the funnel on both sides. Scale: routing is the broadcast
+    // profile join; dedup is one equi-join against the memoized label
+    // frame; the budget is t37's sharded prefix sum — nothing beyond
+    // the gated stages' own shapes. ----
+    "e21_curation_funnel" -> ((s, dir) => {
+      val routed = PipelineQueries.langVerdictsAll(s, dir)
+        .select(col("doc_id"), col("pred_lang"))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 3)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val canon = d9ClustersFor(s, dir).select("doc_id", "is_canonical")
+      val surv = routed.join(docs, Seq("doc_id"))
+        .join(canon, Seq("doc_id"), "left")
+        .filter(coalesce(col("is_canonical"), lit(true)))
+        .select("doc_id", "pred_lang", "toks", "n_chars")
+      val ordered = graft.operators.GlobalOrder.withRunningTotalWithin(
+        surv, "cum", Seq("pred_lang"), col("toks"),
+        col("n_chars").desc, col("doc_id"))
+      // budgets from the same frame post-prefix-sum (t37's
+      // ReuseExchange discipline — one pass over the survivors)
+      val budgets = ordered.groupBy("pred_lang")
+        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
+      val kept = ordered.join(broadcast(budgets), Seq("pred_lang"))
+        .filter(col("cum") < col("budget"))
+      routed.groupBy("pred_lang").agg(count(lit(1)).as("n_routed"))
+        .join(surv.groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_dedup"), sum("toks").as("dedup_tokens")),
+          Seq("pred_lang"))
+        .join(kept.groupBy("pred_lang")
+          .agg(max("budget").as("budget"), count(lit(1)).as("n_kept"),
+            sum("toks").as("kept_tokens"), min("n_chars").as("min_quality")),
+          Seq("pred_lang"))
+        .orderBy("pred_lang")
+    }),
+
     // ---- E20: admit-then-APPEND — the index-maintenance leg the
     // verdict operators stop short of: once an arrival is admitted,
     // the landed dedup index must learn it, or the next wave's exact/
@@ -2043,6 +2093,39 @@ object DedupQueries {
     // exact Jaccard, ranked by (rounded j DESC, corpus id ASC) like the
     // Spark argmax struct. Exact dups rank via the same text equi-join.
     "d18_incremental_dedup" -> d18RecomputeSql,
+
+    // e21: full-corpus lang-ID replay (score predicate TRUE) + the d9
+    // reachability + the sequential budget window, nested — the funnel
+    // twin recomputes every stage independently.
+    "e21_curation_funnel" -> {
+      s"""${PipelineQueries.t39LangIdCteFor("TRUE")},
+         | docs2 AS (SELECT doc_id, n_chars,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |   FROM documents WHERE text IS NOT NULL AND length(text) >= 3),
+         | surv AS (SELECT v.doc_id, v.pred_lang, d.toks, d.n_chars
+         |   FROM verdicts v JOIN docs2 d USING (doc_id)
+         |   LEFT JOIN ($d9ClustersSql) c USING (doc_id)
+         |   WHERE COALESCE(c.is_canonical, TRUE)),
+         | b AS (SELECT pred_lang, CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget
+         |   FROM surv GROUP BY 1),
+         | cm AS (SELECT *, CAST(COALESCE(sum(toks) OVER (PARTITION BY pred_lang
+         |     ORDER BY n_chars DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |   FROM surv),
+         | kept AS (SELECT * FROM cm JOIN b USING (pred_lang) WHERE cum < budget),
+         | r AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_routed
+         |   FROM verdicts GROUP BY 1),
+         | sv AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_dedup,
+         |     CAST(sum(toks) AS BIGINT) AS dedup_tokens FROM surv GROUP BY 1),
+         | kp AS (SELECT pred_lang, CAST(max(budget) AS BIGINT) AS budget,
+         |     CAST(count(*) AS BIGINT) AS n_kept,
+         |     CAST(sum(toks) AS BIGINT) AS kept_tokens,
+         |     CAST(min(n_chars) AS BIGINT) AS min_quality FROM kept GROUP BY 1)
+         |SELECT pred_lang, n_routed, n_dedup, dedup_tokens, budget, n_kept,
+         |  kept_tokens, min_quality
+         |FROM r JOIN sv USING (pred_lang) JOIN kp USING (pred_lang)
+         |ORDER BY pred_lang""".stripMargin
+    },
 
     // e20: wave-1 classify nested INSIDE wave-2's corpus — the twin
     // replays admit-then-append relationally, so the gate proves the

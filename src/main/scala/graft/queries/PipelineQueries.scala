@@ -215,9 +215,10 @@ object PipelineQueries {
   /** t39's lang-ID replay CTE — planted per-language transform, char
     * trigrams, profile training (top-200 grams per language, count
     * desc / gram asc), BIGINT fixed-point scoring, dense argmax +
-    * margin — the common prefix of the t39 and t40 twins. */
-  private lazy val t39LangIdCte: String =
-    """WITH d2 AS (SELECT doc_id, lang, CASE lang
+    * margin — the common prefix of the t39/t40 twins and (with the
+    * score predicate widened to TRUE) e21's full-corpus routing. */
+  private[graft] def t39LangIdCteFor(scorePred: String): String =
+    s"""WITH d2 AS (SELECT doc_id, lang, CASE lang
       |     WHEN 'es' THEN translate(text, 'aeio', 'áéíó')
       |     WHEN 'de' THEN translate(text, 'aeou', 'äëöü')
       |     WHEN 'fr' THEN translate(text, 'aeiu', 'àéîû')
@@ -235,7 +236,7 @@ object PipelineQueries {
       |   FROM (SELECT lang, g, cnt, row_number() OVER (
       |       PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rk FROM prof) p
       |   JOIN tot t USING (lang) WHERE p.rk <= 200),
-      | test AS (SELECT * FROM grams WHERE doc_id % 5 = 0),
+      | test AS (SELECT * FROM grams WHERE $scorePred),
       | hits AS (SELECT doc_id, plang, CAST(sum(w) AS BIGINT) AS score
       |   FROM test JOIN wts USING (g) GROUP BY 1, 2),
       | dense AS (SELECT d.doc_id, d.lang, l.plang,
@@ -253,6 +254,8 @@ object PipelineQueries {
       |   FROM (SELECT * FROM ranked WHERE rn = 1) b
       |   LEFT JOIN (SELECT doc_id, score FROM ranked WHERE rn = 2) s2
       |     USING (doc_id))""".stripMargin
+
+  private lazy val t39LangIdCte: String = t39LangIdCteFor("doc_id % 5 = 0")
 
   /** The full three-round training chain, word table → s3 final vocab —
     * the common prefix of t27's and t34's oracle twins. */
@@ -735,12 +738,12 @@ object PipelineQueries {
           expr("cnt * 1000000 div tot").as("w")))
     })
 
-  private def langIdFor(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    t39Memo.computeIfAbsent(dir, d => {
-      Caches.track(d)(() => { t39Memo.remove(d); () })
-      val weights = langProfileFor(s, d)
-      val test = langGrams(s, d).filter(col("doc_id") % 5 === 0)
+  /** Score an arbitrary gram frame against the trained profile —
+    * factored so t39 (the held-out split), t40 (its mixture), and
+    * e21's full-corpus routing all run the identical argmax. */
+  private[graft] def langVerdicts(s: org.apache.spark.sql.SparkSession,
+      dir: String, test: DataFrame): DataFrame = {
+    val weights = langProfileFor(s, dir)
       val hits = test.join(broadcast(weights), Seq("g"))
         .groupBy("doc_id", "plang").agg(sum("w").as("score"))
       // dense (doc × language) scores: a doc whose grams miss a
@@ -757,10 +760,32 @@ object PipelineQueries {
           col("plang").as("pred_lang"), col("score"))
       val snd = ranked.filter(col("rn") === 2)
         .select(col("doc_id"), col("score").as("score2"))
-      Caches.trackCached(d, bst.join(snd, Seq("doc_id"), "left")
+      bst.join(snd, Seq("doc_id"), "left")
         .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("score"),
           (col("score") - coalesce(col("score2"), lit(0L))).as("margin"),
-          (col("pred_lang") === col("true_lang")).as("correct")))
+          (col("pred_lang") === col("true_lang")).as("correct"))
+  }
+
+  private def langIdFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t39Memo.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { t39Memo.remove(d); () })
+      Caches.trackCached(d,
+        langVerdicts(s, d, langGrams(s, d).filter(col("doc_id") % 5 === 0)))
+    })
+
+  /** e21's routing input: EVERY routable document's verdict (the
+    * profile still trains on the labeled split only — apply-time
+    * covers the full corpus, production's offline-train/online-apply
+    * shape), memoized because the funnel and its consumers replay it. */
+  private val e21Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def langVerdictsAll(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    e21Memo.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { e21Memo.remove(d); () })
+      Caches.trackCached(d, langVerdicts(s, d, langGrams(s, d)))
     })
 
   /** S18's bucketed warehouse: orders and lineitem written ONCE per
