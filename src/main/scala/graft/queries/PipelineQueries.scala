@@ -716,27 +716,45 @@ object PipelineQueries {
           " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
 
   /** The TRAINED language profile — (plang, g, w) fixed-point weights,
-    * top-200 grams per language — memoized per (JVM, dir) so the
-    * streaming twin serves the same artifact the batch gate scores
-    * with (the landed-index contract, profile edition). */
+    * top-200 grams per language — LANDED once per (JVM, dir) as a
+    * plang-partitioned parquet artifact and served from the files
+    * (the landed-index contract, profile edition: train once, every
+    * batch/stream consumer reads the same bytes; a retrained profile
+    * is a new landing). The artifact is bounded (≤ 200 rows per
+    * language) whatever the corpus size — it always broadcasts. */
   private val t39Profile =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val t39ProfileSchema = "g STRING, w BIGINT, plang STRING"
 
   private[graft] def langProfileFor(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    t39Profile.computeIfAbsent(dir, d => {
+      dir: String): DataFrame = {
+    val memo = t39Profile.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) t39Profile.remove(dir, memo)
+    val path = t39Profile.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t39_${ProcessHandle.current().pid()}_$tag")
       Caches.track(d)(() => { t39Profile.remove(d); () })
+      Caches.trackPath(d, out)
       val prof = langGrams(s, d).filter(col("doc_id") % 5 =!= 0)
         .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
       val tot = prof.groupBy("lang").agg(sum("cnt").as("tot"))
-      Caches.trackCached(d, prof
+      prof
         .withColumn("rk", row_number().over(
           Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)))
         .filter(col("rk") <= 200)
         .join(tot, Seq("lang"))
         .select(col("lang").as("plang"), col("g"),
-          expr("cnt * 1000000 div tot").as("w")))
+          expr("cnt * 1000000 div tot").as("w"))
+        .write.mode("overwrite").partitionBy("plang")
+        .parquet(out.getAbsolutePath)
+      out.getAbsolutePath
     })
+    // explicit writer schema: an empty corpus lands fileless (s15 trap)
+    s.read.schema(t39ProfileSchema).parquet(path)
+  }
 
   /** Score an arbitrary gram frame against the trained profile —
     * factored so t39 (the held-out split), t40 (its mixture), and
