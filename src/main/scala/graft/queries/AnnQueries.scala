@@ -1095,8 +1095,7 @@ object AnnQueries {
     // tization drift from appending without retraining shows up as
     // recall decay (x18 measures inertia), never as a wrong result. ----
     "x24_trained_append" -> ((s, dir) => {
-      val landed = s.read.schema(x19ArtifactSchema)
-        .parquet(trainedOldLandingFor(s, dir))
+      val landed = landedRanks(s, trainedOldLandingFor(s, dir))
       val cents = kmTrainOld(s, dir)
       val probesU = udf((v: Seq[Long]) =>
         kmDistances(cents, v).sorted.take(4).map(_._2).zipWithIndex

@@ -540,11 +540,20 @@ object DedupQueries {
       })
       Caches.trackPath(d, out)
       val wave1 = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      val wave1Bands = bandsOf(wave1)
       val admitted = classifyBatch(s, d, wave1.select("doc_id", "text"),
-          bandsOf(wave1),
+          wave1Bands,
           s.table(bandLandingFor(s, d)).select("doc_id", "band", "key"))
         .filter(col("status") === "novel").select("doc_id")
-      bandsOf(wave1.join(admitted, Seq("doc_id"), "left_semi"))
+      // the delta carries one sentinel row (band = −1, a value no real
+      // band index takes) per admitted doc, so an admitted doc too
+      // short to shingle is STILL registered — its wave-2 exact
+      // duplicates must see it in the widened corpus even though it
+      // contributes no band candidates. Bands come from the frame the
+      // classifier already featurized — no second shingle pass.
+      wave1Bands.join(admitted, Seq("doc_id"), "left_semi")
+        .unionByName(admitted
+          .select(col("doc_id"), lit(-1).as("band"), lit(0L).as("key")))
         .repartition(32, col("key"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "key").sortBy("key")
@@ -970,10 +979,30 @@ object DedupQueries {
       val writeBack = Caches.checkpointed(dir,
         passthrough.unionByName(relabeled)
           .join(touched, Seq("part"), "left_semi"))
+      // VACATED partitions: dynamic overwrite only replaces partitions
+      // PRESENT in the written data, so a touched partition whose rows
+      // all migrated to other labels (a cluster merge can empty its
+      // old partition) would keep its stale files and the store would
+      // serve each migrated doc twice. Compute the vacated set BEFORE
+      // the overwrite (touched's lineage reads the pre-write store;
+      // evaluating it afterwards would list deleted files), then drop
+      // those directories after the write — the drop-emptied-partition
+      // step every Hive-style merge runs. Both collects are bounded by
+      // the partition count (16 here; O(affected partitions) in
+      // production), never rows.
+      val touchedVals = touched.collect().map(_.getInt(0))
+      val liveVals = writeBack.select("part").distinct()
+        .collect().map(_.getInt(0)).toSet
       writeBack
         .repartition(16, col("part"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("part").parquet(path)
+      touchedVals.filterNot(liveVals).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path, s"part=$p"))
+      }
       s.read.schema(d29Schema).parquet(path)
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))

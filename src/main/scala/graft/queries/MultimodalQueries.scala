@@ -808,7 +808,12 @@ object MultimodalQueries {
     // xref entry offsets, startxref — are recomputed from the doc_id
     // arithmetic) and then CHECKS the startxref pointer against its
     // own hex, so a one-byte error in either engine's offset
-    // bookkeeping flips xref_ok and the hash.
+    // bookkeeping flips xref_ok and the hash. Fixture contract (shared
+    // with m7/m9/m10's magic-byte twins): a corrupt-slot document
+    // whose RAW text itself begins '%PDF-' would satisfy the twin's
+    // prefix check while the engine parses the actual bytes — corrupt
+    // slots carry non-container text on the gated fixtures, and the
+    // hostile sweeps (which may violate this) are no-crash-only.
     "m11_pdf_meta" -> {
       def dig(e: String) = s"hex(chr(CAST(48 + $e AS INT)))"
       def entry(off: String) =

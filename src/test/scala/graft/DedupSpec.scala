@@ -538,8 +538,10 @@ class DedupSpec extends AnyFunSuite {
       (1L, a, "en", "src0"),      // corpus
       (20L, b, "en", "src0"),     // wave 1: novel → ADMITTED
       (40L, a, "en", "src0"),     // wave 1: exact dup of corpus → refused
+      (60L, "zz qq", "en", "src0"), // wave 1: novel but TOO SHORT to shingle
       (30L, b, "en", "src0"),     // wave 2: exact dup of ADMITTED 20
       (70L, bNear, "en", "src0"), // wave 2: near-dup of ADMITTED 20
+      (90L, "zz qq", "en", "src0"), // wave 2: exact dup of the SHORT admitted 60
       (50L, c, "en", "src0"))     // wave 2: novel
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -558,8 +560,9 @@ class DedupSpec extends AnyFunSuite {
     // only the truly novel wave-1 doc lands in the delta
     val delta = spark.table(DedupQueries.e20DeltaLandingFor(spark, dir))
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(delta === Set(20L),
-      s"delta must hold exactly the admitted wave-1 doc, got $delta")
+    assert(delta === Set(20L, 60L),
+      s"delta must hold exactly the admitted wave-1 docs (incl. the " +
+        s"shingle-less one via its sentinel row), got $delta")
     assert(snap(baseDir) === before, "the base d24 landing was rewritten by the append")
     val out = SparkEntry.queries("e20_admit_and_append")(spark, dir)
       .collect().map(r => r.getLong(0) ->
@@ -568,7 +571,48 @@ class DedupSpec extends AnyFunSuite {
       s"wave-2 exact dup of the admitted doc missed: ${out(30L)}")
     assert(out(70L)._1 === "near" && out(70L)._2 === Some(20L),
       s"wave-2 near dup of the admitted doc missed: ${out(70L)}")
+    // the admitted doc too short to shingle still widens the exact
+    // axis — its wave-2 byte-identical twin must NOT read novel
+    assert(out(90L) === (("exact", Some(60L))),
+      s"wave-2 exact dup of the SHORT admitted doc missed: ${out(90L)}")
     assert(out(50L)._1 === "novel")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("d29 write-back drops VACATED partitions: a merged-away cluster leaves no stale files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d29vac").toString
+    // near-dup chain: old edges (5,21) and (3,19); the DELTA edge
+    // (19,21) — 31 ≡ 1 (mod 5), so the carve is (a+b) % 5 and
+    // 19+21 ≡ 0 — merges both components into label 3, so
+    // part=pmod(5,16)=5 is left with NO rows and must be dropped
+    // (dynamic overwrite alone cannot delete it). 100 shared words
+    // with disjoint 8-word end substitutions put the intended pairs at
+    // J = 90/106 ≈ 0.849 and every other pair at 82/114 ≈ 0.719 < 0.8.
+    val w = (0 until 100).map(i => s"w$i")
+    val doc21 = w.mkString(" ")
+    val doc5 = (w.take(92) ++ (0 until 8).map(i => s"a$i")).mkString(" ")
+    val doc19 = ((0 until 8).map(i => s"b$i") ++ w.drop(8)).mkString(" ")
+    val doc3 = ((0 until 8).map(i => s"b$i") ++ w.slice(8, 92) ++
+      (0 until 8).map(i => s"c$i")).mkString(" ")
+    Seq((5L, doc5), (21L, doc21), (3L, doc3), (19L, doc19))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // the construction must plant EXACTLY the intended edge set
+    val edges = SparkEntry.queries("d2_minhash_lsh")(spark, dir)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((3L, 19L), (5L, 21L), (19L, 21L)),
+      s"planted edge set drifted: $edges")
+    val out = SparkEntry.queries("d29_landed_labels")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 3L, 5L -> 3L, 19L -> 3L, 21L -> 3L),
+      s"merged labels wrong (stale vacated-partition rows?): $out")
+    val path = DedupQueries.labelLandingFor(spark, dir)
+    assert(!new java.io.File(path, "part=5").exists(),
+      "the vacated partition's stale files survived the write-back")
+    assert(new java.io.File(path, "part=3").exists())
     graft.queries.Caches.release(spark, dir)
   }
 

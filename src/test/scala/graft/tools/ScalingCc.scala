@@ -63,7 +63,7 @@ object ScalingCc {
       val t29 = measure("d29_landed_labels", dir)
       val edges = graft.queries.DedupQueries.queries("d2_minhash_lsh")(spark, dir).count()
       val delta = graft.queries.DedupQueries.queries("d2_minhash_lsh")(spark, dir)
-        .filter((col("doc1") * 31 + col("doc2")) % 5 === 0).count()
+        .filter(graft.queries.DedupQueries.d28IsDelta).count()
       println(f"$k%3d $nDocs%7d $edges%7d $delta%7d $t28%11.2f $t29%11.2f")
       graft.queries.Caches.release(spark, dir)
     }
