@@ -1573,6 +1573,30 @@ object DedupQueries {
           .select("doc_id", "text"))
       classifyBatch(s, dir, wave2.select("doc_id", "text"), bandsOf(wave2),
         combinedBands, Some(corpus2))
+    }),
+
+    // ---- E22: admit-then-append for the SUBSTRING index — e20's
+    // maintenance leg on the gram family, where the df-cap forces real
+    // append algebra (see [[e22DeltaFor]]): wave-1 arrivals classify
+    // against the landed d26 base, the admitted docs' grams land as a
+    // bucketed DELTA table plus a newly-hot TOMBSTONE set, and wave 2
+    // classifies against (base ∖ tombstones) ∪ delta — base files
+    // byte-untouched, each side probed separately so the base join
+    // stays bucket-local. The oracle nests the full substring replay
+    // twice (wave-1 admission inside the widened-corpus wave-2
+    // replay), so the hash gate proves the capped lambda index ≡ the
+    // from-scratch index over corpus ∪ admitted. ----
+    "e22_gram_append" -> ((s, dir) => {
+      val (deltaTbl, tombPath) = e22DeltaFor(s, dir)
+      val base = s.table(d26LandingFor(s, dir))
+      val tomb = s.read.schema("h BIGINT").parquet(tombPath)
+      val batch = d23DocsFor(s, dir).filter(col("doc_id") % 20 === 10)
+      val bg = batch.select(col("doc_id").as("b_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+          .as(Seq("ib", "h")))
+      substringAdmission(s, dir, batch, bg,
+        Seq(base.join(broadcast(tomb), Seq("h"), "left_anti"),
+          s.table(deltaTbl)))
     })
   )
 
@@ -1598,10 +1622,21 @@ object DedupQueries {
     * Corpus text still comes from [[d23DocsFor]], read only for docs
     * holding candidates (the c-side slicedGrams gather). */
   private def substringAdmission(s: SparkSession, dir: String,
-      batch: DataFrame, bg: DataFrame): DataFrame = {
+      batch: DataFrame, bg: DataFrame): DataFrame =
+    substringAdmission(s, dir, batch, bg,
+      Seq(s.table(d26LandingFor(s, dir))))
+
+  /** The same admission over an EXPLICIT index — `idxSides` is one or
+    * more (doc_id, i0, h) gram frames probed independently and unioned
+    * at the candidate level, so a bucketed base table keeps its
+    * bucket-local join even when a lambda-shaped delta side rides
+    * along (e22: base ∪ delta; a union BEFORE the join would discard
+    * the base table's bucketing and re-shuffle the whole corpus
+    * index per batch). */
+  private def substringAdmission(s: SparkSession, dir: String,
+      batch: DataFrame, bg: DataFrame, idxSides: Seq[DataFrame]): DataFrame = {
       val K = 60
       val docs = d23DocsFor(s, dir)
-      val idx = s.table(d26LandingFor(s, dir))
       // the probe-side guard is PER DOCUMENT (not per batch): an
       // arrival's verdict must not depend on what else happened to
       // arrive with it, and a degenerate constant-character doc is
@@ -1621,9 +1656,12 @@ object DedupQueries {
       // Caches.checkpointed registers the backing RDDs so the blocks
       // unpersist deterministically at Caches.release instead of
       // accumulating until GC in a long session iterating many dirs.
-      val cand = Caches.checkpointed(dir, bg.join(bhot, Seq("b_id", "h"), "left_anti")
-        .join(idx.select(col("h"), col("doc_id").as("c_id"), col("i0").as("ic")), Seq("h"))
-        .select(col("b_id"), col("ib"), col("c_id"), col("ic")))
+      val probe = bg.join(bhot, Seq("b_id", "h"), "left_anti")
+      val cand = Caches.checkpointed(dir, idxSides.map(ix =>
+          probe.join(ix.select(col("h"), col("doc_id").as("c_id"),
+            col("i0").as("ic")), Seq("h"))
+            .select(col("b_id"), col("ib"), col("c_id"), col("ic")))
+        .reduce(_ unionByName _))
       val ver = Caches.checkpointed(dir, cand
         .join(slicedGrams(cand, batch, "b_id", "ib", K), Seq("b_id", "ib"))
         .join(slicedGrams(cand, docs, "c_id", "ic", K), Seq("c_id", "ic"))
@@ -1683,6 +1721,11 @@ object DedupQueries {
   private val d26Landing =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Path of the landed base hot-set sidecar, keyed by source dir —
+    * populated by [[d26LandingFor]]'s build, consumed by d31. */
+  private val d26HotPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def d26LandingFor(s: SparkSession, dir: String): String = {
     // same catalog revalidation as d24: a memoized table name from a
     // stopped-and-recreated session must not be served dangling
@@ -1696,6 +1739,7 @@ object DedupQueries {
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d26_${pid}_$tag")
       Caches.track(d)(() => {
         d26Landing.remove(d)
+        d26HotPath.remove(d)
         Caches.dropTables(tbl)
       })
       Caches.trackPath(d, out)
@@ -1703,8 +1747,24 @@ object DedupQueries {
         .select(col("doc_id"),
           posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
             .as(Seq("i0", "h")))
-      val hot = grams.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 64L).select("h")
+      // checkpoint: the hot set feeds the anti-join AND the landed
+      // sidecar below — without it each consumer re-aggregates (and
+      // re-scans the corpus text)
+      val hot = Caches.checkpointed(d, grams.groupBy("h")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("h"))
+      // land the hot set alongside the index: df-capped grams vanish
+      // from the index rows, but an APPEND (d31) still needs to know
+      // they were hot — df only grows as the corpus grows, so a
+      // base-hot gram stays hot in any widened corpus and delta rows
+      // carrying it must be dropped without consulting the base text.
+      // Production keeps the full per-gram df table; the hot list is
+      // the part the capped index cannot reconstruct from its own rows.
+      val hotOut = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d26_hot_${pid}_$tag")
+      Caches.trackPath(d, hotOut)
+      hot.write.mode("overwrite").parquet(hotOut.getAbsolutePath)
+      d26HotPath.put(d, hotOut.getAbsolutePath)
       // BUCKETED by the join key: every admission batch equi-joins this
       // index on h, so landing it hash-bucketed means the serve join
       // never re-shuffles the corpus side — only the (much smaller)
@@ -1717,6 +1777,78 @@ object DedupQueries {
         .option("path", out.getAbsolutePath)
         .saveAsTable(tbl)
       tbl
+    })
+  }
+
+  /** E22's landed DELTA gram index + newly-hot tombstones — e20's
+    * admit-then-append applied to the substring family, where the
+    * df-cap makes the append algebra sharper than the band case:
+    * admitting documents can push a gram's corpus df PAST the 64 cap,
+    * and an exact append must then EXCISE the gram from serving even
+    * though its rows sit in immutable base files. df only grows under
+    * append, so the three cases resolve without re-reading corpus
+    * text: (1) base-hot grams (the landed hot sidecar) stay hot —
+    * delta rows carrying them are dropped; (2) grams whose combined
+    * df (base index row count + delta count, both index-only
+    * aggregations) stays ≤ 64 land normally; (3) grams the delta
+    * pushes past the cap land nowhere AND emit a tombstone that
+    * anti-joins the base at serve time (broadcast — the tombstone set
+    * is bounded by the delta's gram vocabulary). Compaction folds
+    * delta + tombstones into a rebuilt base on x21's cadence. Wave-1
+    * gram rows come from the frame the classifier already featurized
+    * — no second text pass over the arrivals. */
+  private val e22Delta =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def e22DeltaFor(s: SparkSession, dir: String): (String, String) = {
+    val memo = e22Delta.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo._1)) e22Delta.remove(dir, memo)
+    e22Delta.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e22_delta_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e22_${pid}_$tag")
+      val tombOut = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e22_tomb_${pid}_$tag")
+      Caches.track(d)(() => {
+        e22Delta.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      Caches.trackPath(d, tombOut)
+      val base = s.table(d26LandingFor(s, d))
+      val baseHot = s.read.schema("h BIGINT")
+        .parquet(d26HotPath.get(d))
+      val wave1 = d23DocsFor(s, d).filter(col("doc_id") % 20 === 0)
+      // one featurization pass, three consumers (classify, land, df)
+      val bg1 = Caches.checkpointed(d, wave1
+        .select(col("doc_id").as("b_id"),
+          posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+            .as(Seq("ib", "h"))))
+      val admitted = substringAdmission(s, d, wave1, bg1)
+        .filter(col("admit")).select(col("doc_id").as("b_id"))
+      val deltaGrams = Caches.checkpointed(d,
+        bg1.join(admitted, Seq("b_id"), "left_semi")
+          .select(col("b_id").as("doc_id"), col("ib").as("i0"), col("h")))
+      val dfDelta = deltaGrams.groupBy("h").agg(count(lit(1)).as("cd"))
+      val dfBase = base.groupBy("h").agg(count(lit(1)).as("cb"))
+      val combined = dfDelta.join(dfBase, Seq("h"), "left")
+        .select(col("h"), (coalesce(col("cb"), lit(0L)) + col("cd")).as("ct"),
+          col("cb"))
+      val tombstones = combined.filter(col("ct") > 64L && col("cb").isNotNull)
+        .select("h")
+      tombstones.write.mode("overwrite").parquet(tombOut.getAbsolutePath)
+      deltaGrams
+        .join(combined.filter(col("ct") > 64L).select("h"), Seq("h"), "left_anti")
+        .join(baseHot, Seq("h"), "left_anti")
+        .select("doc_id", "i0", "h")
+        .repartition(32, col("h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "h").sortBy("h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      (tbl, tombOut.getAbsolutePath)
     })
   }
 
@@ -2168,6 +2300,14 @@ object DedupQueries {
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")})
          |   WHERE status = 'novel')""".stripMargin),
 
+    // e22: the capped lambda gram index must serve wave 2 exactly as
+    // the from-scratch index over corpus ∪ admitted-wave-1 — the
+    // widened corpus predicate nests the full wave-1 substring replay
+    "e22_gram_append" -> d26OracleSqlFor(
+      "doc_id % 20 = 10",
+      s"""doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM (${
+        d26OracleSqlFor("doc_id % 20 = 0", "doc_id % 10 <> 0")}) WHERE admit)"""),
+
     // d24 serves from the LANDED band index; its oracle is the same
     // exhaustive recomputation — the hash gate is the proof that
     // classifying against the on-disk artifact equals recomputing the
@@ -2395,7 +2535,14 @@ object DedupQueries {
     * nest it verbatim — the composed gate then PROVES the one-pass
     * verdict equals running the three standalone gates and joining. */
   private lazy val d26OracleSql: String =
-      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+    d26OracleSqlFor("doc_id % 10 = 0", "doc_id % 10 <> 0")
+
+  /** The substring replay parameterized over the batch and corpus
+    * membership predicates (both over bare `doc_id`) — d26 is the
+    * standard carve; e22 nests the wave-1 replay inside its widened
+    * corpus predicate, the classifyRecomputeSql convention. */
+  private def d26OracleSqlFor(batchPred: String, corpusPred: String): String =
+     s"""WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
         |    WHERE text IS NOT NULL AND length(text) >= 60),
         | gr AS (SELECT doc_id, i AS i0,
         |     list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2403,10 +2550,10 @@ object DedupQueries {
         |         ch -> CAST(unicode(ch) AS BIGINT))),
         |       (a, b) -> (a * 131 + b) % 2147483647) AS h
         |   FROM docs, unnest(range(0, len - 59)) AS t(i)),
-        | cg AS (SELECT * FROM gr WHERE doc_id % 10 <> 0),
+        | cg AS (SELECT * FROM gr WHERE $corpusPred),
         | ck AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 64),
         | cidx AS (SELECT cg.* FROM cg JOIN ck USING (h)),
-        | bgr AS (SELECT * FROM gr WHERE doc_id % 10 = 0),
+        | bgr AS (SELECT * FROM gr WHERE $batchPred),
         | bk AS (SELECT doc_id, h FROM bgr GROUP BY doc_id, h HAVING count(*) <= 64),
         | bg AS (SELECT bgr.* FROM bgr JOIN bk USING (doc_id, h)),
         | cand AS (SELECT b.doc_id AS b_id, b.i0 AS ib, c.doc_id AS c_id, c.i0 AS ic
@@ -2452,7 +2599,7 @@ object DedupQueries {
         |  COALESCE(u.dup_chars, 0) * 2 < d.len AS admit
         |FROM docs d LEFT JOIN best b ON b.b_id = d.doc_id
         |LEFT JOIN dup u ON u.b_id = d.doc_id
-        |WHERE d.doc_id % 10 = 0
+        |WHERE $batchPred
         |ORDER BY d.doc_id""".stripMargin
 
   /** e15's twin NESTS the three standalone oracles (d18's exhaustive

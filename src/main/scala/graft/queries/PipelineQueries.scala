@@ -756,6 +756,50 @@ object PipelineQueries {
     s.read.schema(t39ProfileSchema).parquet(path)
   }
 
+  /** t43's arrival carve — a SINGLE-language labeled batch inside the
+    * training split (the common refresh shape: a new crawl slice
+    * arrives for one locale), so the count-store write-back is
+    * provably surgical: only the `lang=es` partition rewrites. */
+  private[graft] def t43IsDelta: Column =
+    col("lang") === "es" && pmod(col("doc_id"), lit(7L)) === 3
+
+  /** t43's landed TRAINING-COUNT store — the mergeable sufficient
+    * statistic behind t39's profile: raw (lang, gram) counts over the
+    * PRE-DELTA labeled split, landed once per (JVM, dir) as
+    * lang-partitioned parquet. Counts are additive (per-doc gram
+    * multisets are disjoint), which is what makes profile refresh
+    * O(delta): a newly labeled batch aggregates ALONE and ADDS into
+    * the store — history is never re-tokenized — and the top-200
+    * profile is a cheap derivation of the store (one window over
+    * ≤ |vocab| count rows, no text in sight). At 100 TB the store
+    * partitions by (lang, pmod(hash(g), B)) so a write-back rewrites
+    * O(touched buckets); the lang-only layout here keeps the
+    * surgical-write pin readable at 5 languages. */
+  private val t43Landing = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val t43CountSchema = "g STRING, cnt BIGINT, lang STRING"
+
+  private[graft] def langCountsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = t43Landing.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) t43Landing.remove(dir, memo)
+    t43Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t43_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { t43Landing.remove(d); () })
+      Caches.trackPath(d, out)
+      langGrams(s, d).filter(col("doc_id") % 5 =!= 0 && !t43IsDelta)
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        .select(col("g"), col("cnt"), col("lang"))
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
   /** Score an arbitrary gram frame against the trained profile —
     * factored so t39 (the held-out split), t40 (its mixture), and
     * e21's full-corpus routing all run the identical argmax. */
@@ -1285,6 +1329,55 @@ object PipelineQueries {
           .agg(count(lit(1)).cast("long").as("n")),
         "pred_lang", 100000L)),
 
+    // ---- T43: INCREMENTAL profile refresh — the maintenance leg of
+    // t39's landed language profile: the trained profile is a pure
+    // derivation of per-(lang, gram) TRAINING COUNTS, and counts are
+    // the mergeable sufficient statistic — a newly labeled arrival
+    // batch aggregates ALONE (O(delta) text work) and adds into the
+    // landed count store; the refreshed top-200 profile then derives
+    // from the store without re-tokenizing history. Count addition is
+    // NOT idempotent (unlike d29's label merge), so the write-back
+    // carries the exactly-once discipline every production count store
+    // needs: an applied-batch marker in the landing makes a replayed
+    // batch a no-op instead of a double-count (QualitySpec pins the
+    // no-op, the double-count trap, and the surgical single-partition
+    // rewrite). The oracle is the FULL retrain over the whole labeled
+    // split (t39's own wts CTE), so the hash gate proves
+    // derive(counts(hist) + counts(delta)) ≡ train(hist ∪ delta). ----
+    "t43_profile_refresh" -> ((s, dir) => {
+      val path = langCountsFor(s, dir)
+      def store = s.read.schema(t43CountSchema).parquet(path)
+      val marker = new java.io.File(path, "_applied_batch_1")
+      if (!marker.exists()) {
+        val deltaCounts = langGrams(s, dir)
+          .filter(col("doc_id") % 5 =!= 0 && t43IsDelta)
+          .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        val touched = deltaCounts.select("lang").distinct()
+        // full content of each touched partition = old + delta counts,
+        // summed; the checkpoint cuts lineage back to the store so the
+        // dynamic overwrite isn't a self-read
+        val merged = Caches.checkpointed(dir,
+          store.join(touched, Seq("lang"), "left_semi")
+            .unionByName(deltaCounts.select(col("g"), col("cnt"), col("lang")))
+            .groupBy("lang", "g").agg(sum("cnt").as("cnt"))
+            .select(col("g"), col("cnt"), col("lang")))
+        merged.repartition(col("lang"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("lang").parquet(path)
+        marker.createNewFile()
+      }
+      val counts = store
+      val tot = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)))
+        .filter(col("rk") <= 200)
+        .join(tot, Seq("lang"))
+        .select(col("g"), expr("cnt * 1000000 div tot").as("w"),
+          col("lang").as("plang"))
+        .orderBy("plang", "g")
+    }),
+
     // ---- T42: INCREMENTAL sequence packing — t41's append path, the
     // IVM leg that makes packing viable on a growing corpus: ingest
     // appends documents with ids AFTER the packed history (the
@@ -1348,6 +1441,32 @@ object PipelineQueries {
       graft.operators.GlobalOrder
         .withRunningTotal(docs, "cum", col("toks"), col("doc_id"))
         .select(col("doc_id"), col("toks"), col("cum"),
+          expr("cum div 512").as("seq_first"),
+          expr("cum % 512").as("seq_off"),
+          expr("(cum + toks - 1) div 512").as("seq_last"))
+        .withColumn("n_crossings", col("seq_last") - col("seq_first"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- T44: SHARDED sequence packing — the layout a 1000-executor
+    // packer actually ships: each source owns an independent sequence
+    // space, so packing is the GROUPED distributed prefix sum
+    // ([[graft.operators.GlobalOrder.withRunningTotalWithin]], t37's
+    // operator) — per-source order without a single-partition window,
+    // and appends to one source never renumber any other (the
+    // operational reason real corpora pack per shard; t41 is the
+    // single-space variant). Also the batch twin of the STATEFUL
+    // stream packer ([[graft.streaming.EventStream.packSequences]]),
+    // whose per-source running-total state is exactly this query's
+    // group prefix. ----
+    "t44_sharded_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      graft.operators.GlobalOrder
+        .withRunningTotalWithin(docs, "cum", Seq("source"), col("toks"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("toks"), col("cum"),
           expr("cum div 512").as("seq_first"),
           expr("cum % 512").as("seq_off"),
           expr("(cum + toks - 1) div 512").as("seq_last"))
@@ -2296,6 +2415,30 @@ object PipelineQueries {
        |FROM r, l ORDER BY pred_lang""".stripMargin,
 
     "t41_sequence_packing" -> t41PackingSql,
+
+    // t44: per-source sequence spaces — the sequential window is
+    // PARTITION BY source, proving the grouped sharded prefix sum ≡
+    // the per-shard single-task semantics
+    "t44_sharded_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |   FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, source, toks,
+        |    CAST(COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum FROM d)
+        |SELECT doc_id, source, toks, cum,
+        |  cum // 512 AS seq_first, cum % 512 AS seq_off,
+        |  (cum + toks - 1) // 512 AS seq_last,
+        |  (cum + toks - 1) // 512 - cum // 512 AS n_crossings
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // t43: the refreshed profile must equal the FULL retrain — wts is
+    // t39's own profile CTE over the whole labeled split (the scoring
+    // CTEs are unused under the FALSE predicate and cost nothing)
+    "t43_profile_refresh" -> s"""${t39LangIdCteFor("FALSE")}
+      | SELECT g, CAST(w AS BIGINT) AS w, plang FROM wts
+      | ORDER BY plang, g""".stripMargin,
 
     // t42: the SAME full sequential recompute — hash equality proves
     // pack(hist) ∪ shift(pack(delta)) ≡ pack(hist ∪ delta), the

@@ -617,6 +617,40 @@ object EventStream {
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
 
+  /** Streaming sequence packing — t41/t44's stream twin: a packed
+    * manifest row is a pure function of the doc's own width and the
+    * RUNNING token total before it, so the stateful twin keys ONE
+    * Long of state per source (the frozen prefix total) and emits
+    * each arriving doc's manifest immediately. Parallelism is
+    * per-source — each shard owns an independent sequence space,
+    * exactly t44's grouped prefix sum, and the layout a
+    * 1000-executor packer ships (state never funnels through one
+    * key). Correct under t42's monotone-id append contract: within a
+    * micro-batch docs sort by doc_id, across batches ids only grow —
+    * the same contract that freezes t42's landed prefix sums.
+    * StreamingSpec proves stream ≡ the batch grouped prefix sum
+    * across micro-batch splits. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), col("doc_id"), col("toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, it, state) =>
+          var base = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._2).map { case (_, id, toks) =>
+            val cum = base
+            base += toks
+            (id, src, toks, cum, cum / 512, cum % 512, (cum + toks - 1) / 512)
+          }
+          state.update(base)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "toks", "cum", "seq_first", "seq_off", "seq_last")
+      .withColumn("n_crossings", col("seq_last") - col("seq_first"))
+  }
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

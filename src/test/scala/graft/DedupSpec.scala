@@ -579,6 +579,86 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("e22 gram append: delta serves, newly-hot gram tombstones, base files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e22").toString
+    // two 60-char blocks with no shared 60-window; per-doc fillers are
+    // tag-stamped so no two docs share any 60-gram outside G/G2
+    val G = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz01234567".take(60)
+    val G2 = "ZYXWVUTSRQPONMLKJIHGFEDCBAzyxwvutsrqponmlkjihgfedcba76543210".take(60)
+    def u(tag: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < n) { sb.append(s"<f$tag>").append(i); i += 1 }
+      sb.substring(0, n)
+    }
+    // corpus: G in 60 docs (df 60 ≤ 64 → in the base index), G2 in 2
+    val corpus =
+      (0 until 60).map(i => (1L + 10 * i, G + u(i, 20))) ++
+        Seq((601L, G2 + u(700, 20)), (611L, G2 + u(701, 20)))
+    // wave 1 (id 20): G ×10 pushes combined df(G) to 70 > 64 (newly
+    // hot), G2 ×1 stays cold; enough unique filler to be admitted
+    // (dup 660 · 2 < len 1560)
+    val w1 = (0 until 10).map(k => u(2000 + k, 80) + G).mkString +
+      u(2100, 80) + G2 + u(2101, 20)
+    // wave 2: doc 10 = G + filler (tombstoned gram must NOT match),
+    // doc 30 = G2 + filler (base AND delta partners must match). The
+    // '#'/'%' stamps right after the block kill boundary-window
+    // matches (every index doc follows G/G2 with '<'), so the only
+    // candidate either doc can have is its exact leading block.
+    val rows = corpus ++ Seq((20L, w1), (10L, G + "#" + u(3000, 39)),
+      (30L, G2 + "%" + u(3001, 139)))
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // materialize the base index, snapshot its files
+    DedupQueries.d26LandingFor(spark, dir)
+    val tag = java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_d26_${ProcessHandle.current().pid()}_$tag")
+    assert(baseDir.isDirectory, s"base landing dir missing: $baseDir")
+    def snap(d: java.io.File): Map[String, Long] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snap(baseDir)
+    val (deltaTbl, tombPath) = DedupQueries.e22DeltaFor(spark, dir)
+    val hOf = (s: String) => spark.range(1)
+      .select(explode(graft.plans.GraftGramHashes.column(lit(s), 60)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val (hG, hG2) = (hOf(G).head, hOf(G2).head)
+    // newly-hot grams tombstone: G itself (60 base + 10 delta = 70)
+    // and the two G-suffix boundary windows every index doc shares
+    // (all corpus fillers and all wave-1 post-G fillers open "<f",
+    // so G[1:]+"<" and G[2:]+"<f" also cross the cap at 70); the
+    // 3-char-prefix windows split by tag digit and stay cold
+    val tombs = spark.read.schema("h BIGINT").parquet(tombPath)
+      .collect().map(_.getLong(0)).toSet
+    val expTombs = Set(hG, hOf(G.substring(1) + "<").head,
+      hOf(G.substring(2) + "<f").head)
+    assert(tombs === expTombs,
+      s"tombstones must be the three 70-df windows, got ${tombs.size} rows")
+    val delta = spark.table(deltaTbl)
+    assert(delta.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(20L))
+    val deltaH = delta.select("h").collect().map(_.getLong(0)).toSet
+    assert(deltaH.contains(hG2), "cold gram G2 must land in the delta")
+    assert(!deltaH.contains(hG), "newly-hot gram G must not land in the delta")
+    assert(snap(baseDir) === before, "the base d26 landing was rewritten by the append")
+    val out = SparkEntry.queries("e22_gram_append")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getBoolean(6)))).toMap
+    // doc 10 carries only the tombstoned gram: zero partners, admitted
+    assert(out(10L) === ((0L, None, 0L, true)),
+      s"tombstoned gram must not produce matches: ${out(10L)}")
+    // doc 30's G2 hits both base partners AND the admitted wave-1 doc;
+    // best_match = smallest partner id at equal shared = the delta doc
+    assert(out(30L) === ((3L, Some(20L), 60L, true)),
+      s"delta partner missing from the combined index: ${out(30L)}")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d29 write-back drops VACATED partitions: a merged-away cluster leaves no stale files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d29vac").toString

@@ -396,4 +396,59 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("alloc") > 0L), "a language starved")
     graft.queries.Caches.release(spark, sfDir)
   }
+
+  test("t43 count-store refresh: surgical single-partition write-back, exactly-once replay") {
+    import graft.queries.PipelineQueries
+    // land the PRE-delta count store, then snapshot its per-partition
+    // file inventory (name → (size, mtime)): the merge write-back
+    // writes new task-UUID file names into every partition it
+    // replaces, so an unchanged inventory means untouched bytes
+    val path = PipelineQueries.langCountsFor(spark, sfDir)
+    def snap(): Map[String, Map[String, (Long, Long)]] = {
+      val root = new java.io.File(path)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    }
+    val before = snap()
+    assert(before.keySet === Set("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+    val profile1 = SparkEntry.queries("t43_profile_refresh")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val after1 = snap()
+    // the delta batch is es-only, so the dynamic overwrite must have
+    // rewritten exactly the es partition and nothing else
+    val changed1 = (before.keySet ++ after1.keySet)
+      .filter(p => before.get(p) != after1.get(p))
+    assert(changed1 === Set("lang=es"),
+      s"write-back must touch only lang=es, touched: $changed1")
+    // exactly-once: replaying the same batch must be a pure no-op —
+    // same profile (counts NOT doubled), zero files rewritten
+    val profile2 = SparkEntry.queries("t43_profile_refresh")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(snap() === after1, "a replayed batch rewrote store files")
+    assert(profile2 === profile1, "a replayed batch changed the profile")
+    // the merged store must hold the TRUE labeled-split counts for the
+    // delta language — the double-count a missing marker would cause
+    // shows up here as es counts at 2× delta contribution
+    val storeEs = spark.read.schema(PipelineQueries.t43CountSchema).parquet(path)
+      .filter(col("lang") === "es")
+      .select("g", "cnt").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val trueEs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3 &&
+        col("lang") === "es" && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        translate(col("text"), "aeio", "áéíó").as("t"))
+      .withColumn("cs", split(col("t"), ""))
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 2)," +
+          " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(storeEs === trueEs,
+      "merged es counts diverge from the full labeled-split recompute")
+    graft.queries.Caches.release(spark, sfDir)
+  }
 }

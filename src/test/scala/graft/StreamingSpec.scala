@@ -584,4 +584,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("streaming sequence packing ≡ the batch grouped prefix sum across micro-batch splits") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStream.packSequences(
+        input.toDF().toDF("doc_id", "source", "toks"))
+      .writeStream.format("memory").queryName("packed").outputMode("append").start()
+    try {
+      // monotone ids per source, sources interleaved, widths chosen so
+      // 512-boundaries fall both inside a micro-batch and across one —
+      // the per-source state must carry the prefix over the split
+      val all = Seq(
+        (1L, "a", 300L), (2L, "b", 500L), (3L, "a", 100L),
+        (4L, "a", 200L), (5L, "b", 20L), (6L, "a", 700L),
+        (7L, "b", 512L), (8L, "a", 1L))
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.slice(3, 6): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(6): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      val streamed = spark.table("packed").collect().map(key).toSet
+      val batch = graft.operators.GlobalOrder
+        .withRunningTotalWithin(all.toDF("doc_id", "source", "toks"),
+          "cum", Seq("source"), col("toks"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("toks"), col("cum"),
+          expr("cum div 512").as("seq_first"), expr("cum % 512").as("seq_off"),
+          expr("(cum + toks - 1) div 512").as("seq_last"),
+          (expr("(cum + toks - 1) div 512") - expr("cum div 512")).as("n_crossings"))
+        .collect().map(key).toSet
+      assert(streamed === batch,
+        "stream manifest must equal the batch grouped prefix sum")
+      assert(streamed.size === 8)
+      // a doc wider than a whole sequence must cross boundaries
+      assert(streamed.exists(t => t._1 === 6L && t._8 >= 1L))
+    } finally q.stop()
+  }
 }
