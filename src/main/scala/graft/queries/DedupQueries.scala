@@ -1597,8 +1597,60 @@ object DedupQueries {
       substringAdmission(s, dir, batch, bg,
         Seq(base.join(broadcast(tomb), Seq("h"), "left_anti"),
           s.table(deltaTbl)))
+    }),
+
+    // ---- E23: gram-index COMPACTION — the cadence step that closes
+    // the substring family's lifecycle (build d26 / serve / append e22
+    // / compact, x21's story for this index): (base ∖ tombstones) ∪
+    // delta folds into ONE rebuilt bucketed table, reclaiming the
+    // tombstone anti-join and the second probe side that e22's lambda
+    // serve pays per batch. Pure index-file work — the corpus text is
+    // never re-read. The gate serves wave 2 from the compacted table
+    // ALONE against the same widened-corpus recompute oracle as e22,
+    // so hash equality proves compaction lost and invented nothing. ----
+    "e23_gram_compact" -> ((s, dir) => {
+      val compacted = s.table(e23CompactFor(s, dir))
+      val batch = d23DocsFor(s, dir).filter(col("doc_id") % 20 === 10)
+      val bg = batch.select(col("doc_id").as("b_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+          .as(Seq("ib", "h")))
+      substringAdmission(s, dir, batch, bg, Seq(compacted))
     })
   )
+
+  /** E23's compacted landing: one bucketed table holding exactly the
+    * lambda index's served content — (base ∖ tombstones) ∪ delta —
+    * with d26's bucket spec, built from index files only. */
+  private val e23Compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e23CompactFor(s: SparkSession, dir: String): String = {
+    val memo = e23Compacted.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) e23Compacted.remove(dir, memo)
+    e23Compacted.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e23_idx_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e23_${pid}_$tag")
+      Caches.track(d)(() => {
+        e23Compacted.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      val (deltaTbl, tombPath) = e22DeltaFor(s, d)
+      val tomb = s.read.schema("h BIGINT").parquet(tombPath)
+      s.table(d26LandingFor(s, d))
+        .join(broadcast(tomb), Seq("h"), "left_anti")
+        .unionByName(s.table(deltaTbl))
+        .repartition(32, col("h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "h").sortBy("h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    })
+  }
 
   /** The d26 serve pipeline, factored so e15's composed ingest verdict
     * reuses the identical substring axis (same landed index, same
@@ -2304,6 +2356,13 @@ object DedupQueries {
     // the from-scratch index over corpus ∪ admitted-wave-1 — the
     // widened corpus predicate nests the full wave-1 substring replay
     "e22_gram_append" -> d26OracleSqlFor(
+      "doc_id % 20 = 10",
+      s"""doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM (${
+        d26OracleSqlFor("doc_id % 20 = 0", "doc_id % 10 <> 0")}) WHERE admit)"""),
+
+    // e23: serving from the compacted single table must equal the
+    // same widened-corpus recompute e22 is held to
+    "e23_gram_compact" -> d26OracleSqlFor(
       "doc_id % 20 = 10",
       s"""doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM (${
         d26OracleSqlFor("doc_id % 20 = 0", "doc_id % 10 <> 0")}) WHERE admit)"""),

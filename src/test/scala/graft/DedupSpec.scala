@@ -656,6 +656,22 @@ class DedupSpec extends AnyFunSuite {
     // best_match = smallest partner id at equal shared = the delta doc
     assert(out(30L) === ((3L, Some(20L), 60L, true)),
       s"delta partner missing from the combined index: ${out(30L)}")
+    // e23: compaction must hold exactly the served lambda content —
+    // (base ∖ tombstones) ∪ delta — and serving from it alone must
+    // reproduce the lambda serve row-for-row
+    val compacted = spark.table(DedupQueries.e23CompactFor(spark, dir))
+      .select("doc_id", "i0", "h").collect().map(_.toSeq).toSet
+    val lambda = spark.table(DedupQueries.d26LandingFor(spark, dir))
+      .join(broadcast(spark.read.schema("h BIGINT").parquet(tombPath)),
+        Seq("h"), "left_anti")
+      .unionByName(spark.table(deltaTbl))
+      .select("doc_id", "i0", "h").collect().map(_.toSeq).toSet
+    assert(compacted === lambda, "compacted content diverges from the lambda index")
+    val outC = SparkEntry.queries("e23_gram_compact")(spark, dir)
+      .collect().map(_.toSeq)
+    val outL = SparkEntry.queries("e22_gram_append")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(outC.sameElements(outL), "compacted serve diverges from the lambda serve")
     graft.queries.Caches.release(spark, dir)
   }
 
