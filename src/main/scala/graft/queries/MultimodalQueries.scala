@@ -361,6 +361,95 @@ object MultimodalQueries {
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       .map("%02X".format(_)).mkString
 
+  case class GifMeta(doc_id: Long, is_gif: Boolean, version: Option[String],
+      width: Option[Long], height: Option[Long], n_colors: Option[Long],
+      n_frames: Option[Long], delay_cs: Option[Long])
+
+  /** Real GIF structural walk (public layout per GIF89a spec): header
+    * + logical screen descriptor (LE u16 dims, packed GCT byte), skip
+    * the variable global color table, then the block walk — 0x21
+    * extensions skipped by their sub-block chains (capturing the first
+    * Graphic Control Extension's delay), 0x2C image descriptors
+    * counted as frames (local color table + LZW data sub-blocks
+    * skipped), 0x3B trailer stops. Every advance is bounds-checked;
+    * truncation degrades to the frames counted so far, and an unknown
+    * block byte stops the walk (MultimodalSpec pins both). */
+  private[graft] def decodeGif(docId: Long, b0: Array[Byte]): GifMeta = {
+    val b = if (b0 == null) Array.empty[Byte] else b0
+    def u8(o: Int) = b(o) & 0xFF
+    def le16(o: Int): Long = (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8)
+    val ver = if (b.length >= 6)
+      new String(b, 3, 3, java.nio.charset.StandardCharsets.US_ASCII) else ""
+    if (b.length < 13 || u8(0) != 'G' || u8(1) != 'I' || u8(2) != 'F' ||
+        (ver != "89a" && ver != "87a"))
+      return GifMeta(docId, is_gif = false, None, None, None, None, None, None)
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    val nColors = if ((packed & 0x80) != 0) 1L << ((packed & 7) + 1) else 0L
+    var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0L
+    var delay: Option[Long] = None
+    var walking = true
+    def skipSubBlocks(from: Int): Int = {
+      var j = from
+      while (j < b.length && u8(j) != 0) j += 1 + u8(j)
+      j + 1
+    }
+    while (walking && i < b.length && u8(i) != 0x3B) {
+      u8(i) match {
+        case 0x21 if i + 2 <= b.length =>
+          if (i + 7 <= b.length && u8(i + 1) == 0xF9 && u8(i + 2) == 4 &&
+              delay.isEmpty)
+            delay = Some(le16(i + 4))
+          i = skipSubBlocks(i + 2)
+        case 0x2C if i + 10 <= b.length =>
+          frames += 1
+          val p2 = u8(i + 9)
+          val lct = if ((p2 & 0x80) != 0) 3 * (1 << ((p2 & 7) + 1)) else 0
+          i = skipSubBlocks(i + 10 + lct + 1)
+        case _ => walking = false
+      }
+    }
+    GifMeta(docId, is_gif = true, Some(ver), Some(w), Some(h),
+      Some(nColors), Some(frames), delay)
+  }
+
+  /** The m12 fixture plant: a REAL GIF container — header version
+    * cycled 89a/87a, LE dims, a global color table whose size VARIES
+    * per row (so every later block offset shifts), and 1-4 frames each
+    * carrying (on 89a rows) a Graphic Control Extension with a planted
+    * delay plus an image descriptor with an LZW data sub-block chain.
+    * Every 17th doc is headerless (corrupt branch). */
+  private[graft] def gifMedia: org.apache.spark.sql.Column = {
+    def le16(v: org.apache.spark.sql.Column) = {
+      val x = v.cast("long")
+      concat(lpad(hex(x % 256), 2, "0"), lpad(hex((x / 256) % 256), 2, "0"))
+    }
+    val ver = when(col("doc_id") % 2 === 0, lit(hexOf("89a")))
+      .otherwise(lit(hexOf("87a")))
+    val width = lit(16) + col("doc_id") % 1024
+    val height = lit(16) + col("doc_id") % 768
+    val hasGct = col("doc_id") % 3 =!= 0
+    // packed: GCT flag + color resolution 7 + size bits (doc_id % 8)
+    val packed = when(hasGct,
+      lpad(hex(lit(240) + col("doc_id") % 8), 2, "0")).otherwise(lit("00"))
+    val gct = expr("repeat('00', CASE WHEN doc_id % 3 != 0 THEN " +
+      "CAST(3 * shiftleft(1, CAST(doc_id % 8 + 1 AS INT)) AS INT) ELSE 0 END)")
+    val gce = when(col("doc_id") % 2 === 0,
+      concat(lit("21F904" + "00"), le16(col("doc_id") % 500), lit("00" + "00")))
+      .otherwise(lit(""))
+    val imgDesc = concat(lit("2C" + "00000000"), le16(width), le16(height), lit("00"))
+    val lzwMin = lpad(hex(lit(2) + col("doc_id") % 7), 2, "0")
+    val sub = concat(lpad(hex(lit(1) + col("doc_id") % 100), 2, "0"),
+      expr("repeat('AB', CAST(1 + doc_id % 100 AS INT))"), lit("00"))
+    val frame = concat(gce, imgDesc, lzwMin, sub)
+    val frames = concat((0 until 4).map(k =>
+      when(col("doc_id") % 4 >= k, frame).otherwise(lit(""))): _*)
+    when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+      .otherwise(unhex(concat(lit("474946"), ver, le16(width), le16(height),
+        packed, lit("00" + "00"), gct, frames, lit("3B"))))
+  }
+
   /** The m11 fixture plant: a REAL minimal PDF over the text bytes —
     * `%PDF-1.4`..`1.7` header; a binary comment line whose length
     * VARIES per row (so every later object offset shifts and a
@@ -581,6 +670,29 @@ object MultimodalQueries {
         .select(col("doc_id"), pdfMedia.as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) => decodePdf(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // ---- M12: GIF structural metadata — the animation leg of the
+    // multimodal family (dims for the resize plan, frame count for
+    // frame-sampling budgets, palette size and per-frame delay for
+    // synthetic-vs-camera routing). The planted container is
+    // byte-real and the global color table's size varies per row, so
+    // every block offset shifts and only a correct walk lands; the
+    // DuckDB twin rebuilds the hex, re-reads dims/palette at the
+    // arithmetic offsets, and dereferences the first Graphic Control
+    // Extension THROUGH its own re-read packed byte — a one-byte GCT
+    // bookkeeping error in either engine lands the delay read on the
+    // wrong bytes and flips the gate. m1 mapPartitions shape; every
+    // 17th doc headerless (corrupt branch). ----
+    "m12_gif_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull) // see m1's note
+        .select(col("doc_id"), gifMedia.as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeGif(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
@@ -814,6 +926,59 @@ object MultimodalQueries {
     // prefix check while the engine parses the actual bytes — corrupt
     // slots carry non-container text on the gated fixtures, and the
     // hostile sweeps (which may violate this) are no-crash-only.
+    // m12's twin rebuilds the planted GIF hex (same arithmetic), then
+    // re-reads width/height/palette at fixed offsets and the first
+    // GCE's delay at the offset its OWN packed byte implies — the
+    // pointer-integrity discipline of m9/m11 applied to the GCT shift.
+    "m12_gif_meta" -> {
+      def byteAt(k: String) =
+        s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST($k AS INT), 1)) - 1 AS BIGINT) * 16 + " +
+          s"(strpos('0123456789ABCDEF', substring(hs, CAST(($k) + 1 AS INT), 1)) - 1)"
+      def le16(v: String) =
+        s"lpad(hex(CAST(($v) % 256 AS INT)), 2, '0') || lpad(hex(CAST(($v) // 256 % 256 AS INT)), 2, '0')"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |     ELSE '474946' ||
+         |       CASE WHEN doc_id % 2 = 0 THEN '383961' ELSE '383761' END ||
+         |       ${le16("16 + doc_id % 1024")} || ${le16("16 + doc_id % 768")} ||
+         |       CASE WHEN doc_id % 3 <> 0
+         |         THEN lpad(hex(CAST(240 + doc_id % 8 AS INT)), 2, '0')
+         |         ELSE '00' END || '0000' ||
+         |       repeat('00', CASE WHEN doc_id % 3 <> 0
+         |         THEN CAST(3 * (1 << CAST(doc_id % 8 + 1 AS INT)) AS INT)
+         |         ELSE 0 END) ||
+         |       repeat(
+         |         CASE WHEN doc_id % 2 = 0 THEN '21F904' || '00' ||
+         |           ${le16("doc_id % 500")} || '0000' ELSE '' END ||
+         |         '2C' || '00000000' || ${le16("16 + doc_id % 1024")} ||
+         |         ${le16("16 + doc_id % 768")} || '00' ||
+         |         lpad(hex(CAST(2 + doc_id % 7 AS INT)), 2, '0') ||
+         |         lpad(hex(CAST(1 + doc_id % 100 AS INT)), 2, '0') ||
+         |         repeat('AB', CAST(1 + doc_id % 100 AS INT)) || '00',
+         |         CAST(1 + doc_id % 4 AS INT)) || '3B' END AS hs
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs,
+         |   COALESCE(len(hs) >= 26 AND substring(hs, 1, 6) = '474946'
+         |     AND substring(hs, 7, 6) IN ('383961', '383761'), FALSE) AS is_gif,
+         |   ${byteAt("21")} AS packed FROM m),
+         | g AS (SELECT *, CASE WHEN packed >= 128
+         |     THEN 3 * (1 << CAST(packed % 8 + 1 AS INT)) ELSE 0 END AS gct_len
+         |   FROM p)
+         |SELECT doc_id, is_gif,
+         | CASE WHEN is_gif THEN CASE substring(hs, 7, 6)
+         |   WHEN '383961' THEN '89a' ELSE '87a' END END AS version,
+         | CASE WHEN is_gif THEN CAST(${byteAt("13")} + 256 * (${byteAt("15")}) AS BIGINT) END AS width,
+         | CASE WHEN is_gif THEN CAST(${byteAt("17")} + 256 * (${byteAt("19")}) AS BIGINT) END AS height,
+         | CASE WHEN is_gif THEN CAST(CASE WHEN packed >= 128
+         |   THEN (1 << CAST(packed % 8 + 1 AS INT)) ELSE 0 END AS BIGINT) END AS n_colors,
+         | CASE WHEN is_gif THEN CAST(1 + doc_id % 4 AS BIGINT) END AS n_frames,
+         | CASE WHEN is_gif AND substring(hs, 7, 6) = '383961'
+         |     AND substring(hs, CAST((13 + gct_len) * 2 + 1 AS INT), 6) = '21F904'
+         |   THEN CAST(${byteAt("(13 + gct_len) * 2 + 1 + 8")} +
+         |     256 * (${byteAt("(13 + gct_len) * 2 + 1 + 10")}) AS BIGINT) END AS delay_cs
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
     "m11_pdf_meta" -> {
       def dig(e: String) = s"hex(chr(CAST(48 + $e AS INT)))"
       def entry(off: String) =

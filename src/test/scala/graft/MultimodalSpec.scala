@@ -319,4 +319,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!MultimodalQueries.decodePdf(7L, Array.emptyByteArray).is_pdf)
     assert(!MultimodalQueries.decodePdf(8L, "plain text body".getBytes("UTF-8")).is_pdf)
   }
+
+  private def gif(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 89a header, 3x2, GCT 2 colors (bits 0 -> 6 bytes), then blocks
+  private val gifHead = "474946 383961 0300 0200 80 00 00 " + "00" * 6
+  private val gce = "21F904 00 2A00 00 00" // delay 42
+  private val img = "2C 0000 0000 0300 0200 00 02 02 ABCD 00" // one 2-byte sub-block
+
+  test("gif: GCT shift, frame count, first-GCE delay, trailer stop") {
+    val m = MultimodalQueries.decodeGif(1L, gif(gifHead + gce + img + img + "3B"))
+    assert(m.is_gif && m.version === Some("89a"))
+    assert(m.width === Some(3L) && m.height === Some(2L))
+    assert(m.n_colors === Some(2L))
+    assert(m.n_frames === Some(2L))
+    assert(m.delay_cs === Some(42L))
+  }
+
+  test("gif: 87a carries no GCE; local color table is skipped") {
+    // LCT flag on the descriptor (2 colors -> 6 bytes before LZW byte)
+    val imgLct = "2C 0000 0000 0300 0200 80 " + "00" * 6 + " 02 01 AB 00"
+    val m = MultimodalQueries.decodeGif(2L,
+      gif("474946 383761 0300 0200 00 00 00" + imgLct + "3B"))
+    assert(m.is_gif && m.version === Some("87a"))
+    assert(m.n_colors === Some(0L) && m.n_frames === Some(1L))
+    assert(m.delay_cs === None)
+  }
+
+  test("gif: truncation and unknown blocks degrade to frames seen so far") {
+    // second image descriptor cut mid-sub-block: first frame still counts
+    val cut = gifHead + gce + img + "2C 0000 0000 0300 0200 00 02 05 AB"
+    val t = MultimodalQueries.decodeGif(3L, gif(cut))
+    assert(t.is_gif && t.n_frames === Some(2L) && t.delay_cs === Some(42L))
+    // unknown block byte stops the walk without dying
+    val u = MultimodalQueries.decodeGif(4L, gif(gifHead + img + "7F" + img))
+    assert(u.is_gif && u.n_frames === Some(1L))
+  }
+
+  test("gif: garbage, null, and unknown-version bytes report is_gif false") {
+    assert(!MultimodalQueries.decodeGif(5L, null).is_gif)
+    assert(!MultimodalQueries.decodeGif(6L, Array.emptyByteArray).is_gif)
+    assert(!MultimodalQueries.decodeGif(7L, "plain text body".getBytes("UTF-8")).is_gif)
+    assert(!MultimodalQueries.decodeGif(8L,
+      gif("474946 383861 0300 0200 00 00 00 3B")).is_gif) // "88a"
+  }
 }
