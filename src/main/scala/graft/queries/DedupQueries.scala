@@ -1615,8 +1615,59 @@ object DedupQueries {
         posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
           .as(Seq("ib", "h")))
       substringAdmission(s, dir, batch, bg, Seq(compacted))
+    }),
+
+    // ---- E24: right-to-be-forgotten on the BAND index — the delete
+    // leg the dedup family owed (x20/x23 prove it for ANN): a
+    // deletion batch (a 1/7 corpus carve here — far larger than the
+    // request-sized batches production sees, to stress the algebra)
+    // tombstones documents OUT of the landed d24 index at serve time
+    // via broadcast anti-joins on both axes — the base index files
+    // are never rewritten, the broadcast anti preserves the landed
+    // partitioning (zero added shuffle), and compaction folds the
+    // deletes on x21's cadence. The oracle recomputes classification
+    // against corpus ∖ deleted from scratch, so the gate proves a
+    // forgotten document neither matches nor is matched. ----
+    "e24_band_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val deleted = e24Deleted(docs)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpusBands = s.table(bandLandingFor(s, dir))
+        .select("doc_id", "band", "key")
+        .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+      val corpus2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+      classifyBatch(s, dir, batch.select("doc_id", "text"), bandsOf(batch),
+        corpusBands, Some(corpus2))
+    }),
+
+    // ---- E25: right-to-be-forgotten on the GRAM index. One honest
+    // subtlety the band case doesn't have: the df-cap is a BUILD-TIME
+    // property — deleting documents lowers a gram's df, but a gram the
+    // build dropped as hot cannot be resurrected from index files that
+    // never held its positions. The serve contract (and the oracle)
+    // is therefore cap-then-delete: candidates come from build-capped
+    // grams of surviving documents; cap re-admission happens at
+    // compaction cadence, when the corpus text is re-indexed anyway.
+    // The parameterized oracle's capPred pins exactly that algebra. ----
+    "e25_gram_forget" -> ((s, dir) => {
+      val deleted = e24Deleted(Tables.documents(s, dir))
+      val batch = d23DocsFor(s, dir).filter(col("doc_id") % 10 === 0)
+      val bg = batch.select(col("doc_id").as("b_id"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+          .as(Seq("ib", "h")))
+      substringAdmission(s, dir, batch, bg,
+        Seq(s.table(d26LandingFor(s, dir))
+          .join(broadcast(deleted), Seq("doc_id"), "left_anti")))
     })
   )
+
+  /** e24/e25's deletion batch: a deterministic carve of the corpus
+    * split (batch docs are never deletion targets). */
+  private def e24Deleted(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id")
 
   /** E23's compacted landing: one bucketed table holding exactly the
     * lambda index's served content — (base ∖ tombstones) ∪ delta —
@@ -2367,6 +2418,19 @@ object DedupQueries {
       s"""doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM (${
         d26OracleSqlFor("doc_id % 20 = 0", "doc_id % 10 <> 0")}) WHERE admit)"""),
 
+    // e24: the forgotten carve must vanish from both classify axes —
+    // the recompute simply never sees the deleted documents
+    "e24_band_forget" -> classifyRecomputeSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+      "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0 AND doc_id % 7 != 1"),
+
+    // e25: cap-then-delete — the df-cap is computed over the FULL
+    // build corpus (capPred), candidates come only from survivors
+    "e25_gram_forget" -> d26OracleSqlFor(
+      "doc_id % 10 = 0",
+      "doc_id % 10 <> 0 AND doc_id % 7 <> 1",
+      "doc_id % 10 <> 0"),
+
     // d24 serves from the LANDED band index; its oracle is the same
     // exhaustive recomputation — the hash gate is the proof that
     // classifying against the on-disk artifact equals recomputing the
@@ -2599,8 +2663,13 @@ object DedupQueries {
   /** The substring replay parameterized over the batch and corpus
     * membership predicates (both over bare `doc_id`) — d26 is the
     * standard carve; e22 nests the wave-1 replay inside its widened
-    * corpus predicate, the classifyRecomputeSql convention. */
-  private def d26OracleSqlFor(batchPred: String, corpusPred: String): String =
+    * corpus predicate, the classifyRecomputeSql convention. `capPred`
+    * (defaults to the corpus predicate) is the population the df-cap
+    * is computed over: e25's cap-then-delete serve caps on the FULL
+    * build corpus while serving only surviving documents. */
+  private def d26OracleSqlFor(batchPred: String, corpusPred: String,
+      capPred: String = null): String = {
+     val cap = Option(capPred).getOrElse(corpusPred)
      s"""WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
         |    WHERE text IS NOT NULL AND length(text) >= 60),
         | gr AS (SELECT doc_id, i AS i0,
@@ -2609,8 +2678,9 @@ object DedupQueries {
         |         ch -> CAST(unicode(ch) AS BIGINT))),
         |       (a, b) -> (a * 131 + b) % 2147483647) AS h
         |   FROM docs, unnest(range(0, len - 59)) AS t(i)),
+        | cgc AS (SELECT * FROM gr WHERE $cap),
+        | ck AS (SELECT h FROM cgc GROUP BY h HAVING count(*) <= 64),
         | cg AS (SELECT * FROM gr WHERE $corpusPred),
-        | ck AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 64),
         | cidx AS (SELECT cg.* FROM cg JOIN ck USING (h)),
         | bgr AS (SELECT * FROM gr WHERE $batchPred),
         | bk AS (SELECT doc_id, h FROM bgr GROUP BY doc_id, h HAVING count(*) <= 64),
@@ -2660,6 +2730,7 @@ object DedupQueries {
         |LEFT JOIN dup u ON u.b_id = d.doc_id
         |WHERE $batchPred
         |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** e15's twin NESTS the three standalone oracles (d18's exhaustive
     * band recompute, d26's substring replay, the exact all-pairs

@@ -757,4 +757,106 @@ class DedupSpec extends AnyFunSuite {
       "fixture must leave some partitions untouched or the surgical-write pin is vacuous")
     graft.queries.Caches.release(spark, sfDir)
   }
+
+  test("e24 band forget: a deleted doc neither matches nor is matched; base files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e24").toString
+    // two disjoint 100-word vocabularies; 4-word tail substitutions
+    // put the intended pairs at J = 94/102 ≈ 0.9216 and cross-vocab
+    // pairs at J = 0. Carves: batch ids % 10 == 0; deleted ids
+    // % 7 == 1 (doc 8); survivors % 7 != 1 (doc 2).
+    def words(p: String) = (0 until 100).map(i => s"$p$i")
+    def sub4(ws: Seq[String], p: String) =
+      ws.take(96) ++ (0 until 4).map(i => s"$p$i")
+    val wA = words("a")
+    val wB = words("b")
+    val rows = Seq(
+      8L -> wA, // corpus, DELETED
+      2L -> wB, // corpus, survives
+      10L -> wA, // batch: exact dup of ONLY the deleted doc
+      20L -> sub4(wA, "p"), // batch: near dup of ONLY the deleted doc
+      30L -> wB, // batch: exact dup of the survivor
+      40L -> sub4(wB, "q")) // batch: near dup of the survivor
+    rows.map { case (id, ws) => (id, ws.mkString(" "), "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // pre-forget control: the landed-index classify sees the planted
+    // signal (doc 10's only partner IS doc 8) — so e24's 'novel' below
+    // is the forget working, not the fixture failing to plant
+    val pre = SparkEntry.queries("d24_persisted_band_index")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(pre(10L) === (("exact", Some(8L))), s"fixture signal missing: ${pre(10L)}")
+    val baseDir = {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d24_${ProcessHandle.current().pid()}_$tag")
+    }
+    assert(baseDir.isDirectory, s"base band landing missing: $baseDir")
+    def snap(): Map[String, Long] =
+      baseDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snap()
+    val out = SparkEntry.queries("e24_band_forget")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // the forgotten doc is matched on NEITHER axis
+    assert(out(10L) === (("novel", None)),
+      s"exact axis still matches the forgotten doc: ${out(10L)}")
+    assert(out(20L) === (("novel", None)),
+      s"band axis still matches the forgotten doc: ${out(20L)}")
+    // surviving corpus still serves both axes
+    assert(out(30L) === (("exact", Some(2L))), s"survivor exact lost: ${out(30L)}")
+    assert(out(40L) === (("near", Some(2L))), s"survivor near lost: ${out(40L)}")
+    assert(snap() === before, "the forget rewrote the base band landing")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("e25 gram forget: cap-then-delete — deletion must not resurrect a build-hot gram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e25").toString
+    // G: df 65 at BUILD (63 survivors + deleted docs 8 and 22) — over
+    // the 64 cap, so the index never held its positions; after the
+    // deletes the SURVIVING df is 63 ≤ 64, the resurrection trap. G2:
+    // df 2 (survivor 2 + deleted 15). Corpus fillers open "<f", batch
+    // fillers open "#b" — so no boundary window (gram straddling the
+    // block and the filler) is ever shared between batch and corpus.
+    val G = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz01234567".take(60)
+    val G2 = "ZYXWVUTSRQPONMLKJIHGFEDCBAzyxwvutsrqponmlkjihgfedcba76543210".take(60)
+    def u(stamp: String, tag: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < n) { sb.append(s"$stamp$tag>").append(i); i += 1 }
+      sb.substring(0, n)
+    }
+    val survivorsG = Iterator.from(1)
+      .filter(i => i % 10 != 0 && i % 7 != 1 && !Set(2, 8, 15, 22).contains(i))
+      .take(63).toSeq.map(_.toLong)
+    val rows =
+      survivorsG.map(id => (id, G + u("<f", id.toInt, 20))) ++ Seq(
+        (8L, G + u("<f", 8, 20)), // deleted G holder
+        (22L, G + u("<f", 22, 20)), // deleted G holder
+        (2L, G2 + u("<f", 2, 20)), // surviving G2 holder
+        (15L, G2 + u("<f", 15, 20)), // deleted G2 holder
+        (10L, G + u("#b", 10, 20)), // batch: probes the build-hot gram
+        (20L, G2 + u("#b", 20, 80))) // batch: probes the cold gram
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("e25_gram_forget")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getBoolean(6)))).toMap
+    // cap-then-delete: surviving df 63 ≤ 64 must NOT resurrect G —
+    // the build dropped its positions, so serve has nothing to probe
+    assert(out(10L) === ((0L, None, 0L, true)),
+      s"deletion resurrected a build-capped gram: ${out(10L)}")
+    // the cold gram still serves, minus the forgotten holder: ONE
+    // partner (survivor 2), not two
+    assert(out(20L) === ((1L, Some(2L), 60L, true)),
+      s"forgotten G2 holder still matched (or survivor lost): ${out(20L)}")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
