@@ -800,9 +800,14 @@ object DedupQueries {
 
     // ---- D7: deterministic stratified sampling — ~20% per source via
     // Knuth multiplicative hashing of the doc id (stable across runs
-    // and engines; no rand()) ----
+    // and engines; no rand()). The id reduces mod p BEFORE the
+    // multiply (d27's advisor fix, applied to every threshold-style
+    // hash in the suite): a raw doc_id·2654435761 wraps Long past
+    // id ≈ 3.47e9, and a negative product % 100 is negative — always
+    // `< 20`, so the overflowed id range would be sampled at 100%. ----
     "d7_stratified_sample" -> ((s, dir) => {
-      val keep = (col("doc_id") * 2654435761L) % 100 < 20
+      val keep = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)) % 100 < 20
       Tables.documents(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("total_docs"),
@@ -1122,21 +1127,30 @@ object DedupQueries {
     // the 16-byte digest. One O(L) map-side pass per doc (the
     // rollingHash8 arithmetic), explode ∝ corpus, no shuffle until the
     // consumer aggregates. ----
-    "d21_cdc_chunks" -> ((s, dir) => {
-      // null text chunks to nothing (posexplode then emits no rows),
-      // matching the NULL-in/NULL-out shape the rest of the suite uses.
-      // The digest comes out of the SAME single pass as the cut points
-      // ([[Hashing.cdcChunks]]): slicing chunks back out of the stored
-      // column with substring() re-scans UTF-8 from byte 0 per chunk —
-      // O(L²/chunk) on densely-cutting degenerate documents.
-      val chunksU = udf((t: String) =>
-        if (t == null) Seq.empty[(Long, String)] else graft.functions.Hashing.cdcChunks(t))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(chunksU(col("text"))).as(Seq("chunk_no", "ch")))
-        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-          col("ch._1").as("c_len"), col("ch._2").as("c_md5"))
-        .orderBy("doc_id", "chunk_no")
+    "d21_cdc_chunks" -> ((s, dir) =>
+      cdcChunkRows(s, dir)
+        .select("doc_id", "chunk_no", "c_len", "c_md5")
+        .orderBy("doc_id", "chunk_no")),
+
+    // ---- D30: chunk-store dedup accounting — d21's consumer, the
+    // rollup a content-addressed store (restic/borg/LLM-corpus delta
+    // storage) reports per source: chunks referenced vs chunks STORED
+    // (distinct digests), raw vs post-dedup bytes, and the dedup ratio
+    // in basis points. One digest-keyed aggregate over the map-side
+    // chunk explode — the 100 TB shape is a single shuffle on the
+    // 16-byte digest, and the per-source summary is O(sources). ----
+    "d30_chunk_dedup" -> ((s, dir) => {
+      val uniq = cdcChunkRows(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source", "c_md5", "c_len").agg(count(lit(1)).as("n"))
+      uniq.groupBy("source").agg(
+          sum("n").cast("long").as("n_chunks"),
+          sum(col("n") * col("c_len")).cast("long").as("raw_bytes"),
+          count(lit(1)).cast("long").as("n_unique"),
+          sum("c_len").cast("long").as("unique_bytes"))
+        .withColumn("dedup_bp",
+          when(col("raw_bytes") > 0, expr("10000 * unique_bytes div raw_bytes")))
+        .orderBy("source")
     }),
 
     // ---- D20: cross-source contamination matrix — which SOURCES leak
@@ -1660,8 +1674,53 @@ object DedupQueries {
       substringAdmission(s, dir, batch, bg,
         Seq(s.table(d26LandingFor(s, dir))
           .join(broadcast(deleted), Seq("doc_id"), "left_anti")))
+    }),
+
+    // ---- E26: BAND-index compaction — the cadence step that closes
+    // the band family's lifecycle (build d24 / serve / append e20 /
+    // forget e24 / compact, mirroring e23 on the gram side): base ∪
+    // delta fold into ONE rebuilt bucketed table, reclaiming the
+    // two-table union e20's lambda serve pays per batch. Pure
+    // index-file work — no document is re-shingled. Serving reads
+    // ONLY the compacted table + raw text: the candidate axis scans
+    // it bucket-locally, and even the exact axis's membership derives
+    // from it (admitted wave-1 docs are the index's only batch-split
+    // ids, present via e20's shingle-less sentinels; corpus docs by
+    // the split predicate). The oracle is e20's widened-corpus
+    // recompute verbatim, so hash equality proves compaction lost and
+    // invented nothing. ----
+    "e26_band_compact" -> ((s, dir) => {
+      val compacted = s.table(e26CompactFor(s, dir))
+        .select("doc_id", "band", "key")
+      val docs = Tables.documents(s, dir)
+      val wave2 = docs.filter(col("doc_id") % 20 === 10)
+      val corpus2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(docs.join(
+          compacted.filter(col("doc_id") % 20 === 0).select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"))
+      classifyBatch(s, dir, wave2.select("doc_id", "text"), bandsOf(wave2),
+        compacted, Some(corpus2))
     })
   )
+
+  /** D21/D30's shared chunk frame: null text chunks to nothing
+    * (posexplode then emits no rows), matching the NULL-in/NULL-out
+    * shape the rest of the suite uses. The digest comes out of the
+    * SAME single pass as the cut points ([[graft.functions.Hashing
+    * .cdcChunks]]): slicing chunks back out of the stored column with
+    * substring() re-scans UTF-8 from byte 0 per chunk — O(L²/chunk)
+    * on densely-cutting degenerate documents. */
+  private def cdcChunkRows(s: SparkSession, dir: String): DataFrame = {
+    val chunksU = udf((t: String) =>
+      if (t == null) Seq.empty[(Long, String)] else graft.functions.Hashing.cdcChunks(t))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(chunksU(col("text"))).as(Seq("chunk_no", "ch")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        col("ch._1").as("c_len"), col("ch._2").as("c_md5"))
+  }
 
   /** e24/e25's deletion batch: a deterministic carve of the corpus
     * split (batch docs are never deletion targets). */
@@ -1697,6 +1756,39 @@ object DedupQueries {
         .repartition(32, col("h"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "h").sortBy("h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    })
+  }
+
+  /** E26's compacted landing: one bucketed table holding exactly the
+    * band lambda's served content — d24 base ∪ e20 delta (sentinels
+    * included: they record index membership for shingle-less admits
+    * and can never match a real probe band) — with d24's bucket spec,
+    * built from index files only. */
+  private val e26Compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e26CompactFor(s: SparkSession, dir: String): String = {
+    val memo = e26Compacted.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) e26Compacted.remove(dir, memo)
+    e26Compacted.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e26_idx_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e26_${pid}_$tag")
+      Caches.track(d)(() => {
+        e26Compacted.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      s.table(bandLandingFor(s, d)).select("doc_id", "band", "key")
+        .unionByName(s.table(e20DeltaLandingFor(s, d)).select("doc_id", "band", "key"))
+        .repartition(32, col("key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "key").sortBy("key")
         .option("path", out.getAbsolutePath)
         .saveAsTable(tbl)
       tbl
@@ -2204,9 +2296,9 @@ object DedupQueries {
 
     "d7_stratified_sample" ->
       """SELECT source, count(*) AS total_docs,
-        | count(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 END) AS sampled_docs,
+        | count(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20 THEN 1 END) AS sampled_docs,
         | COALESCE(string_agg(
-        |     CASE WHEN (doc_id * 2654435761) % 100 < 20
+        |     CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20
         |          THEN CAST(doc_id AS VARCHAR) END, ','
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
@@ -2403,6 +2495,17 @@ object DedupQueries {
             "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")})
          |   WHERE status = 'novel')""".stripMargin),
 
+    // e26: serving wave 2 from the compacted single band table must
+    // equal the same widened-corpus recompute e20 is held to
+    "e26_band_compact" -> classifyRecomputeSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 10",
+      s"""SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+         | UNION ALL SELECT d.doc_id, d.text FROM documents d
+         | WHERE d.doc_id IN (SELECT doc_id FROM (${classifyRecomputeSql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")})
+         |   WHERE status = 'novel')""".stripMargin),
+
     // e22: the capped lambda gram index must serve wave 2 exactly as
     // the from-scratch index over corpus ∪ admitted-wave-1 — the
     // widened corpus predicate nests the full wave-1 substring replay
@@ -2442,24 +2545,23 @@ object DedupQueries {
     // rolling update mod p) and rebuilds the spans with list
     // arithmetic; md5 over the same codepoint-substring gates content.
     "d21_cdc_chunks" ->
-      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        | cuts AS (SELECT doc_id, text, n,
-        |    list_filter(range(8, greatest(n, 8)),
-        |      e -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(range(e - 7, e + 1),
-        |               j -> CAST(ascii(text[CAST(j AS INT)]) AS BIGINT))),
-        |           (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0) AS ce
-        |  FROM t),
-        | b AS (SELECT doc_id, text,
-        |    list_concat(list_concat([CAST(0 AS BIGINT)], ce),
-        |                [CAST(n AS BIGINT)]) AS bs FROM cuts),
-        | ch AS (SELECT doc_id, text, bs,
-        |    unnest(range(0, len(bs) - 1)) AS k FROM b)
-        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
-        |  bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS c_len,
-        |  md5(substring(text, CAST(bs[CAST(k + 1 AS INT)] + 1 AS INT),
-        |      CAST(bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS INT))) AS c_md5
-        |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+      s"SELECT * FROM ($d21ChunksSql) ORDER BY doc_id, chunk_no",
+
+    // d30's twin nests d21's chunk replay, labels each chunk with its
+    // doc's source, and replays the digest-keyed dedup accounting
+    "d30_chunk_dedup" ->
+      s"""WITH lab AS (SELECT d.source, c.c_len, c.c_md5
+         |   FROM ($d21ChunksSql) c JOIN documents d USING (doc_id)),
+         | uniq AS (SELECT source, c_md5, c_len, CAST(count(*) AS BIGINT) AS n
+         |   FROM lab GROUP BY 1, 2, 3)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n * c_len) AS BIGINT) AS raw_bytes,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(sum(c_len) AS BIGINT) AS unique_bytes,
+         |  CASE WHEN sum(n * c_len) > 0
+         |    THEN 10000 * CAST(sum(c_len) AS BIGINT) // CAST(sum(n * c_len) AS BIGINT)
+         |  END AS dedup_bp
+         |FROM uniq GROUP BY source ORDER BY source""".stripMargin,
 
     // d20's twin labels the exhaustive exact-Jaccard pair set (d2's
     // oracle) with each endpoint's source and replays the unordered-
@@ -2767,6 +2869,28 @@ object DedupQueries {
     * d2 query comment: the gate asserts full recall at the fixture's
     * similarity level; the size band is lossless for t=0.8) — shared by
     * d2's gate and d17's rollup. */
+  /** d21's chunk replay (doc_id, chunk_no, c_len, c_md5) — shared by
+    * the d21 gate and d30's dedup-accounting rollup. */
+  private lazy val d21ChunksSql: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      | cuts AS (SELECT doc_id, text, n,
+      |    list_filter(range(8, greatest(n, 8)),
+      |      e -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(e - 7, e + 1),
+      |               j -> CAST(ascii(text[CAST(j AS INT)]) AS BIGINT))),
+      |           (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0) AS ce
+      |  FROM t),
+      | b AS (SELECT doc_id, text,
+      |    list_concat(list_concat([CAST(0 AS BIGINT)], ce),
+      |                [CAST(n AS BIGINT)]) AS bs FROM cuts),
+      | ch AS (SELECT doc_id, text, bs,
+      |    unnest(range(0, len(bs) - 1)) AS k FROM b)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+      |  bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS c_len,
+      |  md5(substring(text, CAST(bs[CAST(k + 1 AS INT)] + 1 AS INT),
+      |      CAST(bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS INT))) AS c_md5
+      |FROM ch""".stripMargin
+
   private lazy val d2ExhaustiveSql: String =
     s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
        |              FROM documents),

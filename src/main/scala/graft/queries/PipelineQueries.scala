@@ -1571,7 +1571,11 @@ object PipelineQueries {
       }
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), w.as("weight"),
-          (floor(w) + when((col("doc_id") * 2654435761L) % 1000 <
+          // id reduced mod p before the multiply (d27's advisor fix):
+          // a wrapped negative product % 1000 is negative — always
+          // below the fraction, over-counting every overflowed id
+          (floor(w) + when(pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+              lit(1000000007L)) % 1000 <
             (w - floor(w)) * 1000, 1L).otherwise(0L)).cast("long").as("multiplicity"))
         .orderBy("doc_id")
     }),
@@ -1960,6 +1964,58 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- T46: DSIR-shaped importance selection (Xie et al.'s Data
+    // Selection via Importance Resampling, the hashed-feature form):
+    // rank raw documents by how target-like their hashed-unigram
+    // distribution is. Features are md5-bucketed words (B = 4096 — the
+    // fixed-state discipline of t28/t30: bucket stats never grow with
+    // the corpus); the target distribution is the lang='en' slice (the
+    // trusted-corpus slot — production plugs Wikipedia there); each
+    // bucket's importance is the Laplace-smoothed LIKELIHOOD RATIO
+    // p_t(b)/p_r(b) in BIGINT fixed point (ln() isn't correctly-
+    // rounded cross-engine — the t39 discipline; the ratio, unlike a
+    // frequency DIFFERENCE, is what separates target-like from merely
+    // frequent: a word equally common in both distributions scores
+    // ~1·S regardless of how common it is); a doc's weight is the
+    // per-token MEAN ratio (Σ n·L div Σ n — length-invariant, the
+    // arithmetic-mean surrogate of DSIR's geometric log-mean), and
+    // each source keeps its top quarter by weight (skew-proof grouped
+    // rank, t26's operator). ONE token-scan: per-doc bucket counts
+    // are the finest statistic, and both global distributions
+    // aggregate from THEM, never re-reading text. The 4096-row score
+    // table broadcasts. ----
+    "t46_dsir_select" -> ((s, dir) => {
+      val B = 4096L; val S = 1000000L
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val ww = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("wd"))
+        .filter(length(col("wd")) > 0)
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("wd").cast("binary")), 1, 3), 16, 10)
+            .cast("long").as("b"))
+      val db = Caches.trackCached(dir,
+        ww.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n")))
+      val raw = db.groupBy("b").agg(sum("n").as("cr"))
+      val tgt = db.filter(col("lang") === "en").groupBy("b").agg(sum("n").as("ct"))
+      val totals = db.agg(sum("n").as("tr"),
+        coalesce(sum(when(col("lang") === "en", col("n"))), lit(0L)).as("tt"))
+      val sc = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"), expr(
+          s"$S * (coalesce(ct, 0) + 1) * (tr + $B) div ((cr + 1) * (tt + $B))")
+          .as("l"))
+      val wt = db.join(broadcast(sc), Seq("b"))
+        .groupBy("doc_id").agg(expr("sum(n * l) div sum(n)").as("weight"))
+      val base = docs.select("doc_id", "source").join(wt, Seq("doc_id"))
+      val ranked = graft.operators.GlobalOrder.withPositionWithin(
+        base, "r", Seq("source"), col("weight").desc, col("doc_id").asc)
+      val ns = base.groupBy("source").agg(count(lit(1)).as("ns"))
+      ranked.join(broadcast(ns), Seq("source"))
+        .select(col("doc_id"), col("source"), col("weight"),
+          (col("r") <= expr("(ns + 3) div 4")).as("selected"))
+        .orderBy("doc_id")
+    }),
+
     "t24_stratified_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000000007L)
@@ -2185,7 +2241,8 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, source,
          |    CASE source $caseSql ELSE 1.0 END AS w FROM documents)
          |SELECT doc_id, source, CAST(w AS DOUBLE) AS weight,
-         |  CAST(floor(w) + CASE WHEN (doc_id * 2654435761) % 1000 <
+         |  CAST(floor(w) + CASE WHEN ((doc_id % 1000000007) * 2654435761)
+         |      % 1000000007 % 1000 <
          |    (w - floor(w)) * 1000 THEN 1 ELSE 0 END AS BIGINT) AS multiplicity
          |FROM t ORDER BY doc_id""".stripMargin
     },
@@ -2472,6 +2529,41 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN pos > (n * 9) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  CAST(min(CASE WHEN pos <= (n * 9) // 10 THEN n_chars END) AS BIGINT) AS cutoff_chars
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // t46: the twin replays bucketing (same md5 prefix arithmetic),
+    // both Laplace-smoothed distributions, the fixed-point scores, and
+    // the per-source quarter cut with a sequential window rank
+    "t46_dsir_select" -> {
+      def hexDig(k: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(wd), $k, 1)) - 1)"
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents WHERE text IS NOT NULL),
+         | ww AS (SELECT doc_id, lang,
+         |     CAST(${hexDig(1)} * 256 + ${hexDig(2)} * 16 + ${hexDig(3)} AS BIGINT) AS b
+         |   FROM w WHERE length(wd) > 0),
+         | db AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n
+         |   FROM ww GROUP BY doc_id, lang, b),
+         | raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY b),
+         | tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM db
+         |   WHERE lang = 'en' GROUP BY b),
+         | tot AS (SELECT CAST(sum(n) AS BIGINT) AS tr,
+         |     CAST(COALESCE(sum(CASE WHEN lang = 'en' THEN n END), 0) AS BIGINT) AS tt
+         |   FROM db),
+         | sc AS (SELECT r.b,
+         |     1000000 * (COALESCE(t.ct, 0) + 1) * (tot.tr + 4096)
+         |       // ((r.cr + 1) * (tot.tt + 4096)) AS l
+         |   FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+         | wt AS (SELECT doc_id,
+         |     CAST(sum(n * l) // sum(n) AS BIGINT) AS weight
+         |   FROM db JOIN sc USING (b) GROUP BY doc_id),
+         | rk AS (SELECT d.doc_id, d.source, wt.weight,
+         |     row_number() OVER (PARTITION BY d.source
+         |       ORDER BY wt.weight DESC, d.doc_id ASC) AS r,
+         |     count(*) OVER (PARTITION BY d.source) AS ns
+         |   FROM documents d JOIN wt USING (doc_id) WHERE d.text IS NOT NULL)
+         |SELECT doc_id, source, weight, r <= (ns + 3) // 4 AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin
+    },
 
     "t24_stratified_split" ->
       """WITH r AS (SELECT source, n_chars,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Cleaning
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators for the training-data pipeline surface
@@ -126,6 +127,39 @@ object TextQueries {
     // interpreted higher-order-function rewrite still allocated a struct
     // per code point). The expression stages in its own projection so
     // the two-field split reads the materialized array. ----
+    // ---- T45: winnowing fingerprint selection (Schleimer–Wilkerson–
+    // Aiken's MOSS algorithm): per document, roll every K-gram hash in
+    // one O(L) codegen pass (graft_gram_hashes), then select in each
+    // window of W consecutive hashes the MINIMUM, rightmost on ties —
+    // the selection rule with the guarantee t5's mod-p sampling lacks:
+    // any substring of length ≥ K+W−1 shared by two documents shares a
+    // selected fingerprint (no gap of W consecutive grams goes
+    // unsampled), at expected density 2/(W+1). The min AND the
+    // rightmost-tie rule ride one integer encoding
+    // e = h·2²² + (2²²−1−pos), so a single ROWS-frame window-min is
+    // the entire selection and both engines fold it identically
+    // (h < 2³¹ and pos < 2²² keep e < 2⁵³ — exact in any engine).
+    // Work is O(doc), never O(corpus): the window partitions by
+    // doc_id, so documents parallelize freely and a 100 TB corpus is
+    // a mapper plus per-doc local sorts. ----
+    "t45_winnowing" -> ((s, dir) => {
+      val K = 20; val W = 8; val ENC = 1L << 22
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
+      val gr = docs.select(col("doc_id"),
+        (length(col("text")) - (K - 1)).cast("long").as("n"),
+        posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
+          .as(Seq("i0", "h")))
+      val w = Window.partitionBy("doc_id").orderBy("i0").rowsBetween(0, W - 1)
+      gr.withColumn("e", min(col("h") * lit(ENC) + (lit(ENC - 1) - col("i0"))).over(w))
+        .filter(col("i0") <= col("n") - W)
+        .select(col("doc_id"), col("e")).distinct()
+        .select(col("doc_id"),
+          (lit(ENC - 1) - col("e") % lit(ENC)).cast("long").as("fp_pos"),
+          expr(s"e div ${ENC}L").as("fp_h"))
+        .orderBy("doc_id", "fp_pos", "fp_h")
+    }),
+
     "t5_rolling_hash" -> ((s, dir) => {
       graft.plans.GraftExtensions.register(s)
       Tables.documents(s, dir)
@@ -241,7 +275,9 @@ object TextQueries {
           col("_div") >= 0.4 && col("_nstop") > 0)
         .withColumn("rn", row_number().over(Window.partitionBy(fp).orderBy("doc_id")))
         .withColumn("canon", col("rn") === 1)
-        .withColumn("samp", col("canon") && (col("doc_id") * 2654435761L) % 100 < 20)
+        .withColumn("samp", col("canon") &&
+          pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+            lit(1000000007L)) % 100 < 20)
       val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
       val funnel = kept.groupBy("source").agg(
         count(lit(1)).as("nq"), count(when(col("canon"), 1)).as("nd"),
@@ -522,7 +558,7 @@ object TextQueries {
          |   FROM q),
          | f AS (SELECT source, count(*) AS nq,
          |     count(CASE WHEN rn = 1 THEN 1 END) AS nd,
-         |     count(CASE WHEN rn = 1 AND (doc_id * 2654435761) % 100 < 20 THEN 1 END) AS ns
+         |     count(CASE WHEN rn = 1 AND ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20 THEN 1 END) AS ns
          |   FROM k GROUP BY source),
          | raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source)
          |SELECT raw.source, raw.n_raw,
@@ -589,6 +625,28 @@ object TextQueries {
         | round(sum("value"), 2) AS sum_value,
         | (max(us) - min(us)) // 1000000 AS duration_sec
         |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
+
+    // t45: the twin replays gram-hash → encoded window-min → distinct
+    // decode with the identical e = h·2²² + (2²²−1−pos) arithmetic —
+    // the rightmost-tie rule is IN the encoding, so one window MIN is
+    // the whole selection in both engines
+    "t45_winnowing" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 27),
+        | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 20), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 19)) AS t(i)),
+        | win AS (SELECT doc_id, i0, n,
+        |     min(h * 4194304 + (4194303 - i0)) OVER (PARTITION BY doc_id ORDER BY i0
+        |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS e
+        |   FROM gr),
+        | sel AS (SELECT DISTINCT doc_id, e FROM win WHERE i0 <= n - 8)
+        |SELECT doc_id, CAST(4194303 - e % 4194304 AS BIGINT) AS fp_pos,
+        |  CAST(e // 4194304 AS BIGINT) AS fp_h
+        |FROM sel ORDER BY doc_id, fp_pos, fp_h""".stripMargin,
 
     "t5_rolling_hash" ->
       """SELECT doc_id,

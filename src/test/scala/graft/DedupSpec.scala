@@ -224,6 +224,34 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d30 chunk-dedup accounting: duplicated chunks stored once, identities hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d30").toString
+    val para = "the quick brown fox jumps over the lazy dog while the pipeline " +
+      "streams rows into the lake and every batch lands on an idle core"
+    Seq(
+      (1L, para, "dup", "en"),
+      (2L, para, "dup", "en"),          // byte-identical: chunks fully shared
+      (3L, "entirely different words that share no chunk with the paragraph " +
+        "because every character run is distinct here", "uniq", "en"))
+      .map { case (i, t, src, l) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d30_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (nC, raw, nU, uniqB, bp) = out("dup")
+    // identical twins: every chunk appears exactly twice, stored once
+    assert(nC === 2 * nU && raw === 2 * uniqB,
+      s"identical docs must dedupe 2:1, got $out")
+    assert(raw === 2L * para.length, "raw bytes must equal total text length")
+    assert(bp === 10000L * uniqB / raw)
+    val u = out("uniq")
+    assert(u._1 === u._3 && u._2 === u._4 && u._5 === 10000L,
+      s"unique source must store everything, got $u")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d23 recovers a planted shared paragraph as one maximal span") {
     import spark.implicits._
     // two docs share exactly one 150-char paragraph; every other char
@@ -576,6 +604,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(90L) === (("exact", Some(60L))),
       s"wave-2 exact dup of the SHORT admitted doc missed: ${out(90L)}")
     assert(out(50L)._1 === "novel")
+
+    // e26: compaction must hold exactly base ∪ delta (sentinels
+    // included) and serve wave 2 identically to the lambda layout
+    val compacted = spark.table(DedupQueries.e26CompactFor(spark, dir))
+    val lambdaRows = spark.table(DedupQueries.bandLandingFor(spark, dir))
+      .select("doc_id", "band", "key")
+      .unionByName(spark.table(DedupQueries.e20DeltaLandingFor(spark, dir))
+        .select("doc_id", "band", "key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val compRows = compacted.select("doc_id", "band", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(compRows === lambdaRows,
+      "compacted band table must equal base ∪ delta row-for-row")
+    assert(compRows.exists(_._2 === -1),
+      "the shingle-less admit's sentinel row must survive compaction")
+    val outC = SparkEntry.queries("e26_band_compact")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val outL = out
+    assert(outC === outL,
+      s"compacted serve must equal the lambda serve: $outC vs $outL")
     graft.queries.Caches.release(spark, dir)
   }
 

@@ -451,4 +451,79 @@ class QualitySpec extends AnyFunSuite {
       "merged es counts diverge from the full labeled-split recompute")
     graft.queries.Caches.release(spark, sfDir)
   }
+
+  test("t46 DSIR selection: target-like docs outrank, per-source quarter cut is exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_t46").toString
+    // target slice (lang=en) repeats its vocabulary enough that the
+    // smoothed ratio separates (with singleton counts the +1 smoothing
+    // dominates and every ratio collapses toward the same value)
+    Seq(
+      (1L, ("alpha beta gamma delta " * 15).trim, "en", "ref"),
+      (2L, ("alpha beta epsilon zeta " * 15).trim, "en", "ref"),
+      (10L, "alpha beta gamma delta alpha beta", "xx", "srcA"), // target-like
+      (11L, "qq ww ee rr tt yy uu ii", "xx", "srcA"),           // disjoint
+      (12L, "zz xx cc vv bb nn mm kk", "xx", "srcA"),           // disjoint
+      (13L, "alpha qq ww ee rr tt yy uu", "xx", "srcA"))        // one hit
+      .map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t46_dsir_select")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val srcA = Seq(10L, 11L, 12L, 13L).map(d => d -> out(d))
+    // (no finer ordering asserted among the junk docs: hashed features
+    // collide, so a junk word landing in a target-heavy bucket can
+    // shift weights — expected noise of the 4096-bucket representation)
+    assert(Seq(11L, 12L, 13L).forall(d => out(10L)._1 > out(d)._1),
+      s"the target-vocabulary doc must outweigh every junk doc: $srcA")
+    // (4 + 3) div 4 = 1: exactly the top doc of srcA is selected
+    assert(srcA.count(_._2._2) === 1 && out(10L)._2,
+      s"per-source quarter cut must select exactly doc 10: $srcA")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("t45 winnowing: exact vs naive recompute, window coverage, shared-substring guarantee") {
+    val K = 20; val W = 8
+    // naive reference: hash every K-gram, take min-with-rightmost-tie
+    // per window, distinct — the textbook definition, no encoding trick
+    def gramHash(s: String, i: Int): Long = {
+      var h = 0L
+      var j = i
+      while (j < i + K) { h = (h * 131 + s.codePointAt(j)) % 2147483647L; j += 1 }
+      h
+    }
+    def naive(s: String): Set[(Long, Long)] = {
+      val n = s.length - K + 1
+      val hs = (0 until n).map(h => gramHash(s, h))
+      (0 to n - W).map { j =>
+        val win = (j until j + W).map(p => (hs(p), p))
+        val m = win.map(_._1).min
+        val pos = win.filter(_._1 == m).map(_._2).max // rightmost tie
+        (pos.toLong, m)
+      }.toSet
+    }
+    val shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-TWICE" // 50 chars >= K+W-1
+    val d0 = "abcdefg" * 13 // period 7 < W: forces hash TIES inside windows
+    val d1 = s"left-context-padding-000 $shared tail-one-111111"
+    val d2 = s"совершенно другой префикс $shared другой хвост" // non-ASCII context
+    val dir = docsDir(Seq(d0, d1, d2, "short"))
+    val out = SparkEntry.queries("t45_winnowing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(r => (r._2, r._3)).toSet }
+    assert(!byDoc.contains(3L), "a doc shorter than K+W-1 must emit nothing")
+    for ((d, txt) <- Seq(0L -> d0, 1L -> d1, 2L -> d2)) {
+      assert(byDoc(d) === naive(txt), s"doc $d diverges from the naive recompute")
+      // coverage guarantee: every window of W gram positions holds a fingerprint
+      val ps = byDoc(d).map(_._1)
+      for (j <- 0 to txt.length - K + 1 - W)
+        assert(ps.exists(p => p >= j && p < j + W), s"doc $d window $j unsampled")
+    }
+    // the MOSS guarantee: two docs sharing a >= K+W-1 substring share a
+    // fingerprint HASH (positions differ — the match survives offset shift)
+    val sharedHashes = byDoc(1L).map(_._2) intersect byDoc(2L).map(_._2)
+    assert(sharedHashes.nonEmpty,
+      "docs sharing a 50-char span must share a winnowed fingerprint")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
