@@ -1014,6 +1014,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- D32: right-to-be-forgotten on the CLUSTER LABELS — the
+    // delete leg of the incremental-CC pair (d28 merges new edges in;
+    // this takes documents OUT), and the one forget case no artifact
+    // so far exercised: deletion can SPLIT a component. Removing a cut
+    // vertex disconnects its cluster, so no label-local rewrite works —
+    // the honest incremental shape is d28's inverted: clusters holding
+    // a deleted doc are carved out (semi-joins), their surviving
+    // subgraph (edges with BOTH endpoints alive) re-converges in ONE
+    // bounded BSP, untouched clusters' labels pass through an
+    // anti-join, and docs isolated by the deletion leave the label set
+    // (the store only ever holds docs with a surviving edge). The
+    // oracle recomputes components over the survivor-restricted
+    // reachability from scratch, so the gate proves carve + relabel ≡
+    // full recompute(survivors). Work is O(affected components +
+    // delete batch), never O(graph). ----
+    "d32_label_forget" -> ((s, dir) => {
+      val labels = d9ClustersFor(s, dir).select("doc_id", "cluster_id")
+      val deleted = e24Deleted(Tables.documents(s, dir))
+      val edges = d2EdgesFor(s, dir).select("doc1", "doc2")
+      val affected = labels.join(broadcast(deleted), Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct()
+      val members = labels.join(affected, Seq("cluster_id"), "left_semi")
+      val subEdges = edges
+        .join(members.select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+        .join(broadcast(deleted.select(col("doc_id").as("doc1"))), Seq("doc1"), "left_anti")
+        .join(broadcast(deleted.select(col("doc_id").as("doc2"))), Seq("doc2"), "left_anti")
+      val relabeled = minLabelClusters(subEdges, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      labels.join(affected, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(relabeled)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D27: leakage-safe train/val/test split — the contamination
     // guard t24's plain stratified split cannot give: if two near-
     // duplicate documents land on opposite sides of the train/test
@@ -1131,6 +1166,55 @@ object DedupQueries {
       cdcChunkRows(s, dir)
         .select("doc_id", "chunk_no", "c_len", "c_md5")
         .orderBy("doc_id", "chunk_no")),
+
+    // ---- D31: asymmetric CONTAINMENT join — the near-SUPERSET case
+    // symmetric Jaccard structurally misses: a short document quoted
+    // whole inside a much longer one has C(A→B) = |A∩B|/|A| ≈ 1 while
+    // J = |A∩B|/|A∪B| is tiny (the size union swamps it), so d2/d3
+    // never pair them. The ppjoin-class plan: the SMALL side keeps
+    // only its (1−t)·|A|+1 rarest shingles (lossless — an overlap
+    // ≥ ⌈t·|A|⌉ forces a shared token into that prefix), the big side
+    // posts ALL its tokens (the honest cost of overlap joins — at
+    // 100 TB the production variant df-caps the postings like x17,
+    // trading tail recall for boundedness), and the positional bound
+    // 1 + min(|A|−rkA, |B|−rkB) ≥ t·|A| prunes row pairs that cannot
+    // reach the overlap before the exact verify. Orientation: small
+    // ⊆ big (ties by id), exact |A∩B|/|A| ≥ 0.9 verified on interned
+    // sorted hash arrays. DedupSpec proves the pruning lossless
+    // against the exhaustive all-pairs recompute and that the planted
+    // quote evades d3 at its own threshold. ----
+    "d31_containment" -> ((s, dir) => {
+      val ct = 0.9
+      val docs = Caches.trackCached(dir, docShingles(s, dir))
+      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
+      val ranked = tok.join(freq, "t")
+        .withColumn("rk", row_number().over(w))
+        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
+      val prefA = ranked.filter(col("rk") <= floor((lit(1.0) - ct) * col("sz")) + 1)
+      val cand = prefA.as("a").join(ranked.as("b"),
+          col("a.t") === col("b.t") &&
+            (col("a.sz") < col("b.sz") ||
+              (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
+            (lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) >=
+              ceil(lit(ct) * col("a.sz") - lit(1e-9))))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      val interned = docs.select(col("doc_id"),
+        array_sort(transform(filter(col("sh"), x => x.isNotNull),
+          x => xxhash64(x))).as("shi"), col("sz"))
+      cand
+        .join(interned.select(col("doc_id").as("doc1"),
+          col("shi").as("shi1"), col("sz").as("sz1")), "doc1")
+        .join(interned.select(col("doc_id").as("doc2"),
+          col("shi").as("shi2")), "doc2")
+        .withColumn("inter", intersectUdf(col("shi1"), col("shi2")))
+        .filter(col("inter") * lit(1.0) / col("sz1") >= ct)
+        .select(col("doc1"), col("doc2"),
+          round(col("inter") / col("sz1"), 4).as("containment"))
+        .orderBy("doc1", "doc2")
+    }),
 
     // ---- D30: chunk-store dedup accounting — d21's consumer, the
     // rollup a content-addressed store (restic/borg/LLM-corpus delta
@@ -2271,6 +2355,31 @@ object DedupQueries {
          |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
          |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin,
 
+    // d31: the twin replays small-side prefix + positional bound +
+    // exact containment verify (DedupSpec separately proves the
+    // pruning ≡ the exhaustive all-pairs recompute)
+    "d31_containment" ->
+      s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents),
+         | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
+         | tok AS (SELECT doc_id, sz, unnest(sh) AS t FROM sized),
+         | freq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         | ranked AS (SELECT tok.t, tok.doc_id, tok.sz,
+         |     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.df ASC, tok.t ASC) AS rk
+         |   FROM tok JOIN freq f ON tok.t = f.t),
+         | pref AS (SELECT t, doc_id, sz, rk FROM ranked
+         |   WHERE rk <= floor((1.0 - 0.9) * sz) + 1),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |   FROM pref a JOIN ranked b ON a.t = b.t
+         |    AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+         |    AND 1 + least(a.sz - a.rk, b.sz - b.rk) >= ceil(0.9 * a.sz - 1e-9)),
+         | verified AS (SELECT c.doc1, c.doc2,
+         |     len(list_intersect(x.sh, y.sh)) * 1.0 / x.sz AS cont
+         |   FROM cand c JOIN sized x ON c.doc1 = x.doc_id
+         |               JOIN sized y ON c.doc2 = y.doc_id)
+         |SELECT doc1, doc2, round(cont, 4) AS containment FROM verified
+         |WHERE cont >= 0.9 ORDER BY doc1, doc2""".stripMargin,
+
     "d6_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
          |              FROM documents),
@@ -2401,6 +2510,14 @@ object DedupQueries {
     // d29: the landed store after merge write-back must equal the
     // same full recompute — the strongest landed ≡ recomputed form.
     "d29_landed_labels" -> d9ClustersSql,
+
+    // d32: full component recompute over the SURVIVING documents —
+    // carve + one-shot relabel must equal it, splits included
+    "d32_label_forget" -> s"""${d9ReachCteFor(
+        "doc_id % 10 = 0 OR doc_id % 7 <> 1")}
+         |SELECT node AS doc_id, min(lab) AS cluster_id,
+         | node = min(lab) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // d27's twin replays the d9 reachability, coalesces singletons to
     // their own label, and applies the same label-hash split — a
@@ -2912,8 +3029,15 @@ object DedupQueries {
   /** d9's dup-graph reachability as a reusable WITH prefix (ends at the
     * `reach` recursive CTE, no trailing comma) — shared by the d9 twin
     * and d27's cluster-consistent split twin. */
-  private lazy val d9ReachCte: String = s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
-         |              FROM documents),
+  private lazy val d9ReachCte: String = d9ReachCteFor("TRUE")
+
+  /** The d9 reachability CTE restricted to documents matching
+    * `survivor` — d32's forget oracle recomputes components over the
+    * surviving subgraph from scratch (deleting a cut vertex must
+    * split its component, which no label-local rewrite can express). */
+  private def d9ReachCteFor(survivor: String): String =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, $shinglesSql AS sh
+         |              FROM documents WHERE $survivor),
          | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),
          | cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          |     a.sh AS sh1, a.sz AS sz1, b.sh AS sh2, b.sz AS sz2

@@ -2004,8 +2004,12 @@ object PipelineQueries {
         .select(col("b"), expr(
           s"$S * (coalesce(ct, 0) + 1) * (tr + $B) div ((cr + 1) * (tt + $B))")
           .as("l"))
-      val wt = db.join(broadcast(sc), Seq("b"))
-        .groupBy("doc_id").agg(expr("sum(n * l) div sum(n)").as("weight"))
+      // checkpoint: the weighted frame feeds the grouped rank's dual
+      // evaluation (local ranks + shard counts) plus the per-source
+      // totals — three consumers that would each re-run the score
+      // join + aggregation chain over the cached bucket counts
+      val wt = Caches.checkpointed(dir, db.join(broadcast(sc), Seq("b"))
+        .groupBy("doc_id").agg(expr("sum(n * l) div sum(n)").as("weight")))
       val base = docs.select("doc_id", "source").join(wt, Seq("doc_id"))
       val ranked = graft.operators.GlobalOrder.withPositionWithin(
         base, "r", Seq("source"), col("weight").desc, col("doc_id").asc)

@@ -64,4 +64,23 @@ object Versioned {
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     write(cur.repartition(files), root)
   }
+
+  /** Retention vacuum: delete all but the newest `keep` versions.
+    * The other half of the versioned-store contract — immutable
+    * versions make backup free, but an unbounded history eventually
+    * stores the table O(versions) times; production stores bound it
+    * by retention (time- or count-based — count here). Strictly a
+    * metadata-plus-delete operation: surviving versions' files are
+    * untouched (SinkSpec pins byte-identity of the kept versions and
+    * that reads of current + every kept restore point are unchanged).
+    * Refuses keep < 1 — the current version is never vacuumable.
+    * Returns the version numbers deleted, ascending. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuum must keep at least the current version, got keep=$keep")
+    val vs = versions(spark, root)
+    val doomed = vs.dropRight(keep)
+    val f = fs(spark, root)
+    doomed.foreach(v => f.delete(new Path(s"$root/v=$v"), true))
+    doomed
+  }
 }

@@ -224,6 +224,75 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d32 label forget: deleting a bridge doc splits its cluster; isolated docs leave") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d32").toString
+    // chain fixture: X1≈X2 ≈ bridge Y ≈ Z1≈Z2, but X*–Z* below the 0.8
+    // threshold (staggered 38-word windows over one vocabulary: J(X,Y)
+    // = 33/39 ≈ 0.85, J(X,Z) = 30/42 ≈ 0.71). Deleting the bridge
+    // (id 8: % 7 == 1, % 10 != 0) must split the 5-doc cluster in two.
+    val w = (0 until 44).map("w%02d".format(_))
+    def span(a: Int): String = w.slice(a, a + 38).mkString(" ")
+    val x1 = span(0)
+    val x2 = ("q00" +: w.slice(1, 38)).mkString(" ") // first word differs
+    val y = span(3)
+    val z1 = span(6)
+    val z2 = (w.slice(6, 43) :+ "q99").mkString(" ") // last word differs
+    Seq((2L, x1), (3L, x2), (8L, y), (4L, z1), (5L, z2),
+        (30L, (0 until 30).map("u%02d".format(_)).mkString(" "))) // unrelated
+      .map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // precondition: one cluster holds all five chained docs
+    val before = graft.queries.DedupQueries.queries("d9_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before === Map(2L -> 2L, 3L -> 2L, 8L -> 2L, 4L -> 2L, 5L -> 2L),
+      s"fixture must chain into ONE cluster via the bridge, got $before")
+    val after = SparkEntry.queries("d32_label_forget")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === Map(2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L),
+      s"forgetting the bridge must split the cluster in two, got $after")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("d31 containment: pruning ≡ exhaustive recompute; the planted quote evades d3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d31").toString
+    val big = ("w%02d".format(0) +: (1 until 40).map("w%02d".format(_))).mkString(" ")
+    val quote = (10 until 22).map("w%02d".format(_)).mkString(" ") // 12-word span of big
+    val half = ((12 until 18).map("w%02d".format(_)) ++
+      (0 until 6).map("q%02d".format(_))).mkString(" ") // ~half shared
+    val other = (0 until 30).map("z%02d".format(_)).mkString(" ")
+    val fixture = Seq(
+      (1L, big, "src0"), (2L, quote, "src0"), (3L, half, "src0"), (4L, other, "src0"))
+    fixture
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d31_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive reference: distinct word-3-gram sets, all oriented pairs
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString("_")).toSet
+    val sh = fixture.map { case (i, t, _) => i -> shingles(t) }.toMap
+    val exhaustive = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if sa.size < sb.size || (sa.size == sb.size && a < b)
+      c = (sa intersect sb).size.toDouble / sa.size
+      if c >= 0.9
+    } yield (a, b, math.rint(c * 10000) / 10000)).toSet
+    assert(out === exhaustive, s"pruned plan diverges from exhaustive: $out vs $exhaustive")
+    assert(out.exists(p => p._1 === 2L && p._2 === 1L && p._3 === 1.0),
+      s"the planted full quote must be found at containment 1.0: $out")
+    assert(!out.exists(p => p._1 === 3L), "the half-overlap doc must stay below 0.9")
+    // the same quote is invisible to symmetric Jaccard at d3's threshold
+    val d3 = SparkEntry.queries("d3_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!d3.contains((1L, 2L)) && !d3.contains((2L, 1L)),
+      "fixture broken: the quote pair must be below symmetric-Jaccard reach")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d30 chunk-dedup accounting: duplicated chunks stored once, identities hold") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d30").toString

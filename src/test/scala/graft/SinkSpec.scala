@@ -104,6 +104,27 @@ class SinkSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("vacuum deletes only versions past retention; kept versions byte-identical") {
+    val root = Files.createTempDirectory("graft_vacuum").toString + "/base"
+    val base = Tables.part(spark, sfDir).select("p_partkey", "p_retailprice")
+    (1 to 4).foreach(i => Versioned.write(base.limit(10 * i), root))
+    assert(Versioned.versions(spark, root) === Seq(1, 2, 3, 4))
+    def snap(v: Int): Seq[(String, Long, Long)] =
+      new java.io.File(s"$root/v=$v").listFiles().toSeq.sortBy(_.getName)
+        .map(f => (f.getName, f.length(), f.lastModified()))
+    val kept3 = snap(3); val kept4 = snap(4)
+    assert(Versioned.vacuum(spark, root, keep = 2) === Seq(1, 2))
+    assert(Versioned.versions(spark, root) === Seq(3, 4))
+    // surviving versions' files untouched, both still readable
+    assert(snap(3) === kept3 && snap(4) === kept4)
+    assert(Versioned.read(spark, root).count() === 40)
+    assert(Versioned.read(spark, root, Some(3)).count() === 30)
+    // a second vacuum at the same retention is a no-op
+    assert(Versioned.vacuum(spark, root, keep = 2) === Seq.empty)
+    // the current version is never vacuumable
+    intercept[IllegalArgumentException](Versioned.vacuum(spark, root, keep = 0))
+  }
+
   test("s25 dynamic overwrite replaces only the delta's partitions, byte-untouched elsewhere") {
     // first run materializes the landing and performs the overwrite
     SparkEntry.queries("s25_backfill_overwrite")(spark, sfDir).collect()
