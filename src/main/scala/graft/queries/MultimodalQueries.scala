@@ -840,6 +840,40 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- M13: resize/decode PLANNING — the budgeting step a 100 TB
+    // image pipeline runs BEFORE spending GPU decode: parse real
+    // container dims (m5's PNG header bytes), derive the fit-within-224
+    // target preserving aspect ratio in exact integer arithmetic
+    // (out = dim·224 div max(w,h), downscale only — a smaller image
+    // passes through), and the post-decode byte budget out_w·out_h·3
+    // the batcher packs against. Pure codegen'd expressions, zero
+    // shuffle — the plan row is what routes each blob to a decode
+    // batch without touching payload bytes. Corrupt rows plan null. ----
+    "m13_resize_plan" -> ((s, dir) => {
+      val w = (lit(100) + col("doc_id") % 1900).cast("int")
+      val hgt = (lit(100) + col("doc_id") % 1000).cast("int")
+      val header = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(hgt), 8, "0"), lit("0806"))
+      val media = when(col("doc_id") % 17 === 0, col("text").cast("binary"))
+        .otherwise(concat(unhex(header), col("text").cast("binary")))
+      val hs = hex(media)
+      val isPng = hs.startsWith("89504E470D0A1A0A")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), isPng.as("is_png"),
+          when(isPng, conv(hs.substr(33, 8), 16, 10).cast("long")).as("width"),
+          when(isPng, conv(hs.substr(41, 8), 16, 10).cast("long")).as("height"))
+        .withColumn("needs_resize",
+          when(col("is_png"), greatest(col("width"), col("height")) > 224L))
+        .withColumn("out_w", when(col("needs_resize"),
+            expr("width * 224 div greatest(width, height)"))
+          .otherwise(col("width")))
+        .withColumn("out_h", when(col("needs_resize"),
+            expr("height * 224 div greatest(width, height)"))
+          .otherwise(col("height")))
+        .withColumn("out_bytes", col("out_w") * col("out_h") * 3L)
+        .orderBy("doc_id")
+    }),
+
     // ---- M6: audio container metadata — the fixture plants a REAL
     // 44-byte RIFF/WAVE header (PCM fmt chunk with little-endian
     // channels/sample-rate/bits derived from doc_id, data size = the
@@ -1245,6 +1279,38 @@ object MultimodalQueries {
          | CASE WHEN is_png THEN ${fold(41, 8)} END AS height,
          | CASE WHEN is_png THEN ${fold(49, 2)} END AS bit_depth
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // m13: m5's header replay + the same integer fit-within arithmetic
+    "m13_resize_plan" -> {
+      def fold(start: Int, n: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range($start, ${start + n}), i -> " +
+          s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      s"""WITH m AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |        ELSE '89504E470D0A1A0A0000000D49484452' ||
+         |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 8, '0') ||
+         |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 8, '0') ||
+         |          '0806' || hex(encode(text)) END AS hs
+         |  FROM documents),
+         | p AS (SELECT doc_id, hs,
+         |   starts_with(hs, '89504E470D0A1A0A') AS is_png FROM m),
+         | d AS (SELECT doc_id, is_png,
+         |   CASE WHEN is_png THEN ${fold(33, 8)} END AS width,
+         |   CASE WHEN is_png THEN ${fold(41, 8)} END AS height FROM p),
+         | r AS (SELECT *,
+         |   CASE WHEN is_png THEN greatest(width, height) > 224 END AS needs_resize
+         |   FROM d),
+         | o AS (SELECT *,
+         |   CASE WHEN needs_resize THEN width * 224 // greatest(width, height)
+         |        ELSE width END AS out_w,
+         |   CASE WHEN needs_resize THEN height * 224 // greatest(width, height)
+         |        ELSE height END AS out_h FROM r)
+         |SELECT doc_id, is_png, width, height, needs_resize, out_w, out_h,
+         | out_w * out_h * 3 AS out_bytes
+         |FROM o ORDER BY doc_id""".stripMargin
     },
 
     // WAV twin: plants the same 44-byte LE header from doc_id and

@@ -364,4 +364,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!MultimodalQueries.decodeGif(8L,
       gif("474946 383861 0300 0200 00 00 00 3B")).is_gif) // "88a"
   }
+
+  test("m13 resize plan: downscale-only fit-within-224, aspect held, corrupt rows null") {
+    val spark = graft.SparkTestBase.spark
+    val rows = graft.SparkEntry.queries("m13_resize_plan")(
+        spark, graft.SparkTestBase.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (!r.getBoolean(1)) { // corrupt branch: the whole plan is null
+        assert((2 to 7).forall(r.isNullAt), s"corrupt doc $id must plan null")
+      } else {
+        val (w, h) = (r.getLong(2), r.getLong(3))
+        val (ow, oh) = (r.getLong(5), r.getLong(6))
+        if (r.getBoolean(4)) { // needs_resize
+          assert(math.max(w, h) > 224 && math.max(ow, oh) === 224,
+            s"doc $id: the long edge must land exactly on 224")
+          assert(ow === w * 224 / math.max(w, h) && oh === h * 224 / math.max(w, h),
+            s"doc $id: aspect-preserving floor scale violated")
+          assert(ow >= 1 && oh >= 1)
+        } else { // pass-through: never upscale
+          assert(w <= 224 && h <= 224 && ow === w && oh === h,
+            s"doc $id: small images must pass through unchanged")
+        }
+        assert(r.getLong(7) === ow * oh * 3)
+      }
+    }
+    // both branches exercised on the fixture
+    assert(rows.exists(r => r.getBoolean(1) && r.getBoolean(4)))
+    assert(rows.exists(r => r.getBoolean(1) && !r.getBoolean(4)))
+    assert(rows.exists(r => !r.getBoolean(1)))
+    graft.queries.Caches.release(spark, graft.SparkTestBase.sfDir)
+  }
 }
