@@ -2982,10 +2982,6 @@ object DedupQueries {
        |LEFT JOIN (SELECT * FROM semb WHERE rn = 1) m ON m.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
-  /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the
-    * d2 query comment: the gate asserts full recall at the fixture's
-    * similarity level; the size band is lossless for t=0.8) — shared by
-    * d2's gate and d17's rollup. */
   /** d21's chunk replay (doc_id, chunk_no, c_len, c_md5) — shared by
     * the d21 gate and d30's dedup-accounting rollup. */
   private lazy val d21ChunksSql: String =
@@ -3008,6 +3004,10 @@ object DedupQueries {
       |      CAST(bs[CAST(k + 2 AS INT)] - bs[CAST(k + 1 AS INT)] AS INT))) AS c_md5
       |FROM ch""".stripMargin
 
+  /** Exhaustive exact-Jaccard ≥ 0.8 twin of the LSH pipeline (see the
+    * d2 query comment: the gate asserts full recall at the fixture's
+    * similarity level; the size band is lossless for t=0.8) — shared by
+    * d2's gate and d17's rollup. */
   private lazy val d2ExhaustiveSql: String =
     s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
        |              FROM documents),
