@@ -1216,6 +1216,43 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
+    // ---- D33: winnowed MATCH pipeline — t45's consumer, the MOSS
+    // overlap detector run on the SELECTED fingerprints instead of
+    // d23's full df-capped gram table: the index holds an expected
+    // 2/(W+1) ≈ 22% of corpus positions yet keeps the guarantee (any
+    // shared substring ≥ K+W−1 = 27 chars shares a selected
+    // fingerprint, so the pair cannot be missed — only its exact span
+    // extent is coarser than d23's). Propose-cheap/verify-exact like
+    // d23: fingerprint equi-join on the 8-byte hash with the same
+    // df ≤ 64 hot-hash guard (mirrored in the oracle), then byte
+    // verification of the 20-gram at both positions through the
+    // offset-independent slicer — a hash collision proposes and then
+    // dies in verify. At 100 TB this is the index you land when d26's
+    // full gram index is too large: 4.5× fewer rows for the same
+    // ≥ 27-char detection floor. ----
+    "d33_winnow_pairs" -> ((s, dir) => {
+      val fps = Caches.checkpointed(dir,
+        TextQueries.winnowedFingerprints(Tables.documents(s, dir))
+          .select(col("doc_id"), col("fp_pos").cast("int").as("fp_pos"), col("fp_h")))
+      val keep = fps.groupBy("fp_h").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 64L).select("fp_h")
+      val idx = fps.join(keep, Seq("fp_h"), "left_semi")
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.fp_h") === col("b.fp_h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("a.fp_pos").as("p1"),
+          col("b.doc_id").as("d2"), col("b.fp_pos").as("p2"))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 27)
+      cand
+        .join(slicedGrams(cand, docs, "d1", "p1", 20), Seq("d1", "p1"))
+        .join(slicedGrams(cand, docs, "d2", "p2", 20), Seq("d2", "p2"))
+        .filter(col("g_p1") === col("g_p2"))
+        .groupBy(col("d1").as("doc1"), col("d2").as("doc2"))
+        .agg(count(lit(1)).cast("long").as("n_shared"),
+          min("p1").cast("long").as("first_pos1"))
+        .orderBy("doc1", "doc2")
+    }),
+
     // ---- D30: chunk-store dedup accounting — d21's consumer, the
     // rollup a content-addressed store (restic/borg/LLM-corpus delta
     // storage) reports per source: chunks referenced vs chunks STORED
@@ -2354,6 +2391,36 @@ object DedupQueries {
          |               JOIN sized y ON c.doc2 = y.doc_id)
          |SELECT doc1, doc2, round(j, 4) AS jaccard FROM verified
          |WHERE j >= $T ORDER BY doc1, doc2""".stripMargin,
+
+    // d33: the twin replays t45's selection (same encoding), the
+    // df ≤ 64 fingerprint guard, the hash equi-join, and the byte
+    // verification at both positions
+    "d33_winnow_pairs" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 27),
+        | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 20), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 19)) AS t(i)),
+        | win AS (SELECT doc_id, i0, n,
+        |     min(h * 4194304 + (4194303 - i0)) OVER (PARTITION BY doc_id ORDER BY i0
+        |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS e
+        |   FROM gr),
+        | sel AS (SELECT DISTINCT doc_id, 4194303 - e % 4194304 AS p, e // 4194304 AS h
+        |   FROM win WHERE i0 <= n - 8),
+        | keep AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 64),
+        | idx AS (SELECT sel.* FROM sel JOIN keep USING (h)),
+        | cand AS (SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2
+        |   FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+        | ver AS (SELECT c.* FROM cand c
+        |   JOIN docs x ON x.doc_id = c.d1 JOIN docs y ON y.doc_id = c.d2
+        |   WHERE substring(x.text, CAST(c.p1 + 1 AS INT), 20)
+        |       = substring(y.text, CAST(c.p2 + 1 AS INT), 20))
+        |SELECT d1 AS doc1, d2 AS doc2, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(min(p1) AS BIGINT) AS first_pos1
+        |FROM ver GROUP BY d1, d2 ORDER BY doc1, doc2""".stripMargin,
 
     // d31: the twin replays small-side prefix + positional bound +
     // exact containment verify (DedupSpec separately proves the

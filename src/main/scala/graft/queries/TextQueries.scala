@@ -20,6 +20,27 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** t45's winnowed (doc_id, fp_pos, fp_h) fingerprint selection
+    * (K = 20, W = 8), shared with d33's match pipeline so the index
+    * and its consumer provably select identically. See the t45 query
+    * comment for the encoding and the coverage guarantee. */
+  private[queries] def winnowedFingerprints(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val K = 20; val W = 8; val ENC = 1L << 22
+    val docs = docsIn.filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
+    val gr = docs.select(col("doc_id"),
+      (length(col("text")) - (K - 1)).cast("long").as("n"),
+      posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
+        .as(Seq("i0", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("i0").rowsBetween(0, W - 1)
+    gr.withColumn("e", min(col("h") * lit(ENC) + (lit(ENC - 1) - col("i0"))).over(w))
+      .filter(col("i0") <= col("n") - W)
+      .select(col("doc_id"), col("e")).distinct()
+      .select(col("doc_id"),
+        (lit(ENC - 1) - col("e") % lit(ENC)).cast("long").as("fp_pos"),
+        expr(s"e div ${ENC}L").as("fp_h"))
+  }
+
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
   private def countIn(ts: Column, words: Seq[String]): Column =
@@ -142,23 +163,9 @@ object TextQueries {
     // Work is O(doc), never O(corpus): the window partitions by
     // doc_id, so documents parallelize freely and a 100 TB corpus is
     // a mapper plus per-doc local sorts. ----
-    "t45_winnowing" -> ((s, dir) => {
-      val K = 20; val W = 8; val ENC = 1L << 22
-      val docs = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
-      val gr = docs.select(col("doc_id"),
-        (length(col("text")) - (K - 1)).cast("long").as("n"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
-          .as(Seq("i0", "h")))
-      val w = Window.partitionBy("doc_id").orderBy("i0").rowsBetween(0, W - 1)
-      gr.withColumn("e", min(col("h") * lit(ENC) + (lit(ENC - 1) - col("i0"))).over(w))
-        .filter(col("i0") <= col("n") - W)
-        .select(col("doc_id"), col("e")).distinct()
-        .select(col("doc_id"),
-          (lit(ENC - 1) - col("e") % lit(ENC)).cast("long").as("fp_pos"),
-          expr(s"e div ${ENC}L").as("fp_h"))
-        .orderBy("doc_id", "fp_pos", "fp_h")
-    }),
+    "t45_winnowing" -> ((s, dir) =>
+      winnowedFingerprints(Tables.documents(s, dir))
+        .orderBy("doc_id", "fp_pos", "fp_h")),
 
     "t5_rolling_hash" -> ((s, dir) => {
       graft.plans.GraftExtensions.register(s)

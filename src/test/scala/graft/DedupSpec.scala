@@ -255,6 +255,26 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d33 winnow pairs: a 30-char shared span is guaranteed found; strangers are not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d33").toString
+    val span = "SHARED-SPAN-OF-THIRTY-CHARS-XY" // 30 >= K+W-1 = 27: the MOSS guarantee
+    Seq(
+      (1L, s"left-padding-aaaaaaaa $span right-padding-bbbbbbbb"),
+      (2L, s"different head entirely $span and a different tail too"),
+      (3L, "nothing in common with anybody here at all, forty chars plus"))
+      .map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d33_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) >= 1L,
+      s"the >= 27-char shared span must surface a verified pair: $out")
+    assert(out.keySet === Set((1L, 2L)),
+      s"no pair may involve the unrelated doc: $out")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d31 containment: pruning ≡ exhaustive recompute; the planted quote evades d3") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d31").toString
