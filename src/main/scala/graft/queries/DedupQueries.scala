@@ -1253,6 +1253,57 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
+    // ---- D34: winnow-index ADMISSION — the landed-artifact leg of
+    // the winnow family (d24 = bands, d26 = grams, this = the 22%-size
+    // fingerprint tier): the corpus fingerprint index lands ONCE
+    // bucketed by the 8-byte hash ([[d34LandingFor]] — build-time
+    // df ≤ 64 cap, d26's contract), each arriving batch winnows in one
+    // O(L) pass per doc, equi-joins the LANDED index bucket-locally,
+    // byte-verifies the 20-grams through the offset-independent slicer
+    // (corpus text read only for docs holding candidates), and rolls
+    // up per arrival: matched bit, distinct verified partners, best
+    // partner by verified-pair count (ties to the smallest corpus id).
+    // The probe side caps per (doc, hash) ≤ 64 so a degenerate
+    // periodic arrival cannot explode the join and the verdict is
+    // batch-composition-invariant (d26's discipline). Serve cost is
+    // batch-proportional; the oracle recomputes build + serve from
+    // scratch, so the gate IS the landed ≡ recomputed proof. ----
+    "d34_winnow_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0 &&
+        col("text").isNotNull && length(col("text")) >= 27)
+      val bfp = Caches.checkpointed(dir,
+        TextQueries.winnowedFingerprints(batch)
+          .select(col("doc_id").as("b_id"), col("fp_pos").cast("int").as("p1"),
+            col("fp_h")))
+      val bcap = bfp.groupBy("b_id", "fp_h").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 64L).select("b_id", "fp_h")
+      val probe = bfp.join(bcap, Seq("b_id", "fp_h"), "left_semi")
+      val idx = s.table(d34LandingFor(s, dir))
+      val cand = probe.join(
+          idx.select(col("fp_h"), col("doc_id").as("c_id"), col("fp_pos").as("p2")),
+          Seq("fp_h"))
+        .select(col("b_id"), col("p1"), col("c_id"), col("p2"))
+      val corpusDocs = docs.filter(col("text").isNotNull && length(col("text")) >= 27)
+      val ver = cand
+        .join(slicedGrams(cand, corpusDocs, "b_id", "p1", 20), Seq("b_id", "p1"))
+        .join(slicedGrams(cand, corpusDocs, "c_id", "p2", 20), Seq("c_id", "p2"))
+        .filter(col("g_p1") === col("g_p2"))
+      val perPartner = ver.groupBy("b_id", "c_id").agg(count(lit(1)).as("np"))
+      val verdict = perPartner.groupBy(col("b_id").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_partners"),
+          max(struct(col("np").as("n"), (-col("c_id")).as("nk"),
+            col("c_id").as("k"))).as("_b"))
+        .select(col("doc_id"), col("n_partners"),
+          col("_b.k").as("best_id"), col("_b.n").cast("long").as("best_shared"))
+      batch.select("doc_id")
+        .join(verdict, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("best_id").isNotNull.as("matched"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          col("best_id"), col("best_shared"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D30: chunk-store dedup accounting — d21's consumer, the
     // rollup a content-addressed store (restic/borg/LLM-corpus delta
     // storage) reports per source: chunks referenced vs chunks STORED
@@ -1883,6 +1934,45 @@ object DedupQueries {
     })
   }
 
+  /** D34's landed winnow index: the corpus split's (doc_id, fp_pos,
+    * fp_h) winnowed fingerprints — build-time df ≤ 64 hot-hash cap,
+    * d26's contract — bucketed by the serve join's hash key so
+    * admission never re-shuffles the corpus side. ~22% of the gram
+    * index's rows for the same ≥ 27-char detection floor. */
+  private val d34Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def d34LandingFor(s: SparkSession, dir: String): String = {
+    val memo = d34Landing.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) d34Landing.remove(dir, memo)
+    d34Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_d34_idx_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d34_${pid}_$tag")
+      Caches.track(d)(() => {
+        d34Landing.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      val fps = Caches.checkpointed(d,
+        TextQueries.winnowedFingerprints(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+          .select(col("doc_id"), col("fp_pos").cast("int").as("fp_pos"), col("fp_h")))
+      val hot = fps.groupBy("fp_h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("fp_h")
+      fps.join(broadcast(hot), Seq("fp_h"), "left_anti")
+        .select("doc_id", "fp_pos", "fp_h")
+        .repartition(32, col("fp_h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "fp_h").sortBy("fp_h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    })
+  }
+
   /** E26's compacted landing: one bucketed table holding exactly the
     * band lambda's served content — d24 base ∪ e20 delta (sentinels
     * included: they record index membership for shingle-less admits
@@ -2421,6 +2511,48 @@ object DedupQueries {
         |SELECT d1 AS doc1, d2 AS doc2, CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(min(p1) AS BIGINT) AS first_pos1
         |FROM ver GROUP BY d1, d2 ORDER BY doc1, doc2""".stripMargin,
+
+    // d34: build + serve recomputed from scratch — corpus selection
+    // with the build-time cap, batch selection with the per-(doc, h)
+    // probe cap, byte verify, and the per-arrival argmax rollup
+    "d34_winnow_admission" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |    WHERE text IS NOT NULL AND length(text) >= 27),
+        | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 20), '.'),
+        |         ch -> CAST(unicode(ch) AS BIGINT))),
+        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+        |   FROM docs, unnest(range(0, len - 19)) AS t(i)),
+        | win AS (SELECT doc_id, i0, n,
+        |     min(h * 4194304 + (4194303 - i0)) OVER (PARTITION BY doc_id ORDER BY i0
+        |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS e
+        |   FROM gr),
+        | sel AS (SELECT DISTINCT doc_id, 4194303 - e % 4194304 AS p, e // 4194304 AS h
+        |   FROM win WHERE i0 <= n - 8),
+        | cfp AS (SELECT * FROM sel WHERE doc_id % 10 <> 0),
+        | keep AS (SELECT h FROM cfp GROUP BY h HAVING count(*) <= 64),
+        | idx AS (SELECT cfp.* FROM cfp JOIN keep USING (h)),
+        | bfp AS (SELECT * FROM sel WHERE doc_id % 10 = 0),
+        | bk AS (SELECT doc_id, h FROM bfp GROUP BY doc_id, h HAVING count(*) <= 64),
+        | probe AS (SELECT bfp.* FROM bfp JOIN bk USING (doc_id, h)),
+        | cand AS (SELECT b.doc_id AS b_id, b.p AS p1, c.doc_id AS c_id, c.p AS p2
+        |   FROM probe b JOIN idx c ON b.h = c.h),
+        | ver AS (SELECT cd.* FROM cand cd
+        |   JOIN docs x ON x.doc_id = cd.b_id JOIN docs y ON y.doc_id = cd.c_id
+        |   WHERE substring(x.text, CAST(cd.p1 + 1 AS INT), 20)
+        |       = substring(y.text, CAST(cd.p2 + 1 AS INT), 20)),
+        | pp AS (SELECT b_id, c_id, CAST(count(*) AS BIGINT) AS np
+        |   FROM ver GROUP BY b_id, c_id),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY b_id
+        |       ORDER BY np DESC, c_id ASC) AS r,
+        |     count(*) OVER (PARTITION BY b_id) AS n_all FROM pp),
+        | vd AS (SELECT b_id, CAST(n_all AS BIGINT) AS n_partners, c_id AS best_id,
+        |     np AS best_shared FROM rk WHERE r = 1)
+        |SELECT d.doc_id, vd.best_id IS NOT NULL AS matched,
+        |  COALESCE(vd.n_partners, 0) AS n_partners, vd.best_id, vd.best_shared
+        |FROM docs d LEFT JOIN vd ON vd.b_id = d.doc_id
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
 
     // d31: the twin replays small-side prefix + positional bound +
     // exact containment verify (DedupSpec separately proves the

@@ -275,6 +275,30 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d34 winnow admission: arrival sharing a span matches its corpus partner; novel passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d34").toString
+    val span = "SHARED-SPAN-OF-THIRTY-CHARS-XY"
+    Seq(
+      (1L, s"corpus-doc-head-aaaa $span corpus-doc-tail-bbbb"),   // corpus
+      (2L, "a corpus document sharing nothing with any arrival"),  // corpus
+      (10L, s"arrival head completely new $span arrival tail new"), // arrival: dup
+      (20L, "an arrival with entirely novel content throughout"))   // arrival: novel
+      .map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d34_winnow_admission")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(10L) === ((true, 1L, 1L)),
+      s"the span-sharing arrival must match corpus doc 1: ${out(10L)}")
+    assert(out(20L) === ((false, 0L, -1L)),
+      s"the novel arrival must pass unmatched: ${out(20L)}")
+    assert(out.keySet === Set(10L, 20L), "only arrivals appear in the verdict")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d31 containment: pruning ≡ exhaustive recompute; the planted quote evades d3") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d31").toString
