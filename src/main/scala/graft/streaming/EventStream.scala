@@ -261,6 +261,66 @@ object EventStream {
         col("r._6").as("admit"))
   }
 
+  /** d34's streaming twin — winnow-index admission over an unbounded
+    * arrival stream: each arrival winnows LOCALLY in one UDF pass
+    * (selection is per-document — t45's exact encoding, including the
+    * rightmost-tie rule and the per-(doc, hash) ≤ 64 probe cap, so the
+    * verdict is micro-batch-invariant), joins the LANDED fingerprint
+    * index and the static corpus text statelessly, and folds ONE
+    * watermark-bounded aggregation per (ts, doc) into the matched /
+    * n_partners / best-partner verdict. State is O(arrivals per
+    * horizon); the corpus never enters state. */
+  def admitArrivalsByFingerprint(arrivals: DataFrame, index: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val K = 20
+    val winnowU = udf((t: String) => {
+      val hs = graft.functions.Hashing.gramHashes(t, K)
+      val ENC = 1L << 22
+      val sel = (0 to hs.length - 8).map { j =>
+        var best = Long.MaxValue; var p = -1
+        var i = j
+        while (i < j + 8) {
+          val e = hs(i) * ENC + (ENC - 1 - i)
+          if (e < best) { best = e; p = i }
+          i += 1
+        }
+        (p, hs(p))
+      }.distinct
+      val hot = sel.groupBy(_._2).collect { case (h, o) if o.length > 64 => h }.toSet
+      sel.filterNot(x => hot.contains(x._2))
+    })
+    val a = arrivals.withWatermark("ts", "2 hours")
+      .filter(col("text").isNotNull && length(col("text")) >= K + 7)
+    val cand = a.select(col("ts"), col("doc_id"), col("text"),
+        explode(winnowU(col("text"))).as("ph"))
+      .select(col("ts"), col("doc_id"), col("text"),
+        col("ph._1").as("p1"), col("ph._2").as("h"))
+      .join(index.select(col("fp_h").as("h"), col("doc_id").as("c_id"),
+        col("fp_pos").as("p2")), Seq("h"))
+    val ver = cand
+      .join(corpusDocs.select(col("doc_id").as("c_id"), col("text").as("ctext")),
+        Seq("c_id"))
+      .filter(expr(s"substring(text, CAST(p1 + 1 AS INT), $K)" +
+        s" = substring(ctext, CAST(p2 + 1 AS INT), $K)"))
+      .select(col("ts"), col("doc_id"), col("c_id"))
+    val sentinel = a.select(col("ts"), col("doc_id"), lit(-1L).as("c_id"))
+    val bestU = udf((ms: Seq[Long]) => {
+      val real = ms.filter(_ >= 0)
+      if (real.isEmpty) (false, 0L, None: Option[Long], None: Option[Long])
+      else {
+        val by = real.groupBy(identity).map { case (c, o) => (c, o.length.toLong) }
+        val (bc, bn) = by.toSeq.minBy { case (c, n) => (-n, c) }
+        (true, by.size.toLong, Some(bc): Option[Long], Some(bn): Option[Long])
+      }
+    })
+    ver.unionByName(sentinel)
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(collect_list(col("c_id")).as("ms"))
+      .select(col("doc_id"), bestU(col("ms")).as("r"))
+      .select(col("doc_id"), col("r._1").as("matched"), col("r._2").as("n_partners"),
+        col("r._3").as("best_id"), col("r._4").as("best_shared"))
+  }
+
   /** The substring-axis verdict math shared by
     * [[admitArrivalsBySubstring]] and [[ingestVerdict]] — the batch
     * d26 semantics computed locally per document over its verified

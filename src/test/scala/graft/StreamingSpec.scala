@@ -430,6 +430,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow admission ≡ the batch d34 query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> ((r.getBoolean(1),
+      r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val expected = graft.queries.DedupQueries
+      .queries("d34_winnow_admission")(spark, dir)
+      .collect().map(key).toMap
+    assert(expected.values.exists(_._1), "fixture plants cross-split matches")
+    val idx = spark.table(graft.queries.DedupQueries.d34LandingFor(spark, dir))
+    val corpusDocs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        org.apache.spark.sql.functions.length(col("text")) >= 27)
+      .select("doc_id", "text")
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.admitArrivalsByFingerprint(
+        input.toDF().toDF("ts", "doc_id", "text"), idx, corpusDocs)
+      .writeStream.format("memory").queryName("admissions_d34")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L,
+        "watermark advancer sentinel row comfortably past the floor"))
+      q.processAllAvailable()
+      val streamed = spark.table("admissions_d34")
+        .filter(col("doc_id") =!= -999L).collect().map(key).toMap
+      assert(streamed === expected,
+        "stream winnow admission must equal the batch d34 twin")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("the quick brown fox jumps over the lazy dog",
