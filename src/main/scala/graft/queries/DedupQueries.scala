@@ -1777,9 +1777,7 @@ object DedupQueries {
       val base = s.table(d26LandingFor(s, dir))
       val tomb = s.read.schema("h BIGINT").parquet(tombPath)
       val batch = d23DocsFor(s, dir).filter(col("doc_id") % 20 === 10)
-      val bg = batch.select(col("doc_id").as("b_id"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
-          .as(Seq("ib", "h")))
+      val bg = gramProbeOf(batch)
       substringAdmission(s, dir, batch, bg,
         Seq(base.join(broadcast(tomb), Seq("h"), "left_anti"),
           s.table(deltaTbl)))
@@ -1797,9 +1795,7 @@ object DedupQueries {
     "e23_gram_compact" -> ((s, dir) => {
       val compacted = s.table(e23CompactFor(s, dir))
       val batch = d23DocsFor(s, dir).filter(col("doc_id") % 20 === 10)
-      val bg = batch.select(col("doc_id").as("b_id"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
-          .as(Seq("ib", "h")))
+      val bg = gramProbeOf(batch)
       substringAdmission(s, dir, batch, bg, Seq(compacted))
     }),
 
@@ -1840,9 +1836,7 @@ object DedupQueries {
     "e25_gram_forget" -> ((s, dir) => {
       val deleted = e24Deleted(Tables.documents(s, dir))
       val batch = d23DocsFor(s, dir).filter(col("doc_id") % 10 === 0)
-      val bg = batch.select(col("doc_id").as("b_id"),
-        posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
-          .as(Seq("ib", "h")))
+      val bg = gramProbeOf(batch)
       substringAdmission(s, dir, batch, bg,
         Seq(s.table(d26LandingFor(s, dir))
           .join(broadcast(deleted), Seq("doc_id"), "left_anti")))
@@ -1893,6 +1887,13 @@ object DedupQueries {
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
         col("ch._1").as("c_len"), col("ch._2").as("c_md5"))
   }
+
+  /** The batch side's (b_id, ib, h) gram-hash frame — one O(L) codegen
+    * pass per doc, shared by every substring-family serve. */
+  private def gramProbeOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id").as("b_id"),
+      posexplode(graft.plans.GraftGramHashes.column(col("text"), 60))
+        .as(Seq("ib", "h")))
 
   /** e24/e25's deletion batch: a deterministic carve of the corpus
     * split (batch docs are never deletion targets). */
@@ -2013,12 +2014,8 @@ object DedupQueries {
     * chars); shorter arrivals have trivially zero coverage and are
     * handled by the composer's defaults. */
   private[queries] def substringAdmissionFor(s: SparkSession, dir: String): DataFrame = {
-    val K = 60
     val batch = d23DocsFor(s, dir).filter(col("doc_id") % 10 === 0)
-    val bg = batch.select(col("doc_id").as("b_id"),
-      posexplode(graft.plans.GraftGramHashes.column(col("text"), K))
-        .as(Seq("ib", "h")))
-    substringAdmission(s, dir, batch, bg)
+    substringAdmission(s, dir, batch, gramProbeOf(batch))
   }
 
   /** The substring-axis admission over a PRE-FEATURIZED batch:
