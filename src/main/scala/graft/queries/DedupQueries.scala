@@ -1002,11 +1002,16 @@ object DedupQueries {
         .repartition(16, col("part"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("part").parquet(path)
+      // deletes go through the session's Hadoop FileSystem, not
+      // java.io.File: the store lives on whatever scheme `path`
+      // resolves to (HDFS/S3 in production), where a local-File delete
+      // silently no-ops and the stale partition serves migrated docs
+      // twice — the exact bug this cleanup exists to prevent
+      val hconf = s.sparkContext.hadoopConfiguration
       touchedVals.filterNot(liveVals).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(path, s"part=$p"))
+        val pp = new org.apache.hadoop.fs.Path(path, s"part=$p")
+        val fs = pp.getFileSystem(hconf)
+        if (fs.exists(pp)) { fs.delete(pp, true); () }
       }
       s.read.schema(d29Schema).parquet(path)
         .select(col("doc_id"), col("cluster_id"),
@@ -1192,7 +1197,13 @@ object DedupQueries {
       val ranked = tok.join(freq, "t")
         .withColumn("rk", row_number().over(w))
         .select(col("t"), col("doc_id"), col("sz"), col("rk"))
-      val prefA = ranked.filter(col("rk") <= floor((lit(1.0) - ct) * col("sz")) + 1)
+      // prefix length = sz − ⌈ct·sz⌉ + 1, via the same epsilon-guarded
+      // ceil as the positional bound: floor((1−ct)·sz) in doubles is one
+      // token SHORT whenever ct·sz is an integer (1.0−0.9 has no exact
+      // binary form), silently breaking the lossless guarantee on
+      // sz-multiple-of-10 docs; ⌈ct·sz⌉ never crosses an integer edge.
+      val prefA = ranked.filter(
+        col("rk") <= col("sz") - ceil(lit(ct) * col("sz") - lit(1e-9)) + 1)
       val cand = prefA.as("a").join(ranked.as("b"),
           col("a.t") === col("b.t") &&
             (col("a.sz") < col("b.sz") ||
@@ -2564,7 +2575,7 @@ object DedupQueries {
          |     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.df ASC, tok.t ASC) AS rk
          |   FROM tok JOIN freq f ON tok.t = f.t),
          | pref AS (SELECT t, doc_id, sz, rk FROM ranked
-         |   WHERE rk <= floor((1.0 - 0.9) * sz) + 1),
+         |   WHERE rk <= sz - ceil(0.9 * sz - 1e-9) + 1),
          | cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          |   FROM pref a JOIN ranked b ON a.t = b.t
          |    AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))

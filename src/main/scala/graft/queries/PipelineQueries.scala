@@ -1999,17 +1999,24 @@ object PipelineQueries {
       val tgt = db.filter(col("lang") === "en").groupBy("b").agg(sum("n").as("ct"))
       val totals = db.agg(sum("n").as("tr"),
         coalesce(sum(when(col("lang") === "en", col("n"))), lit(0L)).as("tt"))
+      // the ratio numerator S·(ct+1)·(tr+B) crosses 2⁶³ once bucket
+      // counts × corpus tokens reach ~9·10¹² — far below 100 TB — and
+      // Spark would WRAP silently where DuckDB raises; DECIMAL(38,0)
+      // keeps the integer arithmetic exact to 10³⁸ (token ceiling
+      // ~3·10¹⁵ per the S·T² bound), and `div` still lands on BIGINT
       val sc = raw.join(tgt, Seq("b"), "left")
         .crossJoin(broadcast(totals))
         .select(col("b"), expr(
-          s"$S * (coalesce(ct, 0) + 1) * (tr + $B) div ((cr + 1) * (tt + $B))")
+          s"CAST($S AS DECIMAL(38,0)) * (coalesce(ct, 0) + 1) * (tr + $B)" +
+            s" div ((CAST(cr AS DECIMAL(38,0)) + 1) * (tt + $B))")
           .as("l"))
       // checkpoint: the weighted frame feeds the grouped rank's dual
       // evaluation (local ranks + shard counts) plus the per-source
       // totals — three consumers that would each re-run the score
       // join + aggregation chain over the cached bucket counts
       val wt = Caches.checkpointed(dir, db.join(broadcast(sc), Seq("b"))
-        .groupBy("doc_id").agg(expr("sum(n * l) div sum(n)").as("weight")))
+        .groupBy("doc_id")
+        .agg(expr("sum(CAST(n AS DECIMAL(38,0)) * l) div sum(n)").as("weight")))
       val base = docs.select("doc_id", "source").join(wt, Seq("doc_id"))
       val ranked = graft.operators.GlobalOrder.withPositionWithin(
         base, "r", Seq("source"), col("weight").desc, col("doc_id").asc)
@@ -2554,11 +2561,11 @@ object PipelineQueries {
          |     CAST(COALESCE(sum(CASE WHEN lang = 'en' THEN n END), 0) AS BIGINT) AS tt
          |   FROM db),
          | sc AS (SELECT r.b,
-         |     1000000 * (COALESCE(t.ct, 0) + 1) * (tot.tr + 4096)
-         |       // ((r.cr + 1) * (tot.tt + 4096)) AS l
+         |     CAST(CAST(1000000 AS HUGEINT) * (COALESCE(t.ct, 0) + 1) * (tot.tr + 4096)
+         |       // (CAST(r.cr + 1 AS HUGEINT) * (tot.tt + 4096)) AS BIGINT) AS l
          |   FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
          | wt AS (SELECT doc_id,
-         |     CAST(sum(n * l) // sum(n) AS BIGINT) AS weight
+         |     CAST(sum(CAST(n AS HUGEINT) * l) // sum(n) AS BIGINT) AS weight
          |   FROM db JOIN sc USING (b) GROUP BY doc_id),
          | rk AS (SELECT d.doc_id, d.source, wt.weight,
          |     row_number() OVER (PARTITION BY d.source

@@ -27,7 +27,19 @@ object TextQueries {
   private[queries] def winnowedFingerprints(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val K = 20; val W = 8; val ENC = 1L << 22
+    // The single-Long encoding h·2²² + (2²²−1−i) only holds positions
+    // < 2²² (≈4.19M grams ≈ a 4 MB document); past that the position
+    // term goes negative and selection/decoding silently corrupt. The
+    // operator's documented doc-size contract is len ≤ 2²²+K−1; docs
+    // over it fail LOUDLY here instead of mis-fingerprinting (both
+    // engines share the encoding, so the oracle could never catch a
+    // silent overflow). TextSpec exercises the guard.
     val docs = docsIn.filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
+      .withColumn("text",
+        when(length(col("text")) <= lit(ENC + K - 1), col("text"))
+          .otherwise(raise_error(concat(
+            lit("winnow: document exceeds the 2^22 gram-position encoding limit (doc_id="),
+            col("doc_id"), lit(")")))))
     val gr = docs.select(col("doc_id"),
       (length(col("text")) - (K - 1)).cast("long").as("n"),
       posexplode(graft.plans.GraftGramHashes.column(col("text"), K))

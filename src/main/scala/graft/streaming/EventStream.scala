@@ -276,6 +276,10 @@ object EventStream {
     val winnowU = udf((t: String) => {
       val hs = graft.functions.Hashing.gramHashes(t, K)
       val ENC = 1L << 22
+      // same doc-size contract as TextQueries.winnowedFingerprints:
+      // the single-Long encoding holds positions < 2^22 only
+      require(hs.length <= ENC,
+        s"winnow: arrival exceeds the 2^22 gram-position encoding limit")
       val sel = (0 to hs.length - 8).map { j =>
         var best = Long.MaxValue; var p = -1
         var i = j

@@ -526,4 +526,20 @@ class QualitySpec extends AnyFunSuite {
       "docs sharing a 50-char span must share a winnowed fingerprint")
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("t45 winnowing: a doc past the 2^22 gram-position encoding limit fails loudly") {
+    // the single-Long encoding h·2²² + (2²²−1−pos) silently corrupts
+    // past 2²² gram positions; the operator's contract is to REFUSE
+    // such docs instead of mis-fingerprinting them
+    val over = "x" * ((1 << 22) + 20) // 1 gram position past the limit
+    val dir = docsDir(Seq("a normal document long enough to winnow ok", over))
+    val ex = intercept[Exception] {
+      SparkEntry.queries("t45_winnowing")(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("2^22 gram-position encoding limit")),
+      s"expected the winnow guard to fire, got: ${msgs(ex).take(3)}")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
