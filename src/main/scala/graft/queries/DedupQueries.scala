@@ -206,7 +206,7 @@ object DedupQueries {
     * Invalidation: keyed by the dir path under the steady-state fixture
     * contract (regenerating files under a live JVM requires a
     * [[Caches]] release first). */
-  private[queries] val MaxProbes = 8
+  private[graft] val MaxProbes = 8
 
   private val coarseGs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -291,7 +291,7 @@ object DedupQueries {
     * plans a BroadcastNestedLoopJoin; this is a plain projection,
     * which is what lets PlanSpec pin the serving plans free of any
     * nested-loop or cartesian operator. */
-  private[queries] def nearestCells(v: Seq[Double],
+  private[graft] def nearestCells(v: Seq[Double],
       cents: Array[(Long, Array[Double], Double)], p: Int): Seq[Long] = {
     // the optimizer infers isnotnull(UDF(...)) predicates and may
     // evaluate them ahead of the admission filter's own conjuncts, so

@@ -445,16 +445,56 @@ object EventStream {
       .select(col("ts"), col("doc_id"), col("len"), lit(1).as("axis"),
         col("cand"), col("ib"), col("ic"), lit(-1.0).as("score"))
     // axis 4 — semantic: arrival's own vector by id (stream-static),
-    // scored against the corpus vectors with the same codegen dot
-    // kernel as d5/d14, same ≥0.45-then-round discipline
+    // probed against the IVF-bucketed corpus vector index — the same
+    // coarse-quantizer discipline as d14/x19 (g = ⌊√(N/50)+0.5⌋ seed
+    // groups, cp = 1+⌈3·MaxProbes/g⌉ probes), NOT a crossJoin: each
+    // arrival assigns to its cp nearest coarse groups map-side (the
+    // driver holds only the √(N/50)-row coarse level), equi-joins the
+    // gid-keyed corpus index, and exact-cosines candidates only — per-
+    // arrival work is O(cp·N/K2) = O(√N), vs the previous brute force's
+    // O(N) full-corpus scan per trigger, the one shape that dies at
+    // 100 TB of corpus vectors. On gate-scale fixtures the coarse cover
+    // is complete (cp ≥ K2), so candidates ≡ all-pairs and the stream
+    // verdict stays row-identical to batch e15; at index scale recall
+    // follows d14's documented nprobe contract — the SAME candidate
+    // generation the batch twin rides, so stream and batch agree by
+    // construction, not by luck. Same codegen dot kernel, same
+    // ≥0.45-then-round discipline as before.
+    import graft.queries.DedupQueries.{nearestCells, MaxProbes}
+    val cvT = corpusVecs.select(col("vec_id").as("cand"),
+      transform(col("embedding"), x => x.cast("double")).as("vc"))
+      .withColumn("n2c", norm2Expr(col("vc")))
+    val nCorpus = cvT.count()
+    val gSem = math.max(1L, math.floor(math.sqrt(nCorpus / 50.0) + 0.5).toLong)
+    val coarseSem: Array[(Long, Array[Double], Double)] = cvT
+      .filter(col("cand") % lit(50L * gSem) === 1)
+      .select(col("cand"), col("vc"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, graft.functions.VectorOps.norm2(v))
+      }
+      .sortBy(_._1)
+    val cpSem = 1 + math.ceil(3.0 * MaxProbes / gSem).toInt
+    // seedless-corpus escape hatch: a corpus too small to contain any
+    // vec_id % 50g == 1 seed degenerates to ONE bucket (gid −1 on both
+    // sides) — a full scan of a corpus that tiny, never of a real one
+    val gid1U = udf((v: Seq[Double]) =>
+      if (coarseSem.isEmpty) -1L
+      else nearestCells(v, coarseSem, 1).headOption.getOrElse(-1L))
+    val probesU = udf((v: Seq[Double]) =>
+      if (coarseSem.isEmpty) { if (v == null) Seq.empty[Long] else Seq(-1L) }
+      else nearestCells(v, coarseSem, cpSem))
+    // the static side: the gid-keyed corpus index (in production this
+    // is the LANDED cid-partitioned artifact — x19/x22's store shape —
+    // refreshed index takes effect on the next micro-batch)
+    val cv = cvT.withColumn("gid", gid1U(col("vc")))
     val av = arrivalVecs.select(col("vec_id").as("doc_id"),
       transform(col("embedding"), x => x.cast("double")).as("va"))
       .withColumn("n2a", norm2Expr(col("va")))
-    val cv = corpusVecs.select(col("vec_id").as("cand"),
-      transform(col("embedding"), x => x.cast("double")).as("vc"))
-      .withColumn("n2c", norm2Expr(col("vc")))
     val sem = a.join(av, Seq("doc_id"))
-      .crossJoin(cv)
+      .withColumn("gid", explode(probesU(col("va"))))
+      .join(cv, Seq("gid"))
       .withColumn("cos", dotExpr(col("va"), col("vc")) / sqrt(col("n2a") * col("n2c")))
       .filter(col("cos") >= 0.45)
       .select(col("ts"), col("doc_id"), col("len"), lit(4).as("axis"),

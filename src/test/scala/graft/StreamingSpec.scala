@@ -579,6 +579,15 @@ class StreamingSpec extends AnyFunSuite {
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows <= arrivals.size + 1,
         s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
+      // scale pin: the semantic axis must probe the gid-bucketed corpus
+      // index (stream-static equi-join), never brute-force the corpus —
+      // the executed micro-batch plan carries no cartesian/nested-loop
+      val lastPlan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!lastPlan.contains("CartesianProduct") &&
+          !lastPlan.contains("BroadcastNestedLoopJoin"),
+        "streaming ingest-verdict plan must stay free of cartesian/nested-loop joins")
     } finally q.stop()
   }
 
