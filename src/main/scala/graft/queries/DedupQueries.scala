@@ -1280,39 +1280,73 @@ object DedupQueries {
     // batch-proportional; the oracle recomputes build + serve from
     // scratch, so the gate IS the landed ≡ recomputed proof. ----
     "d34_winnow_admission" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 10 === 0 &&
-        col("text").isNotNull && length(col("text")) >= 27)
-      val bfp = Caches.checkpointed(dir,
-        TextQueries.winnowedFingerprints(batch)
-          .select(col("doc_id").as("b_id"), col("fp_pos").cast("int").as("p1"),
-            col("fp_h")))
-      val bcap = bfp.groupBy("b_id", "fp_h").agg(count(lit(1)).as("c"))
-        .filter(col("c") <= 64L).select("b_id", "fp_h")
-      val probe = bfp.join(bcap, Seq("b_id", "fp_h"), "left_semi")
-      val idx = s.table(d34LandingFor(s, dir))
-      val cand = probe.join(
-          idx.select(col("fp_h"), col("doc_id").as("c_id"), col("fp_pos").as("p2")),
-          Seq("fp_h"))
-        .select(col("b_id"), col("p1"), col("c_id"), col("p2"))
-      val corpusDocs = docs.filter(col("text").isNotNull && length(col("text")) >= 27)
-      val ver = cand
-        .join(slicedGrams(cand, corpusDocs, "b_id", "p1", 20), Seq("b_id", "p1"))
-        .join(slicedGrams(cand, corpusDocs, "c_id", "p2", 20), Seq("c_id", "p2"))
-        .filter(col("g_p1") === col("g_p2"))
-      val perPartner = ver.groupBy("b_id", "c_id").agg(count(lit(1)).as("np"))
-      val verdict = perPartner.groupBy(col("b_id").as("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_partners"),
-          max(struct(col("np").as("n"), (-col("c_id")).as("nk"),
-            col("c_id").as("k"))).as("_b"))
-        .select(col("doc_id"), col("n_partners"),
-          col("_b.k").as("best_id"), col("_b.n").cast("long").as("best_shared"))
-      batch.select("doc_id")
-        .join(verdict, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("best_id").isNotNull.as("matched"),
-          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
-          col("best_id"), col("best_shared"))
-        .orderBy("doc_id")
+      val batch = d34BatchOf(s, dir, col("doc_id") % 10 === 0)
+      winnowAdmission(s, dir, batch, d34ProbeOf(dir, batch),
+        Seq(s.table(d34LandingFor(s, dir))))
+    }),
+
+    // ---- E27: admit-then-APPEND for the WINNOW index — e22's
+    // maintenance leg on the fingerprint tier, completing the family's
+    // lifecycle (build d34 / serve / append / forget e28 / compact
+    // e29). The df-cap makes the same sharp algebra as the gram case:
+    // admitting documents can push a fingerprint hash's corpus df past
+    // the 64 cap, and an exact append must then EXCISE the hash from
+    // serving even though its rows sit in immutable base files. df
+    // only grows under append, so the three cases resolve from index
+    // files alone ([[e27DeltaFor]]): base-hot hashes (the landed hot
+    // sidecar) stay hot — delta rows carrying them drop; hashes whose
+    // combined df stays ≤ 64 land normally; hashes the delta pushes
+    // past the cap land nowhere AND tombstone the base at serve time
+    // (broadcast — bounded by the delta's hash vocabulary). Wave 1
+    // (doc_id % 20 == 0) admits against the landed base; wave 2
+    // (doc_id % 20 == 10) serves against (base ∖ tombstones) ∪ delta.
+    // The oracle nests the full winnow replay twice — wave-1 admission
+    // inside the widened-corpus wave-2 recompute — so the hash gate
+    // proves the capped lambda index ≡ the from-scratch index over
+    // corpus ∪ admitted. ----
+    "e27_winnow_append" -> ((s, dir) => {
+      val (deltaTbl, tombPath) = e27DeltaFor(s, dir)
+      val base = s.table(d34LandingFor(s, dir))
+      val tomb = s.read.schema("fp_h BIGINT").parquet(tombPath)
+      val batch = d34BatchOf(s, dir, col("doc_id") % 20 === 10)
+      winnowAdmission(s, dir, batch, d34ProbeOf(dir, batch),
+        Seq(base.join(broadcast(tomb), Seq("fp_h"), "left_anti"),
+          s.table(deltaTbl)))
+    }),
+
+    // ---- E28: right-to-be-forgotten on the WINNOW index — e25's
+    // cap-then-delete algebra on the fingerprint tier: the deletion
+    // batch (e24's corpus carve) tombstones documents out of the
+    // landed d34 index at serve time via a broadcast anti-join — base
+    // files never rewritten, landed bucketing preserved (zero added
+    // shuffle). The honest subtlety is e25's: the df ≤ 64 cap is a
+    // BUILD-TIME property — deleting documents lowers a hash's df, but
+    // a hash the build dropped as hot cannot be resurrected from index
+    // files that never held its positions; re-admission happens at
+    // compaction cadence. The oracle's capPred (cap over the FULL
+    // corpus, delete after) pins exactly that algebra, and proves a
+    // forgotten document neither matches nor is matched. ----
+    "e28_winnow_forget" -> ((s, dir) => {
+      val deleted = e24Deleted(Tables.documents(s, dir))
+      val batch = d34BatchOf(s, dir, col("doc_id") % 10 === 0)
+      winnowAdmission(s, dir, batch, d34ProbeOf(dir, batch),
+        Seq(s.table(d34LandingFor(s, dir))
+          .join(broadcast(deleted), Seq("doc_id"), "left_anti")))
+    }),
+
+    // ---- E29: WINNOW-index compaction — the cadence step that closes
+    // the fingerprint family's lifecycle, mirroring e23/e26: (base ∖
+    // tombstones) ∪ delta fold into ONE rebuilt bucketed table,
+    // reclaiming the tombstone anti-join and the second probe side
+    // e27's lambda serve pays per batch. Pure index-file work — no
+    // document is re-winnowed. The gate serves wave 2 from the
+    // compacted table ALONE against the same widened-corpus recompute
+    // oracle as e27, so hash equality proves compaction lost and
+    // invented nothing. ----
+    "e29_winnow_compact" -> ((s, dir) => {
+      val batch = d34BatchOf(s, dir, col("doc_id") % 20 === 10)
+      winnowAdmission(s, dir, batch, d34ProbeOf(dir, batch),
+        Seq(s.table(e29CompactFor(s, dir))))
     }),
 
     // ---- D30: chunk-store dedup accounting — d21's consumer, the
@@ -1946,12 +1980,76 @@ object DedupQueries {
     })
   }
 
+  /** The winnow family's batch/corpus admission floor (t45's contract:
+    * text ≥ K+W−1 = 27 chars), filtered by the wave predicate. */
+  private def d34BatchOf(s: SparkSession, dir: String,
+      wave: org.apache.spark.sql.Column): DataFrame =
+    Tables.documents(s, dir).filter(wave &&
+      col("text").isNotNull && length(col("text")) >= 27)
+
+  /** One winnow featurization pass per batch — checkpointed because
+    * the lifecycle legs feed it to both classify and (in e27's build)
+    * the delta landing. Columns (b_id, p1, fp_h). */
+  private def d34ProbeOf(dir: String, batch: DataFrame): DataFrame =
+    Caches.checkpointed(dir,
+      TextQueries.winnowedFingerprints(batch)
+        .select(col("doc_id").as("b_id"), col("fp_pos").cast("int").as("p1"),
+          col("fp_h")))
+
+  /** d34's serve pipeline, factored so the lifecycle legs (e27 append,
+    * e28 forget, e29 compact) reuse the identical probe-cap / verify /
+    * rollup against any set of index sides: per-(doc, hash) probe cap
+    * ≤ 64 (batch-composition invariance, d26's discipline), fingerprint
+    * equi-join per side (sides hold disjoint doc sets, so the union
+    * never duplicates a candidate), byte verification of the 20-grams
+    * at both positions through the offset-independent slicer, and the
+    * per-arrival argmax rollup (best partner by verified-pair count,
+    * ties to the smallest corpus id). */
+  private def winnowAdmission(s: SparkSession, dir: String, batch: DataFrame,
+      bfp: DataFrame, sides: Seq[DataFrame]): DataFrame = {
+    val bcap = bfp.groupBy("b_id", "fp_h").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 64L).select("b_id", "fp_h")
+    val probe = bfp.join(bcap, Seq("b_id", "fp_h"), "left_semi")
+    val cand = sides.map(side =>
+        probe.join(
+          side.select(col("fp_h"), col("doc_id").as("c_id"), col("fp_pos").as("p2")),
+          Seq("fp_h"))
+          .select(col("b_id"), col("p1"), col("c_id"), col("p2")))
+      .reduce(_.unionByName(_))
+    val corpusDocs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 27)
+    val ver = cand
+      .join(slicedGrams(cand, corpusDocs, "b_id", "p1", 20), Seq("b_id", "p1"))
+      .join(slicedGrams(cand, corpusDocs, "c_id", "p2", 20), Seq("c_id", "p2"))
+      .filter(col("g_p1") === col("g_p2"))
+    val perPartner = ver.groupBy("b_id", "c_id").agg(count(lit(1)).as("np"))
+    val verdict = perPartner.groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_partners"),
+        max(struct(col("np").as("n"), (-col("c_id")).as("nk"),
+          col("c_id").as("k"))).as("_b"))
+      .select(col("doc_id"), col("n_partners"),
+        col("_b.k").as("best_id"), col("_b.n").cast("long").as("best_shared"))
+    batch.select("doc_id")
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_id").isNotNull.as("matched"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        col("best_id"), col("best_shared"))
+      .orderBy("doc_id")
+  }
+
   /** D34's landed winnow index: the corpus split's (doc_id, fp_pos,
     * fp_h) winnowed fingerprints — build-time df ≤ 64 hot-hash cap,
     * d26's contract — bucketed by the serve join's hash key so
     * admission never re-shuffles the corpus side. ~22% of the gram
-    * index's rows for the same ≥ 27-char detection floor. */
+    * index's rows for the same ≥ 27-char detection floor. Lands a HOT
+    * sidecar alongside (d26's discipline): capped hashes vanish from
+    * index rows, but e27's append must know they were hot — df only
+    * grows, so delta rows carrying a base-hot hash drop without
+    * consulting corpus text. */
   private val d34Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val d34HotPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def d34LandingFor(s: SparkSession, dir: String): String = {
@@ -1965,6 +2063,7 @@ object DedupQueries {
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_d34_${pid}_$tag")
       Caches.track(d)(() => {
         d34Landing.remove(d)
+        d34HotPath.remove(d)
         Caches.dropTables(tbl)
       })
       Caches.trackPath(d, out)
@@ -1972,10 +2071,114 @@ object DedupQueries {
         TextQueries.winnowedFingerprints(
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
           .select(col("doc_id"), col("fp_pos").cast("int").as("fp_pos"), col("fp_h")))
-      val hot = fps.groupBy("fp_h").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 64L).select("fp_h")
+      // checkpoint: the hot set feeds the anti-join AND the landed
+      // sidecar (e27's append reads it back)
+      val hot = Caches.checkpointed(d, fps.groupBy("fp_h")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 64L).select("fp_h"))
+      val hotOut = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d34_hot_${pid}_$tag")
+      Caches.trackPath(d, hotOut)
+      hot.write.mode("overwrite").parquet(hotOut.getAbsolutePath)
+      d34HotPath.put(d, hotOut.getAbsolutePath)
       fps.join(broadcast(hot), Seq("fp_h"), "left_anti")
         .select("doc_id", "fp_pos", "fp_h")
+        .repartition(32, col("fp_h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "fp_h").sortBy("fp_h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      tbl
+    })
+  }
+
+  /** E27's landed DELTA winnow index + newly-hot tombstones — e22's
+    * append algebra transplanted to the fingerprint tier. Wave-1
+    * arrivals (doc_id % 20 == 0) classify against the landed d34 base;
+    * the NOVEL (unmatched) docs' fingerprints land as a bucketed delta
+    * under the cap-then-tombstone resolution: (1) base-hot hashes (the
+    * landed sidecar) stay hot — delta rows carrying them drop; (2)
+    * hashes whose combined df (base index row count + delta count,
+    * both index-only aggregations) stays ≤ 64 land normally; (3)
+    * hashes the delta pushes past the cap land nowhere AND emit a
+    * tombstone that anti-joins the base at serve time. Wave-1
+    * fingerprint rows come from the frame the classifier already
+    * featurized — no second winnow pass over the arrivals. */
+  private val e27Delta =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def e27DeltaFor(s: SparkSession, dir: String): (String, String) = {
+    val memo = e27Delta.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo._1)) e27Delta.remove(dir, memo)
+    e27Delta.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e27_delta_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e27_${pid}_$tag")
+      val tombOut = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e27_tomb_${pid}_$tag")
+      Caches.track(d)(() => {
+        e27Delta.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      Caches.trackPath(d, tombOut)
+      val base = s.table(d34LandingFor(s, d))
+      val baseHot = s.read.schema("fp_h BIGINT").parquet(d34HotPath.get(d))
+      val wave1 = d34BatchOf(s, d, col("doc_id") % 20 === 0)
+      val bfp1 = d34ProbeOf(d, wave1)
+      val admitted = winnowAdmission(s, d, wave1, bfp1, Seq(base))
+        .filter(!col("matched")).select(col("doc_id").as("b_id"))
+      val deltaFps = Caches.checkpointed(d,
+        bfp1.join(admitted, Seq("b_id"), "left_semi")
+          .select(col("b_id").as("doc_id"), col("p1").as("fp_pos"), col("fp_h")))
+      val dfDelta = deltaFps.groupBy("fp_h").agg(count(lit(1)).as("cd"))
+      val dfBase = base.groupBy("fp_h").agg(count(lit(1)).as("cb"))
+      val combined = dfDelta.join(dfBase, Seq("fp_h"), "left")
+        .select(col("fp_h"), (coalesce(col("cb"), lit(0L)) + col("cd")).as("ct"),
+          col("cb"))
+      val tombstones = combined.filter(col("ct") > 64L && col("cb").isNotNull)
+        .select("fp_h")
+      tombstones.write.mode("overwrite").parquet(tombOut.getAbsolutePath)
+      deltaFps
+        .join(combined.filter(col("ct") > 64L).select("fp_h"), Seq("fp_h"), "left_anti")
+        .join(baseHot, Seq("fp_h"), "left_anti")
+        .select("doc_id", "fp_pos", "fp_h")
+        .repartition(32, col("fp_h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "fp_h").sortBy("fp_h")
+        .option("path", out.getAbsolutePath)
+        .saveAsTable(tbl)
+      (tbl, tombOut.getAbsolutePath)
+    })
+  }
+
+  /** E29's compacted landing: one bucketed table holding exactly the
+    * winnow lambda's served content — (d34 base ∖ e27 tombstones) ∪
+    * e27 delta — with d34's bucket spec, built from index files only. */
+  private val e29Compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e29CompactFor(s: SparkSession, dir: String): String = {
+    val memo = e29Compacted.get(dir)
+    if (memo != null && !s.catalog.tableExists(memo)) e29Compacted.remove(dir, memo)
+    e29Compacted.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val tbl = s"graft_e29_idx_${pid}_$tag"
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e29_${pid}_$tag")
+      Caches.track(d)(() => {
+        e29Compacted.remove(d)
+        Caches.dropTables(tbl)
+      })
+      Caches.trackPath(d, out)
+      val (deltaTbl, tombPath) = e27DeltaFor(s, d)
+      val tomb = s.read.schema("fp_h BIGINT").parquet(tombPath)
+      s.table(d34LandingFor(s, d))
+        .join(broadcast(tomb), Seq("fp_h"), "left_anti")
+        .unionByName(s.table(deltaTbl))
         .repartition(32, col("fp_h"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "fp_h").sortBy("fp_h")
@@ -2425,6 +2628,81 @@ object DedupQueries {
     "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
     "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0")
 
+  /** Shared winnow-replay prelude: full-corpus fingerprint selection —
+    * t45's encoding verbatim (docs → rolling 20-gram hashes → encoded
+    * window-min → distinct decode). Ends WITHOUT a trailing comma so
+    * callers append their index CTEs. */
+  private def winnowSelSql: String =
+    """docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+      |    WHERE text IS NOT NULL AND length(text) >= 27),
+      | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
+      |     list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 20), '.'),
+      |         ch -> CAST(unicode(ch) AS BIGINT))),
+      |       (a, b) -> (a * 131 + b) % 2147483647) AS h
+      |   FROM docs, unnest(range(0, len - 19)) AS t(i)),
+      | win AS (SELECT doc_id, i0, n,
+      |     min(h * 4194304 + (4194303 - i0)) OVER (PARTITION BY doc_id ORDER BY i0
+      |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS e
+      |   FROM gr),
+      | sel AS (SELECT DISTINCT doc_id, 4194303 - e % 4194304 AS p, e // 4194304 AS h
+      |   FROM win WHERE i0 <= n - 8),""".stripMargin
+
+  /** Parameterized winnow serve tail: probe `batchPred` docs (per-
+    * (doc, h) cap ≤ 64) against the caller-built `idx` CTE, byte
+    * verify, per-arrival argmax rollup. */
+  private def winnowServeSql(batchPred: String): String =
+    s""" bfp AS (SELECT * FROM sel WHERE $batchPred),
+       | bk AS (SELECT doc_id, h FROM bfp GROUP BY doc_id, h HAVING count(*) <= 64),
+       | probe AS (SELECT bfp.* FROM bfp JOIN bk USING (doc_id, h)),
+       | cand AS (SELECT b.doc_id AS b_id, b.p AS p1, c.doc_id AS c_id, c.p AS p2
+       |   FROM probe b JOIN idx c ON b.h = c.h),
+       | ver AS (SELECT cd.* FROM cand cd
+       |   JOIN docs x ON x.doc_id = cd.b_id JOIN docs y ON y.doc_id = cd.c_id
+       |   WHERE substring(x.text, CAST(cd.p1 + 1 AS INT), 20)
+       |       = substring(y.text, CAST(cd.p2 + 1 AS INT), 20)),
+       | pp AS (SELECT b_id, c_id, CAST(count(*) AS BIGINT) AS np
+       |   FROM ver GROUP BY b_id, c_id),
+       | rk AS (SELECT *, row_number() OVER (PARTITION BY b_id
+       |       ORDER BY np DESC, c_id ASC) AS r,
+       |     count(*) OVER (PARTITION BY b_id) AS n_all FROM pp),
+       | vd AS (SELECT b_id, CAST(n_all AS BIGINT) AS n_partners, c_id AS best_id,
+       |     np AS best_shared FROM rk WHERE r = 1)
+       |SELECT d.doc_id, vd.best_id IS NOT NULL AS matched,
+       |  COALESCE(vd.n_partners, 0) AS n_partners, vd.best_id, vd.best_shared
+       |FROM docs d LEFT JOIN vd ON vd.b_id = d.doc_id
+       |WHERE d.$batchPred ORDER BY d.doc_id""".stripMargin
+
+  /** Full winnow recompute: prelude + caller's index CTEs (must define
+    * `idx`) + serve over `batchPred`. */
+  private def winnowRecomputeSql(idxCtes: String, batchPred: String): String =
+    s"WITH $winnowSelSql\n$idxCtes\n${winnowServeSql(batchPred)}"
+
+  /** e27/e29's shared twin: wave-1 admission replayed in full against
+    * the from-scratch base index, the admitted (unverified) docs
+    * widening the corpus, the combined-df cap re-derived from scratch,
+    * wave 2 served against the result. */
+  private def winnowAppendRecomputeSql: String = winnowRecomputeSql(
+    """ cfp0 AS (SELECT * FROM sel WHERE doc_id % 10 <> 0),
+      | keep0 AS (SELECT h FROM cfp0 GROUP BY h HAVING count(*) <= 64),
+      | idx0 AS (SELECT cfp0.* FROM cfp0 JOIN keep0 USING (h)),
+      | bfp1 AS (SELECT * FROM sel WHERE doc_id % 20 = 0),
+      | bk1 AS (SELECT doc_id, h FROM bfp1 GROUP BY doc_id, h HAVING count(*) <= 64),
+      | probe1 AS (SELECT bfp1.* FROM bfp1 JOIN bk1 USING (doc_id, h)),
+      | cand1 AS (SELECT b.doc_id AS b_id, b.p AS p1, c.doc_id AS c_id, c.p AS p2
+      |   FROM probe1 b JOIN idx0 c ON b.h = c.h),
+      | ver1 AS (SELECT cd.* FROM cand1 cd
+      |   JOIN docs x ON x.doc_id = cd.b_id JOIN docs y ON y.doc_id = cd.c_id
+      |   WHERE substring(x.text, CAST(cd.p1 + 1 AS INT), 20)
+      |       = substring(y.text, CAST(cd.p2 + 1 AS INT), 20)),
+      | adm AS (SELECT d.doc_id FROM docs d WHERE d.doc_id % 20 = 0
+      |   AND d.doc_id NOT IN (SELECT b_id FROM ver1)),
+      | cfp AS (SELECT * FROM sel WHERE doc_id % 10 <> 0
+      |   UNION ALL SELECT sel.* FROM sel JOIN adm USING (doc_id)),
+      | keep AS (SELECT h FROM cfp GROUP BY h HAVING count(*) <= 64),
+      | idx AS (SELECT cfp.* FROM cfp JOIN keep USING (h)),""".stripMargin,
+    "doc_id % 20 = 10")
+
   val oracle: Map[String, String] = Map(
     // Twin of the 5-round integer PageRank: one CTE pair per round,
     // identical integer-division points.
@@ -2523,44 +2801,35 @@ object DedupQueries {
     // d34: build + serve recomputed from scratch — corpus selection
     // with the build-time cap, batch selection with the per-(doc, h)
     // probe cap, byte verify, and the per-arrival argmax rollup
-    "d34_winnow_admission" ->
-      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
-        |    WHERE text IS NOT NULL AND length(text) >= 27),
-        | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
-        |     list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |       list_transform(regexp_extract_all(substring(text, CAST(i + 1 AS INT), 20), '.'),
-        |         ch -> CAST(unicode(ch) AS BIGINT))),
-        |       (a, b) -> (a * 131 + b) % 2147483647) AS h
-        |   FROM docs, unnest(range(0, len - 19)) AS t(i)),
-        | win AS (SELECT doc_id, i0, n,
-        |     min(h * 4194304 + (4194303 - i0)) OVER (PARTITION BY doc_id ORDER BY i0
-        |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS e
-        |   FROM gr),
-        | sel AS (SELECT DISTINCT doc_id, 4194303 - e % 4194304 AS p, e // 4194304 AS h
-        |   FROM win WHERE i0 <= n - 8),
-        | cfp AS (SELECT * FROM sel WHERE doc_id % 10 <> 0),
+    // (the parameterized [[winnowRecomputeSql]], shared with the e27/
+    // e28/e29 lifecycle twins)
+    "d34_winnow_admission" -> winnowRecomputeSql(
+      """ cfp AS (SELECT * FROM sel WHERE doc_id % 10 <> 0),
         | keep AS (SELECT h FROM cfp GROUP BY h HAVING count(*) <= 64),
-        | idx AS (SELECT cfp.* FROM cfp JOIN keep USING (h)),
-        | bfp AS (SELECT * FROM sel WHERE doc_id % 10 = 0),
-        | bk AS (SELECT doc_id, h FROM bfp GROUP BY doc_id, h HAVING count(*) <= 64),
-        | probe AS (SELECT bfp.* FROM bfp JOIN bk USING (doc_id, h)),
-        | cand AS (SELECT b.doc_id AS b_id, b.p AS p1, c.doc_id AS c_id, c.p AS p2
-        |   FROM probe b JOIN idx c ON b.h = c.h),
-        | ver AS (SELECT cd.* FROM cand cd
-        |   JOIN docs x ON x.doc_id = cd.b_id JOIN docs y ON y.doc_id = cd.c_id
-        |   WHERE substring(x.text, CAST(cd.p1 + 1 AS INT), 20)
-        |       = substring(y.text, CAST(cd.p2 + 1 AS INT), 20)),
-        | pp AS (SELECT b_id, c_id, CAST(count(*) AS BIGINT) AS np
-        |   FROM ver GROUP BY b_id, c_id),
-        | rk AS (SELECT *, row_number() OVER (PARTITION BY b_id
-        |       ORDER BY np DESC, c_id ASC) AS r,
-        |     count(*) OVER (PARTITION BY b_id) AS n_all FROM pp),
-        | vd AS (SELECT b_id, CAST(n_all AS BIGINT) AS n_partners, c_id AS best_id,
-        |     np AS best_shared FROM rk WHERE r = 1)
-        |SELECT d.doc_id, vd.best_id IS NOT NULL AS matched,
-        |  COALESCE(vd.n_partners, 0) AS n_partners, vd.best_id, vd.best_shared
-        |FROM docs d LEFT JOIN vd ON vd.b_id = d.doc_id
-        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+        | idx AS (SELECT cfp.* FROM cfp JOIN keep USING (h)),""".stripMargin,
+      "doc_id % 10 = 0"),
+
+    // e27/e29: the widened-corpus recompute — wave-1 admission replayed
+    // IN FULL (its own probe cap + byte verify) to derive the admitted
+    // set, then the index rebuilt from scratch over corpus ∪ admitted
+    // with the combined df cap, then wave 2 served against it. e27's
+    // lambda (base ∖ tombstones ∪ delta) and e29's compacted table must
+    // both hash-equal this — the proof the append algebra and the
+    // compaction each lost and invented nothing.
+    "e27_winnow_append" -> winnowAppendRecomputeSql,
+    "e29_winnow_compact" -> winnowAppendRecomputeSql,
+
+    // e28: cap-then-delete — the df ≤ 64 cap computed over the FULL
+    // corpus (the build-time property), deleted docs excised AFTER, so
+    // the twin pins exactly the algebra a capped index can serve from
+    // its own files (a hash the build dropped as hot is not
+    // resurrected by deletes that lower its df).
+    "e28_winnow_forget" -> winnowRecomputeSql(
+      """ cfp AS (SELECT * FROM sel WHERE doc_id % 10 <> 0),
+        | keep AS (SELECT h FROM cfp GROUP BY h HAVING count(*) <= 64),
+        | idx AS (SELECT cfp.* FROM cfp JOIN keep USING (h)
+        |   WHERE cfp.doc_id % 7 <> 1),""".stripMargin,
+      "doc_id % 10 = 0"),
 
     // d31: the twin replays small-side prefix + positional bound +
     // exact containment verify (DedupSpec separately proves the

@@ -1315,6 +1315,56 @@ object PipelineQueries {
     // [[langIdFor]] for the integer-exactness argument. ----
     "t39_lang_id" -> ((s, dir) => langIdFor(s, dir).orderBy("doc_id")),
 
+    // ---- T49: language-ID on the COMMITTED PUBLIC multilingual
+    // sample — t39's exact algebra (char trigrams, top-120 profile,
+    // BIGINT fixed-point frequency scoring, dense argmax + margin)
+    // with the planted orthography surrogate replaced by five real
+    // languages (PublicLangSample — parallel translations, so the
+    // classifier provably keys on orthography and function words, not
+    // topic). Train on sid % 3 != 0, score the held-out third; the
+    // twin regenerates the SAME sample from the same object (derive-
+    // in-query), so the hash gate proves the trained-profile scoring
+    // identical across engines, and QualitySpec pins recovery well
+    // above the 20% chance floor. ----
+    "t49_public_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val sample = PublicLangSample.rows.toDF("sid", "lang", "text")
+      val grams = sample
+        .withColumn("cs", split(col("text"), ""))
+        .select(col("sid"), col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2)," +
+            " i -> concat(cs[i - 1], cs[i], cs[i + 1]))")).as("g"))
+      val prof = grams.filter(col("sid") % 3 =!= 0)
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      val tot = prof.groupBy("lang").agg(sum("cnt").as("tot"))
+      val wts = prof
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)))
+        .filter(col("rk") <= 120)
+        .join(tot, Seq("lang"))
+        .select(col("lang").as("plang"), col("g"),
+          expr("cnt * 1000000 div tot").as("w"))
+      val test = grams.filter(col("sid") % 3 === 0)
+      val hits = test.join(broadcast(wts), Seq("g"))
+        .groupBy("sid", "plang").agg(sum("w").as("score"))
+      val dense = test.select("sid", "lang").distinct()
+        .crossJoin(broadcast(wts.select("plang").distinct()))
+        .join(hits, Seq("sid", "plang"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+      val ranked = dense.withColumn("rn", row_number().over(
+        Window.partitionBy("sid").orderBy(col("score").desc, col("plang").asc)))
+      val bst = ranked.filter(col("rn") === 1)
+        .select(col("sid"), col("lang").as("true_lang"),
+          col("plang").as("pred_lang"), col("score"))
+      val snd = ranked.filter(col("rn") === 2)
+        .select(col("sid"), col("score").as("score2"))
+      bst.join(snd, Seq("sid"), "left")
+        .select(col("sid"), col("true_lang"), col("pred_lang"), col("score"),
+          (col("score") - coalesce(col("score2"), lit(0L))).as("margin"),
+          (col("pred_lang") === col("true_lang")).as("correct"))
+        .orderBy("sid")
+    }),
+
     // ---- T40: predicted-language temperature mixture — t33's α = 0.5
     // apportionment keyed by t39's PREDICTION, wiring language ID into
     // the sampling stage the way a production multilingual pipeline
@@ -2465,6 +2515,39 @@ object PipelineQueries {
     "t39_lang_id" -> s"""$t39LangIdCte
        |SELECT doc_id, true_lang, pred_lang, score, margin, correct
        |FROM verdicts ORDER BY doc_id""".stripMargin,
+
+    // t49: the identical replay over the COMMITTED public sample —
+    // the VALUES relation is generated from PublicLangSample.rows, so
+    // sample, split, profile, and scoring all derive from one object.
+    "t49_public_lang_id" ->
+      s"""WITH sample(sid, lang, text) AS (SELECT * FROM ${PublicLangSample.valuesSql}),
+         | grams AS (SELECT sid, lang, unnest(list_transform(
+         |     range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+         |   FROM sample),
+         | prof AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM grams WHERE sid % 3 != 0 GROUP BY 1, 2),
+         | tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1),
+         | wts AS (SELECT p.lang AS plang, p.g,
+         |     CAST(p.cnt * 1000000 // t.tot AS BIGINT) AS w
+         |   FROM (SELECT lang, g, cnt, row_number() OVER (
+         |       PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rk FROM prof) p
+         |   JOIN tot t USING (lang) WHERE p.rk <= 120),
+         | test AS (SELECT * FROM grams WHERE sid % 3 = 0),
+         | hits AS (SELECT sid, plang, CAST(sum(w) AS BIGINT) AS score
+         |   FROM test JOIN wts USING (g) GROUP BY 1, 2),
+         | dense AS (SELECT d.sid, d.lang, l.plang, COALESCE(h.score, 0) AS score
+         |   FROM (SELECT DISTINCT sid, lang FROM test) d
+         |   CROSS JOIN (SELECT DISTINCT plang FROM wts) l
+         |   LEFT JOIN hits h ON h.sid = d.sid AND h.plang = l.plang),
+         | ranked AS (SELECT *, row_number() OVER (
+         |     PARTITION BY sid ORDER BY score DESC, plang ASC) AS rn FROM dense)
+         |SELECT CAST(b.sid AS BIGINT) AS sid, b.lang AS true_lang,
+         |  b.plang AS pred_lang, CAST(b.score AS BIGINT) AS score,
+         |  CAST(b.score - COALESCE(s2.score, 0) AS BIGINT) AS margin,
+         |  b.plang = b.lang AS correct
+         |FROM (SELECT * FROM ranked WHERE rn = 1) b
+         |LEFT JOIN (SELECT sid, score FROM ranked WHERE rn = 2) s2 USING (sid)
+         |ORDER BY sid""".stripMargin,
 
     "t40_predlang_mix" -> s"""$t39LangIdCte,
        | s AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n

@@ -33,7 +33,9 @@ object TextQueries {
     // operator's documented doc-size contract is len ≤ 2²²+K−1; docs
     // over it fail LOUDLY here instead of mis-fingerprinting (both
     // engines share the encoding, so the oracle could never catch a
-    // silent overflow). TextSpec exercises the guard.
+    // silent overflow). QualitySpec exercises the guard; the t45 twin
+    // carries the same error() guard so neither engine can silently
+    // mis-fingerprint an oversized doc.
     val docs = docsIn.filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
       .withColumn("text",
         when(length(col("text")) <= lit(ENC + K - 1), col("text"))
@@ -54,6 +56,97 @@ object TextQueries {
   }
 
   private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** t47's HTML fixture construction — the Fixture.scala discipline
+    * applied to markup: each document's crawl payload is BUILT
+    * deterministically from (doc_id, text) so the DuckDB twin can
+    * replay it byte-for-byte, and every hostile branch of the
+    * [[graft.functions.Html]] algebra is planted:
+    *
+    *  - TWO script spans with the `<title>` between them — a greedy
+    *    `.*</script>` would swallow the title, so the hash gate pins
+    *    non-greedy span removal;
+    *  - script/style bodies full of `<`/`>` that would leak as text if
+    *    tags were stripped before subtree removal (step-order pin);
+    *  - a link-dense `<ul>` nav whose `<li>` blocks are pure anchor
+    *    text (boilerplate-drop pin), one anchor carrying `&amp;` so
+    *    entity decode inside anchor-length counting is exercised;
+    *  - an `<h1>` with `&#39;` and DOUBLE-ENCODED `&amp;lt;`/`&amp;gt;`
+    *    — decoding amp first would turn them into live `<`/`>` (entity-
+    *    order pin);
+    *  - a content `<p>` carrying the document's own text;
+    *  - a mixed `<p>` where one anchor wraps nested `<b>` markup
+    *    (counts ZERO anchor chars per the documented `[^<]*` contract)
+    *    and one is plain;
+    *  - every 7th doc ends mid-attribute in an UNTERMINATED `<span` —
+    *    the truncated-crawl branch where the tagless fragment survives
+    *    as visible text (degrade-don't-die pin).
+    */
+  private[graft] def htmlDoc(id: Column, text: Column): Column = {
+    val i = id.cast("string")
+    concat(
+      lit("<html><head><script type=\"text/javascript\">var a = 1 < 2 && n > 0;</script><title>Doc "),
+      i,
+      lit("</title><script>track(\"&amp;page="), i,
+      lit("\");</script><style>.nav > li { margin: 0 2px; }</style></head><body>" +
+        "<ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About &amp; contact</a></li>" +
+        "<li><a href=\"/doc/"), i, lit("\">Doc "), i,
+      lit(" details page</a></li></ul><h1>Report &#39;D"), i,
+      lit("&#39; is &amp;lt;curated&amp;gt;</h1><p>"), text,
+      lit("</p><p>See <a href=\"/ref\">the <b>full</b> archive</a>" +
+        " and the <a href=\"/faq\">FAQ</a> for details.</p>"),
+      when(id % 7 === 0, lit("<div>archived copy <span data-q=\""))
+        .otherwise(lit("</body></html>")))
+  }
+
+  /** SQL twin of [[htmlDoc]] — byte-identical construction. */
+  private[queries] def htmlDocSql(id: String, text: String): String =
+    s"""('<html><head><script type="text/javascript">var a = 1 < 2 && n > 0;</script><title>Doc '
+       | || CAST($id AS VARCHAR)
+       | || '</title><script>track("&amp;page=' || CAST($id AS VARCHAR)
+       | || '");</script><style>.nav > li { margin: 0 2px; }</style></head><body>'
+       | || '<ul><li><a href="/">Home</a></li>'
+       | || '<li><a href="/about">About &amp; contact</a></li>'
+       | || '<li><a href="/doc/' || CAST($id AS VARCHAR) || '">Doc ' || CAST($id AS VARCHAR)
+       | || ' details page</a></li></ul><h1>Report &#39;D' || CAST($id AS VARCHAR)
+       | || '&#39; is &amp;lt;curated&amp;gt;</h1><p>' || $text
+       | || '</p><p>See <a href="/ref">the <b>full</b> archive</a>'
+       | || ' and the <a href="/faq">FAQ</a> for details.</p>'
+       | || CASE WHEN $id % 7 = 0 THEN '<div>archived copy <span data-q="'
+       |         ELSE '</body></html>' END)""".stripMargin.replace("\n", " ")
+
+  /** The t47 twin's extraction replay as a WITH-body (no leading WITH,
+    * ends at the `f` CTE: doc_id, n_blocks, n_boiler, text) — shared
+    * by t47's gate and t48's composed funnel so the two twins cannot
+    * drift. Patterns are LITERALLY the Spark side's (RE2 accepts the
+    * inline (?s) and the explicit [ \t\r] class), entity order
+    * amp-LAST mirrored in the nested replace chain. */
+  private def htmlExtractCteSql: String = {
+    val tagRe = s"</?(?:${graft.functions.Html.BlockTags})(?: [^>]*)?/?>"
+    def dec(x: String) =
+      s"replace(replace(replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+    s"""h AS (SELECT doc_id, ${htmlDocSql("doc_id", "text")} AS html
+       |           FROM documents WHERE text IS NOT NULL),
+       | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+       |     '(?s)<script[^>]*>.*?</script>', '', 'g'),
+       |     '(?s)<style[^>]*>.*?</style>', '', 'g') AS h FROM h),
+       | b AS (SELECT doc_id,
+       |     string_split(regexp_replace(h, '$tagRe', chr(10), 'g'), chr(10)) AS bl
+       |   FROM s1),
+       | z AS (SELECT doc_id, list_filter(list_transform(bl, x -> struct_pack(
+       |       t := trim(regexp_replace(${dec("regexp_replace(x, '<[^>]*>', '', 'g')")},
+       |         '[ \t\r]+', ' ', 'g')),
+       |       al := length(trim(regexp_replace(
+       |         ${dec("coalesce(array_to_string(regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1), ''), '')")},
+       |         '[ \t\r]+', ' ', 'g'))))),
+       |     s -> length(s.t) > 0) AS ne FROM b),
+       | k AS (SELECT doc_id, ne, list_filter(ne, s -> s.al * 2 <= length(s.t)) AS kept
+       |   FROM z),
+       | f AS (SELECT doc_id, CAST(len(ne) AS BIGINT) AS n_blocks,
+       |     CAST(len(ne) - len(kept) AS BIGINT) AS n_boiler,
+       |     array_to_string(list_transform(kept, s -> s.t), chr(10)) AS text FROM k)""".stripMargin
+  }
 
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words: _*)))
@@ -134,6 +227,74 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang").as("labeled_lang"), pred2.as("pred_lang"))
         .orderBy("doc_id")
+    }),
+
+    // ---- T47: HTML → text extraction (graft.functions.Html) — the
+    // trafilatura/WET-class first stage of a pretraining pipeline, run
+    // over byte-real constructed crawl payloads (htmlDoc plants every
+    // hostile branch; the twin replays construction AND the six-step
+    // extraction algebra verbatim, so the hash gate proves the two
+    // engines' extraction identical character-for-character). Pure
+    // native string/regex expressions — codegen'd, no UDF, no shuffle:
+    // a 100 TB crawl shard is a mapper. ----
+    "t47_html_extract" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.Html.extract(htmlDoc(col("doc_id"), col("text"))).as("r"))
+        .select(col("doc_id"), col("r.n_blocks"), col("r.n_boiler"),
+          col("r.n_chars"), col("r.text"))
+        .orderBy("doc_id")),
+
+    // ---- T48: the composed CRAWL-TO-CORPUS funnel — markup in,
+    // curated text out: t47's extraction feeds e21's route → dedup →
+    // budget shape. Stages: (1) extract (the t47 algebra, verbatim);
+    // (2) chrome-invariant CONTENT key — kept blocks 3+ (the per-page
+    // title/h1 lines drop), so two crawls of the same content that
+    // differ only in chrome dedup together; (3) quality gate on
+    // extracted content length; (4) route by t1's marker heuristic
+    // over the content; (5) exact content dedup (md5, keep smallest
+    // doc_id); (6) per-language 40% token budget via the skew-proof
+    // grouped prefix sum (t37/e21's operator). Scale: extraction and
+    // routing are mappers, dedup one hash shuffle, the budget one
+    // range-sharded prefix sum — nothing beyond the composed stages'
+    // own shapes. ----
+    "t48_crawl_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ext = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Html.extract(htmlDoc(col("doc_id"), col("text"))).as("r"))
+      val content = ext.select(col("doc_id"), col("source"),
+        array_join(slice(split(col("r.text"), "\n"), 3, Int.MaxValue), "\n").as("c"))
+      val q = content.filter(length(col("c")) >= 300)
+        .withColumn("toks", size(split(col("c"), " ")).cast("long"))
+      val tk = split(trim(lower(col("c"))), "\\s+")
+      val scores = langMarkers.map { case (lang, ws) => lang -> countIn(tk, ws) }
+      val best = greatest(scores.map(_._2): _*)
+      val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      val routed = q.withColumn("pred_lang", pred)
+      val w = Window.partitionBy(md5(col("c"))).orderBy("doc_id")
+      val canon = routed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val ordered = graft.operators.GlobalOrder.withRunningTotalWithin(
+        canon.select("doc_id", "pred_lang", "toks"), "cum", Seq("pred_lang"),
+        col("toks"), col("toks").desc, col("doc_id"))
+      val budgets = ordered.groupBy("pred_lang")
+        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
+      val kept = ordered.join(broadcast(budgets), Seq("pred_lang"))
+        .filter(col("cum") < col("budget"))
+      routed.groupBy("pred_lang").agg(count(lit(1)).as("n_routed"))
+        .join(canon.groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_dedup"), sum("toks").as("dedup_tokens")),
+          Seq("pred_lang"))
+        .join(kept.groupBy("pred_lang")
+          .agg(max("budget").as("budget"), count(lit(1)).as("n_kept"),
+            sum("toks").as("kept_tokens")),
+          Seq("pred_lang"))
+        .orderBy("pred_lang")
     }),
 
     // ---- document fingerprinting: md5 over normalized text ----
@@ -493,6 +654,65 @@ object TextQueries {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
+    // t47's twin replays htmlDoc's construction AND the six-step
+    // extraction algebra with LITERALLY the same regex patterns (RE2
+    // accepts the inline (?s) and the explicit [ \t\r] class Spark
+    // uses — the class is explicit precisely so both engines take the
+    // identical branch), entity order amp-LAST mirrored in the nested
+    // replace chain.
+    "t47_html_extract" ->
+      s"""WITH $htmlExtractCteSql
+         |SELECT doc_id, n_blocks, n_boiler, CAST(length(text) AS BIGINT) AS n_chars, text
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // t48's twin NESTS the t47 extraction replay (the same shared CTE)
+    // and then replays quality → route → content-dedup → budget
+    // relationally: the chrome-invariant content key (kept blocks 3+,
+    // dropping the per-page title/h1 lines), the t1 marker CASE chain,
+    // the md5 row_number dedup, and e21's exclusive-prefix-sum budget
+    // window — so the hash gate proves the composed crawl-to-corpus
+    // funnel ≡ its independently-replayed stages.
+    "t48_crawl_funnel" -> {
+      val mark = langMarkers.map { case (lang, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, x -> x IN ($set))) AS s_$lang"
+      }.mkString(",\n   ")
+      s"""WITH $htmlExtractCteSql,
+         | c AS (SELECT f.doc_id, d.source,
+         |     array_to_string(string_split(f.text, chr(10))[3:], chr(10)) AS c
+         |   FROM f JOIN documents d USING (doc_id)),
+         | q AS (SELECT *, CAST(len(string_split(c, ' ')) AS BIGINT) AS toks
+         |   FROM c WHERE length(c) >= 300),
+         | sc AS (SELECT q.*, $mark FROM
+         |   (SELECT *, string_split_regex(trim(lower(c)), '\\s+') AS tk FROM q) q),
+         | routed AS (SELECT doc_id, source, c, toks,
+         |   CASE WHEN COALESCE(greatest(s_en, s_es, s_de, s_fr), 0) = 0 THEN 'und'
+         |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |        ELSE 'fr' END AS pred_lang FROM sc),
+         | canon AS (SELECT * FROM (SELECT *,
+         |     row_number() OVER (PARTITION BY md5(c) ORDER BY doc_id) AS rn
+         |   FROM routed) WHERE rn = 1),
+         | bud AS (SELECT pred_lang, CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget
+         |   FROM canon GROUP BY 1),
+         | cm AS (SELECT *, CAST(COALESCE(sum(toks) OVER (PARTITION BY pred_lang
+         |     ORDER BY toks DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |   FROM canon),
+         | kept AS (SELECT * FROM cm JOIN bud USING (pred_lang) WHERE cum < budget),
+         | r AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_routed
+         |   FROM routed GROUP BY 1),
+         | dd AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_dedup,
+         |     CAST(sum(toks) AS BIGINT) AS dedup_tokens FROM canon GROUP BY 1),
+         | kp AS (SELECT pred_lang, CAST(max(budget) AS BIGINT) AS budget,
+         |     CAST(count(*) AS BIGINT) AS n_kept,
+         |     CAST(sum(toks) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
+         |SELECT pred_lang, n_routed, n_dedup, dedup_tokens, budget, n_kept, kept_tokens
+         |FROM r JOIN dd USING (pred_lang) JOIN kp USING (pred_lang)
+         |ORDER BY pred_lang""".stripMargin
+    },
+
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))
@@ -649,8 +869,14 @@ object TextQueries {
     // decode with the identical e = h·2²² + (2²²−1−pos) arithmetic —
     // the rightmost-tie rule is IN the encoding, so one window MIN is
     // the whole selection in both engines
+    // the 2²² doc-size guard mirrors the Spark side: an oversized doc
+    // errors LOUDLY in both engines instead of silently corrupting the
+    // position encoding (4194303 - i0 going negative)
     "t45_winnowing" ->
-      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN length(text) > 4194323
+        |         THEN error('winnow: document exceeds the 2^22 gram-position encoding limit (doc_id=' || doc_id || ')')
+        |         ELSE text END AS text, length(text) AS len FROM documents
         |    WHERE text IS NOT NULL AND length(text) >= 27),
         | gr AS (SELECT doc_id, len - 19 AS n, i AS i0,
         |     list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -453,13 +453,18 @@ object EventStream {
     // gid-keyed corpus index, and exact-cosines candidates only — per-
     // arrival work is O(cp·N/K2) = O(√N), vs the previous brute force's
     // O(N) full-corpus scan per trigger, the one shape that dies at
-    // 100 TB of corpus vectors. On gate-scale fixtures the coarse cover
-    // is complete (cp ≥ K2), so candidates ≡ all-pairs and the stream
-    // verdict stays row-identical to batch e15; at index scale recall
-    // follows d14's documented nprobe contract — the SAME candidate
-    // generation the batch twin rides, so stream and batch agree by
-    // construction, not by luck. Same codegen dot kernel, same
-    // ≥0.45-then-round discipline as before.
+    // 100 TB of corpus vectors. Parity contract, honestly: on
+    // gate-scale fixtures the coarse cover is complete (cp ≥ #groups),
+    // so candidates ≡ all-pairs and the stream verdict is PROVEN
+    // row-identical to batch e15 (StreamingSpec). Beyond gate scale the
+    // two sides are INDEPENDENTLY approximate: batch e15 rides d14's
+    // two-level index (fine cells under shared top-8 coarse cells,
+    // sized from the full embeddings table) while the stream probes a
+    // one-level coarse grouping over corpus vectors only, so once
+    // either cover is partial the candidate sets can differ in both
+    // directions — each side keeps its own documented nprobe-style
+    // recall contract, and exactness of whatever IS matched holds on
+    // both (same codegen dot kernel, same ≥0.45-then-round discipline).
     import graft.queries.DedupQueries.{nearestCells, MaxProbes}
     val cvT = corpusVecs.select(col("vec_id").as("cand"),
       transform(col("embedding"), x => x.cast("double")).as("vc"))
@@ -485,10 +490,17 @@ object EventStream {
     val probesU = udf((v: Seq[Double]) =>
       if (coarseSem.isEmpty) { if (v == null) Seq.empty[Long] else Seq(-1L) }
       else nearestCells(v, coarseSem, cpSem))
-    // the static side: the gid-keyed corpus index (in production this
-    // is the LANDED cid-partitioned artifact — x19/x22's store shape —
-    // refreshed index takes effect on the next micro-batch)
-    val cv = cvT.withColumn("gid", gid1U(col("vc")))
+    // the static side: the gid-keyed corpus index, CACHED at stream
+    // construction so gid assignment (a UDF over every corpus vector)
+    // runs once, not once per micro-batch — without the cache each
+    // trigger re-scanned and re-assigned the full corpus, making the
+    // per-trigger static cost O(N) despite the O(√N) per-arrival math.
+    // The cache is the in-memory stand-in for the LANDED
+    // cid-partitioned artifact (x19/x22's store shape) and lives for
+    // the stream's lifetime; an index refresh means rebuilding the
+    // stream, at which point the new static side takes effect on its
+    // first micro-batch.
+    val cv = cvT.withColumn("gid", gid1U(col("vc"))).cache()
     val av = arrivalVecs.select(col("vec_id").as("doc_id"),
       transform(col("embedding"), x => x.cast("double")).as("va"))
       .withColumn("n2a", norm2Expr(col("va")))

@@ -337,6 +337,40 @@ class DedupSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("d31 prefix bound is integer-exact on sz-multiple-of-10 docs (r13 regression)") {
+    import spark.implicits._
+    // The r13 bug: prefix length computed as floor((1-0.9)*sz)+1 in
+    // doubles — one token SHORT whenever 0.9*sz is an integer (0.1 has
+    // no exact binary form, so (1-0.9)*10 = 0.9999... floors to 0).
+    // Planted pair that hinges on EXACTLY the last prefix token:
+    //  - A = [x, w00..w10]: 12 words -> 10 distinct 3-gram shingles,
+    //    sz = 10, so ceil(0.9*10) = 9 and the lossless prefix length
+    //    is 10 - 9 + 1 = 2 (the buggy formula gave 1).
+    //  - A's only non-shared shingle (x,w00,w01) has df = 1 -> it is
+    //    the RAREST and fills prefix slot 1; every shared shingle has
+    //    df = 2 and the first of them sits in slot 2. With a 1-token
+    //    prefix the pair generates NO candidate; with 2 it must.
+    //  - containment = 9/10 = 0.9, exactly at the threshold.
+    val dir = java.nio.file.Files.createTempDirectory("graft_d31_reg").toString
+    val big = (0 until 30).map("w%02d".format(_)).mkString(" ")
+    val a = ("xx" +: (0 to 10).map("w%02d".format(_))).mkString(" ")
+    Seq((1L, a, "src0"), (2L, big, "src0"))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // fixture sanity: A really has 10 shingles, exactly one unique
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString("_")).toSet
+    val (sa, sb) = (shingles(a), shingles(big))
+    assert(sa.size === 10 && (sa diff sb).size === 1,
+      s"fixture broken: need sz=10 with one unique shingle, got ${sa.size}/${(sa diff sb).size}")
+    val out = SparkEntry.queries("d31_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 0.9)),
+      s"the threshold-exact pair must survive the prefix filter: $out")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d30 chunk-dedup accounting: duplicated chunks stored once, identities hold") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d30").toString
@@ -834,6 +868,106 @@ class DedupSpec extends AnyFunSuite {
     val outL = SparkEntry.queries("e22_gram_append")(spark, dir)
       .collect().map(_.toSeq)
     assert(outC.sameElements(outL), "compacted serve diverges from the lambda serve")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("e27/e28/e29 winnow lifecycle: delta serves, newly-hot tombstones, " +
+      "cap-then-delete forget, compaction ≡ lambda") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e27").toString
+    def u(tag: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < n) { sb.append(s"<f$tag>").append(i); i += 1 }
+      sb.substring(0, n)
+    }
+    val R = "ABCDEFGHIJKLMNOPQRST" // 20-char period
+    val D = "the-quick-brown-fox-jumps-over-the-lazy-dog!" // 44 chars >= 27
+    val Q = "a-completely-novel-block-no-corpus-doc-holds" // 44 chars >= 27
+    val rows = Seq(
+      // corpus (%10 != 0): five docs opening with R*2 — their within-R
+      // selected fingerprints are position-identical, so each selected
+      // hash has base df = 5·occ (well under the 64 cap)
+      (11L, R * 2 + "#" + u(11, 60)), (21L, R * 2 + "#" + u(21, 60)),
+      (31L, R * 2 + "#" + u(31, 60)), (41L, R * 2 + "#" + u(41, 60)),
+      (51L, R * 2 + "#" + u(51, 60)),
+      // the e28 deletion target (8 % 7 == 1) and a surviving D-partner
+      (8L, D + u(8, 60)), (18L, D + "#" + u(18, 60)),
+      // wave 1 (%20 == 0): the DEGENERATE periodic doc — every gram
+      // hash occurs ~70×, so the probe cap blinds it (admitted as
+      // novel) while its delta rows push the min-rotation hash past
+      // the df cap → the TOMBSTONE branch; and a genuinely novel doc
+      // sharing Q only with wave-2 doc 70 → the append-serve branch
+      (40L, R * 70), (60L, Q + u(60, 60)),
+      // wave 2 / d34 batch (%10 == 0)
+      (30L, D + "@" + u(30, 60)), (50L, R * 2 + "@" + u(50, 60)),
+      (70L, Q + "@" + u(70, 60)))
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // land the base, snapshot its files (append must not rewrite them)
+    DedupQueries.d34LandingFor(spark, dir)
+    val tag = java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_d34_${ProcessHandle.current().pid()}_$tag")
+    assert(baseDir.isDirectory, s"base landing dir missing: $baseDir")
+    def snap(d: java.io.File): Map[String, Long] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snap(baseDir)
+    val (deltaTbl, tombPath) = DedupQueries.e27DeltaFor(spark, dir)
+    // winnowing selects the SLIDING-WINDOW MINIMA of the rotation-hash
+    // sequence (not just the global min): every rotation that is the
+    // min of some 8-window gets selected ~70× in the periodic doc
+    // (cd ~70) and sits in the base with df 5-10 (cb NOT NULL), so
+    // exactly the circular 8-window minima set crosses the cap
+    val hs = graft.functions.Hashing.gramHashes(R * 2, 20).take(20)
+    val circMin = (0 until 20).map(j => (0 until 8).map(o => hs((j + o) % 20)).min).toSet
+    val tombs = spark.read.schema("fp_h BIGINT").parquet(tombPath)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs === circMin,
+      s"tombstones must be exactly the circular 8-window minima: $tombs vs $circMin")
+    val delta = spark.table(deltaTbl)
+    val deltaDocs = delta.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deltaDocs.contains(60L) && deltaDocs.subsetOf(Set(40L, 60L)),
+      s"delta must hold the admitted wave-1 docs only: $deltaDocs")
+    assert(delta.filter(col("fp_h").isin(circMin.toSeq: _*)).head(1).isEmpty,
+      "no newly-hot hash may land in the delta")
+    assert(snap(baseDir) === before, "the base d34 landing was rewritten by the append")
+    // e27 serve: doc 70 finds its admitted partner 60 (delta-only);
+    // the blinded periodic doc 40 was admitted
+    def vmap(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    val out27 = vmap("e27_winnow_append")
+    assert(out27(70L) === ((true, 1L, Some(60L))),
+      s"append-serve must find the delta partner: ${out27(70L)}")
+    assert(out27(30L)._3 === Some(8L) && out27(30L)._2 === 2L,
+      s"non-deleted serve keeps both D partners: ${out27(30L)}")
+    // d34 (base only): 70 has no partner; the D doc sees both partners
+    val out34 = vmap("d34_winnow_admission")
+    assert(out34(70L) === ((false, 0L, None)), s"base-only must miss Q: ${out34(70L)}")
+    assert(out34(40L) === ((false, 0L, None)),
+      s"the probe cap must blind the periodic doc: ${out34(40L)}")
+    assert(out34(30L)._2 === 2L && out34(30L)._3 === Some(8L), s"${out34(30L)}")
+    // e28 cap-then-delete: the deleted partner 8 vanishes, 18 survives
+    val out28 = vmap("e28_winnow_forget")
+    assert(out28(30L) === ((true, 1L, Some(18L))),
+      s"forgotten doc must neither match nor be matched: ${out28(30L)}")
+    // e29: compacted content ≡ (base ∖ tombstones) ∪ delta, serve ≡ e27
+    val compacted = spark.table(DedupQueries.e29CompactFor(spark, dir))
+      .select("doc_id", "fp_pos", "fp_h").collect().map(_.toSeq).toSet
+    val lambda = spark.table(DedupQueries.d34LandingFor(spark, dir))
+      .join(broadcast(spark.read.schema("fp_h BIGINT").parquet(tombPath)),
+        Seq("fp_h"), "left_anti")
+      .unionByName(spark.table(deltaTbl))
+      .select("doc_id", "fp_pos", "fp_h").collect().map(_.toSeq).toSet
+    assert(compacted === lambda, "compacted content diverges from the lambda index")
+    val out29 = SparkEntry.queries("e29_winnow_compact")(spark, dir).collect().map(_.toSeq)
+    val out27r = SparkEntry.queries("e27_winnow_append")(spark, dir).collect().map(_.toSeq)
+    assert(out29.sameElements(out27r), "compacted serve diverges from the lambda serve")
     graft.queries.Caches.release(spark, dir)
   }
 

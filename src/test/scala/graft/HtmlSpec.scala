@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Branch pins for the graft.functions.Html extraction algebra — each
+  * test nails one documented contract the t47 hash gate alone would
+  * only catch in aggregate (and, for the truncation/nesting/entity
+  * branches, the exact failure a wrong regex would introduce).
+  */
+class HtmlSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private def ex(html: String): (Long, Long, String, Long) = {
+    val r = Seq(html).toDF("h")
+      .select(graft.functions.Html.extract(col("h")).as("r"))
+      .select("r.n_blocks", "r.n_boiler", "r.text", "r.n_chars")
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+  }
+
+  test("step order: script/style subtrees drop whole BEFORE tag stripping") {
+    // stripping tags first would leak `var a = 1 < 2;` and `.x > .y`
+    // into the text (the `<`/`>` in the bodies break naive tag regexes)
+    val (_, _, txt, _) =
+      ex("""<p>keep</p><script type="a">var a = 1 < 2;</script><style>.x > .y { k: v }</style>""")
+    assert(txt === "keep", s"script/style bodies must not leak: '$txt'")
+  }
+
+  test("non-greedy span removal: content between two script blocks survives") {
+    val (_, _, txt, _) =
+      ex("<script>a()</script><p>mid</p><script>b()</script>")
+    assert(txt === "mid", s"greedy .* would swallow the middle block: '$txt'")
+  }
+
+  test("truncation: an unterminated trailing tag survives as visible text") {
+    // a truncated crawl payload ends mid-attribute; the fragment has no
+    // closing `>` so the tag-strip regex cannot match — degrade, don't die
+    val (nb, _, txt, _) = ex("""<p>body</p><div>tail <span data-q="""")
+    assert(nb === 2L)
+    assert(txt === "body\ntail <span data-q=\"",
+      s"the tagless fragment must survive as text: '$txt'")
+  }
+
+  test("entity order: amp decodes LAST, so &amp;lt; yields literal &lt;") {
+    val (_, _, txt, _) =
+      ex("<p>&amp;lt;tag&amp;gt; &#39;q&#39; &quot;w&quot; a &amp; b</p>")
+    assert(txt === "&lt;tag&gt; 'q' \"w\" a & b",
+      s"amp-first would doubly decode &amp;lt; to '<': '$txt'")
+  }
+
+  test("entities decode AFTER tag stripping: encoded angle brackets are never markup") {
+    // &lt;script&gt; is TEXT; decoding before the strip would turn it
+    // into a live tag and delete the sentence
+    val (_, _, txt, _) = ex("<p>use &lt;script&gt; tags wisely</p>")
+    assert(txt === "use <script> tags wisely", s"'$txt'")
+  }
+
+  test("nested-markup anchors count zero link text; plain anchors count") {
+    // anchor wrapping <b> has no [^<]* body -> al = 0 -> block kept even
+    // though most of its words sit inside the anchor
+    val (nb1, nboil1, txt1, _) =
+      ex("""<p>go <a href="x">the <b>deep</b> archive link</a> now</p>""")
+    assert((nb1, nboil1) === ((1L, 0L)) && txt1 === "go the deep archive link now")
+    // the same block with a PLAIN anchor is link-dense and drops
+    val (nb2, nboil2, txt2, _) =
+      ex("""<p>go <a href="x">the deep archive link</a> now</p>""")
+    assert((nb2, nboil2) === ((1L, 1L)) && txt2 === "",
+      s"plain-anchor block must drop as boilerplate: '$txt2'")
+  }
+
+  test("link-density boundary is integer-exact: 2*anchor == len keeps, +1 drops") {
+    val (_, b1, t1, _) = ex("""<li><a href="/">abc</a>def</li>""") // 2*3 <= 6
+    assert(b1 === 0L && t1 === "abcdef", s"boundary block must be KEPT: '$t1'")
+    val (_, b2, t2, _) = ex("""<li><a href="/">abcd</a>def</li>""") // 2*4 > 7
+    assert(b2 === 1L && t2 === "", s"past-boundary block must DROP: '$t2'")
+  }
+
+  test("block segmentation: inline tags do not break flow, block tags do") {
+    val (nb, _, txt, nch) =
+      ex("<div>one <b>bold</b> flow</div><p>two</p><span>three</span>")
+    // span is inline: 'three' joins the block opened by </p>'s newline
+    assert(nb === 3L && txt === "one bold flow\ntwo\nthree", s"'$txt'")
+    assert(nch === txt.length.toLong)
+  }
+
+  test("whitespace: space/tab/CR runs collapse, counts come from cleaned text") {
+    val (nb, nboil, txt, _) = ex("<p>a \t b\r\rc</p><p>   </p>")
+    // the all-whitespace block cleans to empty and is not counted
+    assert((nb, nboil) === ((1L, 0L)) && txt === "a b c", s"'$txt'")
+  }
+
+  test("t48 funnel: chrome-invariant dedup collapses same-content pages, budget cuts") {
+    import org.apache.spark.sql.functions.length
+    val dir = java.nio.file.Files.createTempDirectory("graft_t48").toString
+    // the same body text behind three DIFFERENT doc_ids: the full
+    // extracted texts differ (title/h1 carry the id) but the content
+    // key (kept blocks 3+) is identical -> they must dedup to one.
+    // Body is >= 300 chars of 'the'-marked English so the quality gate
+    // passes and the route lands on 'en'; doc 9's body is unique.
+    val body = ("the quick brown fox jumps over the lazy dog and the " * 7).trim
+    val other = ("a slow green turtle walks under the busy bridge today " * 7).trim
+    Seq((1L, body), (2L, body), (3L, body), (9L, other))
+      .map { case (i, t) => (i, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t48_crawl_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    // 4 routed to en, 2 survive dedup (1 of the triplicate + doc 9),
+    // the 40% token budget keeps exactly the larger one
+    val (nRouted, nDedup, nKept) = out("en")
+    assert(nRouted === 4L, s"all four pages route to en: $out")
+    assert(nDedup === 2L,
+      s"chrome-invariant dedup must collapse the id-differing triplicate: $out")
+    assert(nKept === 1L, s"the 40% budget keeps one of two equal-ish docs: $out")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("t47 gate shape: the constructed fixture hits every planted branch") {
+    val docs = Seq((7L, "seven word doc about spark engines"),
+      (8L, "eight word doc")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), graft.functions.Html.extract(
+        graft.queries.TextQueries.htmlDoc(col("doc_id"), col("text"))).as("r"))
+      .select(col("doc_id"), col("r.n_blocks"), col("r.n_boiler"), col("r.text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 7 (doc_id % 7 == 0): truncated tail block survives as text
+    val (nb7, nboil7, t7) = out(7L)
+    assert((nb7, nboil7) === ((8L, 3L)), s"doc 7: ($nb7, $nboil7)")
+    assert(t7.endsWith("archived copy <span data-q=\""), s"truncated branch lost: '$t7'")
+    assert(t7.contains("Report 'D7' is &lt;curated&gt;"), s"entity order broke: '$t7'")
+    assert(t7.contains("seven word doc about spark engines"))
+    assert(t7.contains("See the full archive and the FAQ for details."))
+    assert(!t7.contains("Home") && !t7.contains("About & contact"),
+      s"nav boilerplate leaked: '$t7'")
+    assert(!t7.contains("track(") && !t7.contains("margin"), s"script/style leaked: '$t7'")
+    // doc 8: well-formed tail, same structure minus the truncated block
+    val (nb8, nboil8, t8) = out(8L)
+    assert((nb8, nboil8) === ((7L, 3L)) && t8.endsWith("for details."),
+      s"doc 8: ($nb8, $nboil8, '$t8')")
+  }
+}

@@ -482,6 +482,46 @@ class QualitySpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("t46 score arithmetic is exact past the BIGINT overflow boundary (r13 regression)") {
+    import spark.implicits._
+    // The r13 bug: the ratio numerator S*(ct+1)*(tr+B) computed in
+    // BIGINT wraps past 2^63 and Spark wraps SILENTLY (DuckDB raises).
+    // Corpus at the boundary: T = 3.1M tokens of ONE word, all lang=en,
+    // so a single bucket carries ct = cr = tt = tr = T and the numerator
+    // is 1e6 * (T+1) * (T+4096) ~ 9.6e18 > 2^63. The exact DECIMAL(38,0)
+    // value of every doc's weight is then EXACTLY S = 1e6:
+    //   l = S*(T+1)*(T+B) div ((T+1)*(T+B)) = S,  weight = S.
+    // Pre-fix, the wrapped numerator went negative and the weight came
+    // out wrong — this pins the DECIMAL widening.
+    val dir = Files.createTempDirectory("graft_t46_ovf").toString
+    val words = 100000
+    val text = ("tok " * words).trim
+    (1L to 31L).map(i => (i, text, "en", "src", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t46_dsir_select")(spark, dir)
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 31 && out.values.forall(_ === 1000000L),
+      s"every weight must be exactly S=1e6 at the overflow boundary: ${out.toSeq.sortBy(_._1).take(3)}")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("t49 public-sample lang-ID: held-out recovery far above the 20% chance floor") {
+    val out = SparkEntry.queries("t49_public_lang_id")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4), r.getBoolean(5)))
+    // sid ≡ 0 (mod 3) across the five 14-sentence blocks (bases 0,
+    // 100, 200, 300, 400 shift the residues): 5+4+5+5+4 = 23 held out
+    assert(out.length === 23, s"held-out split size: ${out.length}")
+    val acc = out.count(_._5).toDouble / out.length
+    assert(acc >= 0.8,
+      s"held-out accuracy $acc must clear chance (0.2) with a wide margin: " +
+        out.filterNot(_._5).map(r => s"${r._1}:${r._2}->${r._3}").mkString(", "))
+    assert(out.filter(_._5).forall(_._4 > 0),
+      "every correct prediction must carry a positive margin")
+  }
+
   test("t45 winnowing: exact vs naive recompute, window coverage, shared-substring guarantee") {
     val K = 20; val W = 8
     // naive reference: hash every K-gram, take min-with-rightmost-tie
