@@ -61,7 +61,11 @@ object StreamBench {
     val pool: Array[(Long, String)] = (0 until repl).flatMap(k =>
       baseArr.map { case (id, t) => (id + 1000000L * (k + 1), t) }).toArray
 
+    // optional single-twin filter for targeted scaling runs
+    val onlyTwin = sys.env.get("SPARK_GRAFT_TWIN")
+
     def drive(name: String, mk: DataFrame => DataFrame): Unit = {
+      if (!onlyTwin.forall(_ == name)) return
       val input = MemoryStream[(Timestamp, Long, String)]
       val q = mk(input.toDF().toDF("ts", "doc_id", "text"))
         .writeStream.format("memory").queryName(s"bench_$name")
