@@ -237,14 +237,26 @@ object TextQueries {
     // engines' extraction identical character-for-character). Pure
     // native string/regex expressions — codegen'd, no UDF, no shuffle:
     // a 100 TB crawl shard is a mapper. ----
-    "t47_html_extract" -> ((s, dir) =>
+    // (staged projections — cleanedBlocks → kept → joined text — so
+    // each expensive lambda subtree is computed ONCE per doc; the
+    // one-shot struct form re-ran the full extraction per output
+    // field after SimplifyExtractValueOps split it: 4× the CPU)
+    "t47_html_extract" -> ((s, dir) => {
+      val H = graft.functions.Html
       Tables.documents(s, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
-          graft.functions.Html.extract(htmlDoc(col("doc_id"), col("text"))).as("r"))
-        .select(col("doc_id"), col("r.n_blocks"), col("r.n_boiler"),
-          col("r.n_chars"), col("r.text"))
-        .orderBy("doc_id")),
+          H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
+        .select(col("doc_id"), col("_ne"), H.keptBlocks(col("_ne")).as("_kept"))
+        .select(col("doc_id"), col("_ne"), col("_kept"),
+          H.joinedText(col("_kept")).as("_txt"))
+        .select(col("doc_id"),
+          size(col("_ne")).cast("long").as("n_blocks"),
+          (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_boiler"),
+          length(col("_txt")).cast("long").as("n_chars"),
+          col("_txt").as("text"))
+        .orderBy("doc_id")
+    }),
 
     // ---- T48: the composed CRAWL-TO-CORPUS funnel — markup in,
     // curated text out: t47's extraction feeds e21's route → dedup →
@@ -261,12 +273,14 @@ object TextQueries {
     // own shapes. ----
     "t48_crawl_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val H = graft.functions.Html
       val ext = Tables.documents(s, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
-          graft.functions.Html.extract(htmlDoc(col("doc_id"), col("text"))).as("r"))
+          H.joinedText(H.keptBlocks(
+            H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))))).as("_txt"))
       val content = ext.select(col("doc_id"), col("source"),
-        array_join(slice(split(col("r.text"), "\n"), 3, Int.MaxValue), "\n").as("c"))
+        array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n").as("c"))
       val q = content.filter(length(col("c")) >= 300)
         .withColumn("toks", size(split(col("c"), " ")).cast("long"))
       val tk = split(trim(lower(col("c"))), "\\s+")
