@@ -132,6 +132,13 @@ object Bench {
     }
 
     def fmt(d: Double): String = f"$d%.3f"
+    // Host-load telemetry: the r13 cold map was contaminated by outside
+    // load (BASELINE.md round-14 A/B attribution), and diagnosing it
+    // required a rerun. The 1-minute load average at bench END, next to
+    // the JVM's own core count, makes "was the host busy" readable off
+    // the committed record (load >> cpus while wall inflates under flat
+    // CPU = contention, not regression).
+    val loadAvg = osBean.getSystemLoadAverage
     val qs = ordered.map { case (name, _) =>
       s"\"$name\":${fmt(best(name))}"
     }.mkString("{", ",", "}")
@@ -148,7 +155,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},""" +
-        s""""cold_total":${fmt(coldTotal)},""" +
+        s""""cold_total":${fmt(coldTotal)},"load_avg":${fmt(loadAvg)},""" +
         s""""queries":$qs,"queries_cpu":$qsCpu,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_results.json"), full.getBytes(StandardCharsets.UTF_8))
 
@@ -161,6 +168,7 @@ object Bench {
       .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""cpu_total":${fmt(cpuTotal)},"cold_total":${fmt(coldTotal)},""" +
+      s""""load_avg":${fmt(loadAvg)},""" +
       s""""n_queries":${best.size},"slowest":$slowest,"sf":"$sfDir",""" +
       s""""detail":"bench_results.json"}"""
     println(line)
