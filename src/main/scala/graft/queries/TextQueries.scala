@@ -283,13 +283,20 @@ object TextQueries {
         array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n").as("c"))
       val q = content.filter(length(col("c")) >= 300)
         .withColumn("toks", size(split(col("c"), " ")).cast("long"))
-      val tk = split(trim(lower(col("c"))), "\\s+")
-      val scores = langMarkers.map { case (lang, ws) => lang -> countIn(tk, ws) }
+      // stage the token split once, then the four marker scores once
+      // each (t7/t47's discipline — best/pred reference every score
+      // several times, and lambda-bearing subtrees don't CSE)
+      val q2 = q.withColumn("_tk", split(trim(lower(col("c"))), "\\s+"))
+        .select(Seq(col("doc_id"), col("source"), col("c"), col("toks")) ++
+          langMarkers.map { case (lang, ws) =>
+            countIn(col("_tk"), ws).as(s"_s_$lang") }: _*)
+      val scores = langMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") }
       val best = greatest(scores.map(_._2): _*)
       val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
         when(sc === best && best > 0, lit(lang)).otherwise(acc)
       }
-      val routed = q.withColumn("pred_lang", pred)
+      val routed = q2.withColumn("pred_lang", pred)
+        .drop(langMarkers.map("_s_" + _._1): _*)
       val w = Window.partitionBy(md5(col("c"))).orderBy("doc_id")
       val canon = routed.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
