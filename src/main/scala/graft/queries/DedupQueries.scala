@@ -1440,6 +1440,56 @@ object DedupQueries {
       classifyBatchAgainst(s, dir,
         bandsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)))),
 
+    // ---- E30: chrome-robust CRAWL classification — t47's extraction
+    // composed with d18's exact/near/novel classifier, BOTH sides
+    // extracted to the chrome-invariant CONTENT key (kept blocks 3+):
+    // two crawls of the same article whose PAGE BYTES differ (ids in
+    // the title/h1/nav, truncated tails, different chrome) classify
+    // as exact duplicates on content, where byte-level dedup sees
+    // nothing. Scale shapes are d18's (extraction is a mapper; exact
+    // = one content equi-join — content-hash bucket probe at scale;
+    // near candidates via the LSH band equi-join; exact-Jaccard
+    // verify on candidates only). The twin nests the shared
+    // extraction replay inside the parameterized classify recompute
+    // (nested-WITH subqueries), so the gate proves the composed
+    // extract→classify ≡ its independently-replayed stages. ----
+    "e30_crawl_classify" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val ext = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          H.joinedText(H.keptBlocks(H.cleanedBlocks(
+            TextQueries.htmlDoc(col("doc_id"), col("text"))))).as("_txt"))
+        .select(col("doc_id"),
+          array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
+            .as("text"))
+      val batch = ext.filter(col("doc_id") % 10 === 0)
+      val corpus = ext.filter(col("doc_id") % 10 =!= 0)
+      val exact = batch.as("b")
+        .join(corpus.as("c"), col("b.text") === col("c.text"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(min(col("c.doc_id")).as("exact_id"))
+      val cand = bandsOf(batch).as("a").join(bandsOf(corpus).as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      val best = verifyJaccard(cand, docShinglesOf(ext), 0.8)
+        .groupBy(col("doc1").as("doc_id"))
+        .agg(max(struct(col("jaccard").as("j"), (-col("doc2")).as("nk"),
+          col("doc2").as("k"))).as("_b"))
+        .select(col("doc_id"), col("_b.k").as("near_id"), col("_b.j").as("near_j"))
+      batch.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, lit("exact"))
+            .when(col("near_id").isNotNull, lit("near"))
+            .otherwise(lit("novel")).as("status"),
+          coalesce(col("exact_id"), col("near_id")).as("match_id"),
+          when(col("exact_id").isNotNull, lit(1.0))
+            .otherwise(col("near_j")).as("similarity"))
+        .orderBy("doc_id")
+    }),
+
     // ---- D24: the band index LANDED — x19's build-once/serve-many
     // contract for the dedup side. d18's "persistent index" is a
     // per-JVM memo; a production corpus lands it: the corpus band
@@ -3042,6 +3092,19 @@ object DedupQueries {
     // exact Jaccard, ranked by (rounded j DESC, corpus id ASC) like the
     // Spark argmax struct. Exact dups rank via the same text equi-join.
     "d18_incremental_dedup" -> d18RecomputeSql,
+
+    // e30: d18's classify replay with both sides' text swapped for the
+    // chrome-invariant extracted content — the extraction CTE nests
+    // INSIDE each side's selector as a WITH-subquery, so the composed
+    // gate reuses t47's shared replay verbatim.
+    "e30_crawl_classify" -> {
+      def extractedSel(pred: String) =
+        s"WITH ${TextQueries.htmlExtractCteSql} SELECT doc_id, " +
+          "array_to_string(string_split(text, chr(10))[3:], chr(10)) AS text " +
+          s"FROM f WHERE $pred"
+      classifyRecomputeSql(
+        extractedSel("doc_id % 10 = 0"), extractedSel("doc_id % 10 <> 0"))
+    },
 
     // e21: full-corpus lang-ID replay (score predicate TRUE) + the d9
     // reachability + the sequential budget window, nested — the funnel

@@ -122,7 +122,7 @@ object TextQueries {
     * drift. Patterns are LITERALLY the Spark side's (RE2 accepts the
     * inline (?s) and the explicit [ \t\r] class), entity order
     * amp-LAST mirrored in the nested replace chain. */
-  private def htmlExtractCteSql: String = {
+  private[queries] def htmlExtractCteSql: String = {
     val tagRe = s"</?(?:${graft.functions.Html.BlockTags})(?: [^>]*)?/?>"
     def dec(x: String) =
       s"replace(replace(replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"

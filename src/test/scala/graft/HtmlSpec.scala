@@ -119,6 +119,39 @@ class HtmlSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("e30 crawl classify: chrome-differing pages dedup on content; near and novel hold") {
+    import org.apache.spark.sql.functions.{length, md5}
+    val dir = java.nio.file.Files.createTempDirectory("graft_e30").toString
+    // distinct words, so the shingle set is large and one changed word
+    // perturbs only ~3 of ~48 shingles (content J ≈ 0.88 ≥ 0.8)
+    val body = (1 to 50).map(i => s"word$i").mkString(" ")
+    val near = body.replace("word25", "changed25")
+    val other = (1 to 50).map(i => s"other$i").mkString(" ")
+    // corpus: 1 (the article), 2 (unrelated); batch: 10 = SAME body
+    // behind DIFFERENT page bytes (ids sit in title/h1/nav), 20 = near
+    // variant, 30 = novel
+    Seq((1L, body), (2L, other), (10L, body), (20L, near), (30L, "x " * 40))
+      .map { case (i, t) => (i, t.trim, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // sanity: the PAGE BYTES of docs 1 and 10 differ (byte-level dedup
+    // would see nothing), yet e30 classifies 10 as an exact dup of 1
+    val pages = Seq(1L, 10L).toDF("doc_id")
+      .select(md5(graft.queries.TextQueries.htmlDoc(col("doc_id"), lit(body))))
+      .collect().map(_.getString(0)).toSet
+    assert(pages.size === 2, "fixture broken: page bytes must differ")
+    val out = SparkEntry.queries("e30_crawl_classify")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(10L) === (("exact", Some(1L))),
+      s"chrome-differing same-content page must classify exact: ${out(10L)}")
+    assert(out(20L)._1 === "near" && out(20L)._2 === Some(1L),
+      s"one-word variant must classify near against the article: ${out(20L)}")
+    assert(out(30L) === (("novel", None)), s"${out(30L)}")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("t47 gate shape: the constructed fixture hits every planted branch") {
     val docs = Seq((7L, "seven word doc about spark engines"),
       (8L, "eight word doc")).toDF("doc_id", "text")
