@@ -205,6 +205,25 @@ object EventStream {
           .when(col("b.pri") === 1, col("b.j")).as("similarity"))
   }
 
+  /** Stream twin of the chrome-robust crawl classification (e30):
+    * arrivals carry RAW MARKUP (`ts`, `doc_id`, `html`) — the crawl
+    * shape — and extraction runs MAP-SIDE as the same staged pure
+    * expressions as batch t47 (stateless: no state beyond
+    * [[classifyArrivals]]' one group per arrival), reducing each page
+    * to its chrome-invariant content (kept blocks 3+) before the
+    * exact/near/novel classify against the extracted corpus. Two
+    * crawls of one article with different page bytes classify exact
+    * on content in-stream, exactly as the batch gate proves. */
+  def classifyCrawlArrivals(arrivals: DataFrame, corpusPages: DataFrame): DataFrame = {
+    import graft.functions.Html
+    def contentOf(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(slice(split(Html.joinedText(Html.keptBlocks(
+        Html.cleanedBlocks(html))), "\n"), 3, Int.MaxValue), "\n")
+    classifyArrivals(
+      arrivals.select(col("ts"), col("doc_id"), contentOf(col("html")).as("text")),
+      corpusPages.select(col("doc_id"), contentOf(col("html")).as("text")))
+  }
+
   /** Stream twin of the batch d26 substring-admission gate: arrivals
     * (ts, doc_id, text) assessed against the LANDED corpus gram index
     * (static side — a refreshed landing takes effect on the next

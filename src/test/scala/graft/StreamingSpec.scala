@@ -385,6 +385,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl classification ≡ the batch e30 query (markup in, verdicts out)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    val expected = graft.queries.DedupQueries
+      .queries("e30_crawl_classify")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -2.0 else r.getDouble(3))))
+      .toMap
+    assert(expected.values.exists(_._1 != "novel"),
+      "fixture plants cross-split content duplicates")
+    // the crawl shape: PAGES (raw markup) on both sides — the stream
+    // must extract in-flight, map-side, before classifying
+    val pages = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.queries.TextQueries.htmlDoc(col("doc_id"), col("text")).as("html"))
+    val corpusPages = pages.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = pages.filter(col("doc_id") % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.classifyCrawlArrivals(
+        input.toDF().toDF("ts", "doc_id", "html"), corpusPages)
+      .writeStream.format("memory").queryName("crawl_classified")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, h), i) =>
+        (ts(i % 60), id, h) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "<p>watermark advancer page</p>"))
+      q.processAllAvailable()
+      val streamed = spark.table("crawl_classified")
+        .filter(col("doc_id") =!= -999L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -2.0 else r.getDouble(3))))
+        .toMap
+      assert(streamed === expected,
+        "in-stream extract+classify must equal the batch e30 twin")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 1}")
+    } finally q.stop()
+  }
+
   test("streaming substring admission ≡ the batch d26 query") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
