@@ -3100,7 +3100,7 @@ object DedupQueries {
     "e30_crawl_classify" -> {
       def extractedSel(pred: String) =
         s"WITH ${TextQueries.htmlExtractCteSql} SELECT doc_id, " +
-          "array_to_string(string_split(text, chr(10))[3:], chr(10)) AS text " +
+          "coalesce(array_to_string(string_split(text, chr(10))[3:], chr(10)), '') AS text " +
           s"FROM f WHERE $pred"
       classifyRecomputeSql(
         extractedSel("doc_id % 10 = 0"), extractedSel("doc_id % 10 <> 0"))

@@ -145,7 +145,8 @@ object TextQueries {
        |   FROM z),
        | f AS (SELECT doc_id, CAST(len(ne) AS BIGINT) AS n_blocks,
        |     CAST(len(ne) - len(kept) AS BIGINT) AS n_boiler,
-       |     array_to_string(list_transform(kept, s -> s.t), chr(10)) AS text FROM k)""".stripMargin
+       |     coalesce(array_to_string(list_transform(kept, s -> s.t), chr(10)), '')
+       |       AS text FROM k)""".stripMargin
   }
 
   private def countIn(ts: Column, words: Seq[String]): Column =
@@ -700,7 +701,7 @@ object TextQueries {
       }.mkString(",\n   ")
       s"""WITH $htmlExtractCteSql,
          | c AS (SELECT f.doc_id, d.source,
-         |     array_to_string(string_split(f.text, chr(10))[3:], chr(10)) AS c
+         |     coalesce(array_to_string(string_split(f.text, chr(10))[3:], chr(10)), '') AS c
          |   FROM f JOIN documents d USING (doc_id)),
          | q AS (SELECT *, CAST(len(string_split(c, ' ')) AS BIGINT) AS toks
          |   FROM c WHERE length(c) >= 300),

@@ -410,10 +410,14 @@ object EventStream {
     * duplicates cannot change an argmax; the substring merge is
     * order-free). `arrivalVecs`/`corpusVecs` carry (vec_id,
     * embedding); an arrival with no vector simply has no semantic
-    * evidence, mirroring the batch left join. */
+    * evidence, mirroring the batch left join. `cacheScope` is the
+    * caller's fixture dir: the semantic axis's static-side cache
+    * registers under it so `Caches.release(spark, dir)` reclaims the
+    * cached corpus-vector projection after the stream is done. */
   def ingestVerdict(arrivals: DataFrame, corpusDocs: DataFrame,
       bandIndex: DataFrame, gramIndex: DataFrame,
-      arrivalVecs: DataFrame, corpusVecs: DataFrame): DataFrame = {
+      arrivalVecs: DataFrame, corpusVecs: DataFrame,
+      cacheScope: String): DataFrame = {
     import graft.queries.DedupQueries.{bandKeysUdf, docShinglesOf, dotExpr,
       intersectUdf, norm2Expr, withShingles}
     val K = 60
@@ -518,8 +522,12 @@ object EventStream {
     // cid-partitioned artifact (x19/x22's store shape) and lives for
     // the stream's lifetime; an index refresh means rebuilding the
     // stream, at which point the new static side takes effect on its
-    // first micro-batch.
-    val cv = cvT.withColumn("gid", gid1U(col("vc"))).cache()
+    // first micro-batch. Registered under the caller's `cacheScope`
+    // (its fixture dir) so Caches.release reclaims it — a bare
+    // .cache() pinned one full corpus-vector copy per stream
+    // construction for the session's lifetime (r14 advice).
+    val cv = graft.queries.Caches.trackCached(cacheScope,
+      cvT.withColumn("gid", gid1U(col("vc"))))
     val av = arrivalVecs.select(col("vec_id").as("doc_id"),
       transform(col("embedding"), x => x.cast("double")).as("va"))
       .withColumn("n2a", norm2Expr(col("va")))

@@ -92,24 +92,30 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // index landings are LAZY so a targeted single-twin run (the
+    // SPARK_GRAFT_TWIN scaling path) builds only the indexes that twin
+    // actually serves — drive() skips filtered twins before it ever
+    // forces the thunk (r14 advice: the eager lookups built all three
+    // landings even when only one twin ran)
     val corpusDocs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val gramIdx = spark.table(graft.queries.DedupQueries.d26LandingFor(spark, sfDir))
+    lazy val gramIdx = spark.table(graft.queries.DedupQueries.d26LandingFor(spark, sfDir))
     drive("admitArrivalsBySubstring",
       in => EventStream.admitArrivalsBySubstring(in, gramIdx, corpusDocs))
 
-    val d34Idx = spark.table(graft.queries.DedupQueries.d34LandingFor(spark, sfDir))
-    val corpusDocs27 = Tables.documents(spark, sfDir)
+    lazy val d34Idx = spark.table(graft.queries.DedupQueries.d34LandingFor(spark, sfDir))
+    lazy val corpusDocs27 = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull && length(col("text")) >= 27)
       .select("doc_id", "text")
     drive("admitArrivalsByFingerprint",
       in => EventStream.admitArrivalsByFingerprint(in, d34Idx, corpusDocs27))
 
-    val bandIdx = spark.table(graft.queries.DedupQueries.bandLandingFor(spark, sfDir))
-    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)
+    lazy val bandIdx = spark.table(graft.queries.DedupQueries.bandLandingFor(spark, sfDir))
+    lazy val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    lazy val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)
     drive("ingestVerdict",
-      in => EventStream.ingestVerdict(in, corpusDocs, bandIdx, gramIdx, vecs, corpusVecs))
+      in => EventStream.ingestVerdict(in, corpusDocs, bandIdx, gramIdx, vecs, corpusVecs,
+        cacheScope = sfDir))
 
     spark.stop()
   }

@@ -604,7 +604,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = EventStream.ingestVerdict(
         input.toDF().toDF("ts", "doc_id", "text"),
-        corpusDocs, bandIdx, gramIdx, vecs, corpusVecs)
+        corpusDocs, bandIdx, gramIdx, vecs, corpusVecs, cacheScope = dir)
       .writeStream.format("memory").queryName("ingest_verdict")
       .outputMode("append").start()
     try {
