@@ -13,10 +13,21 @@ import org.apache.spark.sql.functions._
   * The extraction algebra, in order (each step is load-bearing and the
   * order is part of the contract):
   *
-  *  1. '''Non-content subtree removal''': `<script>…</script>` and
-  *     `<style>…</style>` spans drop whole (dotall non-greedy), BEFORE
-  *     tag stripping — stripping first would leak JS/CSS bodies into
-  *     the text, the classic naive-scraper bug.
+  *  1. '''Non-content subtree removal''', in four sub-steps whose
+  *     order is itself load-bearing:
+  *     (a) `<script>…</script>` and `<style>…</style>` spans drop
+  *     whole (dotall non-greedy), BEFORE tag stripping — stripping
+  *     first would leak JS/CSS bodies into the text, the classic
+  *     naive-scraper bug; (b) HTML comments `<!-- … -->` drop whole,
+  *     AFTER script removal (a script body may contain a lone `<!--`
+  *     — the legacy JS-hiding idiom — which must not eat past the
+  *     script's own end) and INCLUDING conditional comments
+  *     (`<!--[if IE]>…<![endif]-->` — their bodies, markup and all,
+  *     live inside the comment, so one pattern covers them); without
+  *     this a comment containing `>` leaks its tail as visible text;
+  *     (c) `<![CDATA[…]]>` sections drop whole; (d) `<noscript>`,
+  *     `<svg>`, and `<template>` subtrees drop whole — their bodies
+  *     are fallback/vector/stamp content, not page text.
   *  2. '''Block segmentation''': open/close tags of block-level
   *     elements ([[BlockTags]]) become newlines; the document becomes
   *     a block list. Inline elements (`<a> <b> <i> <span>`) do NOT
@@ -25,14 +36,26 @@ import org.apache.spark.sql.functions._
   *     UNTERMINATED trailing tag (truncated crawl payload) has no `>`
   *     and survives as visible text — degrade, don't die; the spec
   *     pins the branch.
-  *  4. '''Entity decode''' of the five XML-standard entities
-  *     (`&lt; &gt; &quot; &#39; &amp;` — amp LAST so `&amp;lt;` decodes
-  *     to the literal `&lt;` and not to `<`), AFTER tag stripping so
-  *     encoded angle brackets can never be re-parsed as markup.
-  *  5. '''Whitespace normalization''': runs of space/tab/CR collapse
-  *     to one space, trimmed. The class is explicit — `\s` is
-  *     ASCII-plus-VT in Java but not RE2, and both engines must take
-  *     the identical branch.
+  *  4. '''Entity decode''', single left-to-right pass (the way a real
+  *     HTML tokenizer decodes): the named entities
+  *     `&lt; &gt; &quot; &amp; &nbsp;` and ALL numeric references
+  *     `&#NNN;` / `&#xNN;` decode in one scan, so `&amp;lt;` and
+  *     `&#38;lt;` both yield the literal text `&lt;` (each `&` is
+  *     consumed exactly once — the classic double-decode bug is
+  *     impossible by construction, replacing the old amp-last chain).
+  *     Numeric references decode for BMP non-surrogate code points
+  *     (1 ≤ cp ≤ 0xFFFF, excluding D800–DFFF); anything else —
+  *     unknown names, out-of-range or surrogate code points — stays
+  *     literal (degrade, don't die). `&nbsp;`/`&#160;` decode to the
+  *     real U+00A0, which step 5 then normalizes to a plain space.
+  *     Runs AFTER tag stripping so encoded angle brackets can never
+  *     be re-parsed as markup.
+  *  5. '''Whitespace normalization''': runs of space/tab/CR/NBSP
+  *     collapse to one space, trimmed. The class is explicit — `\s`
+  *     is ASCII-plus-VT in Java but not RE2, and both engines must
+  *     take the identical branch; U+00A0 is in the class because
+  *     crawl text is full of it (both raw and as `&nbsp;`) and the
+  *     WET convention is plain-space output.
   *  6. '''Link-density boilerplate drop''': a block whose anchor text
   *     is more than half its total text (2·anchor_len > text_len,
   *     integer-exact — no FP threshold) is navigation/footer chrome,
@@ -51,12 +74,52 @@ object Html {
   private[graft] val BlockTags =
     "html|head|body|title|p|div|h1|h2|h3|li|ul|ol|br|tr|td|table"
 
-  /** Step 1: drop script/style subtrees whole (dotall, non-greedy —
-    * each span ends at its OWN closing tag). */
+  /** The single-pass entity alternation (step 4): the five named
+    * entities the extractor decodes plus every bounded numeric
+    * reference. Bounds (7 decimal / 6 hex digits) keep the parsed
+    * code point inside BIGINT in both engines. Mirrored verbatim in
+    * the SQL twin. */
+  private[graft] val EntityRe =
+    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|lt|gt|quot|amp|nbsp);"
+
+  /** Decode markers: each matched entity is rewritten `M1 payload M2`
+    * and the text then splits on M1 — private-use code points chosen
+    * as the characters least plausible in crawl text. Input that DOES
+    * contain them degrades deterministically (both engines run the
+    * identical algebra), never throws. */
+  private[graft] val M1 = "\uE000"
+  private[graft] val M2 = "\uE001"
+
+  /** Step 5's explicit whitespace class (space, tab, CR, NBSP),
+    * written with the escape forms (`\t \r \x{00A0}`) that Java regex
+    * and RE2 both accept — ONE constant feeds both engines, so the
+    * class cannot drift between them. */
+  private[graft] val WsClass = "[ \\t\\r\\x{00A0}]+"
+
+  /** Bind `v` once as a lambda variable — the in-lambda `let`.
+    * Expressions referenced several times inside a higher-order
+    * function do NOT common-subexpression-eliminate (the t7 staging
+    * discipline can't reach inside a per-block lambda), so a
+    * multi-referenced subtree would otherwise recompute per
+    * reference; a one-element transform evaluates it exactly once. */
+  private def bind(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
+  /** Step 1: drop non-content subtrees whole (dotall, non-greedy —
+    * each span ends at its OWN closing delimiter). Sub-step order per
+    * the object doc: script/style, then comments (incl. conditional
+    * comments), then CDATA, then noscript/svg/template. */
   def stripNonContent(h: Column): Column =
     regexp_replace(
-      regexp_replace(h, "(?s)<script[^>]*>.*?</script>", ""),
-      "(?s)<style[^>]*>.*?</style>", "")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(h, "(?s)<script[^>]*>.*?</script>", ""),
+            "(?s)<style[^>]*>.*?</style>", ""),
+          "(?s)<!--.*?-->", ""),
+        "(?s)<!\\[CDATA\\[.*?\\]\\]>", ""),
+      "(?s)<noscript[^>]*>.*?</noscript>|<svg[^>]*>.*?</svg>|<template[^>]*>.*?</template>",
+      "")
 
   /** Step 2: block segmentation — block-tag boundaries → newline,
     * then split. */
@@ -64,16 +127,50 @@ object Html {
     split(regexp_replace(stripNonContent(h),
       s"</?(?:$BlockTags)(?: [^>]*)?/?>", "\n"), "\n")
 
-  /** Step 4: the five XML-standard entities, amp last. */
-  def decodeEntities(c: Column): Column =
-    replace(replace(replace(replace(replace(c,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&amp;"), lit("&"))
+  /** One marked segment's decode (step 4): `seg` is `payload M2 tail`
+    * where payload came from one [[EntityRe]] match. Named entities
+    * map directly; numeric payloads parse (hex via conv, decimal via
+    * cast — the pattern guarantees digits, so ANSI cast cannot throw)
+    * and render through UTF-16BE bytes (BMP-exact, equal to the
+    * twin's chr()); invalid code points re-emit the literal `&…;`.
+    * A segment with no M2 can only come from a pathological input
+    * that already contained M1 — re-emit it verbatim. */
+  private def decodeSeg(seg: Column): Column =
+    bind(substring_index(seg, M2, 1)) { p =>
+      val cp = when(lower(p.substr(lit(2), lit(1))) === "x",
+          conv(p.substr(lit(3), length(p)), 16, 10).cast("long"))
+        .otherwise(p.substr(lit(2), length(p)).cast("long"))
+      val decoded = when(p === "lt", lit("<"))
+        .when(p === "gt", lit(">"))
+        .when(p === "quot", lit("\""))
+        .when(p === "amp", lit("&"))
+        .when(p === "nbsp", lit("\u00A0"))
+        .otherwise(bind(cp) { n =>
+          when(n.between(1, 65535) && !n.between(55296, 57343),
+            decode(unhex(lpad(hex(n), 4, "0")), "UTF-16BE"))
+            .otherwise(concat(lit("&"), p, lit(";")))
+        })
+      when(instr(seg, M2) === 0, concat(lit(M1), seg))
+        .otherwise(concat(decoded, seg.substr(length(p) + lit(2), length(seg))))
+    }
 
-  /** Step 5: explicit ASCII class — identical in Java regex and RE2. */
+  /** Step 4: single-pass entity decode — mark every [[EntityRe]]
+    * match, split on the marker, decode each payload once. Blocks
+    * without entities (the common case) exit on the cheap instr
+    * guard after one regexp pass. */
+  def decodeEntities(c: Column): Column =
+    bind(regexp_replace(c, EntityRe, M1 + "$1" + M2)) { m =>
+      when(instr(m, M1) === 0, m).otherwise(
+        bind(split(m, M1)) { segs =>
+          concat(element_at(segs, 1),
+            aggregate(slice(segs, lit(2), size(segs) - 1), lit(""),
+              (acc, seg) => concat(acc, decodeSeg(seg))))
+        })
+    }
+
+  /** Step 5: explicit class — identical in Java regex and RE2. */
   private def collapseWs(c: Column): Column =
-    trim(regexp_replace(c, "[ \\t\\r]+", " "))
+    trim(regexp_replace(c, WsClass, " "))
 
   /** Steps 3–5 for one block: strip tags, decode entities, normalize
     * whitespace. */

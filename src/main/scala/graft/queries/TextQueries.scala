@@ -80,7 +80,19 @@ object TextQueries {
     *    and one is plain;
     *  - every 7th doc ends mid-attribute in an UNTERMINATED `<span` —
     *    the truncated-crawl branch where the tagless fragment survives
-    *    as visible text (degrade-don't-die pin).
+    *    as visible text (degrade-don't-die pin);
+    *  - (crawl-robustness branches, r15) a CONDITIONAL comment in the
+    *    head whose body contains a block element and an entity — must
+    *    vanish whole; a body comment containing markup and a bare `>`
+    *    (the tail-leak pin); a `<![CDATA[…]]>` section with raw `<`/`&`;
+    *    `<noscript>`/`<svg>`/`<template>` subtrees (fallback/vector/
+    *    stamp content, dropped whole — the `<li>` inside the template
+    *    must NOT become a block boundary); and an entity `<p>` planting
+    *    `&nbsp;` (→ space via the NBSP-aware collapse), decimal
+    *    `&#233;` and hex `&#xE9;`/uppercase-X forms, the single-pass
+    *    pins `&#38;lt;`/`&#38;gt;` (must yield literal `&lt;`/`&gt;`,
+    *    never doubly decode), and the stay-literal forms `&#xD800;`
+    *    (surrogate) and `&#0;`.
     */
   private[graft] def htmlDoc(id: Column, text: Column): Column = {
     val i = id.cast("string")
@@ -88,13 +100,22 @@ object TextQueries {
       lit("<html><head><script type=\"text/javascript\">var a = 1 < 2 && n > 0;</script><title>Doc "),
       i,
       lit("</title><script>track(\"&amp;page="), i,
-      lit("\");</script><style>.nav > li { margin: 0 2px; }</style></head><body>" +
+      lit("\");</script><style>.nav > li { margin: 0 2px; }</style>" +
+        "<!--[if lt IE 9]><p>Please upgrade &#38;lt; IE</p><![endif]--></head><body>" +
         "<ul><li><a href=\"/\">Home</a></li>" +
         "<li><a href=\"/about\">About &amp; contact</a></li>" +
         "<li><a href=\"/doc/"), i, lit("\">Doc "), i,
-      lit(" details page</a></li></ul><h1>Report &#39;D"), i,
+      lit(" details page</a></li></ul>" +
+        "<!-- build 2026 <div class=\"cache\"> miss -->" +
+        "<![CDATA[raw < angle & bytes]]>" +
+        "<noscript><p>Enable scripts for charts</p></noscript>" +
+        "<svg viewBox=\"0 0 8 8\"><path d=\"M0 0L8 8\"/><text>plot</text></svg>" +
+        "<template><li>stamp &nbsp;row</li></template>" +
+        "<h1>Report &#39;D"), i,
       lit("&#39; is &amp;lt;curated&amp;gt;</h1><p>"), text,
-      lit("</p><p>See <a href=\"/ref\">the <b>full</b> archive</a>" +
+      lit("</p><p>Grade:&nbsp;&#233;lite tier &#xE9; marked &#38;lt;keep&#38;gt;" +
+        " not &#xD800; nor &#0; here.</p>" +
+        "<p>See <a href=\"/ref\">the <b>full</b> archive</a>" +
         " and the <a href=\"/faq\">FAQ</a> for details.</p>"),
       when(id % 7 === 0, lit("<div>archived copy <span data-q=\""))
         .otherwise(lit("</body></html>")))
@@ -105,13 +126,22 @@ object TextQueries {
     s"""('<html><head><script type="text/javascript">var a = 1 < 2 && n > 0;</script><title>Doc '
        | || CAST($id AS VARCHAR)
        | || '</title><script>track("&amp;page=' || CAST($id AS VARCHAR)
-       | || '");</script><style>.nav > li { margin: 0 2px; }</style></head><body>'
+       | || '");</script><style>.nav > li { margin: 0 2px; }</style>'
+       | || '<!--[if lt IE 9]><p>Please upgrade &#38;lt; IE</p><![endif]--></head><body>'
        | || '<ul><li><a href="/">Home</a></li>'
        | || '<li><a href="/about">About &amp; contact</a></li>'
        | || '<li><a href="/doc/' || CAST($id AS VARCHAR) || '">Doc ' || CAST($id AS VARCHAR)
-       | || ' details page</a></li></ul><h1>Report &#39;D' || CAST($id AS VARCHAR)
+       | || ' details page</a></li></ul>'
+       | || '<!-- build 2026 <div class="cache"> miss -->'
+       | || '<![CDATA[raw < angle & bytes]]>'
+       | || '<noscript><p>Enable scripts for charts</p></noscript>'
+       | || '<svg viewBox="0 0 8 8"><path d="M0 0L8 8"/><text>plot</text></svg>'
+       | || '<template><li>stamp &nbsp;row</li></template>'
+       | || '<h1>Report &#39;D' || CAST($id AS VARCHAR)
        | || '&#39; is &amp;lt;curated&amp;gt;</h1><p>' || $text
-       | || '</p><p>See <a href="/ref">the <b>full</b> archive</a>'
+       | || '</p><p>Grade:&nbsp;&#233;lite tier &#xE9; marked &#38;lt;keep&#38;gt;'
+       | || ' not &#xD800; nor &#0; here.</p>'
+       | || '<p>See <a href="/ref">the <b>full</b> archive</a>'
        | || ' and the <a href="/faq">FAQ</a> for details.</p>'
        | || CASE WHEN $id % 7 = 0 THEN '<div>archived copy <span data-q="'
        |         ELSE '</body></html>' END)""".stripMargin.replace("\n", " ")
@@ -119,27 +149,59 @@ object TextQueries {
   /** The t47 twin's extraction replay as a WITH-body (no leading WITH,
     * ends at the `f` CTE: doc_id, n_blocks, n_boiler, text) — shared
     * by t47's gate and t48's composed funnel so the two twins cannot
-    * drift. Patterns are LITERALLY the Spark side's (RE2 accepts the
-    * inline (?s) and the explicit [ \t\r] class), entity order
-    * amp-LAST mirrored in the nested replace chain. */
+    * drift. Patterns come LITERALLY from [[graft.functions.Html]]'s
+    * constants (RE2 accepts the inline (?s), the shared escape-form
+    * whitespace class, and the entity alternation verbatim); the
+    * single-pass entity decode replays as the same mark → split →
+    * per-segment fold (the one-element `list_transform` plays the
+    * Spark side's bind trick), value-identical on every branch —
+    * named, decimal, hex, stay-literal, and the `&#38;lt;`
+    * consume-each-amp-once pin. */
   private[queries] def htmlExtractCteSql: String = {
-    val tagRe = s"</?(?:${graft.functions.Html.BlockTags})(?: [^>]*)?/?>"
+    val H = graft.functions.Html
+    val tagRe = s"</?(?:${H.BlockTags})(?: [^>]*)?/?>"
+    // the in-lambda `let`: bind v once as a lambda variable
+    def bindSql(v: String, name: String)(body: String): String =
+      s"list_transform([$v], $name -> $body)[1]"
+    // one marked segment's decode — the SQL twin of Html.decodeSeg
+    val decSeg = {
+      val named = "CASE gp WHEN 'lt' THEN '<' WHEN 'gt' THEN '>' " +
+        "WHEN 'quot' THEN '\"' WHEN 'amp' THEN '&' WHEN 'nbsp' THEN chr(160) ELSE " +
+        bindSql(
+          "CASE WHEN lower(gp[2:2]) = 'x' THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            "list_transform(regexp_extract_all(lower(gp[3:]), '.'), " +
+            "gh -> CAST(strpos('0123456789abcdef', gh) - 1 AS BIGINT))), (ga, gb) -> ga * 16 + gb) " +
+            "ELSE TRY_CAST(gp[2:] AS BIGINT) END", "gn")(
+          "CASE WHEN gn BETWEEN 1 AND 65535 AND NOT (gn BETWEEN 55296 AND 57343) " +
+            "THEN chr(CAST(gn AS INT)) ELSE '&' || gp || ';' END") +
+        " END"
+      s"CASE WHEN strpos(gs, '${H.M2}') = 0 THEN '${H.M1}' || gs ELSE " +
+        bindSql(s"split_part(gs, '${H.M2}', 1)", "gp")(
+          s"($named) || substr(gs, length(gp) + 2)") + " END"
+    }
     def dec(x: String) =
-      s"replace(replace(replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+      bindSql(s"regexp_replace($x, '${H.EntityRe}', '${H.M1}" + "\\1" + s"${H.M2}', 'g')", "gm")(
+        s"CASE WHEN strpos(gm, '${H.M1}') = 0 THEN gm ELSE " +
+          bindSql(s"string_split(gm, '${H.M1}')", "gsegs")(
+            s"gsegs[1] || list_reduce(list_prepend('', gsegs[2:]), (gacc, gs) -> gacc || ($decSeg))") +
+          " END")
     s"""h AS (SELECT doc_id, ${htmlDocSql("doc_id", "text")} AS html
        |           FROM documents WHERE text IS NOT NULL),
-       | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+       | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
        |     '(?s)<script[^>]*>.*?</script>', '', 'g'),
-       |     '(?s)<style[^>]*>.*?</style>', '', 'g') AS h FROM h),
+       |     '(?s)<style[^>]*>.*?</style>', '', 'g'),
+       |     '(?s)<!--.*?-->', '', 'g'),
+       |     '(?s)<!\\[CDATA\\[.*?\\]\\]>', '', 'g'),
+       |     '(?s)<noscript[^>]*>.*?</noscript>|<svg[^>]*>.*?</svg>|<template[^>]*>.*?</template>', '', 'g') AS h FROM h),
        | b AS (SELECT doc_id,
        |     string_split(regexp_replace(h, '$tagRe', chr(10), 'g'), chr(10)) AS bl
        |   FROM s1),
        | z AS (SELECT doc_id, list_filter(list_transform(bl, x -> struct_pack(
        |       t := trim(regexp_replace(${dec("regexp_replace(x, '<[^>]*>', '', 'g')")},
-       |         '[ \t\r]+', ' ', 'g')),
+       |         '${H.WsClass}', ' ', 'g')),
        |       al := length(trim(regexp_replace(
        |         ${dec("coalesce(array_to_string(regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1), ''), '')")},
-       |         '[ \t\r]+', ' ', 'g'))))),
+       |         '${H.WsClass}', ' ', 'g'))))),
        |     s -> length(s.t) > 0) AS ne FROM b),
        | k AS (SELECT doc_id, ne, list_filter(ne, s -> s.al * 2 <= length(s.t)) AS kept
        |   FROM z),

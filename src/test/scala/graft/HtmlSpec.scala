@@ -43,11 +43,65 @@ class HtmlSpec extends AnyFunSuite {
       s"the tagless fragment must survive as text: '$txt'")
   }
 
-  test("entity order: amp decodes LAST, so &amp;lt; yields literal &lt;") {
+  test("entity decode is single-pass: each & consumed once, so &amp;lt; yields literal &lt;") {
     val (_, _, txt, _) =
       ex("<p>&amp;lt;tag&amp;gt; &#39;q&#39; &quot;w&quot; a &amp; b</p>")
     assert(txt === "&lt;tag&gt; 'q' \"w\" a & b",
-      s"amp-first would doubly decode &amp;lt; to '<': '$txt'")
+      s"a multi-pass decoder would doubly decode &amp;lt; to '<': '$txt'")
+    // the numeric spelling of the same pin: &#38; is '&', and the pass
+    // must NOT re-scan its own output
+    val (_, _, txt2, _) = ex("<p>&#38;lt;x&#38;gt; and &#38;#60; twice</p>")
+    assert(txt2 === "&lt;x&gt; and &#60; twice",
+      s"numeric-amp must not re-decode its tail: '$txt2'")
+  }
+
+  test("numeric references: decimal, hex, uppercase-X decode; invalid stay literal") {
+    val (_, _, txt, _) = ex(
+      "<p>d&#233;j&#xE0; vu &#XE9; ok; bad: &#0; &#55296; &#xD800; &#999999; &nope;</p>")
+    assert(txt === "déjà vu é ok; bad: &#0; &#55296; &#xD800; &#999999; &nope;",
+      s"BMP non-surrogate decode + degrade-don't-die literals: '$txt'")
+  }
+
+  test("nbsp: named, numeric, and RAW U+00A0 all normalize to plain space") {
+    val (_, _, txt, _) = ex("<p>a&nbsp;b &#160; c &#xA0; d   e</p>")
+    assert(txt === "a b c d e", s"NBSP must collapse to single spaces: '$txt'")
+  }
+
+  test("comments drop whole: markup and a bare > inside must not leak the tail") {
+    // pre-r15 the tag-strip regex ate `<!-- note <div` up to the first
+    // `>` and the remainder `tail -->` leaked as visible text
+    val (_, _, txt, _) = ex("<p>keep</p><!-- note <div class=\"x\"> tail -->")
+    assert(txt === "keep", s"comment tail leaked: '$txt'")
+  }
+
+  test("conditional comments drop whole, including block elements inside") {
+    val (nb, _, txt, _) =
+      ex("<p>keep</p><!--[if lt IE 9]><p>Upgrade &#38;lt; IE</p><![endif]-->")
+    assert(nb === 1L && txt === "keep",
+      s"conditional-comment body must not become blocks/text: ($nb, '$txt')")
+  }
+
+  test("a lone <!-- inside a script must not eat past the script's end") {
+    // the legacy JS-hiding idiom: script bodies may open a comment they
+    // never close — script removal runs FIRST, so the comment pass
+    // never sees it (order pin)
+    val (_, _, txt, _) =
+      ex("<script>//<!-- hide()</script><p>keep</p><!-- real --><p>two</p>")
+    assert(txt === "keep\ntwo", s"comment-in-script order broke: '$txt'")
+  }
+
+  test("CDATA sections drop whole, raw angle brackets and ampersands included") {
+    val (_, _, txt, _) = ex("<p>keep</p><![CDATA[raw < angle & bytes]]>")
+    assert(txt === "keep", s"CDATA body leaked: '$txt'")
+  }
+
+  test("noscript/svg/template subtrees drop whole; template's <li> is no block boundary") {
+    val (nb, _, txt, _) = ex(
+      "<p>keep</p><noscript><p>enable js</p></noscript>" +
+        "<svg viewBox=\"0 0 8 8\"><path d=\"M0 0L8 8\"/><text>plot</text></svg>" +
+        "<template><li>stamp row</li></template>")
+    assert(nb === 1L && txt === "keep",
+      s"fallback/vector/stamp content must not extract: ($nb, '$txt')")
   }
 
   test("entities decode AFTER tag stripping: encoded angle brackets are never markup") {
@@ -161,17 +215,25 @@ class HtmlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     // doc 7 (doc_id % 7 == 0): truncated tail block survives as text
     val (nb7, nboil7, t7) = out(7L)
-    assert((nb7, nboil7) === ((8L, 3L)), s"doc 7: ($nb7, $nboil7)")
+    assert((nb7, nboil7) === ((9L, 3L)), s"doc 7: ($nb7, $nboil7)")
     assert(t7.endsWith("archived copy <span data-q=\""), s"truncated branch lost: '$t7'")
     assert(t7.contains("Report 'D7' is &lt;curated&gt;"), s"entity order broke: '$t7'")
     assert(t7.contains("seven word doc about spark engines"))
     assert(t7.contains("See the full archive and the FAQ for details."))
+    assert(t7.contains("Grade: élite tier é marked &lt;keep&gt; not &#xD800; nor &#0; here."),
+      s"entity paragraph mis-decoded: '$t7'")
     assert(!t7.contains("Home") && !t7.contains("About & contact"),
       s"nav boilerplate leaked: '$t7'")
     assert(!t7.contains("track(") && !t7.contains("margin"), s"script/style leaked: '$t7'")
+    assert(!t7.contains("build 2026") && !t7.contains("miss"),
+      s"comment tail leaked: '$t7'")
+    assert(!t7.contains("Please upgrade"), s"conditional comment leaked: '$t7'")
+    assert(!t7.contains("raw < angle"), s"CDATA leaked: '$t7'")
+    assert(!t7.contains("Enable scripts") && !t7.contains("plot") &&
+      !t7.contains("stamp"), s"noscript/svg/template leaked: '$t7'")
     // doc 8: well-formed tail, same structure minus the truncated block
     val (nb8, nboil8, t8) = out(8L)
-    assert((nb8, nboil8) === ((7L, 3L)) && t8.endsWith("for details."),
+    assert((nb8, nboil8) === ((8L, 3L)) && t8.endsWith("for details."),
       s"doc 8: ($nb8, $nboil8, '$t8')")
   }
 }
