@@ -16,7 +16,13 @@ package graft.queries
   *
   * Split convention: sid % 3 == 0 is HELD OUT (scored); the rest
   * train the profile. sid blocks: en 0+, es 100+, de 200+, fr 300+,
-  * it 400+.
+  * it 400+, el 500+.
+  *
+  * The Greek block (r15) is the non-Latin leg: its sentences are the
+  * same parallel content in a DIFFERENT SCRIPT, so the sample proves
+  * the trigram profile separates orthographies (whole disjoint
+  * codepoint ranges), not just diacritic/function-word signals within
+  * the Latin script.
   */
 object PublicLangSample {
 
@@ -98,7 +104,22 @@ object PublicLangSample {
       "la maestra ha spiegato la lezione due volte così tutti hanno capito",
       "i nostri vicini hanno piantato meli lungo la siepe del giardino",
       "la nave ha lasciato il porto all'alba con un carico di grano",
-      "una buona zuppa richiede poco più di cipolle carote e tempo"))
+      "una buona zuppa richiede poco più di cipolle carote e tempo")) ++
+    block(500L, "el", Seq(
+      "ο καιρός σήμερα το πρωί ήταν καθαρός και οι δρόμοι ήταν ήσυχοι",
+      "εκείνη περπάτησε ως την αγορά και αγόρασε φρέσκο ψωμί και τυρί",
+      "το να μαθαίνεις μια νέα γλώσσα θέλει υπομονή και τακτική εξάσκηση",
+      "το τρένο έφτασε αργά εξαιτίας του πυκνού χιονιού στα βουνά",
+      "τα παιδιά έπαιζαν μπάλα στο πάρκο ώσπου έδυσε ο ήλιος",
+      "έγραψε ένα μακρύ γράμμα στον αδερφό του για τη σοδειά",
+      "η βιβλιοθήκη κλείνει νωρίς την παρασκευή τους καλοκαιρινούς μήνες",
+      "ένα ζεστό φλιτζάνι τσάι είναι ο καλύτερος τρόπος να ξεκινήσει η μέρα",
+      "η παλιά γέφυρα πάνω από το ποτάμι χτίστηκε πριν από διακόσια χρόνια",
+      "πολλά πουλιά πετούν προς τον νότο πριν από την πρώτη παγωνιά του χειμώνα",
+      "η δασκάλα εξήγησε το μάθημα δύο φορές ώστε όλοι να καταλάβουν",
+      "οι γείτονές μας φύτεψαν μηλιές κατά μήκος του φράχτη του κήπου",
+      "το πλοίο άφησε το λιμάνι την αυγή με ένα φορτίο σιτάρι",
+      "μια καλή σούπα θέλει λίγα πράγματα κρεμμύδια καρότα και χρόνο"))
 
   /** The sample as a DuckDB VALUES relation `(sid, lang, text)` —
     * apostrophes escaped, generated from [[rows]] so the twin cannot
