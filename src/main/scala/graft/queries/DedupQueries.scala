@@ -1442,26 +1442,22 @@ object DedupQueries {
 
     // ---- E30: chrome-robust CRAWL classification — t47's extraction
     // composed with d18's exact/near/novel classifier, BOTH sides
-    // extracted to the chrome-invariant CONTENT key (kept blocks 3+):
+    // extracted to the chrome-invariant CONTENT key (kept blocks 3+,
+    // served from the LANDED extraction — the WET artifact t48 also
+    // reads; pre-r15 this query re-ran the markup algebra in-plan):
     // two crawls of the same article whose PAGE BYTES differ (ids in
     // the title/h1/nav, truncated tails, different chrome) classify
     // as exact duplicates on content, where byte-level dedup sees
-    // nothing. Scale shapes are d18's (extraction is a mapper; exact
-    // = one content equi-join — content-hash bucket probe at scale;
-    // near candidates via the LSH band equi-join; exact-Jaccard
-    // verify on candidates only). The twin nests the shared
+    // nothing. Scale shapes are d18's (the landing scan is a mapper;
+    // exact = one content equi-join — content-hash bucket probe at
+    // scale; near candidates via the LSH band equi-join; exact-
+    // Jaccard verify on candidates only). The twin nests the shared
     // extraction replay inside the parameterized classify recompute
-    // (nested-WITH subqueries), so the gate proves the composed
-    // extract→classify ≡ its independently-replayed stages. ----
+    // (nested-WITH subqueries), so the gate proves the landed-served
+    // extract→classify ≡ its independently-recomputed stages. ----
     "e30_crawl_classify" -> ((s, dir) => {
-      val H = graft.functions.Html
-      val ext = Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          H.joinedText(H.keptBlocks(H.cleanedBlocks(
-            TextQueries.htmlDoc(col("doc_id"), col("text"))))).as("_txt"))
-        .select(col("doc_id"),
-          array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
-            .as("text"))
+      val ext = TextQueries.extractionLandingFor(s, dir)
+        .select(col("doc_id"), col("content").as("text"))
       val batch = ext.filter(col("doc_id") % 10 === 0)
       val corpus = ext.filter(col("doc_id") % 10 =!= 0)
       val exact = batch.as("b")

@@ -211,6 +211,70 @@ object TextQueries {
        |       AS text FROM k)""".stripMargin
   }
 
+  /** T47's extracted text LANDED — the WET-file convention under the
+    * repo's own landing discipline (x19/d24/d26's contract, applied to
+    * the most re-read artifact in a real crawl pipeline): the corpus
+    * extraction runs ONCE per (JVM, dir) and lands as parquet with an
+    * explicit schema; every crawl-family consumer — t47's gate, t48's
+    * funnel, e30's classifier — serves from the landed files instead
+    * of re-running the markup algebra (pre-r15, t48's three aggregate
+    * branches re-extracted the corpus three times — two redundant
+    * corpus-scale extraction scans per funnel run at 100 TB). The
+    * artifact carries both the extracted `text` and the
+    * chrome-invariant `content` key (kept blocks 3+ — the per-page
+    * title/h1 lines dropped) because every consumer of one also reads
+    * the other. At 100 TB the landing partitions by crawl batch and
+    * appends per ingest wave (e20's lambda shape); a re-extraction —
+    * algebra change, re-crawl — is a new landing. Every consumer's
+    * oracle still recomputes extraction from raw markup, so each gate
+    * IS a landed ≡ recomputed proof (the d24 pattern). */
+  private val t47Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val extractionSchema =
+    "doc_id BIGINT, source STRING, n_blocks BIGINT, n_boiler BIGINT, " +
+      "text STRING, content STRING"
+
+  private[graft] def extractionLandingPathFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = t47Landing.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) t47Landing.remove(dir, memo)
+    t47Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t47_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { t47Landing.remove(d); () })
+      Caches.trackPath(d, out)
+      val H = graft.functions.Html
+      // staged projections (t7/t47's discipline): cleanedBlocks → kept
+      // → joined text, each lambda subtree computed once per doc
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
+        .select(col("doc_id"), col("source"), col("_ne"),
+          H.keptBlocks(col("_ne")).as("_kept"))
+        .select(col("doc_id"), col("source"), col("_ne"), col("_kept"),
+          H.joinedText(col("_kept")).as("_txt"))
+        .select(col("doc_id"), col("source"),
+          size(col("_ne")).cast("long").as("n_blocks"),
+          (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_boiler"),
+          col("_txt").as("text"),
+          array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
+            .as("content"))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** The landed extraction, read back with the explicit writer schema
+    * (an empty corpus lands fileless — the s15 trap). */
+  private[graft] def extractionLandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    s.read.schema(extractionSchema).parquet(extractionLandingPathFor(s, dir))
+
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words: _*)))
 
@@ -295,71 +359,59 @@ object TextQueries {
     // ---- T47: HTML → text extraction (graft.functions.Html) — the
     // trafilatura/WET-class first stage of a pretraining pipeline, run
     // over byte-real constructed crawl payloads (htmlDoc plants every
-    // hostile branch; the twin replays construction AND the six-step
-    // extraction algebra verbatim, so the hash gate proves the two
-    // engines' extraction identical character-for-character). Pure
-    // native string/regex expressions — codegen'd, no UDF, no shuffle:
-    // a 100 TB crawl shard is a mapper. ----
-    // (staged projections — cleanedBlocks → kept → joined text — so
-    // each expensive lambda subtree is computed ONCE per doc; the
-    // one-shot struct form re-ran the full extraction per output
-    // field after SimplifyExtractValueOps split it: 4× the CPU)
-    "t47_html_extract" -> ((s, dir) => {
-      val H = graft.functions.Html
-      Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
-        .select(col("doc_id"), col("_ne"), H.keptBlocks(col("_ne")).as("_kept"))
-        .select(col("doc_id"), col("_ne"), col("_kept"),
-          H.joinedText(col("_kept")).as("_txt"))
-        .select(col("doc_id"),
-          size(col("_ne")).cast("long").as("n_blocks"),
-          (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_boiler"),
-          length(col("_txt")).cast("long").as("n_chars"),
-          col("_txt").as("text"))
-        .orderBy("doc_id")
-    }),
+    // hostile branch). The extraction LANDS once per (JVM, dir) as the
+    // WET artifact ([[extractionLandingPathFor]]) and this gate — like
+    // every crawl-family consumer — SERVES from the landed files; the
+    // twin replays construction AND the extraction algebra from raw
+    // markup, so the hash gate proves landed ≡ recomputed character-
+    // for-character (the d24 landed-index pattern). The build itself
+    // is pure native string/regex expressions — codegen'd, no UDF, no
+    // shuffle: a 100 TB crawl shard is a mapper. ----
+    "t47_html_extract" -> ((s, dir) =>
+      extractionLandingFor(s, dir)
+        .select(col("doc_id"), col("n_blocks"), col("n_boiler"),
+          length(col("text")).cast("long").as("n_chars"), col("text"))
+        .orderBy("doc_id")),
 
     // ---- T48: the composed CRAWL-TO-CORPUS funnel — markup in,
     // curated text out: t47's extraction feeds e21's route → dedup →
-    // budget shape. Stages: (1) extract (the t47 algebra, verbatim);
+    // budget shape. Stages: (1) serve the LANDED extraction (the WET
+    // artifact — pre-r15 this funnel re-ran the markup algebra once
+    // per aggregate branch, three corpus-scale extraction scans);
     // (2) chrome-invariant CONTENT key — kept blocks 3+ (the per-page
     // title/h1 lines drop), so two crawls of the same content that
-    // differ only in chrome dedup together; (3) quality gate on
-    // extracted content length; (4) route by t1's marker heuristic
-    // over the content; (5) exact content dedup (md5, keep smallest
-    // doc_id); (6) per-language 40% token budget via the skew-proof
-    // grouped prefix sum (t37/e21's operator). Scale: extraction and
-    // routing are mappers, dedup one hash shuffle, the budget one
-    // range-sharded prefix sum — nothing beyond the composed stages'
-    // own shapes. ----
+    // differ only in chrome dedup together (landed as `content`);
+    // (3) quality gate on extracted content length; (4) route by the
+    // TRAINED trigram profile — t39's algebra, t49-validated on real
+    // public text — via the per-document verdict frame
+    // (PipelineQueries.langVerdictsAll, the memoized offline-train/
+    // online-apply composition e21 established; pre-r15 this funnel
+    // routed by t1's marker-word heuristic, the weakest classifier in
+    // the repo, while the trained profile sat unused beside it);
+    // (5) exact content dedup (md5, keep smallest doc_id); (6) per-
+    // language 40% token budget via the skew-proof grouped prefix sum
+    // (t37/e21's operator). Scale: the landing scan is a mapper,
+    // routing one equi-join against the cached verdict frame (itself
+    // one broadcast-profile join over the corpus), dedup one hash
+    // shuffle, the budget one range-sharded prefix sum. ----
     "t48_crawl_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val H = graft.functions.Html
-      val ext = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"),
-          H.joinedText(H.keptBlocks(
-            H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))))).as("_txt"))
-      val content = ext.select(col("doc_id"), col("source"),
-        array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n").as("c"))
+      val content = extractionLandingFor(s, dir)
+        .select(col("doc_id"), col("source"), col("content").as("c"))
       val q = content.filter(length(col("c")) >= 300)
         .withColumn("toks", size(split(col("c"), " ")).cast("long"))
-      // stage the token split once, then the four marker scores once
-      // each (t7/t47's discipline — best/pred reference every score
-      // several times, and lambda-bearing subtrees don't CSE)
-      val q2 = q.withColumn("_tk", split(trim(lower(col("c"))), "\\s+"))
-        .select(Seq(col("doc_id"), col("source"), col("c"), col("toks")) ++
-          langMarkers.map { case (lang, ws) =>
-            countIn(col("_tk"), ws).as(s"_s_$lang") }: _*)
-      val scores = langMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") }
-      val best = greatest(scores.map(_._2): _*)
-      val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
-        when(sc === best && best > 0, lit(lang)).otherwise(acc)
-      }
-      val routed = q2.withColumn("pred_lang", pred)
-        .drop(langMarkers.map("_s_" + _._1): _*)
+      // a page too short/gram-less for a verdict still routes ('und'),
+      // mirroring the twin's COALESCE over the left join. The routed
+      // frame is CHECKPOINTED once (e15's featurization discipline):
+      // the final report joins three aggregate branches whose lineages
+      // would otherwise each recompute the landing scan + verdict
+      // join + tokenization — the 3×-recompute shape the r14 verdict
+      // flagged, now cut at the stage boundary.
+      val routed = Caches.checkpointed(dir, q.join(
+          PipelineQueries.langVerdictsAll(s, dir)
+            .select(col("doc_id"), col("pred_lang")),
+          Seq("doc_id"), "left")
+        .withColumn("pred_lang", coalesce(col("pred_lang"), lit("und"))))
       val w = Window.partitionBy(md5(col("c"))).orderBy("doc_id")
       val canon = routed.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -749,32 +801,27 @@ object TextQueries {
          |SELECT doc_id, n_blocks, n_boiler, CAST(length(text) AS BIGINT) AS n_chars, text
          |FROM f ORDER BY doc_id""".stripMargin,
 
-    // t48's twin NESTS the t47 extraction replay (the same shared CTE)
-    // and then replays quality → route → content-dedup → budget
-    // relationally: the chrome-invariant content key (kept blocks 3+,
-    // dropping the per-page title/h1 lines), the t1 marker CASE chain,
-    // the md5 row_number dedup, and e21's exclusive-prefix-sum budget
+    // t48's twin NESTS the full trained-profile replay (t39's CTE with
+    // the score predicate widened to TRUE — e21's compose-the-trained-
+    // profile precedent) AND the t47 extraction replay (the same
+    // shared CTE), then replays quality → route → content-dedup →
+    // budget relationally: the chrome-invariant content key (kept
+    // blocks 3+, dropping the per-page title/h1 lines), the verdict
+    // left-join route (COALESCE 'und' for verdict-less pages), the
+    // md5 row_number dedup, and e21's exclusive-prefix-sum budget
     // window — so the hash gate proves the composed crawl-to-corpus
     // funnel ≡ its independently-replayed stages.
-    "t48_crawl_funnel" -> {
-      val mark = langMarkers.map { case (lang, ws) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(tk, x -> x IN ($set))) AS s_$lang"
-      }.mkString(",\n   ")
-      s"""WITH $htmlExtractCteSql,
+    "t48_crawl_funnel" ->
+      s"""${PipelineQueries.t39LangIdCteFor("TRUE")},
+         | $htmlExtractCteSql,
          | c AS (SELECT f.doc_id, d.source,
          |     coalesce(array_to_string(string_split(f.text, chr(10))[3:], chr(10)), '') AS c
          |   FROM f JOIN documents d USING (doc_id)),
          | q AS (SELECT *, CAST(len(string_split(c, ' ')) AS BIGINT) AS toks
          |   FROM c WHERE length(c) >= 300),
-         | sc AS (SELECT q.*, $mark FROM
-         |   (SELECT *, string_split_regex(trim(lower(c)), '\\s+') AS tk FROM q) q),
-         | routed AS (SELECT doc_id, source, c, toks,
-         |   CASE WHEN COALESCE(greatest(s_en, s_es, s_de, s_fr), 0) = 0 THEN 'und'
-         |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-         |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-         |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-         |        ELSE 'fr' END AS pred_lang FROM sc),
+         | routed AS (SELECT q.doc_id, q.source, q.c, q.toks,
+         |     COALESCE(v.pred_lang, 'und') AS pred_lang
+         |   FROM q LEFT JOIN verdicts v USING (doc_id)),
          | canon AS (SELECT * FROM (SELECT *,
          |     row_number() OVER (PARTITION BY md5(c) ORDER BY doc_id) AS rn
          |   FROM routed) WHERE rn = 1),
@@ -794,8 +841,7 @@ object TextQueries {
          |     CAST(sum(toks) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
          |SELECT pred_lang, n_routed, n_dedup, dedup_tokens, budget, n_kept, kept_tokens
          |FROM r JOIN dd USING (pred_lang) JOIN kp USING (pred_lang)
-         |ORDER BY pred_lang""".stripMargin
-    },
+         |ORDER BY pred_lang""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

@@ -206,6 +206,40 @@ class HtmlSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("extraction lands once (WET artifact): consumers serve the same files, no re-extraction in-plan") {
+    import org.apache.spark.sql.functions.length
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    val body = ("the quick brown fox jumps over the lazy dog and the " * 7).trim
+    Seq((1L, body), (2L, body), (30L, body + " extra tail words here"))
+      .map { case (i, t) => (i, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // build once, memo returns the same path; the landed files are
+    // byte-untouched across every downstream consumer
+    val p1 = graft.queries.TextQueries.extractionLandingPathFor(spark, dir)
+    val files0 = Option(new java.io.File(p1).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(files0.nonEmpty, "landing must materialize parquet files")
+    SparkEntry.queries("t48_crawl_funnel")(spark, dir).collect()
+    SparkEntry.queries("e30_crawl_classify")(spark, dir).collect()
+    SparkEntry.queries("t47_html_extract")(spark, dir).collect()
+    val p2 = graft.queries.TextQueries.extractionLandingPathFor(spark, dir)
+    assert(p2 === p1, "every consumer must serve the SAME landing")
+    val files1 = Option(new java.io.File(p1).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(files1 === files0, "consumers must not rewrite the landed extraction")
+    // and no consumer re-extracts in-plan: the markup algebra's
+    // signature patterns must be absent from the serving plans
+    Seq("t47_html_extract", "t48_crawl_funnel", "e30_crawl_classify").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("</script>"),
+        s"$q must serve from the landing, not re-run extraction in-plan")
+    }
+    graft.queries.Caches.release(spark, dir)
+    assert(!new java.io.File(p1).exists(), "release must reclaim the landing")
+  }
+
   test("t47 gate shape: the constructed fixture hits every planted branch") {
     val docs = Seq((7L, "seven word doc about spark engines"),
       (8L, "eight word doc")).toDF("doc_id", "text")
