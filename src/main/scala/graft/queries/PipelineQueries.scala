@@ -135,48 +135,154 @@ object PipelineQueries {
   private val bpeState = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)])]()
 
+  /** The three-round learn-merge loop over an arbitrary (w, freq)
+    * word table — factored from [[bpeFor]] so t51's refresh can
+    * retrain from the MERGED count store (landed pre-delta counts +
+    * the delta batch's own aggregate) through the identical trainer.
+    * Cached frames register under `d` for release. */
+  private def bpeTrain(d: String, words: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
+    // greedy left-to-right token merge — identical semantics to the
+    // oracle's encoded list_reduce ("a a a" + (a,a) → ["aa","a"])
+    val mergeU = udf((sym: Seq[String], a: String, b: String) => {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (x <- sym) {
+        if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+        else out += x
+      }
+      out.toSeq
+    })
+    var vocab = Caches.trackCached(d, words
+      .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var dry = false
+    for (r <- 1 to 3 if !dry) {
+      val tops = vocab
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
+            " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      // no pairs left (empty or single-char-word corpus): training is
+      // done, not broken
+      if (tops.isEmpty) dry = true
+      else {
+        val top = tops(0)
+        merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
+        vocab = vocab.select(col("w"), col("freq"),
+          mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
+      }
+    }
+    (Caches.trackCached(d, vocab), merges.toSeq)
+  }
+
+  /** t34/t50's shared encode shape: the token stream broadcast-joined
+    * against a (w, n_tok) apply table — t34 feeds the memoized model,
+    * t50 the landed one; the reporting is identical by construction. */
+  private def bpeEncodeWith(s: org.apache.spark.sql.SparkSession, dir: String,
+      wl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wl), Seq("w"))
+      .groupBy("source").agg(
+        countDistinct("doc_id").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum("n_tok").cast("long").as("n_tokens"))
+      .withColumn("tok_per_word_bp", expr("n_tokens * 10000 div n_words"))
+      .orderBy("source")
+
+  /** The corpus word-frequency table — BPE's sufficient statistic
+    * (counts are additive over disjoint document sets, which is what
+    * makes t51's refresh O(delta)). */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: Column): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).filter(pred)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
+
   private def bpeFor(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) =
     bpeState.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { bpeState.remove(d); () })
-      // greedy left-to-right token merge — identical semantics to the
-      // oracle's encoded list_reduce ("a a a" + (a,a) → ["aa","a"])
-      val mergeU = udf((sym: Seq[String], a: String, b: String) => {
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        for (x <- sym) {
-          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
-          else out += x
-        }
-        out.toSeq
-      })
-      var vocab = Caches.trackCached(d, Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("w"), col("freq"), split(col("w"), "").as("sym")))
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      var dry = false
-      for (r <- 1 to 3 if !dry) {
-        val tops = vocab
-          .select(col("freq"), explode(expr(
-            "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1)," +
-              " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect()
-        // no pairs left (empty or single-char-word corpus): training is
-        // done, not broken
-        if (tops.isEmpty) dry = true
-        else {
-          val top = tops(0)
-          merges += ((r.toLong, top.getString(0), top.getString(1), top.getLong(2)))
-          vocab = vocab.select(col("w"), col("freq"),
-            mergeU(col("sym"), lit(top.getString(0)), lit(top.getString(1))).as("sym"))
-        }
-      }
-      (Caches.trackCached(d, vocab), merges.toSeq)
+      bpeTrain(d, bpeWords(s, d, lit(true)))
     })
+
+  /** T50's landed BPE MODEL — the tokenizer as a versioned artifact
+    * (train-once/serve-many, closing the r14 gap where t27/t34's
+    * trained state lived only in a per-JVM memo): `merges/` is the
+    * model of record (rank-ordered merge list — what a tokenizer
+    * release ships) and `vocab/` its compiled apply form (word →
+    * symbol count, the broadcastable table the encode join serves
+    * from). Landed once per (JVM, dir); a retrained model is a new
+    * landing (t43's refresh contract — t51 proves the retrain leg).
+    * At 100 TB the vocab is bounded by the DISTINCT-word count, not
+    * the corpus, so the artifact stays broadcast-sized. */
+  private val bpeLanding =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val bpeVocabSchema = "w STRING, n_tok BIGINT"
+  private[graft] val bpeMergesSchema =
+    "merge_rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+
+  private[graft] def bpeModelFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = bpeLanding.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) bpeLanding.remove(dir, memo)
+    bpeLanding.computeIfAbsent(dir, d => {
+      import s.implicits._
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t50_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { bpeLanding.remove(d); () })
+      Caches.trackPath(d, out)
+      val (vocab, merges) = bpeFor(s, d)
+      merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(out, "merges").getAbsolutePath)
+      vocab.select(col("w"), size(col("sym")).cast("long").as("n_tok"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(out, "vocab").getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** T51's arrival carve — the refresh batch (a new crawl slice). */
+  private[graft] def bpeIsDelta: Column = pmod(col("doc_id"), lit(9L)) === 4
+
+  /** T51's landed WORD-COUNT store: raw (w, freq) over the PRE-DELTA
+    * corpus — the mergeable sufficient statistic behind the BPE model
+    * (t43's count-store discipline applied to the tokenizer). A newly
+    * arrived batch aggregates ALONE and ADDS into the store — history
+    * is never re-tokenized — and retraining is the same three-round
+    * loop over the merged counts, provably equal to a full retrain
+    * (the t51 gate). */
+  private val bpeCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val bpeCountSchema = "w STRING, freq BIGINT"
+
+  private[graft] def bpeCountsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = bpeCounts.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) bpeCounts.remove(dir, memo)
+    bpeCounts.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t51_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { bpeCounts.remove(d); () })
+      Caches.trackPath(d, out)
+      bpeWords(s, d, !bpeIsDelta)
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
 
   /** One DuckDB learn-merge round (t27/t34's shared twin): pair counts
     * over the vocab, top-1 by (count DESC, lhs, rhs), then the greedy
@@ -256,6 +362,37 @@ object PipelineQueries {
       |     USING (doc_id))""".stripMargin
 
   private lazy val t39LangIdCte: String = t39LangIdCteFor("doc_id % 5 = 0")
+
+  /** t27's (and t51's) oracle: the full three-round retrain replay —
+    * merge trace plus final symbol stats. */
+  private lazy val bpeMergesOracleSql: String =
+    s"""WITH $bpeChainSql,
+       | st AS (SELECT
+       |    (SELECT CAST(count(DISTINCT sy) AS BIGINT)
+       |     FROM s3, unnest(sym) AS u(sy)) AS vocab_symbols,
+       |    (SELECT CAST(sum(freq * len(sym)) AS BIGINT) FROM s3) AS corpus_symbols)
+       |SELECT r.mr AS merge_rank, r.lhs, r.rhs, r.c AS pair_count,
+       |  st.vocab_symbols, st.corpus_symbols
+       |FROM (SELECT CAST(1 AS BIGINT) AS mr, * FROM b1
+       |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
+       |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
+       |ORDER BY merge_rank""".stripMargin
+
+  /** t34's (and t50's) oracle: retrain, then encode by joining the
+    * token stream against the final vocab's symbol counts. */
+  private lazy val bpeEncodeOracleSql: String =
+    s"""WITH $bpeChainSql,
+       | enc AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_tok FROM s3),
+       | docw AS (SELECT source, doc_id, w FROM (SELECT source, doc_id,
+       |     unnest(string_split(text, ' ')) AS w FROM documents)
+       |   WHERE len(w) >= 1)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_tok) AS BIGINT) * 10000 //
+       |    CAST(count(*) AS BIGINT) AS tok_per_word_bp
+       |FROM docw d JOIN enc e USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** The full three-round training chain, word table → s3 final vocab —
     * the common prefix of t27's and t34's oracle twins. */
@@ -1727,20 +1864,46 @@ object PipelineQueries {
     // distributed over the VOCABULARY (t23/t27's trick), so the
     // corpus pass is one broadcast join of the token stream against
     // the vocab and a per-source aggregate. All counts BIGINT. ----
-    "t34_bpe_encode" -> ((s, dir) => {
-      val wl = bpeFor(s, dir)._1
-        .select(col("w"), size(col("sym")).cast("long").as("n_tok"))
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .join(broadcast(wl), Seq("w"))
-        .groupBy("source").agg(
-          countDistinct("doc_id").cast("long").as("n_docs"),
-          count(lit(1)).cast("long").as("n_words"),
-          sum("n_tok").cast("long").as("n_tokens"))
-        .withColumn("tok_per_word_bp", expr("n_tokens * 10000 div n_words"))
-        .orderBy("source")
+    "t34_bpe_encode" -> ((s, dir) =>
+      bpeEncodeWith(s, dir, bpeFor(s, dir)._1
+        .select(col("w"), size(col("sym")).cast("long").as("n_tok")))),
+
+    // ---- T50: BPE encoding served from the LANDED model — t34's
+    // encode join reading the versioned artifact ([[bpeModelFor]]'s
+    // vocab/ apply table) instead of the per-JVM memo, completing the
+    // tokenizer's train-once/serve-many story (every other index
+    // family already had its landed leg). The oracle is t34's full
+    // retrain-and-encode replay, so the hash gate proves landed-model
+    // encoding ≡ memoized-model encoding ≡ the from-scratch twin. ----
+    "t50_bpe_landed_encode" -> ((s, dir) =>
+      bpeEncodeWith(s, dir,
+        s.read.schema(bpeVocabSchema).parquet(s"${bpeModelFor(s, dir)}/vocab"))),
+
+    // ---- T51: BPE model REFRESH from the mergeable count store —
+    // t43's refresh contract applied to the tokenizer: the landed
+    // pre-delta word counts ([[bpeCountsFor]]) absorb the delta
+    // batch's OWN aggregate (counts are additive — history is never
+    // re-tokenized), and the same three-round trainer runs over the
+    // merged counts. The oracle is t27's full-corpus retrain replay,
+    // so the hash gate proves refresh-from-store ≡ full retrain —
+    // merge trace, counts, and final symbol stats. O(delta + store)
+    // per refresh at any corpus size; the merged counts are the next
+    // model version's store (the lambda fold). ----
+    "t51_bpe_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val store = s.read.schema(bpeCountSchema).parquet(bpeCountsFor(s, dir))
+      val merged = store.unionByName(bpeWords(s, dir, bpeIsDelta))
+        .groupBy("w").agg(sum("freq").cast("long").as("freq"))
+      val (vocab, merges) = bpeTrain(dir, merged)
+      val corpus = vocab
+        .agg((sum(col("freq") * size(col("sym")))).cast("long").as("corpus_symbols"))
+      val vs = vocab.select(explode(col("sym")).as("sy"))
+        .agg(countDistinct("sy").cast("long").as("vocab_symbols"))
+      merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .crossJoin(broadcast(vs)).crossJoin(broadcast(corpus))
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"),
+          col("vocab_symbols"), col("corpus_symbols"))
+        .orderBy("merge_rank")
     }),
 
     // ---- T28: count-min heavy hitters — frequency estimation from
@@ -2332,35 +2495,21 @@ object PipelineQueries {
         |FROM c, unnest(range(0, n_chunks)) AS ch(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "t27_bpe_merges" ->
-      s"""WITH $bpeChainSql,
-         | st AS (SELECT
-         |    (SELECT CAST(count(DISTINCT sy) AS BIGINT)
-         |     FROM s3, unnest(sym) AS u(sy)) AS vocab_symbols,
-         |    (SELECT CAST(sum(freq * len(sym)) AS BIGINT) FROM s3) AS corpus_symbols)
-         |SELECT r.mr AS merge_rank, r.lhs, r.rhs, r.c AS pair_count,
-         |  st.vocab_symbols, st.corpus_symbols
-         |FROM (SELECT CAST(1 AS BIGINT) AS mr, * FROM b1
-         |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
-         |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
-         |ORDER BY merge_rank""".stripMargin,
+    "t27_bpe_merges" -> bpeMergesOracleSql,
+
+    // t51: the refresh-from-count-store must equal the FULL retrain —
+    // the oracle is t27's from-scratch replay over the whole corpus,
+    // so the gate proves merged-counts training ≡ full training.
+    "t51_bpe_refresh" -> bpeMergesOracleSql,
 
     // t34's twin replays the same three training rounds, then encodes
     // by joining the token stream against the final vocab's symbol
     // counts — exactly the engine's broadcast-join shape.
-    "t34_bpe_encode" ->
-      s"""WITH $bpeChainSql,
-         | enc AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_tok FROM s3),
-         | docw AS (SELECT source, doc_id, w FROM (SELECT source, doc_id,
-         |     unnest(string_split(text, ' ')) AS w FROM documents)
-         |   WHERE len(w) >= 1)
-         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |  CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n_tok) AS BIGINT) * 10000 //
-         |    CAST(count(*) AS BIGINT) AS tok_per_word_bp
-         |FROM docw d JOIN enc e USING (w)
-         |GROUP BY source ORDER BY source""".stripMargin,
+    "t34_bpe_encode" -> bpeEncodeOracleSql,
+
+    // t50: the landed-model encode must equal the memoized-model t34
+    // AND the from-scratch twin — same oracle, strongest form.
+    "t50_bpe_landed_encode" -> bpeEncodeOracleSql,
 
     "t28_heavy_hitters" ->
       """WITH toks AS (SELECT w,

@@ -523,6 +523,35 @@ class QualitySpec extends AnyFunSuite {
       "every correct prediction must carry a positive margin")
   }
 
+  test("BPE landing: model lands once and serves; refresh from the count store equals retrain") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the landed-model encode is row-identical to the memoized-model
+    // encode (both also hash-gate against the from-scratch twin)
+    assert(rows("t50_bpe_landed_encode") === rows("t34_bpe_encode"),
+      "landed-model encoding must equal the memoized-model encoding")
+    // refresh-from-store reproduces the full retrain's merge trace
+    assert(rows("t51_bpe_refresh") === rows("t27_bpe_merges"),
+      "count-store refresh must equal the full retrain")
+    // the model artifact lands once: same path on re-request, files
+    // byte-untouched across every serve above
+    val p1 = graft.queries.PipelineQueries.bpeModelFor(spark, sfDir)
+    val files0 = Option(new java.io.File(p1, "vocab").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(files0.nonEmpty, "model landing must materialize")
+    SparkEntry.queries("t50_bpe_landed_encode")(spark, sfDir).collect()
+    val p2 = graft.queries.PipelineQueries.bpeModelFor(spark, sfDir)
+    val files1 = Option(new java.io.File(p1, "vocab").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(p2 === p1 && files1 === files0,
+      "serving must read the landed model, never rebuild it")
+    // the merges/ leg is the model of record: 3 rank-ordered merges
+    val m = spark.read.schema(graft.queries.PipelineQueries.bpeMergesSchema)
+      .parquet(s"$p1/merges").collect()
+    assert(m.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "landed merge list must carry the rank-ordered training trace")
+  }
+
   test("t45 winnowing: exact vs naive recompute, window coverage, shared-substring guarantee") {
     val K = 20; val W = 8
     // naive reference: hash every K-gram, take min-with-rightmost-tie
