@@ -1987,8 +1987,11 @@ object DedupQueries {
         .as(Seq("ib", "h")))
 
   /** e24/e25's deletion batch: a deterministic carve of the corpus
-    * split (batch docs are never deletion targets). */
-  private def e24Deleted(docs: DataFrame): DataFrame =
+    * split (batch docs are never deletion targets). Shared with the
+    * extraction lifecycle (e32/e33) so every forget leg answers the
+    * same erasure request; the kept-set SQL twin is TextQueries'
+    * e24DeletedKeptPredSql. */
+  private[queries] def e24Deleted(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
       .select("doc_id")
 

@@ -394,6 +394,25 @@ object PipelineQueries {
        |FROM docw d JOIN enc e USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** t52's oracle: retrain, then the per-document rollup with the
+    * character-count fallback for OOV words and a zero row for
+    * wordless pages (the doc-spine left join). */
+  private lazy val bpeDocTokensOracleSql: String =
+    s"""WITH $bpeChainSql,
+       | enc AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_tok FROM s3),
+       | docw AS (SELECT doc_id, w FROM (SELECT doc_id,
+       |     unnest(string_split(text, ' ')) AS w FROM documents
+       |     WHERE text IS NOT NULL)
+       |   WHERE len(w) >= 1),
+       | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |     CAST(count(CASE WHEN e.n_tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       |     CAST(sum(COALESCE(e.n_tok, length(w))) AS BIGINT) AS n_tokens
+       |   FROM docw d LEFT JOIN enc e USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+       |  COALESCE(a.n_oov, 0) AS n_oov, COALESCE(a.n_tokens, 0) AS n_tokens
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** The full three-round training chain, word table → s3 final vocab —
     * the common prefix of t27's and t34's oracle twins. */
   private lazy val bpeChainSql: String =
@@ -1906,6 +1925,40 @@ object PipelineQueries {
         .orderBy("merge_rank")
     }),
 
+    // ---- T52: per-document tokenization from the LANDED model — the
+    // tokenizer's per-arrival serving shape (the charge an ingest gate
+    // levies against a token budget per page): the word stream LEFT-
+    // broadcast-joined against the landed vocab (t50's artifact),
+    // out-of-vocabulary words falling back to character-level symbols
+    // (length(w) — the word-level apply table's honest fallback, the
+    // branch the streaming spec's planted OOV arrival pins; corpus
+    // words are all in-vocab by construction, so the gate exercises
+    // the in-vocab path), rolled up per document — wordless pages
+    // still report zeros (the left join from the doc spine). The
+    // streaming twin ([[graft.streaming.EventStream.encodeArrivals]])
+    // runs the SAME formula over an arrival stream; StreamingSpec
+    // proves stream ≡ this batch row-for-row. ----
+    "t52_bpe_doc_tokens" -> ((s, dir) => {
+      val vocab = s.read.schema(bpeVocabSchema)
+        .parquet(s"${bpeModelFor(s, dir)}/vocab")
+      val agg = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_words"),
+          count(when(col("n_tok").isNull, 1)).cast("long").as("n_oov"),
+          sum(coalesce(col("n_tok"), length(col("w")).cast("long")))
+            .cast("long").as("n_tokens"))
+      Tables.documents(s, dir).filter(col("text").isNotNull).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- T28: count-min heavy hitters — frequency estimation from
     // FIXED-SIZE state: a 4×1024 integer sketch (4 hash rows over the
     // t5 polynomial, different odd multipliers) absorbs the whole
@@ -2510,6 +2563,7 @@ object PipelineQueries {
     // t50: the landed-model encode must equal the memoized-model t34
     // AND the from-scratch twin — same oracle, strongest form.
     "t50_bpe_landed_encode" -> bpeEncodeOracleSql,
+    "t52_bpe_doc_tokens" -> bpeDocTokensOracleSql,
 
     "t28_heavy_hitters" ->
       """WITH toks AS (SELECT w,

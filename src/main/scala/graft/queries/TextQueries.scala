@@ -157,7 +157,28 @@ object TextQueries {
     * Spark side's bind trick), value-identical on every branch —
     * named, decimal, hex, stay-literal, and the `&#38;lt;`
     * consume-each-amp-once pin. */
-  private[queries] def htmlExtractCteSql: String = {
+  private[queries] def htmlExtractCteSql: String = htmlExtractCteSqlFor("TRUE")
+
+  /** The kept set under e24/e25's deletion carve (the complement of
+    * [[DedupQueries.e24Deleted]]'s predicate), as oracle SQL. The
+    * IS NULL arm mirrors the engine's anti-join semantics: a null-id
+    * doc never equi-matches the deletion batch, so it is KEPT — a bare
+    * NOT(...) would evaluate to NULL and drop it from the twin. */
+  private val e24DeletedKeptPredSql =
+    "(doc_id IS NULL OR NOT (doc_id % 10 <> 0 AND doc_id % 7 = 1))"
+
+  /** The extraction lifecycle gates' twin: the full markup-algebra
+    * replay over the served doc slice, projecting every landed column
+    * ([[extractGateOf]]'s shape). */
+  private def extractLifecycleSqlFor(pred: String): String =
+    s"""WITH ${htmlExtractCteSqlFor(pred)}
+       |SELECT doc_id, n_blocks, n_boiler,
+       | CAST(length(text) AS BIGINT) AS n_chars, text,
+       | coalesce(array_to_string(string_split(text, chr(10))[3:], chr(10)), '')
+       |   AS content
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  private[queries] def htmlExtractCteSqlFor(pred: String): String = {
     val H = graft.functions.Html
     val tagRe = s"</?(?:${H.BlockTags})(?: [^>]*)?/?>"
     // the in-lambda `let`: bind v once as a lambda variable
@@ -186,7 +207,7 @@ object TextQueries {
             s"gsegs[1] || list_reduce(list_prepend('', gsegs[2:]), (gacc, gs) -> gacc || ($decSeg))") +
           " END")
     s"""h AS (SELECT doc_id, ${htmlDocSql("doc_id", "text")} AS html
-       |           FROM documents WHERE text IS NOT NULL),
+       |           FROM documents WHERE text IS NOT NULL AND ($pred)),
        | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
        |     '(?s)<script[^>]*>.*?</script>', '', 'g'),
        |     '(?s)<style[^>]*>.*?</style>', '', 'g'),
@@ -246,26 +267,34 @@ object TextQueries {
         s"graft_t47_${ProcessHandle.current().pid()}_$tag")
       Caches.track(d)(() => { t47Landing.remove(d); () })
       Caches.trackPath(d, out)
-      val H = graft.functions.Html
-      // staged projections (t7/t47's discipline): cleanedBlocks → kept
-      // → joined text, each lambda subtree computed once per doc
-      Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"),
-          H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
-        .select(col("doc_id"), col("source"), col("_ne"),
-          H.keptBlocks(col("_ne")).as("_kept"))
-        .select(col("doc_id"), col("source"), col("_ne"), col("_kept"),
-          H.joinedText(col("_kept")).as("_txt"))
-        .select(col("doc_id"), col("source"),
-          size(col("_ne")).cast("long").as("n_blocks"),
-          (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_boiler"),
-          col("_txt").as("text"),
-          array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
-            .as("content"))
-        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      landExtraction(Tables.documents(s, d), out)
       out.getAbsolutePath
     })
+  }
+
+  /** One extraction pass over `docs`, landed at `out` with the WET
+    * schema — shared by the full t47 landing and the e31 lifecycle's
+    * base/delta landings (identical algebra, different doc slices). */
+  private def landExtraction(docs: org.apache.spark.sql.DataFrame,
+      out: java.io.File): Unit = {
+    val H = graft.functions.Html
+    // staged projections (t7/t47's discipline): cleanedBlocks → kept
+    // → joined text, each lambda subtree computed once per doc
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
+      .select(col("doc_id"), col("source"), col("_ne"),
+        H.keptBlocks(col("_ne")).as("_kept"))
+      .select(col("doc_id"), col("source"), col("_ne"), col("_kept"),
+        H.joinedText(col("_kept")).as("_txt"))
+      .select(col("doc_id"), col("source"),
+        size(col("_ne")).cast("long").as("n_blocks"),
+        (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_boiler"),
+        col("_txt").as("text"),
+        array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
+          .as("content"))
+      .write.mode("overwrite").parquet(out.getAbsolutePath)
   }
 
   /** The landed extraction, read back with the explicit writer schema
@@ -273,7 +302,92 @@ object TextQueries {
   private[graft] def extractionLandingFor(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    s.read.schema(extractionSchema).parquet(extractionLandingPathFor(s, dir))
+    landedExtraction(s, extractionLandingPathFor(s, dir))
+
+  private def landedExtraction(s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    s.read.schema(extractionSchema).parquet(path)
+
+  /** E31's arrival carve: the crawl wave that appends to the extraction
+    * landing (disjoint from d34's % 10 == 0 admission wave so the two
+    * lifecycle fixtures never alias). Null-id docs go to the BASE
+    * (coalesce — a bare `% 10 === 3` is null-valued on a null id, so
+    * both `f` and `!f` would drop the doc and base ∪ delta would
+    * silently lose it vs the full-corpus oracle). */
+  private[graft] def e31IsDelta: Column =
+    coalesce(col("doc_id") % 10 === 3, lit(false))
+
+  /** E31's split landings — the WET artifact's APPEND leg: the
+    * pre-wave corpus extraction lands first as the immutable history
+    * (base/), and the arriving crawl wave extracts ONCE at admission
+    * and lands as separate delta files (delta/) — base files are never
+    * read, rewritten, or re-extracted by an append (the e20/e22 lambda
+    * shape on the extraction artifact; HtmlSpec pins base-file
+    * stability across the lifecycle legs). At 100 TB an ingest wave
+    * costs one wave-sized extraction pass + one parquet append,
+    * regardless of history size. */
+  private val e31Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def e31LandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val memo = e31Landing.get(dir)
+    if (memo != null && !(new java.io.File(memo._1).exists() &&
+        new java.io.File(memo._2).exists()))
+      e31Landing.remove(dir, memo)
+    e31Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val pid = ProcessHandle.current().pid()
+      val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e31b_${pid}_$tag")
+      val delta = new java.io.File(sys.props("java.io.tmpdir"), s"graft_e31d_${pid}_$tag")
+      Caches.track(d)(() => { e31Landing.remove(d); () })
+      Caches.trackPath(d, base)
+      Caches.trackPath(d, delta)
+      landExtraction(Tables.documents(s, d).filter(!e31IsDelta), base)
+      landExtraction(Tables.documents(s, d).filter(e31IsDelta), delta)
+      (base.getAbsolutePath, delta.getAbsolutePath)
+    })
+  }
+
+  /** E33's compacted landing: (base ∪ delta) ∖ deleted folded into ONE
+    * parquet table — pure index-file work (no document is re-extracted;
+    * the inputs are the e31 landings and the e24 deletion carve), the
+    * cadence step that reclaims e32's serve-time tombstone anti-join
+    * and e31's second file set. */
+  private val e33Compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e33CompactFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = e33Compacted.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) e33Compacted.remove(dir, memo)
+    e33Compacted.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e33_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { e33Compacted.remove(d); () })
+      Caches.trackPath(d, out)
+      val (basePath, deltaPath) = e31LandingFor(s, d)
+      landedExtraction(s, basePath).unionByName(landedExtraction(s, deltaPath))
+        .join(broadcast(DedupQueries.e24Deleted(Tables.documents(s, d))),
+          Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** The lifecycle gates' shared projection: every column the landing
+    * carries, character-exact (n_chars is recomputed from the served
+    * text so a row whose text and length disagree cannot slip through;
+    * `content` rides whole because compaction could corrupt it
+    * independently of `text`). */
+  private def extractGateOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("n_blocks"), col("n_boiler"),
+        length(col("text")).cast("long").as("n_chars"), col("text"), col("content"))
+      .orderBy("doc_id")
 
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words: _*)))
@@ -432,6 +546,47 @@ object TextQueries {
           Seq("pred_lang"))
         .orderBy("pred_lang")
     }),
+
+    // ---- E31: extraction-landing APPEND — the WET artifact's ingest
+    // leg (every other index family already has one: e20 bands, e22
+    // grams, e27 winnow, x20 IVF): the pre-wave corpus lands as the
+    // immutable base, the arriving crawl wave (doc_id % 10 == 3)
+    // extracts ONCE at admission and lands as delta files, and serving
+    // reads base ∪ delta — history is NEVER re-extracted (the plan is
+    // two parquet scans; HtmlSpec pins base-file stability and the
+    // absence of the markup algebra from the serve plan). The oracle
+    // recomputes the FULL corpus extraction from raw markup, so the
+    // hash gate proves appended-landing ≡ from-scratch extraction over
+    // corpus ∪ wave, character-for-character on every column. ----
+    "e31_extract_append" -> ((s, dir) => {
+      val (basePath, deltaPath) = e31LandingFor(s, dir)
+      extractGateOf(landedExtraction(s, basePath)
+        .unionByName(landedExtraction(s, deltaPath)))
+    }),
+
+    // ---- E32: right-to-be-forgotten on the extraction landing —
+    // e25/e28's cap-then-delete discipline has no analog here (no
+    // build-time df cap: extraction is per-document pure), so forget
+    // is the clean case: the deletion batch (e24's corpus carve)
+    // tombstones documents out of the landed WET files at serve time
+    // via a broadcast anti-join — base files never rewritten. The
+    // oracle recomputes extraction over corpus ∖ deleted, so the gate
+    // proves a forgotten page's text is gone from the served artifact
+    // and every surviving page is byte-identical. ----
+    "e32_extract_forget" -> ((s, dir) =>
+      extractGateOf(extractionLandingFor(s, dir)
+        .join(broadcast(DedupQueries.e24Deleted(Tables.documents(s, dir))),
+          Seq("doc_id"), "left_anti"))),
+
+    // ---- E33: extraction-landing COMPACTION — the cadence step that
+    // folds (base ∪ delta) ∖ deleted into ONE parquet table
+    // ([[e33CompactFor]] — pure index-file work, no re-extraction),
+    // reclaiming e32's per-serve tombstone anti-join and e31's second
+    // file set. The gate serves from the compacted table ALONE against
+    // the same corpus-∖-deleted recompute oracle as e32, so hash
+    // equality proves compaction lost and invented nothing. ----
+    "e33_extract_compact" -> ((s, dir) =>
+      extractGateOf(landedExtraction(s, e33CompactFor(s, dir)))),
 
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
@@ -842,6 +997,16 @@ object TextQueries {
          |SELECT pred_lang, n_routed, n_dedup, dedup_tokens, budget, n_kept, kept_tokens
          |FROM r JOIN dd USING (pred_lang) JOIN kp USING (pred_lang)
          |ORDER BY pred_lang""".stripMargin,
+
+    // The lifecycle twins recompute extraction from raw markup over the
+    // served doc set (e31: the full corpus = base ∪ wave; e32/e33: the
+    // corpus minus e24's deletion carve), so each gate IS a landed ≡
+    // recomputed proof across append / forget / compact. `content`
+    // replays t48's chrome-invariant key derivation (coalesced — the
+    // repo's documented empty-list gotcha).
+    "e31_extract_append" -> extractLifecycleSqlFor("TRUE"),
+    "e32_extract_forget" -> extractLifecycleSqlFor(e24DeletedKeptPredSql),
+    "e33_extract_compact" -> extractLifecycleSqlFor(e24DeletedKeptPredSql),
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

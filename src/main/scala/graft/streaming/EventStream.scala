@@ -630,6 +630,37 @@ object EventStream {
         col("r._2").as("score"), col("r._3").as("margin"))
   }
 
+  /** Streaming tokenizer serve — t52's stream twin: each arriving page
+    * is charged its token count from the LANDED BPE model (t50's
+    * versioned vocab artifact, broadcast onto the stream and re-planned
+    * per micro-batch, so a refreshed model version takes effect on the
+    * next batch). The word stream LEFT-joins the vocab — OOV words fall
+    * back to character-level symbols (length(w), the word-level apply
+    * table's honest fallback) — and rolls up per arrival keyed
+    * (ts, doc_id) inside the watermark: state is exactly one group per
+    * arrival in the horizon, the sentinel union keeps wordless pages
+    * reporting zeros (identifyLanguage's shape). StreamingSpec proves
+    * stream ≡ the batch t52 formula row-for-row, including a planted
+    * OOV arrival and an empty-text arrival. */
+  def encodeArrivals(arrivals: DataFrame, vocab: DataFrame): DataFrame = {
+    val a = arrivals.withWatermark("ts", "2 hours")
+    val words = a
+      .select(col("ts"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .select(col("ts"), col("doc_id"), lit(1L).as("one"),
+        when(col("n_tok").isNull, 1L).otherwise(0L).as("oov"),
+        coalesce(col("n_tok"), length(col("w")).cast("long")).as("tk"))
+    val sentinel = a.select(col("ts"), col("doc_id"),
+      lit(0L).as("one"), lit(0L).as("oov"), lit(0L).as("tk"))
+    words.unionByName(sentinel)
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(sum("one").cast("long").as("n_words"),
+        sum("oov").cast("long").as("n_oov"),
+        sum("tk").cast("long").as("n_tokens"))
+      .select("doc_id", "n_words", "n_oov", "n_tokens")
+  }
+
   /** Streaming count-min sketch — the stream twin of the batch
     * `t28_heavy_hitters` sketch: the unbounded token stream folds into
     * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row

@@ -110,6 +110,12 @@ object StreamBench {
     drive("admitArrivalsByFingerprint",
       in => EventStream.admitArrivalsByFingerprint(in, d34Idx, corpusDocs27))
 
+    lazy val bpeVocab = spark.read
+      .schema(graft.queries.PipelineQueries.bpeVocabSchema)
+      .parquet(graft.queries.PipelineQueries.bpeModelFor(spark, sfDir) + "/vocab")
+    drive("encodeArrivals",
+      in => EventStream.encodeArrivals(in, bpeVocab))
+
     lazy val bandIdx = spark.table(graft.queries.DedupQueries.bandLandingFor(spark, sfDir))
     lazy val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     lazy val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)

@@ -270,4 +270,52 @@ class HtmlSpec extends AnyFunSuite {
     assert((nb8, nboil8) === ((8L, 3L)) && t8.endsWith("for details."),
       s"doc 8: ($nb8, $nboil8, '$t8')")
   }
+
+  test("extraction lifecycle: append leaves base untouched, forget erases the carve, compact == lambda serve") {
+    import org.apache.spark.sql.functions.length
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetlc").toString
+    val body = ("some repeated words for the extraction fixture body " * 6).trim
+    // ids cover every lifecycle slice: base {1,8,15,50}, delta (%10==3)
+    // {3,13,23,43}, deleted (e24's carve: %10!=0 && %7==1) {1,8,15,43}
+    // — incl. the delta∩deleted overlap (43) and a %7==1 id the carve
+    // spares because %10==0 (50)
+    val ids = Seq(1L, 3L, 8L, 13L, 15L, 23L, 43L, 50L)
+    ids.map(i => (i, s"doc $i " + body, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val (basePath, deltaPath) = graft.queries.TextQueries.e31LandingFor(spark, dir)
+    def mtimes(p: String) = Option(new java.io.File(p).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val base0 = mtimes(basePath)
+    assert(base0.nonEmpty && mtimes(deltaPath).nonEmpty,
+      "both lifecycle landings must materialize")
+    // the landings carve exactly at the wave boundary
+    assert(spark.read.parquet(basePath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 8L, 15L, 50L))
+    assert(spark.read.parquet(deltaPath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3L, 13L, 23L, 43L))
+    // append serves the whole corpus, each doc once
+    val e31 = SparkEntry.queries("e31_extract_append")(spark, dir).collect()
+    assert(e31.map(_.getLong(0)).toSeq === ids, s"${e31.map(_.getLong(0)).toSeq}")
+    // forget erases exactly the deletion carve
+    val e32 = SparkEntry.queries("e32_extract_forget")(spark, dir).collect()
+    assert(e32.map(_.getLong(0)).toSeq === Seq(3L, 13L, 23L, 50L),
+      s"${e32.map(_.getLong(0)).toSeq}")
+    // compact serves the identical rows from ONE table (row-for-row)
+    val e33 = SparkEntry.queries("e33_extract_compact")(spark, dir).collect()
+    assert(e33.toSeq === e32.toSeq, "compacted serve must equal the lambda serve")
+    // the append/compact legs never touched the landed base files
+    assert(mtimes(basePath) === base0, "lifecycle legs must not rewrite the base")
+    // and no leg re-extracts in-plan: serving is parquet reads only
+    Seq("e31_extract_append", "e32_extract_forget", "e33_extract_compact").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("</script>"),
+        s"$q must serve from landed files, not re-run the markup algebra")
+    }
+    val compactPath = graft.queries.TextQueries.e33CompactFor(spark, dir)
+    graft.queries.Caches.release(spark, dir)
+    Seq(basePath, deltaPath, compactPath).foreach(p =>
+      assert(!new java.io.File(p).exists(), s"release must reclaim $p"))
+  }
 }

@@ -683,6 +683,51 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("streaming tokenizer serve ≡ the batch t52 encode, incl. OOV fallback and wordless pages") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestBase.sfDir
+    val expected = graft.queries.PipelineQueries
+      .queries("t52_bpe_doc_tokens")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(expected.nonEmpty, "batch gate charged no documents")
+    val vocab = spark.read.schema(graft.queries.PipelineQueries.bpeVocabSchema)
+      .parquet(graft.queries.PipelineQueries.bpeModelFor(spark, dir) + "/vocab")
+    assert(vocab.filter(col("w").isin("zzqqxv", "wv")).count() === 0,
+      "planted words must be out-of-vocabulary")
+    val arrivals = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((-5L, "zzqqxv wv"), (-6L, ""))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.encodeArrivals(
+        input.toDF().toDF("ts", "doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("bpe_serve")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "watermark advancer"))
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_serve")
+        .filter(col("doc_id") =!= -999L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      expected.foreach { case (id, row) =>
+        assert(streamed(id) === row, s"doc $id diverged from the batch gate") }
+      // planted OOV arrival: both words miss the vocab, tokens = chars
+      assert(streamed(-5L) === ((2L, 2L, 8L)), s"${streamed(-5L)}")
+      // wordless arrival still reports zeros (the sentinel branch)
+      assert(streamed(-6L) === ((0L, 0L, 0L)), s"${streamed(-6L)}")
+      assert(streamed.size === expected.size + 2)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("streaming sequence packing ≡ the batch grouped prefix sum across micro-batch splits") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
