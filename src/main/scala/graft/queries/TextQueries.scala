@@ -272,18 +272,20 @@ object TextQueries {
     })
   }
 
-  /** One extraction pass over `docs`, landed at `out` with the WET
-    * schema — shared by the full t47 landing and the e31 lifecycle's
-    * base/delta landings (identical algebra, different doc slices). */
-  private def landExtraction(docs: org.apache.spark.sql.DataFrame,
-      out: java.io.File): Unit = {
+  /** The staged extraction projection (t7/t47's discipline): each
+    * lambda subtree — cleanedBlocks → kept → joined text — computes
+    * once per page, pure codegen expressions end to end. Input carries
+    * (doc_id, source, html); output is the WET schema's column set.
+    * Shared by the batch landings and the streaming ingest leg
+    * ([[graft.streaming.EventStream.extractArrivals]]) so the two
+    * engines' extraction cannot drift. */
+  private[graft] def extractStaged(pages: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val H = graft.functions.Html
-    // staged projections (t7/t47's discipline): cleanedBlocks → kept
-    // → joined text, each lambda subtree computed once per doc
-    docs
-      .filter(col("text").isNotNull)
+    pages
+      .filter(col("html").isNotNull)
       .select(col("doc_id"), col("source"),
-        H.cleanedBlocks(htmlDoc(col("doc_id"), col("text"))).as("_ne"))
+        H.cleanedBlocks(col("html")).as("_ne"))
       .select(col("doc_id"), col("source"), col("_ne"),
         H.keptBlocks(col("_ne")).as("_kept"))
       .select(col("doc_id"), col("source"), col("_ne"), col("_kept"),
@@ -294,8 +296,18 @@ object TextQueries {
         col("_txt").as("text"),
         array_join(slice(split(col("_txt"), "\n"), 3, Int.MaxValue), "\n")
           .as("content"))
-      .write.mode("overwrite").parquet(out.getAbsolutePath)
   }
+
+  /** One extraction pass over `docs`, landed at `out` with the WET
+    * schema — shared by the full t47 landing and the e31 lifecycle's
+    * delta landing (identical algebra, different doc slices). */
+  private def landExtraction(docs: org.apache.spark.sql.DataFrame,
+      out: java.io.File): Unit =
+    extractStaged(docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          htmlDoc(col("doc_id"), col("text")).as("html")))
+      .write.mode("overwrite").parquet(out.getAbsolutePath)
 
   /** The landed extraction, read back with the explicit writer schema
     * (an empty corpus lands fileless — the s15 trap). */
@@ -344,7 +356,12 @@ object TextQueries {
       Caches.track(d)(() => { e31Landing.remove(d); () })
       Caches.trackPath(d, base)
       Caches.trackPath(d, delta)
-      landExtraction(Tables.documents(s, d).filter(!e31IsDelta), base)
+      // the base is history that was ALREADY extracted when the wave
+      // arrives: it derives from the landed full extraction by a
+      // parquet filter-copy (pure file work — no markup algebra); the
+      // ONLY extraction the append leg pays is the wave itself
+      extractionLandingFor(s, d).filter(!e31IsDelta)
+        .write.mode("overwrite").parquet(base.getAbsolutePath)
       landExtraction(Tables.documents(s, d).filter(e31IsDelta), delta)
       (base.getAbsolutePath, delta.getAbsolutePath)
     })

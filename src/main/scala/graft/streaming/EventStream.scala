@@ -630,6 +630,20 @@ object EventStream {
         col("r._2").as("score"), col("r._3").as("margin"))
   }
 
+  /** Streaming WET ingest — the extraction lifecycle's leg at crawl
+    * cadence (e31's append driven by a stream): raw pages arrive as
+    * markup (ts, doc_id, source, html) and the SAME staged pure
+    * extraction expressions as the batch landing run map-side —
+    * stateless: no watermark, no state store, no shuffle (a crawl
+    * shard is a mapper at any scale) — emitting the WET artifact's
+    * exact column set. Compose with [[sinkToParquet]] so each
+    * micro-batch lands idempotently as its own delta directory:
+    * base + streamed deltas is exactly the file layout e31 serves,
+    * and StreamingSpec proves a stream-landed wave reads back
+    * row-for-row equal to the batch-landed delta. */
+  def extractArrivals(pages: DataFrame): DataFrame =
+    graft.queries.TextQueries.extractStaged(pages)
+
   /** Streaming tokenizer serve — t52's stream twin: each arriving page
     * is charged its token count from the LANDED BPE model (t50's
     * versioned vocab artifact, broadcast onto the stream and re-planned

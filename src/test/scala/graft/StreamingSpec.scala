@@ -683,6 +683,50 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("streaming WET ingest lands micro-batches that read back equal to the batch delta landing") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestBase.sfDir
+    // arrivals = e31's wave as raw pages (the same markup construction
+    // the batch delta landing extracts from)
+    val pages = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        coalesce(col("doc_id") % 10 === 3, lit(false)))
+      .select(col("doc_id"), col("source"),
+        graft.queries.TextQueries.htmlDoc(col("doc_id"), col("text")).as("html"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(pages.size >= 2, "fixture wave too small to split into micro-batches")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_wet_stream").toString
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val q = EventStream.sinkToParquet(
+        EventStream.extractArrivals(
+          input.toDF().toDF("ts", "doc_id", "source", "html")), outDir)
+      .option("checkpointLocation", s"$outDir/_chk").start()
+    try {
+      val (w1, w2) = pages.splitAt(pages.size / 2)
+      input.addData(w1.map { case (id, src, h) => (ts(1), id, src, h) }: _*)
+      q.processAllAvailable()
+      input.addData(w2.map { case (id, src, h) => (ts(2), id, src, h) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "n_blocks", "n_boiler", "text", "content")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batchDirs.size >= 2, s"expected >=2 landed micro-batches: ${batchDirs.toSeq}")
+    val streamed = rows(spark.read
+      .schema(graft.queries.TextQueries.extractionSchema)
+      .parquet(batchDirs.map(b => s"$outDir/$b"): _*))
+    val landedDelta = rows(spark.read
+      .schema(graft.queries.TextQueries.extractionSchema)
+      .parquet(graft.queries.TextQueries.e31LandingFor(spark, dir)._2))
+    assert(streamed.length === pages.size)
+    assert(streamed === landedDelta,
+      "stream-landed WET rows must equal the batch delta landing row-for-row")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("streaming tokenizer serve ≡ the batch t52 encode, incl. OOV fallback and wordless pages") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
