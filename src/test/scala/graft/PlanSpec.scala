@@ -32,6 +32,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("t52 tokenizer serve broadcasts the landed vocab (no word-stream shuffle for the join)") {
+    val df = SparkEntry.queries("t52_bpe_doc_tokens")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast, never shuffle the exploded word stream:\n$plan")
+    graft.queries.Caches.release(spark, sfDir)
+  }
+
+  test("extraction lifecycle serves are parquet scans (no markup algebra in the executed plans)") {
+    Seq("e31_extract_append", "e32_extract_forget", "e33_extract_compact").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("</script>"),
+        s"$q must serve landed files, not re-extract:\n${plan.take(2000)}")
+    }
+    graft.queries.Caches.release(spark, sfDir)
+  }
+
   test("q1 aggregation runs inside whole-stage codegen (final adaptive plan)") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // finalize the adaptive plan — codegen spans only show post-execution
