@@ -605,6 +605,55 @@ object TextQueries {
     "e33_extract_compact" -> ((s, dir) =>
       extractGateOf(landedExtraction(s, e33CompactFor(s, dir)))),
 
+    // ---- T53: bigram-LM perplexity scoring — the CCNet/KenLM-class
+    // quality signal the heuristic gates (t7) and importance weights
+    // (t46) don't give: train Laplace-smoothed word-bigram counts on
+    // the corpus's training split (doc_id % 5 != 0 — t39's split
+    // convention), then score each held-out document's cross-entropy
+    // in bits per bigram; junk/shuffled text scores high, fluent
+    // target-like text low (QualitySpec plants both). Cross-engine
+    // DOUBLE contract is t18's: the per-doc sum folds SEQUENTIALLY
+    // over the (lhs, rhs)-sorted term list so both engines add the
+    // identical IEEE terms in the identical order, each term's ratio
+    // is built from exact BIGINTs, and log2 rides round(·, 6).
+    // Scale: the count tables are BIGRAM-VOCABULARY-sized (Heaps-law
+    // sublinear — the t23 trick), the scoring pass is two hash joins
+    // on (lhs[, rhs]) + one per-doc local fold, and V attaches by
+    // broadcast; at 100 TB the counts are the landed artifact (t43's
+    // additive-refresh shape applies verbatim). ----
+    "t53_lm_perplexity" -> ((s, dir) => {
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+        .select(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      val docs = Tables.documents(s, dir)
+      val train = pairsOf(docs.filter(col("doc_id") % 5 =!= 0))
+      val c2 = train.groupBy("lhs", "rhs").agg(count(lit(1)).cast("long").as("c2"))
+      val c1 = train.groupBy("lhs").agg(count(lit(1)).cast("long").as("c1"))
+      val v = train.agg(countDistinct("rhs").cast("long").as("v"))
+      val held = pairsOf(docs.filter(col("doc_id") % 5 === 0))
+        .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
+      held.join(c2, Seq("lhs", "rhs"), "left")
+        .join(c1, Seq("lhs"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), struct(col("lhs"), col("rhs"), col("m"),
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
+          (coalesce(col("c1"), lit(0L)) + col("v")).as("den")).as("t"))
+        .groupBy("doc_id").agg(
+          sum(col("t.m")).cast("long").as("n_bigrams"),
+          sort_array(collect_list(col("t"))).as("ts"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr(
+            """-aggregate(ts, CAST(0.0 AS DOUBLE),
+              |  (acc, x) -> acc + x.m * log2(x.num / CAST(x.den AS DOUBLE)))
+              | / n_bigrams""".stripMargin), 6).as("xent_bits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1024,6 +1073,35 @@ object TextQueries {
     "e31_extract_append" -> extractLifecycleSqlFor("TRUE"),
     "e32_extract_forget" -> extractLifecycleSqlFor(e24DeletedKeptPredSql),
     "e33_extract_compact" -> extractLifecycleSqlFor(e24DeletedKeptPredSql),
+
+    // t53's twin: identical bigram derivation, Laplace ratios from the
+    // same exact BIGINTs, and the t18 sequential-fold discipline (the
+    // term list sorted by (lhs, rhs) — unique per doc — so both
+    // engines sum the same doubles in the same order).
+    "t53_lm_perplexity" ->
+      """WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE text IS NOT NULL),
+        | bp AS (SELECT doc_id, w[CAST(i AS INT)] AS lhs, w[CAST(i AS INT) + 1] AS rhs
+        |   FROM pr, unnest(range(1, len(w))) AS t(i)),
+        | tr AS (SELECT lhs, rhs FROM bp WHERE doc_id % 5 <> 0),
+        | c2 AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
+        | c1 AS (SELECT lhs, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        | vv AS (SELECT CAST(count(DISTINCT rhs) AS BIGINT) AS v FROM tr),
+        | hd AS (SELECT doc_id, lhs, rhs, CAST(count(*) AS BIGINT) AS m
+        |   FROM bp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        | j AS (SELECT h.doc_id, h.lhs, h.rhs, h.m,
+        |     COALESCE(c2.c2, 0) + 1 AS num, COALESCE(c1.c1, 0) + vv.v AS den
+        |   FROM hd h LEFT JOIN c2 USING (lhs, rhs) LEFT JOIN c1 USING (lhs)
+        |   CROSS JOIN vv),
+        | a AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |     list(struct_pack(m := m, num := num, den := den)
+        |       ORDER BY lhs, rhs) AS ts
+        |   FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+        |     x -> x.m * log2(x.num / CAST(x.den AS DOUBLE)))),
+        |   (acc, x) -> acc + x) / n_bigrams, 6) AS xent_bits
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""SELECT doc_id,

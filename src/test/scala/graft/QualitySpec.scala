@@ -22,6 +22,33 @@ class QualitySpec extends AnyFunSuite {
     dir
   }
 
+  test("t53 LM perplexity: fluent held-out text scores below scrambled and OOV text") {
+    val fluent = "the cat sat on the mat and the dog ran to the park"
+    // docsDir ids are positional: held-out = % 5 == 0 -> 0, 5, 10;
+    // train (1-4, 6-9) carries the fluent bigram distribution
+    val scrambled = "park mat the to cat ran dog the on and sat the mat"
+    val oov = "qzx wvv jkl pqr mno zzz qqq xxy yzz aab cde fgh ijk"
+    val dir = docsDir(Seq(
+      fluent,
+      fluent, fluent, fluent, fluent,
+      scrambled,
+      fluent, fluent, fluent, fluent,
+      oov))
+    val out = SparkEntry.queries("t53_lm_perplexity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(0L, 5L, 10L), s"${out.keySet}")
+    // every word is one bigram-left except the last
+    Seq(0L -> fluent, 5L -> scrambled, 10L -> oov).foreach { case (id, t) =>
+      assert(out(id)._1 === t.split(" ").length - 1, s"doc $id bigram count") }
+    val (xf, xs, xo) = (out(0L)._2, out(5L)._2, out(10L)._2)
+    assert(xf < xs && xf < xo,
+      s"fluent text must score lowest cross-entropy: fluent $xf scrambled $xs oov $xo")
+    // trained-bigram mass dominates the smoothing floor by a wide margin
+    assert(xs - xf > 1.0 && xo - xf > 1.0,
+      s"junk must sit well above the fluent score: $xf / $xs / $xo")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("t7 fires each rule branch in priority order") {
     val fill = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct mid-length words
     val dir = docsDir(Seq(
