@@ -57,6 +57,33 @@ object TextQueries {
 
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
+  /** t53's (doc_id, lhs, rhs) word-bigram stream — one zip_with pass
+    * per doc, shared by the batch gate and (via [[lmTrainCounts]]) the
+    * streaming scorer's static side. */
+  private[graft] def lmPairsOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = df
+    .filter(col("text").isNotNull)
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+        " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+    .select(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+
+  /** t53's trained LM sufficient statistic over the % 5 != 0 split:
+    * bigram counts (lhs, rhs, c2), left-context counts (lhs, c1), and
+    * the one-row smoothing vocabulary |distinct rhs| — all additive
+    * (t43's refresh shape applies). Shared by the batch gate and the
+    * streaming scorer so both provably score against one model. */
+  private[graft] def lmTrainCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val train = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+    (train.groupBy("lhs", "rhs").agg(count(lit(1)).cast("long").as("c2")),
+      train.groupBy("lhs").agg(count(lit(1)).cast("long").as("c1")),
+      train.agg(countDistinct("rhs").cast("long").as("v")))
+  }
+
   /** t47's HTML fixture construction — the Fixture.scala discipline
     * applied to markup: each document's crawl payload is BUILT
     * deterministically from (doc_id, text) so the DuckDB twin can
@@ -622,20 +649,8 @@ object TextQueries {
     // broadcast; at 100 TB the counts are the landed artifact (t43's
     // additive-refresh shape applies verbatim). ----
     "t53_lm_perplexity" -> ((s, dir) => {
-      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
-        .select(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-      val docs = Tables.documents(s, dir)
-      val train = pairsOf(docs.filter(col("doc_id") % 5 =!= 0))
-      val c2 = train.groupBy("lhs", "rhs").agg(count(lit(1)).cast("long").as("c2"))
-      val c1 = train.groupBy("lhs").agg(count(lit(1)).cast("long").as("c1"))
-      val v = train.agg(countDistinct("rhs").cast("long").as("v"))
-      val held = pairsOf(docs.filter(col("doc_id") % 5 === 0))
+      val (c2, c1, v) = lmTrainCounts(s, dir)
+      val held = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
         .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
       held.join(c2, Seq("lhs", "rhs"), "left")
         .join(c1, Seq("lhs"), "left")

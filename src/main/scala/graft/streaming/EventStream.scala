@@ -675,6 +675,71 @@ object EventStream {
       .select("doc_id", "n_words", "n_oov", "n_tokens")
   }
 
+  /** Streaming perplexity gate — t53's stream twin: each arriving
+    * document scores its bigram cross-entropy against the TRAINED LM
+    * counts (static sides broadcast onto the stream and re-planned per
+    * micro-batch, so refreshed counts take effect on the next batch;
+    * `vocab` is the one-row |distinct rhs| smoothing constant the
+    * caller collects once). Stream shape: bigrams explode map-side
+    * (the batch gate's zip_with pass), two stateless broadcast LEFT
+    * joins attach the counts per occurrence, and ONE watermark-bounded
+    * (ts, doc_id) fold computes the batch gate's exact sorted
+    * sequential sum locally (structurally one streaming aggregation —
+    * the per-(lhs, rhs) multiplicity regroup happens inside the fold,
+    * since stacked streaming aggregations are unsupported). Documents
+    * too short to bigram are absent, exactly as in the batch gate.
+    * State = one group per arrival in the horizon. StreamingSpec
+    * proves stream ≡ batch t53 row-for-row. */
+  def scoreArrivals(arrivals: DataFrame, bigramCounts: DataFrame,
+      leftCounts: DataFrame, vocab: Long): DataFrame = {
+    val a = arrivals.withWatermark("ts", "2 hours")
+    val terms = a
+      .filter(col("text").isNotNull)
+      .select(col("ts"), col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("ts"), col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+      .select(col("ts"), col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .join(broadcast(bigramCounts), Seq("lhs", "rhs"), "left")
+      .join(broadcast(leftCounts), Seq("lhs"), "left")
+      .select(col("ts"), col("doc_id"), struct(col("lhs"), col("rhs"),
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
+        (coalesce(col("c1"), lit(0L)) + lit(vocab)).as("den")).as("t"))
+    // the batch gate's fold, run locally per arrival: regroup the
+    // occurrence list to (lhs, rhs) multiplicities, sort, and sum
+    // m·log2(num/den) sequentially — log2 here is Math.log/Math.log(2),
+    // the same JVM operation Catalyst's log2 compiles to, and the
+    // round is Spark's HALF_UP, so stream and batch emit identical
+    // doubles, not merely close ones
+    // sort key comparison is UTF-8 BYTE order — what the batch side's
+    // sort_array does on UTF8String structs; JVM String ordering
+    // (UTF-16 code units) diverges from it on astral-plane tokens,
+    // which would silently reorder the IEEE fold
+    def cmpUtf8(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val foldU = udf((ev: Seq[org.apache.spark.sql.Row]) => {
+      val grouped = ev.groupBy(r => (r.getString(0), r.getString(1)))
+        .toSeq.sortWith { case ((ka, _), (kb, _)) =>
+          val c = cmpUtf8(ka._1, kb._1)
+          if (c != 0) c < 0 else cmpUtf8(ka._2, kb._2) < 0
+        }
+      val n = ev.size.toLong
+      val s = grouped.foldLeft(0.0) { case (acc, (_, rs)) =>
+        acc + rs.size * (math.log(rs.head.getLong(2).toDouble /
+          rs.head.getLong(3).toDouble) / math.log(2.0))
+      }
+      (n, BigDecimal(-s / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+    terms
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(collect_list(col("t")).as("ev"))
+      .select(col("doc_id"), foldU(col("ev")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_bigrams"), col("r._2").as("xent_bits"))
+  }
+
   /** Streaming count-min sketch — the stream twin of the batch
     * `t28_heavy_hitters` sketch: the unbounded token stream folds into
     * a FIXED 4×1024-cell aggregate (same polynomial hash + affine row

@@ -116,6 +116,11 @@ object StreamBench {
     drive("encodeArrivals",
       in => EventStream.encodeArrivals(in, bpeVocab))
 
+    lazy val lmCounts = graft.queries.TextQueries.lmTrainCounts(spark, sfDir)
+    drive("scoreArrivals",
+      in => EventStream.scoreArrivals(in, lmCounts._1, lmCounts._2,
+        lmCounts._3.collect()(0).getLong(0)))
+
     lazy val bandIdx = spark.table(graft.queries.DedupQueries.bandLandingFor(spark, sfDir))
     lazy val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     lazy val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)

@@ -772,6 +772,43 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("streaming perplexity gate ≡ the batch t53 scores, doc-for-doc and bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestBase.sfDir
+    val expected = SparkEntry.queries("t53_lm_perplexity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(expected.nonEmpty, "batch gate scored no documents")
+    val (c2, c1, vDf) = graft.queries.TextQueries.lmTrainCounts(spark, dir)
+    val v = vDf.collect()(0).getLong(0)
+    // arrivals = the held-out split's documents, spread over micro-batches
+    val arrivals = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.scoreArrivals(
+        input.toDF().toDF("ts", "doc_id", "text"), c2, c1, v)
+      .writeStream.format("memory").queryName("lm_score")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i % 60), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "watermark advancer text"))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_score")
+        .filter(col("doc_id") =!= -999L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed === expected,
+        "stream scores must equal the batch t53 result exactly")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 1,
+        s"state $stateRows exceeds the arrival horizon")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("streaming sequence packing ≡ the batch grouped prefix sum across micro-batch splits") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
