@@ -70,18 +70,109 @@ object TextQueries {
         " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
     .select(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
 
-  /** t53's trained LM sufficient statistic over the % 5 != 0 split:
-    * bigram counts (lhs, rhs, c2), left-context counts (lhs, c1), and
-    * the one-row smoothing vocabulary |distinct rhs| — all additive
-    * (t43's refresh shape applies). Shared by the batch gate and the
-    * streaming scorer so both provably score against one model. */
+  /** The t53 model's ONE sufficient statistic: the (lhs, rhs, c2)
+    * bigram count table over the given doc slice. Left-context totals
+    * and the smoothing vocabulary both DERIVE from it exactly
+    * (c1 = Σ c2 by lhs; V = |distinct rhs|), so this single additive
+    * table is the whole model of record — what t54 lands and what
+    * t55's refresh adds delta counts into. */
+  private[graft] def lmC2Of(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lmPairsOf(docs)
+      .groupBy("lhs", "rhs").agg(count(lit(1)).cast("long").as("c2"))
+
+  /** t53's training split (t39's % 5 convention). */
+  private def lmTrainDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+
+  /** Derive the full model from the c2 store: (c2, c1, v). Shared by
+    * the batch gates (t53 recompute / t54 landed / t55 refreshed) and
+    * the streaming scorer so every consumer provably scores against
+    * the same model algebra. */
+  private[graft] def lmModelOf(c2: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    (c2,
+      c2.groupBy("lhs").agg(sum("c2").cast("long").as("c1")),
+      c2.agg(countDistinct("rhs").cast("long").as("v")))
+
   private[graft] def lmTrainCounts(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val train = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
-    (train.groupBy("lhs", "rhs").agg(count(lit(1)).cast("long").as("c2")),
-      train.groupBy("lhs").agg(count(lit(1)).cast("long").as("c1")),
-      train.agg(countDistinct("rhs").cast("long").as("v")))
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    lmModelOf(lmC2Of(lmTrainDocs(s, dir)))
+
+  /** The held-out scoring pass from a (c2, c1, v) model — t53's body,
+    * shared by the recompute / landed / refreshed gates. */
+  private def lmScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
+      model: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)): org.apache.spark.sql.DataFrame = {
+    val (c2, c1, v) = model
+    val held = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+      .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
+    held.join(c2, Seq("lhs", "rhs"), "left")
+      .join(c1, Seq("lhs"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), struct(col("lhs"), col("rhs"), col("m"),
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
+        (coalesce(col("c1"), lit(0L)) + col("v")).as("den")).as("t"))
+      .groupBy("doc_id").agg(
+        sum(col("t.m")).cast("long").as("n_bigrams"),
+        sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(expr(
+          """-aggregate(ts, CAST(0.0 AS DOUBLE),
+            |  (acc, x) -> acc + x.m * log2(x.num / CAST(x.den AS DOUBLE)))
+            | / n_bigrams""".stripMargin), 6).as("xent_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** T54's landed LM count store — the tokenizer-model discipline
+    * (t50's) applied to the perplexity model: the c2 table lands once
+    * per (JVM, dir) and every serve derives c1/V from the landed rows
+    * (vocab-sized aggregates — no document is re-paired). */
+  private val lmLanding =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val lmCountSchema = "lhs STRING, rhs STRING, c2 BIGINT"
+
+  private[graft] def lmCountsLandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = lmLanding.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) lmLanding.remove(dir, memo)
+    lmLanding.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t54_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { lmLanding.remove(d); () })
+      Caches.trackPath(d, out)
+      lmC2Of(lmTrainDocs(s, d)).write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** T55's pre-delta store: c2 over the training split MINUS the
+    * refresh batch (PipelineQueries.bpeIsDelta's % 9 == 4 carve —
+    * the same arrival wave the BPE refresh absorbs). */
+  private val lmStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def lmStoreLandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = lmStore.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) lmStore.remove(dir, memo)
+    lmStore.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t55_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { lmStore.remove(d); () })
+      Caches.trackPath(d, out)
+      lmC2Of(lmTrainDocs(s, d).filter(!PipelineQueries.bpeIsDelta))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
   }
 
   /** t47's HTML fixture construction — the Fixture.scala discipline
@@ -193,6 +284,32 @@ object TextQueries {
     * NOT(...) would evaluate to NULL and drop it from the twin. */
   private val e24DeletedKeptPredSql =
     "(doc_id IS NULL OR NOT (doc_id % 10 <> 0 AND doc_id % 7 = 1))"
+
+  /** t53/t54/t55's shared twin: the full LM recompute from raw text. */
+  private val lmPerplexityOracleSql: String =
+    """WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      | bp AS (SELECT doc_id, w[CAST(i AS INT)] AS lhs, w[CAST(i AS INT) + 1] AS rhs
+      |   FROM pr, unnest(range(1, len(w))) AS t(i)),
+      | tr AS (SELECT lhs, rhs FROM bp WHERE doc_id % 5 <> 0),
+      | c2 AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
+      | c1 AS (SELECT lhs, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+      | vv AS (SELECT CAST(count(DISTINCT rhs) AS BIGINT) AS v FROM tr),
+      | hd AS (SELECT doc_id, lhs, rhs, CAST(count(*) AS BIGINT) AS m
+      |   FROM bp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+      | j AS (SELECT h.doc_id, h.lhs, h.rhs, h.m,
+      |     COALESCE(c2.c2, 0) + 1 AS num, COALESCE(c1.c1, 0) + vv.v AS den
+      |   FROM hd h LEFT JOIN c2 USING (lhs, rhs) LEFT JOIN c1 USING (lhs)
+      |   CROSS JOIN vv),
+      | a AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |     list(struct_pack(m := m, num := num, den := den)
+      |       ORDER BY lhs, rhs) AS ts
+      |   FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+      |     x -> x.m * log2(x.num / CAST(x.den AS DOUBLE)))),
+      |   (acc, x) -> acc + x) / n_bigrams, 6) AS xent_bits
+      |FROM a ORDER BY doc_id""".stripMargin
 
   /** The extraction lifecycle gates' twin: the full markup-algebra
     * replay over the served doc slice, projecting every landed column
@@ -648,25 +765,34 @@ object TextQueries {
     // on (lhs[, rhs]) + one per-doc local fold, and V attaches by
     // broadcast; at 100 TB the counts are the landed artifact (t43's
     // additive-refresh shape applies verbatim). ----
-    "t53_lm_perplexity" -> ((s, dir) => {
-      val (c2, c1, v) = lmTrainCounts(s, dir)
-      val held = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
-        .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
-      held.join(c2, Seq("lhs", "rhs"), "left")
-        .join(c1, Seq("lhs"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), struct(col("lhs"), col("rhs"), col("m"),
-          (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
-          (coalesce(col("c1"), lit(0L)) + col("v")).as("den")).as("t"))
-        .groupBy("doc_id").agg(
-          sum(col("t.m")).cast("long").as("n_bigrams"),
-          sort_array(collect_list(col("t"))).as("ts"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(expr(
-            """-aggregate(ts, CAST(0.0 AS DOUBLE),
-              |  (acc, x) -> acc + x.m * log2(x.num / CAST(x.den AS DOUBLE)))
-              | / n_bigrams""".stripMargin), 6).as("xent_bits"))
-        .orderBy("doc_id")
+    "t53_lm_perplexity" -> ((s, dir) =>
+      lmScoreWith(s, dir, lmTrainCounts(s, dir))),
+
+    // ---- T54: perplexity scoring from the LANDED count store — the
+    // train-once/serve-many leg (t50's discipline on the LM): the c2
+    // bigram table is the model's ONE sufficient statistic (c1 = Σ c2
+    // by lhs and the smoothing V = |distinct rhs| both derive from it
+    // exactly), so it lands alone and every serve reads landed rows +
+    // two vocab-sized derivations — no document is ever re-paired.
+    // Oracle is t53's full recompute: landed ≡ recomputed. ----
+    "t54_lm_landed_score" -> ((s, dir) =>
+      lmScoreWith(s, dir, lmModelOf(
+        s.read.schema(lmCountSchema).parquet(lmCountsLandingFor(s, dir))))),
+
+    // ---- T55: LM model REFRESH from the count store — t43/t51's
+    // additive contract on the bigram table: the landed pre-delta
+    // store absorbs the arrival batch's OWN aggregate (bigram counts
+    // are additive over disjoint doc sets; c1 and V re-derive from the
+    // merged table, so the non-additive-looking distinct count needs
+    // no sketch — the store IS the distinct-rhs set), and scoring from
+    // the merged model must hash-equal t53's full retrain. History is
+    // never re-paired: refresh is O(delta + store). ----
+    "t55_lm_refresh" -> ((s, dir) => {
+      val store = s.read.schema(lmCountSchema).parquet(lmStoreLandingFor(s, dir))
+      val delta = lmC2Of(lmTrainDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+      val merged = store.unionByName(delta)
+        .groupBy("lhs", "rhs").agg(sum("c2").cast("long").as("c2"))
+      lmScoreWith(s, dir, lmModelOf(merged))
     }),
 
     // ---- document fingerprinting: md5 over normalized text ----
@@ -1092,32 +1218,12 @@ object TextQueries {
     // t53's twin: identical bigram derivation, Laplace ratios from the
     // same exact BIGINTs, and the t18 sequential-fold discipline (the
     // term list sorted by (lhs, rhs) — unique per doc — so both
-    // engines sum the same doubles in the same order).
-    "t53_lm_perplexity" ->
-      """WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents WHERE text IS NOT NULL),
-        | bp AS (SELECT doc_id, w[CAST(i AS INT)] AS lhs, w[CAST(i AS INT) + 1] AS rhs
-        |   FROM pr, unnest(range(1, len(w))) AS t(i)),
-        | tr AS (SELECT lhs, rhs FROM bp WHERE doc_id % 5 <> 0),
-        | c2 AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
-        | c1 AS (SELECT lhs, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
-        | vv AS (SELECT CAST(count(DISTINCT rhs) AS BIGINT) AS v FROM tr),
-        | hd AS (SELECT doc_id, lhs, rhs, CAST(count(*) AS BIGINT) AS m
-        |   FROM bp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
-        | j AS (SELECT h.doc_id, h.lhs, h.rhs, h.m,
-        |     COALESCE(c2.c2, 0) + 1 AS num, COALESCE(c1.c1, 0) + vv.v AS den
-        |   FROM hd h LEFT JOIN c2 USING (lhs, rhs) LEFT JOIN c1 USING (lhs)
-        |   CROSS JOIN vv),
-        | a AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |     list(struct_pack(m := m, num := num, den := den)
-        |       ORDER BY lhs, rhs) AS ts
-        |   FROM j GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams,
-        | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
-        |     x -> x.m * log2(x.num / CAST(x.den AS DOUBLE)))),
-        |   (acc, x) -> acc + x) / n_bigrams, 6) AS xent_bits
-        |FROM a ORDER BY doc_id""".stripMargin,
-
+    // engines sum the same doubles in the same order). t54 (landed
+    // store) and t55 (store + delta refresh) share it VERBATIM: their
+    // gates are landed ≡ recomputed / refreshed ≡ retrained proofs.
+    "t53_lm_perplexity" -> lmPerplexityOracleSql,
+    "t54_lm_landed_score" -> lmPerplexityOracleSql,
+    "t55_lm_refresh" -> lmPerplexityOracleSql,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))

@@ -46,7 +46,26 @@ class QualitySpec extends AnyFunSuite {
     // trained-bigram mass dominates the smoothing floor by a wide margin
     assert(xs - xf > 1.0 && xo - xf > 1.0,
       s"junk must sit well above the fluent score: $xf / $xs / $xo")
+    // the model lifecycle: the landed store serves the identical rows,
+    // the refresh (store + delta's own aggregate) equals the retrain,
+    // the store lands once and is never rewritten by serves
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSeq
+    val base = rows("t53_lm_perplexity")
+    assert(rows("t54_lm_landed_score") === base,
+      "landed-store scoring must equal the recompute")
+    assert(rows("t55_lm_refresh") === base,
+      "count-store refresh must equal the full retrain")
+    val p1 = graft.queries.TextQueries.lmCountsLandingFor(spark, dir)
+    val files0 = Option(new java.io.File(p1).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(files0.nonEmpty, "LM count store must materialize")
+    SparkEntry.queries("t54_lm_landed_score")(spark, dir).collect()
+    assert(graft.queries.TextQueries.lmCountsLandingFor(spark, dir) === p1)
+    val files1 = Option(new java.io.File(p1).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(files1 === files0, "serves must not rewrite the landed count store")
     graft.queries.Caches.release(spark, dir)
+    assert(!new java.io.File(p1).exists(), "release must reclaim the store")
   }
 
   test("t7 fires each rule branch in priority order") {
