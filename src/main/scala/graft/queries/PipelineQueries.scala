@@ -178,16 +178,21 @@ object PipelineQueries {
     (Caches.trackCached(d, vocab), merges.toSeq)
   }
 
-  /** t34/t50's shared encode shape: the token stream broadcast-joined
-    * against a (w, n_tok) apply table — t34 feeds the memoized model,
-    * t50 the landed one; the reporting is identical by construction. */
-  private def bpeEncodeWith(s: org.apache.spark.sql.SparkSession, dir: String,
+  /** t34/t50's shared encode shape: the token stream joined against a
+    * (w, n_tok) apply table — t34 feeds the memoized model, t50 the
+    * landed one; the reporting is identical by construction. The apply
+    * table rides [[graft.operators.CapGate]]: broadcast under the 2²²
+    * row cap (the common case — the probe stream never shuffles),
+    * plain shuffle equi-join past it (a Heaps-law web vocabulary runs
+    * 10⁸–10⁹ distinct words — past the broadcast hard limit, the old
+    * forced hint died instead of degrading). */
+  private[graft] def bpeEncodeWith(s: org.apache.spark.sql.SparkSession, dir: String,
       wl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
-      .join(broadcast(wl), Seq("w"))
+      .join(graft.operators.CapGate.gate(wl).frame, Seq("w"))
       .groupBy("source").agg(
         countDistinct("doc_id").cast("long").as("n_docs"),
         count(lit(1)).cast("long").as("n_words"),
@@ -221,7 +226,10 @@ object PipelineQueries {
     * from). Landed once per (JVM, dir); a retrained model is a new
     * landing (t43's refresh contract — t51 proves the retrain leg).
     * At 100 TB the vocab is bounded by the DISTINCT-word count, not
-    * the corpus, so the artifact stays broadcast-sized. */
+    * the corpus — sublinear, but Heaps-law UNBOUNDED (10⁸–10⁹ distinct
+    * whitespace tokens on a web crawl), which is why every serve join
+    * against it rides [[graft.operators.CapGate]] instead of a forced
+    * broadcast. */
   private val bpeLanding =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -254,6 +262,23 @@ object PipelineQueries {
 
   /** T51's arrival carve — the refresh batch (a new crawl slice). */
   private[graft] def bpeIsDelta: Column = pmod(col("doc_id"), lit(9L)) === 4
+
+  /** T56's post-forget word counts: the full-corpus store (pre-delta
+    * landing + delta — t51's lambda fold) Z-set-merged with the e24
+    * deletion batch's OWN aggregate at negative sign; zero-count rows
+    * drop, so nothing of a deleted-only word survives (the
+    * no-resurrection pin in QualitySpec). */
+  private[graft] def bpeForgottenCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val store = s.read.schema(bpeCountSchema).parquet(bpeCountsFor(s, dir))
+      .unionByName(bpeWords(s, dir, bpeIsDelta))
+    val deleted = bpeWords(s, dir,
+        col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select(col("w"), (-col("freq")).as("freq"))
+    store.unionByName(deleted)
+      .groupBy("w").agg(sum("freq").cast("long").as("freq"))
+      .filter(col("freq") > 0)
+  }
 
   /** T51's landed WORD-COUNT store: raw (w, freq) over the PRE-DELTA
     * corpus — the mergeable sufficient statistic behind the BPE model
@@ -363,10 +388,11 @@ object PipelineQueries {
 
   private lazy val t39LangIdCte: String = t39LangIdCteFor("doc_id % 5 = 0")
 
-  /** t27's (and t51's) oracle: the full three-round retrain replay —
+  /** t27's (and t51's, and — with the e24 kept-pred — t56's) oracle:
+    * the full three-round retrain replay over the given doc slice —
     * merge trace plus final symbol stats. */
-  private lazy val bpeMergesOracleSql: String =
-    s"""WITH $bpeChainSql,
+  private def bpeMergesOracleSqlFor(pred: String): String =
+    s"""WITH ${bpeChainSqlFor(pred)},
        | st AS (SELECT
        |    (SELECT CAST(count(DISTINCT sy) AS BIGINT)
        |     FROM s3, unnest(sym) AS u(sy)) AS vocab_symbols,
@@ -377,6 +403,8 @@ object PipelineQueries {
        |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
        |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3) r, st
        |ORDER BY merge_rank""".stripMargin
+
+  private lazy val bpeMergesOracleSql: String = bpeMergesOracleSqlFor("TRUE")
 
   /** t34's (and t50's) oracle: retrain, then encode by joining the
     * token stream against the final vocab's symbol counts. */
@@ -414,10 +442,12 @@ object PipelineQueries {
        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** The full three-round training chain, word table → s3 final vocab —
-    * the common prefix of t27's and t34's oracle twins. */
-  private lazy val bpeChainSql: String =
+    * the common prefix of t27's, t34's, and (doc-slice-parameterized)
+    * t56's oracle twins. */
+  private def bpeChainSqlFor(pred: String): String =
     s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE ($pred))
        |  WHERE len(w) >= 1 GROUP BY w),
        | s0 AS (SELECT w, freq,
        |    list_transform(range(1, len(w) + 1), i -> w[CAST(i AS INT)]) AS sym
@@ -425,6 +455,8 @@ object PipelineQueries {
        |${bpeRoundSql(1)},
        |${bpeRoundSql(2)},
        |${bpeRoundSql(3)}""".stripMargin
+
+  private lazy val bpeChainSql: String = bpeChainSqlFor("TRUE")
 
   val queries: Map[String, QueryFn] = queriesExtra ++ Map(
     // ---- S14: CDC merge (Delta-style MERGE INTO re-expressed as a
@@ -496,16 +528,20 @@ object PipelineQueries {
     // duplicate run of the cheap tf subtree on the build side costs
     // less than sort-exchanging the full tf for a window over term,
     // and the probe side flows with no exchange; N broadcasts as a
-    // 1-row frame. ----
+    // 1-row frame. The df table is TERM-VOCABULARY-sized (Heaps-law
+    // unbounded on web text), so it rides CapGate — broadcast under
+    // the cap, shuffle equi-join past it — cached first so the gate's
+    // count doesn't recompute the tf subtree. ----
     "t13_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val total = docs.agg(count(lit(1)).as("n_total"))
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val df = Caches.trackCached(dir,
+        tf.groupBy("term").agg(count(lit(1)).as("df")))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df), Seq("term"))
+      tf.join(graft.operators.CapGate.gate(df).frame, Seq("term"))
         .crossJoin(broadcast(total))
         .withColumn("score", expr("tf * ((1000000 * n_total) div df)"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
@@ -1881,8 +1917,9 @@ object PipelineQueries {
     // important part: encoding never re-runs the merge loop per
     // document — the trained state IS a (word → symbol count) table
     // distributed over the VOCABULARY (t23/t27's trick), so the
-    // corpus pass is one broadcast join of the token stream against
-    // the vocab and a per-source aggregate. All counts BIGINT. ----
+    // corpus pass is one CapGated equi-join of the token stream
+    // against the vocab (broadcast under the cap, shuffle past it)
+    // and a per-source aggregate. All counts BIGINT. ----
     "t34_bpe_encode" -> ((s, dir) =>
       bpeEncodeWith(s, dir, bpeFor(s, dir)._1
         .select(col("w"), size(col("sym")).cast("long").as("n_tok")))),
@@ -1925,10 +1962,39 @@ object PipelineQueries {
         .orderBy("merge_rank")
     }),
 
+    // ---- T56: BPE model FORGET from the count store — the
+    // right-to-be-forgotten leg the model stores lacked (every INDEX
+    // family already had one): e17's signed Z-set merge on the word
+    // counts. The full-corpus store (pre-delta landing + the delta
+    // batch's own aggregate — t51's lambda fold, i.e. the store
+    // version after the refresh) absorbs the DELETED docs' own
+    // aggregate with NEGATIVE sign, zero-count rows drop (a word that
+    // lived only in deleted docs vanishes — no resurrection), and the
+    // same three-round trainer runs over the result. The erasure
+    // request is the e24/e25/e32 carve, so every forget leg in the
+    // repo answers the same deletion. Oracle is the full retrain
+    // replay over corpus ∖ deleted: forget-from-store ≡ retrain on
+    // the kept set, O(deleted + store) — history is never
+    // re-tokenized. ----
+    "t56_bpe_forget" -> ((s, dir) => {
+      import s.implicits._
+      val (vocab, merges) = bpeTrain(dir, bpeForgottenCounts(s, dir))
+      val corpus = vocab
+        .agg((sum(col("freq") * size(col("sym")))).cast("long").as("corpus_symbols"))
+      val vs = vocab.select(explode(col("sym")).as("sy"))
+        .agg(countDistinct("sy").cast("long").as("vocab_symbols"))
+      merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .crossJoin(broadcast(vs)).crossJoin(broadcast(corpus))
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"),
+          col("vocab_symbols"), col("corpus_symbols"))
+        .orderBy("merge_rank")
+    }),
+
     // ---- T52: per-document tokenization from the LANDED model — the
     // tokenizer's per-arrival serving shape (the charge an ingest gate
     // levies against a token budget per page): the word stream LEFT-
-    // broadcast-joined against the landed vocab (t50's artifact),
+    // joined (CapGate: broadcast under the vocabulary cap, shuffle
+    // past it) against the landed vocab (t50's artifact),
     // out-of-vocabulary words falling back to character-level symbols
     // (length(w) — the word-level apply table's honest fallback, the
     // branch the streaming spec's planted OOV arrival pins; corpus
@@ -1944,7 +2010,9 @@ object PipelineQueries {
       val agg = Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 1)
-        .join(broadcast(vocab), Seq("w"), "left")
+        // landed vocab through CapGate (parquet count is metadata-only):
+        // broadcast under the cap, shuffle LEFT equi-join past it
+        .join(graft.operators.CapGate.gate(vocab).frame, Seq("w"), "left")
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_words"),
           count(when(col("n_tok").isNull, 1)).cast("long").as("n_oov"),
@@ -2564,6 +2632,9 @@ object PipelineQueries {
     // AND the from-scratch twin — same oracle, strongest form.
     "t50_bpe_landed_encode" -> bpeEncodeOracleSql,
     "t52_bpe_doc_tokens" -> bpeDocTokensOracleSql,
+    // forget ≡ full retrain on corpus ∖ deleted (the e24 erasure carve)
+    "t56_bpe_forget" ->
+      bpeMergesOracleSqlFor(TextQueries.e24DeletedKeptPredSql),
 
     "t28_heavy_hitters" ->
       """WITH toks AS (SELECT w,

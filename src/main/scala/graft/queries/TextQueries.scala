@@ -102,28 +102,55 @@ object TextQueries {
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     lmModelOf(lmC2Of(lmTrainDocs(s, dir)))
 
+  /** Per-document cap on the DISTINCT bigram types the scoring fold
+    * collects into one row: 2¹⁶ types ≈ a few MB of struct row at
+    * most, where an uncapped collect_list on a book-length crawl
+    * document (10⁶+ words — routine) builds a ~100 MB single row (the
+    * same O(width) blind spot the t23/d21 O(L²) fixes closed). The
+    * kept prefix is the (lhs, rhs)-sorted FIRST [[LmDocTypeCap]] types
+    * — deterministic in both engines (binary string order), so the
+    * truncation itself is twin-replayable — and the drop is EXPLICIT:
+    * `n_types_dropped` reports it, never silent. */
+  private[graft] val LmDocTypeCap = 65536L
+
   /** The held-out scoring pass from a (c2, c1, v) model — t53's body,
-    * shared by the recompute / landed / refreshed gates. */
+    * shared by the recompute / landed / refreshed gates. Per-doc row
+    * width is bounded by [[LmDocTypeCap]]: types rank by (lhs, rhs)
+    * inside the doc-partitioned window (the same shuffle the fold's
+    * groupBy needs anyway), the fold scores the kept prefix normalized
+    * by ITS occurrence mass (n_scored), and totals over ALL types
+    * (n_bigrams, n_types) ride the unordered window so the report
+    * stays exact even when the fold truncates. */
   private def lmScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
       model: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)): org.apache.spark.sql.DataFrame = {
     val (c2, c1, v) = model
+    val wDoc = Window.partitionBy("doc_id")
     val held = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
       .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
-    held.join(c2, Seq("lhs", "rhs"), "left")
+      .withColumn("rk", row_number().over(
+        wDoc.orderBy(col("lhs").asc, col("rhs").asc)))
+      .withColumn("n_bigrams", sum("m").over(wDoc).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(wDoc).cast("long"))
+    held.filter(col("rk") <= lit(LmDocTypeCap))
+      .join(c2, Seq("lhs", "rhs"), "left")
       .join(c1, Seq("lhs"), "left")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), struct(col("lhs"), col("rhs"), col("m"),
-        (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
-        (coalesce(col("c1"), lit(0L)) + col("v")).as("den")).as("t"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_types"),
+        struct(col("lhs"), col("rhs"), col("m"),
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
+          (coalesce(col("c1"), lit(0L)) + col("v")).as("den")).as("t"))
       .groupBy("doc_id").agg(
-        sum(col("t.m")).cast("long").as("n_bigrams"),
+        max("n_bigrams").as("n_bigrams"), max("n_types").as("n_types"),
+        sum(col("t.m")).cast("long").as("n_scored"),
         sort_array(collect_list(col("t"))).as("ts"))
       .select(col("doc_id"), col("n_bigrams"),
         round(expr(
           """-aggregate(ts, CAST(0.0 AS DOUBLE),
             |  (acc, x) -> acc + x.m * log2(x.num / CAST(x.den AS DOUBLE)))
-            | / n_bigrams""".stripMargin), 6).as("xent_bits"))
+            | / n_scored""".stripMargin), 6).as("xent_bits"),
+        greatest(col("n_types") - lit(LmDocTypeCap), lit(0L))
+          .cast("long").as("n_types_dropped"))
       .orderBy("doc_id")
   }
 
@@ -173,6 +200,25 @@ object TextQueries {
         .write.mode("overwrite").parquet(out.getAbsolutePath)
       out.getAbsolutePath
     })
+  }
+
+  /** T57's post-forget bigram counts: the full train-split store
+    * (pre-delta landing + delta — t55's post-refresh version)
+    * Z-set-merged with the e24 deletion batch's OWN c2 aggregate at
+    * negative sign; zero-count rows drop, so nothing of a
+    * deleted-only bigram survives (the no-resurrection pin in
+    * QualitySpec) and V re-derives over the reduced table exactly as
+    * a retrain would find it. */
+  private[graft] def lmForgottenCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val store = s.read.schema(lmCountSchema).parquet(lmStoreLandingFor(s, dir))
+    val delta = lmC2Of(lmTrainDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+    val deleted = lmC2Of(lmTrainDocs(s, dir)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1))
+      .select(col("lhs"), col("rhs"), (-col("c2")).as("c2"))
+    store.unionByName(delta).unionByName(deleted)
+      .groupBy("lhs", "rhs").agg(sum("c2").cast("long").as("c2"))
+      .filter(col("c2") > 0)
   }
 
   /** t47's HTML fixture construction — the Fixture.scala discipline
@@ -282,34 +328,45 @@ object TextQueries {
     * IS NULL arm mirrors the engine's anti-join semantics: a null-id
     * doc never equi-matches the deletion batch, so it is KEPT — a bare
     * NOT(...) would evaluate to NULL and drop it from the twin. */
-  private val e24DeletedKeptPredSql =
+  private[queries] val e24DeletedKeptPredSql =
     "(doc_id IS NULL OR NOT (doc_id % 10 <> 0 AND doc_id % 7 = 1))"
 
-  /** t53/t54/t55's shared twin: the full LM recompute from raw text. */
-  private val lmPerplexityOracleSql: String =
-    """WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
+  /** t53/t54/t55's shared twin (and, with the e24 kept-pred carving
+    * the training slice, t57's): the full LM recompute from raw text. */
+  private def lmPerplexityOracleSqlFor(trainKeptPred: String): String =
+    s"""WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
       |            FROM documents WHERE text IS NOT NULL),
       | bp AS (SELECT doc_id, w[CAST(i AS INT)] AS lhs, w[CAST(i AS INT) + 1] AS rhs
       |   FROM pr, unnest(range(1, len(w))) AS t(i)),
-      | tr AS (SELECT lhs, rhs FROM bp WHERE doc_id % 5 <> 0),
+      | tr AS (SELECT lhs, rhs FROM bp
+      |   WHERE doc_id % 5 <> 0 AND ($trainKeptPred)),
       | c2 AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1, 2),
       | c1 AS (SELECT lhs, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
       | vv AS (SELECT CAST(count(DISTINCT rhs) AS BIGINT) AS v FROM tr),
       | hd AS (SELECT doc_id, lhs, rhs, CAST(count(*) AS BIGINT) AS m
       |   FROM bp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
-      | j AS (SELECT h.doc_id, h.lhs, h.rhs, h.m,
+      | rkd AS (SELECT *,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY lhs, rhs) AS rk,
+      |     CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+      |     CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_types
+      |   FROM hd),
+      | j AS (SELECT h.doc_id, h.lhs, h.rhs, h.m, h.n_bigrams, h.n_types,
       |     COALESCE(c2.c2, 0) + 1 AS num, COALESCE(c1.c1, 0) + vv.v AS den
-      |   FROM hd h LEFT JOIN c2 USING (lhs, rhs) LEFT JOIN c1 USING (lhs)
-      |   CROSS JOIN vv),
-      | a AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |   FROM rkd h LEFT JOIN c2 USING (lhs, rhs) LEFT JOIN c1 USING (lhs)
+      |   CROSS JOIN vv WHERE h.rk <= 65536),
+      | a AS (SELECT doc_id, max(n_bigrams) AS n_bigrams,
+      |     max(n_types) AS n_types, CAST(sum(m) AS BIGINT) AS n_scored,
       |     list(struct_pack(m := m, num := num, den := den)
       |       ORDER BY lhs, rhs) AS ts
       |   FROM j GROUP BY doc_id)
       |SELECT doc_id, n_bigrams,
       | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
       |     x -> x.m * log2(x.num / CAST(x.den AS DOUBLE)))),
-      |   (acc, x) -> acc + x) / n_bigrams, 6) AS xent_bits
+      |   (acc, x) -> acc + x) / n_scored, 6) AS xent_bits,
+      | CAST(greatest(n_types - 65536, 0) AS BIGINT) AS n_types_dropped
       |FROM a ORDER BY doc_id""".stripMargin
+
+  private lazy val lmPerplexityOracleSql: String = lmPerplexityOracleSqlFor("TRUE")
 
   /** The extraction lifecycle gates' twin: the full markup-algebra
     * replay over the served doc slice, projecting every landed column
@@ -795,6 +852,23 @@ object TextQueries {
       lmScoreWith(s, dir, lmModelOf(merged))
     }),
 
+    // ---- T57: LM model FORGET from the count store — e17's signed
+    // Z-set merge on the bigram table (t56's discipline on the LM,
+    // closing the last lifecycle asymmetry: every index family AND
+    // both model stores now have a forget leg). The full train-split
+    // store (pre-delta landing + the delta batch — t55's post-refresh
+    // version) absorbs the DELETED training docs' OWN c2 aggregate
+    // with negative sign; zero-count rows drop, so a bigram that
+    // lived only in deleted docs vanishes (no resurrection) and V =
+    // |distinct rhs| re-derives over the reduced table exactly as a
+    // retrain would find it. The erasure request is the e24 carve
+    // (shared with every other forget leg). Oracle is the full
+    // recompute with the kept training slice: forget-from-store ≡
+    // retrain on train ∖ deleted, O(deleted + store) — history is
+    // never re-paired. ----
+    "t57_lm_forget" -> ((s, dir) =>
+      lmScoreWith(s, dir, lmModelOf(lmForgottenCounts(s, dir)))),
+
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1224,6 +1298,8 @@ object TextQueries {
     "t53_lm_perplexity" -> lmPerplexityOracleSql,
     "t54_lm_landed_score" -> lmPerplexityOracleSql,
     "t55_lm_refresh" -> lmPerplexityOracleSql,
+    // forget ≡ full recompute on train ∖ deleted (the e24 erasure carve)
+    "t57_lm_forget" -> lmPerplexityOracleSqlFor(e24DeletedKeptPredSql),
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))

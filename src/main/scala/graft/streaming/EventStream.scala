@@ -22,6 +22,11 @@ object EventStream {
   case class SessionAcc(count: Long, sumValue: Double, startMs: Long, lastMs: Long)
   case class UserSession(user_id: Long, n_events: Long, sum_value: Double, duration_sec: Double)
 
+  /** [[scoreArrivals]]'s map-side prep: one arrival's bigram types,
+    * regrouped to multiplicities and truncated at LmDocTypeCap. */
+  case class LmKeptType(lhs: String, rhs: String, m: Long)
+  case class LmPrep(n_bigrams: Long, n_types_dropped: Long, kept: Seq[LmKeptType])
+
   /** Logical schema of the events fixture, with ts's physical type
     * substituted per encoding at read time (see [[readEvents]]). */
   val storedSchema: StructType = StructType(Seq(
@@ -657,11 +662,21 @@ object EventStream {
     * stream ≡ the batch t52 formula row-for-row, including a planted
     * OOV arrival and an empty-text arrival. */
   def encodeArrivals(arrivals: DataFrame, vocab: DataFrame): DataFrame = {
-    val a = arrivals.withWatermark("ts", "2 hours")
+    // null-text arrivals are OMITTED entirely — the batch t52 gate
+    // filters text IS NOT NULL before its doc spine, so the sentinel
+    // must not resurrect them as (0,0,0) rows (stream ≡ batch
+    // row-for-row, pinned by StreamingSpec's planted null-text arrival)
+    val a = arrivals.filter(col("text").isNotNull).withWatermark("ts", "2 hours")
+    // static vocab through CapGate: broadcast under the 2²² row cap
+    // (re-planned per micro-batch so a refreshed model takes effect),
+    // planner-chosen stream-static equi-join past it — a Heaps-law web
+    // vocabulary outgrows any broadcast, and a forced hint would OOM
+    // the stream instead of degrading
+    val gatedVocab = graft.operators.CapGate.gate(vocab).frame
     val words = a
       .select(col("ts"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
-      .join(broadcast(vocab), Seq("w"), "left")
+      .join(gatedVocab, Seq("w"), "left")
       .select(col("ts"), col("doc_id"), lit(1L).as("one"),
         when(col("n_tok").isNull, 1L).otherwise(0L).as("oov"),
         coalesce(col("n_tok"), length(col("w")).cast("long")).as("tk"))
@@ -680,38 +695,26 @@ object EventStream {
     * counts (static sides broadcast onto the stream and re-planned per
     * micro-batch, so refreshed counts take effect on the next batch;
     * `vocab` is the one-row |distinct rhs| smoothing constant the
-    * caller collects once). Stream shape: bigrams explode map-side
-    * (the batch gate's zip_with pass), two stateless broadcast LEFT
-    * joins attach the counts per occurrence, and ONE watermark-bounded
-    * (ts, doc_id) fold computes the batch gate's exact sorted
-    * sequential sum locally (structurally one streaming aggregation —
-    * the per-(lhs, rhs) multiplicity regroup happens inside the fold,
-    * since stacked streaming aggregations are unsupported). Documents
-    * too short to bigram are absent, exactly as in the batch gate.
-    * State = one group per arrival in the horizon. StreamingSpec
-    * proves stream ≡ batch t53 row-for-row. */
+    * caller collects once). Stream shape: a document's bigrams all
+    * originate in its ONE arrival row, so the per-(lhs, rhs)
+    * multiplicity regroup AND the LmDocTypeCap truncation run
+    * map-side (stacked streaming aggregations are unsupported anyway);
+    * the ≤ cap kept types explode, two stateless CapGated LEFT joins
+    * attach the counts, and ONE watermark-bounded (ts, doc_id) fold
+    * computes the batch gate's exact sorted sequential sum locally.
+    * Documents too short to bigram are absent, exactly as in the
+    * batch gate. State = one group per arrival in the horizon, each
+    * ≤ cap structs wide. StreamingSpec proves stream ≡ batch t53
+    * row-for-row. */
   def scoreArrivals(arrivals: DataFrame, bigramCounts: DataFrame,
       leftCounts: DataFrame, vocab: Long): DataFrame = {
     val a = arrivals.withWatermark("ts", "2 hours")
-    val terms = a
-      .filter(col("text").isNotNull)
-      .select(col("ts"), col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("ts"), col("doc_id"), explode(expr(
-        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-          " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
-      .select(col("ts"), col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-      .join(broadcast(bigramCounts), Seq("lhs", "rhs"), "left")
-      .join(broadcast(leftCounts), Seq("lhs"), "left")
-      .select(col("ts"), col("doc_id"), struct(col("lhs"), col("rhs"),
-        (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
-        (coalesce(col("c1"), lit(0L)) + lit(vocab)).as("den")).as("t"))
-    // the batch gate's fold, run locally per arrival: regroup the
-    // occurrence list to (lhs, rhs) multiplicities, sort, and sum
-    // m·log2(num/den) sequentially — log2 here is Math.log/Math.log(2),
-    // the same JVM operation Catalyst's log2 compiles to, and the
-    // round is Spark's HALF_UP, so stream and batch emit identical
-    // doubles, not merely close ones
+    // the count tables are BIGRAM-VOCABULARY-sized — even larger than
+    // the word vocab — so both ride CapGate: broadcast under the cap
+    // (re-planned per micro-batch), planner-chosen stream-static
+    // equi-join past it, matching the batch lmScoreWith's discipline
+    val gatedC2 = graft.operators.CapGate.gate(bigramCounts).frame
+    val gatedC1 = graft.operators.CapGate.gate(leftCounts).frame
     // sort key comparison is UTF-8 BYTE order — what the batch side's
     // sort_array does on UTF8String structs; JVM String ordering
     // (UTF-16 code units) diverges from it on astral-plane tokens,
@@ -720,24 +723,70 @@ object EventStream {
       java.util.Arrays.compareUnsigned(
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val foldU = udf((ev: Seq[org.apache.spark.sql.Row]) => {
-      val grouped = ev.groupBy(r => (r.getString(0), r.getString(1)))
+    // A document's bigrams all originate in its ONE arrival row, so
+    // the multiplicity regroup and the batch gate's LmDocTypeCap
+    // truncation both happen MAP-SIDE, before the explode: the join
+    // probe, the watermark state, and the final fold are all bounded
+    // at cap types per doc — a book-length arrival (10⁶+ words) never
+    // builds a ~100 MB state row. Kept types are the (lhs, rhs)-sorted
+    // first 2¹⁶, the drop reported explicitly (the batch contract).
+    val cap = graft.queries.TextQueries.LmDocTypeCap.toInt
+    val prepU = udf((pairs: Seq[org.apache.spark.sql.Row]) => {
+      val grouped = pairs.groupBy(r => (r.getString(0), r.getString(1)))
         .toSeq.sortWith { case ((ka, _), (kb, _)) =>
           val c = cmpUtf8(ka._1, kb._1)
           if (c != 0) c < 0 else cmpUtf8(ka._2, kb._2) < 0
         }
-      val n = ev.size.toLong
-      val s = grouped.foldLeft(0.0) { case (acc, (_, rs)) =>
-        acc + rs.size * (math.log(rs.head.getLong(2).toDouble /
-          rs.head.getLong(3).toDouble) / math.log(2.0))
+      LmPrep(pairs.size.toLong, math.max(grouped.size - cap, 0).toLong,
+        grouped.take(cap).map { case ((l, r), rs) => LmKeptType(l, r, rs.size.toLong) })
+    })
+    val terms = a
+      .filter(col("text").isNotNull)
+      .select(col("ts"), col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("ts"), col("doc_id"), prepU(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS lhs, b AS rhs))")).as("pp"))
+      .select(col("ts"), col("doc_id"),
+        col("pp.n_bigrams").as("n_bigrams"),
+        col("pp.n_types_dropped").as("n_types_dropped"),
+        explode(col("pp.kept")).as("k"))
+      .select(col("ts"), col("doc_id"), col("n_bigrams"), col("n_types_dropped"),
+        col("k.lhs").as("lhs"), col("k.rhs").as("rhs"), col("k.m").as("m"))
+      .join(gatedC2, Seq("lhs", "rhs"), "left")
+      .join(gatedC1, Seq("lhs"), "left")
+      .select(col("ts"), col("doc_id"), col("n_bigrams"), col("n_types_dropped"),
+        struct(col("lhs"), col("rhs"), col("m"),
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).as("num"),
+          (coalesce(col("c1"), lit(0L)) + lit(vocab)).as("den")).as("t"))
+    // the batch gate's fold, run locally per arrival over the ≤ cap
+    // kept types: sort by (lhs, rhs) and sum m·log2(num/den)
+    // sequentially, normalized by the kept occurrence mass — log2 here
+    // is StrictMath.log/StrictMath.log(2), because Catalyst's Log2
+    // calls java.lang.StrictMath.log in both eval and codegen; Math.log
+    // may be intrinsified with 1-ulp deviation on some platforms, which
+    // would break the bit-for-bit stream ≡ batch contract StreamingSpec
+    // asserts exactly. The round is Spark's HALF_UP, so stream and
+    // batch emit identical doubles, not merely close ones
+    val foldU = udf((ev: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = ev.sortWith { (x, y) =>
+        val c = cmpUtf8(x.getString(0), y.getString(0))
+        if (c != 0) c < 0 else cmpUtf8(x.getString(1), y.getString(1)) < 0
       }
-      (n, BigDecimal(-s / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val nScored = sorted.iterator.map(_.getLong(2)).sum
+      val s = sorted.foldLeft(0.0) { (acc, r) =>
+        acc + r.getLong(2) * (StrictMath.log(r.getLong(3).toDouble /
+          r.getLong(4).toDouble) / StrictMath.log(2.0))
+      }
+      BigDecimal(-s / nScored).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     })
     terms
       .groupBy(col("ts"), col("doc_id"))
-      .agg(collect_list(col("t")).as("ev"))
-      .select(col("doc_id"), foldU(col("ev")).as("r"))
-      .select(col("doc_id"), col("r._1").as("n_bigrams"), col("r._2").as("xent_bits"))
+      .agg(max("n_bigrams").as("n_bigrams"),
+        max("n_types_dropped").as("n_types_dropped"),
+        collect_list(col("t")).as("ev"))
+      .select(col("doc_id"), col("n_bigrams"),
+        foldU(col("ev")).as("xent_bits"), col("n_types_dropped"))
   }
 
   /** Streaming count-min sketch — the stream twin of the batch

@@ -68,6 +68,45 @@ class QualitySpec extends AnyFunSuite {
     assert(!new java.io.File(p1).exists(), "release must reclaim the store")
   }
 
+  test("model-store forget: deleted-only mass never resurrects; serves leave the stores untouched") {
+    // docs 1 and 8 are the erasure targets (% 10 != 0 && % 7 == 1 —
+    // the e24 carve) and both sit in the training split (% 5 != 0);
+    // doc 8's unique word must vanish from BOTH forgotten models, the
+    // shared words must lose exactly the two docs' own contribution
+    val unique = "zzforgetonly"
+    val dir = docsDir((0 to 10).map {
+      case 8 => s"$unique the cat"
+      case _ => "the cat sat on the mat"
+    })
+    val counts = graft.queries.PipelineQueries.bpeForgottenCounts(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains(unique), "deleted-only word resurrected in the BPE store")
+    // "the": 10 common docs x 2 + doc 8's 1 = 21, minus deleted doc
+    // 1's 2 and doc 8's 1 = 18
+    assert(counts("the") === 18L, s"partial subtraction wrong: ${counts.get("the")}")
+    assert(counts("cat") === 9L && counts("mat") === 9L, s"$counts")
+    val c2 = graft.queries.TextQueries.lmForgottenCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!c2.keys.exists(k => k._1 == unique || k._2 == unique),
+      "deleted-only bigram resurrected in the LM store")
+    // ("the","cat"): train = docs 1-4,6-9 → 7 common docs once each +
+    // doc 8's 1 = 8, minus deleted docs 1 and 8's own = 6
+    assert(c2(("the", "cat")) === 6L, s"${c2.get(("the", "cat"))}")
+    // forget is a SERVE-side signed merge: the landed stores' files
+    // must be byte-identical before and after both forget gates
+    def snap(p: String) = Option(new java.io.File(p).listFiles()).get
+      .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    val bpeStore = graft.queries.PipelineQueries.bpeCountsFor(spark, dir)
+    val lmStore = graft.queries.TextQueries.lmStoreLandingFor(spark, dir)
+    val (b0, l0) = (snap(bpeStore), snap(lmStore))
+    val t56 = SparkEntry.queries("t56_bpe_forget")(spark, dir).collect()
+    val t57 = SparkEntry.queries("t57_lm_forget")(spark, dir).collect()
+    assert(t56.nonEmpty && t57.nonEmpty)
+    assert(snap(bpeStore) === b0, "t56 must not rewrite the word-count store")
+    assert(snap(lmStore) === l0, "t57 must not rewrite the bigram store")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("t7 fires each rule branch in priority order") {
     val fill = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct mid-length words
     val dir = docsDir(Seq(

@@ -193,4 +193,62 @@ class RobustnessSpec extends AnyFunSuite {
     assert(d1.nonEmpty, "d1 found no duplicate groups on an all-identical corpus")
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("LM gate bounds the per-document fold on a book-length document (10⁶ words)") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_bookdoc").toString
+    val cap = graft.queries.TextQueries.LmDocTypeCap
+    // doc 0 (held-out: % 5 == 0) becomes a 10⁶-word document of
+    // all-distinct words: 999,999 distinct bigram TYPES — the shape
+    // that used to collect a ~100 MB single row into the scoring fold
+    val nWords = 1000000L
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") === 0, expr(
+          s"array_join(transform(sequence(0, ${nWords - 1}), i -> concat('w', i)), ' ')"))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("t53_lm_perplexity")(spark, dir)
+      .filter(col("doc_id") === 0).collect()
+    assert(out.length === 1, "book-length held-out doc must be scored")
+    val r = out.head
+    assert(r.getLong(1) === nWords - 1, s"n_bigrams ${r.getLong(1)}")
+    assert(r.getLong(3) === nWords - 1 - cap,
+      s"n_types_dropped ${r.getLong(3)} must report the truncation explicitly")
+    assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite,
+      s"xent must stay finite: ${r.getDouble(2)}")
+    // the streaming twin scores the same arrival identically — with its
+    // state row bounded at cap types, not 10⁶ (the map-side truncation)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (c2, c1, vDf) = graft.queries.TextQueries.lmTrainCounts(spark, dir)
+    val v = vDf.collect()(0).getLong(0)
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.EventStream.scoreArrivals(
+        input.toDF().toDF("ts", "doc_id", "text"), c2, c1, v)
+      .writeStream.format("memory").queryName("lm_book")
+      .outputMode("append").start()
+    try {
+      // nonzero base ts: an arrival at epoch 0 ties the INITIAL
+      // watermark and is dropped as late — a harness edge, not the
+      // gate under test
+      val base = 1700000000000L
+      input.addData((new java.sql.Timestamp(base), 0L, text))
+      q.processAllAvailable()
+      input.addData((new java.sql.Timestamp(base + 86400000L), -999L,
+        "watermark advancer text"))
+      q.processAllAvailable()
+      val st = spark.table("lm_book").filter(col("doc_id") === 0).collect()
+      assert(st.length === 1)
+      assert(st.head.getLong(1) === r.getLong(1) &&
+        st.head.getDouble(2) === r.getDouble(2) &&
+        st.head.getLong(3) === r.getLong(3),
+        s"stream ${st.head} must equal batch $r on the book-length doc")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
 }

@@ -743,7 +743,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("text").isNotNull)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ++
-      Seq((-5L, "zzqqxv wv"), (-6L, ""))
+      Seq((-5L, "zzqqxv wv"), (-6L, ""), (-7L, null.asInstanceOf[String]))
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = EventStream.encodeArrivals(
         input.toDF().toDF("ts", "doc_id", "text"), vocab)
@@ -764,6 +764,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(-5L) === ((2L, 2L, 8L)), s"${streamed(-5L)}")
       // wordless arrival still reports zeros (the sentinel branch)
       assert(streamed(-6L) === ((0L, 0L, 0L)), s"${streamed(-6L)}")
+      // null-text arrival is OMITTED entirely — the batch gate filters
+      // text IS NOT NULL before its doc spine, so a (0,0,0) sentinel
+      // row here would diverge from the batch twin
+      assert(!streamed.contains(-7L), "null-text arrival must be absent")
       assert(streamed.size === expected.size + 2)
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows <= arrivals.size + 1,
@@ -777,7 +781,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val dir = SparkTestBase.sfDir
     val expected = SparkEntry.queries("t53_lm_perplexity")(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(expected.nonEmpty, "batch gate scored no documents")
     val (c2, c1, vDf) = graft.queries.TextQueries.lmTrainCounts(spark, dir)
     val v = vDf.collect()(0).getLong(0)
@@ -799,7 +803,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val streamed = spark.table("lm_score")
         .filter(col("doc_id") =!= -999L).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
       assert(streamed === expected,
         "stream scores must equal the batch t53 result exactly")
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
