@@ -27,6 +27,7 @@ object SparkEntry {
     (AnnQueries.queries, AnnQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (WebQueries.queries, WebQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -375,7 +375,7 @@ object DedupQueries {
   private val d2Edges =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def d2EdgesFor(s: SparkSession, dir: String): DataFrame =
+  private[queries] def d2EdgesFor(s: SparkSession, dir: String): DataFrame =
     d2Edges.computeIfAbsent(dir, d => {
       Caches.track(d)(() => { d2Edges.remove(d); () })
       val docs = Caches.trackCached(d, docShingles(s, d))
@@ -3546,7 +3546,7 @@ object DedupQueries {
     * d2 query comment: the gate asserts full recall at the fixture's
     * similarity level; the size band is lossless for t=0.8) — shared by
     * d2's gate and d17's rollup. */
-  private lazy val d2ExhaustiveSql: String =
+  private[queries] lazy val d2ExhaustiveSql: String =
     s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
        |              FROM documents),
        | sized AS (SELECT doc_id, sh, len(sh) AS sz FROM docs),

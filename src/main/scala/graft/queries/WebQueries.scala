@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Url
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain modality (r15 verdict gap #1): parse + canonicalize
+  * crawl URLs, roll up per registrable domain, and filter by
+  * blocklist / per-domain cap — the operators every production crawl
+  * curation stack runs before anything content-based (C4, RefinedWeb,
+  * Dolma). The documents fixture carries no URL column, so a
+  * deterministic URL is BUILT from (doc_id, source) — the htmlDoc
+  * fixture discipline — planting eleven hostile shapes
+  * ([[graft.functions.Url.urlOf]]) that both engines construct and
+  * parse byte-identically.
+  *
+  * Scale: parsing is per-row builtin string algebra (codegen'd, no
+  * UDF, no shuffle); rollups shuffle once on the registrable domain
+  * (Heaps-sublinear cardinality — domains, not pages); the per-domain
+  * cap is a domain-partitioned window, never a global sort. The
+  * blocklist is a literal IN here and lands as a broadcastable table
+  * at production scale (same algebra, the CASE becomes a join).
+  */
+object WebQueries {
+
+  /** Per-domain admission cap (w3): C4/RefinedWeb-style "no domain
+    * dominates the corpus" guard. */
+  val DomainCapDocs = 50L
+
+  /** Blocked registrable domains — the committed blocklist fixture. */
+  val BlockedDomains: Seq[String] = Seq("crawl-hub.com", "site-3.com")
+
+  /** Tokens per doc for domain economics: whitespace split, 0 for
+    * null text (a markup-only page still counts as a doc). */
+  private def tokensOf(text: org.apache.spark.sql.Column) =
+    when(text.isNull, lit(0L)).otherwise(size(split(text, " ")).cast("long"))
+
+  /** The parsed-URL frame every w-query starts from. */
+  private[graft] def parsedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Url.withParsed(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Url.urlOf(col("doc_id"), col("source")).as("url")))
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- W1: URL parse + canonicalization — every component the
+    // downstream domain operators key on, over all eleven hostile
+    // shapes (ports, userinfo, punycode, missing scheme, uppercase +
+    // trailing-dot hosts, fragments, deep subdomains, bare hosts,
+    // IPv4, multi-label suffixes). Pure codegen string algebra; the
+    // twin replays construction AND parse. ----
+    "w1_url_parse" -> ((s, dir) =>
+      parsedDocs(s, dir)
+        .select("doc_id", "url", "scheme", "userinfo", "host", "port",
+          "reg_domain", "path", "query")
+        .orderBy("doc_id")),
+
+    // ---- W2: per-domain rollup — docs, tokens, and near-dup rate
+    // (fraction of the domain's docs that sit in a d2 MinHash edge —
+    // the signal that demotes template farms). One shuffle on the
+    // registrable domain; the dup-doc set reuses d2's memoized edges
+    // (bucketed LSH, never all-pairs), semi-joined onto the doc spine.
+    // dup_rate in basis points keeps the gate integer-exact. ----
+    "w2_domain_rollup" -> ((s, dir) => {
+      val docs = parsedDocs(s, dir)
+        .select(col("doc_id"), col("reg_domain"), tokensOf(col("text")).as("toks"))
+      val edges = DedupQueries.d2EdgesFor(s, dir)
+      val dupDocs = edges.select(col("doc1").as("doc_id"))
+        .unionByName(edges.select(col("doc2").as("doc_id"))).distinct()
+      val base = docs.groupBy("reg_domain").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"))
+      val dup = docs.join(dupDocs, Seq("doc_id"), "left_semi")
+        .groupBy("reg_domain").agg(count(lit(1)).cast("long").as("n_dup_docs"))
+      base.join(dup, Seq("reg_domain"), "left")
+        .select(col("reg_domain"), col("n_docs"), col("n_tokens"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          expr("coalesce(n_dup_docs, 0) * 10000 div n_docs").as("dup_rate_bp"))
+        .orderBy("reg_domain")
+    }),
+
+    // ---- W3: blocklist + per-domain cap — the admission filter a
+    // crawl frontier applies before any content work: a blocked
+    // registrable domain drops wholesale; an unblocked domain admits
+    // its first [[DomainCapDocs]] docs (doc_id order — deterministic
+    // in both engines) and marks the rest over_cap. The window is
+    // domain-partitioned (no global sort); blocked wins precedence. ----
+    "w3_domain_filter" -> ((s, dir) => {
+      val w = Window.partitionBy("reg_domain").orderBy("doc_id")
+      parsedDocs(s, dir)
+        .select(col("doc_id"), col("reg_domain"))
+        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+        .withColumn("verdict",
+          when(col("reg_domain").isin(BlockedDomains: _*), "blocked")
+            .when(col("rank_in_domain") > lit(DomainCapDocs), "over_cap")
+            .otherwise("kept"))
+        .orderBy("doc_id")
+    }))
+
+  /** URL construction twin — must mirror [[Url.urlOf]] byte-for-byte
+    * (`||` concatenation so a null doc_id propagates like Spark's
+    * concat). */
+  private[queries] def urlSqlFor(id: String, source: String): String = {
+    val d = s"CAST($id AS VARCHAR)"
+    val i13 = s"CAST($id % 13 AS VARCHAR)"
+    val src = s"lower(regexp_replace(COALESCE($source, 'nosrc'), '[^A-Za-z0-9]', '', 'g'))"
+    s"""CASE $id % 11
+       | WHEN 0 THEN 'site-' || $i13 || '.com/p/' || $d
+       | WHEN 1 THEN 'https://shop.site-' || $i13 || '.co.uk:8443/cart?item=' || $d
+       | WHEN 2 THEN 'http://u' || $d || ':pw@site-' || $i13 || '.com/account'
+       | WHEN 3 THEN 'https://xn--ste-' || $i13 || '-kva.de/page/' || $d
+       | WHEN 4 THEN 'HTTPS://WWW.Site-' || $i13 || '.COM./Index/' || $d
+       | WHEN 5 THEN 'https://site-' || $i13 || '.com/search?q=a' || $d || '&lang=en#r' || $d
+       | WHEN 6 THEN 'https://a.b.news.site-' || $i13 || '.org/' || $d
+       | WHEN 7 THEN 'http://blog.site-' || $i13 || '.org'
+       | WHEN 8 THEN 'http://10.0.' || $i13 || '.' || CAST($id % 251 AS VARCHAR) || '/admin'
+       | WHEN 9 THEN 'http://news.site-' || $i13 || '.co.uk/story/' || $d
+       | ELSE 'https://hub.crawl-hub.com/t/' || $src || '/' || $d
+       |END""".stripMargin
+  }
+
+  private def suffixInList: String =
+    Url.MultiLabelSuffixes.map(sx => s"'$sx'").mkString("(", ", ", ")")
+
+  /** The parse-chain twin of [[Url.parsed]], ending in a `parsed` CTE
+    * with (doc_id, text, url, scheme, userinfo, host, port,
+    * reg_domain, path, query). */
+  private[queries] val urlParseCteSql: String =
+    s"""u AS (SELECT doc_id, text, ${urlSqlFor("doc_id", "source")} AS url
+       |      FROM documents),
+       | p0 AS (SELECT *, regexp_extract(url,
+       |     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS schemeraw FROM u),
+       | p1 AS (SELECT *, CASE WHEN schemeraw = '' THEN url
+       |     ELSE substr(url, length(schemeraw) + 4) END AS rest FROM p0),
+       | p2 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS authority
+       |   FROM p1),
+       | p3 AS (SELECT *, substr(rest, length(authority) + 1) AS afterauth,
+       |     regexp_extract(authority, '^([^@]*)@', 1) AS userinfo FROM p2),
+       | p4 AS (SELECT *, CASE WHEN userinfo = '' THEN authority
+       |     ELSE substr(authority, length(userinfo) + 2) END AS hostport FROM p3),
+       | p5 AS (SELECT *, regexp_extract(hostport, ':([0-9]+)$$', 1) AS portstr,
+       |     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+       |       '\\.$$', '') AS host FROM p4),
+       | p6 AS (SELECT *,
+       |     CASE WHEN portstr = '' THEN 0 ELSE CAST(portstr AS BIGINT) END AS port,
+       |     regexp_extract(afterauth, '^([^?#]*)', 1) AS path,
+       |     regexp_extract(afterauth, '^[^#?]*\\?([^#]*)', 1) AS query,
+       |     string_split(host, '.') AS labels FROM p5),
+       | parsed AS (SELECT doc_id, text, url, lower(schemeraw) AS scheme,
+       |     userinfo, host, port,
+       |     CASE WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$$')
+       |            OR len(labels) <= 2 THEN host
+       |          WHEN (labels[-2] || '.' || labels[-1]) IN $suffixInList
+       |            AND len(labels) >= 3
+       |            THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |          ELSE labels[-2] || '.' || labels[-1] END AS reg_domain,
+       |     path, query FROM p6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "w1_url_parse" ->
+      s"""WITH $urlParseCteSql
+         |SELECT doc_id, url, scheme, userinfo, host, port, reg_domain,
+         |  path, query
+         |FROM parsed ORDER BY doc_id""".stripMargin,
+
+    "w2_domain_rollup" ->
+      s"""WITH $urlParseCteSql,
+         | toks AS (SELECT doc_id, reg_domain, CASE WHEN text IS NULL THEN 0
+         |     ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS toks
+         |   FROM parsed),
+         | dup AS (SELECT DISTINCT doc_id FROM (
+         |     SELECT doc1 AS doc_id FROM (${DedupQueries.d2ExhaustiveSql})
+         |     UNION SELECT doc2 FROM (${DedupQueries.d2ExhaustiveSql}))),
+         | base AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |     CAST(sum(toks) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+         | dd AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_dup_docs
+         |   FROM toks JOIN dup USING (doc_id) GROUP BY 1)
+         |SELECT b.reg_domain, b.n_docs, b.n_tokens,
+         |  COALESCE(dd.n_dup_docs, 0) AS n_dup_docs,
+         |  COALESCE(dd.n_dup_docs, 0) * 10000 // b.n_docs AS dup_rate_bp
+         |FROM base b LEFT JOIN dd USING (reg_domain)
+         |ORDER BY reg_domain""".stripMargin,
+
+    "w3_domain_filter" ->
+      s"""WITH $urlParseCteSql,
+         | rk AS (SELECT doc_id, reg_domain, CAST(row_number() OVER (
+         |     PARTITION BY reg_domain ORDER BY doc_id) AS BIGINT)
+         |     AS rank_in_domain FROM parsed)
+         |SELECT doc_id, reg_domain, rank_in_domain,
+         |  CASE WHEN reg_domain IN ('crawl-hub.com', 'site-3.com')
+         |       THEN 'blocked'
+         |       WHEN rank_in_domain > ${DomainCapDocs} THEN 'over_cap'
+         |       ELSE 'kept' END AS verdict
+         |FROM rk ORDER BY doc_id""".stripMargin)
+}
