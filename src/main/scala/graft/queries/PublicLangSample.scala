@@ -16,13 +16,21 @@ package graft.queries
   *
   * Split convention: sid % 3 == 0 is HELD OUT (scored); the rest
   * train the profile. sid blocks: en 0+, es 100+, de 200+, fr 300+,
-  * it 400+, el 500+.
+  * it 400+, el 500+, zh 600+.
   *
   * The Greek block (r15) is the non-Latin leg: its sentences are the
   * same parallel content in a DIFFERENT SCRIPT, so the sample proves
   * the trigram profile separates orthographies (whole disjoint
   * codepoint ranges), not just diacritic/function-word signals within
   * the Latin script.
+  *
+  * The Chinese block (r16) is the NO-WHITESPACE leg: with no word
+  * boundaries at all, any token-based signal is blind, so held-out
+  * recovery on it proves the profile is genuinely character-trigram —
+  * the property that makes the t39/t49 family viable on CJK crawl
+  * shards. Sentences are the same parallel content, authored for this
+  * repository (the orthography is public knowledge; no corpus text is
+  * copied).
   */
 object PublicLangSample {
 
@@ -119,7 +127,27 @@ object PublicLangSample {
       "η δασκάλα εξήγησε το μάθημα δύο φορές ώστε όλοι να καταλάβουν",
       "οι γείτονές μας φύτεψαν μηλιές κατά μήκος του φράχτη του κήπου",
       "το πλοίο άφησε το λιμάνι την αυγή με ένα φορτίο σιτάρι",
-      "μια καλή σούπα θέλει λίγα πράγματα κρεμμύδια καρότα και χρόνο"))
+      "μια καλή σούπα θέλει λίγα πράγματα κρεμμύδια καρότα και χρόνο")) ++
+    // collocations ("今天早上", "的时候", "孩子们", "在公园里",
+    // "图书馆", "我们的") deliberately recur across the train and
+    // held-out thirds, as they do in real running text — character
+    // TRIGRAMS are the unit, so shared multi-char phrases are what a
+    // profile can actually learn from fourteen sentences
+    block(600L, "zh", Seq(
+      "今天早上天气很好街道上很安静",
+      "今天早上她去市场买了新鲜的面包和奶酪",
+      "学习新的语言的时候需要耐心和经常的练习",
+      "下大雪的时候火车到站总是很晚",
+      "孩子们在公园里踢球一直到太阳下山",
+      "他给哥哥写了一封信说今年的收成很好",
+      "孩子们在公园里玩到天黑才回家",
+      "图书馆夏天的时候星期五提前关门",
+      "每天早上喝一杯热茶是最好的开始",
+      "图书馆旁边的老桥是两百年前修建的",
+      "冬天来的时候许多鸟都飞到南方去了",
+      "我们的邻居在花园旁边种了许多苹果树",
+      "我们的船今天早上满载谷物离开了港口",
+      "做一锅好汤需要洋葱胡萝卜和很多时间"))
 
   /** The sample as a DuckDB VALUES relation `(sid, lang, text)` —
     * apostrophes escaped, generated from [[rows]] so the twin cannot

@@ -202,6 +202,147 @@ object TextQueries {
     })
   }
 
+  /** t58's (doc_id, w1, w2, w3) word-trigram stream — one transform
+    * pass per doc. size(w) >= 3 is load-bearing: Spark's sequence()
+    * DESCENDS when stop < start, so a 2-word doc would otherwise
+    * fabricate indices. */
+  private[graft] def lm3TriplesOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = df
+    .filter(col("text").isNotNull)
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w) - 2), i -> struct(" +
+        "element_at(w, i) AS w1, element_at(w, i + 1) AS w2," +
+        " element_at(w, i + 2) AS w3))")).as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+      col("p.w3").as("w3"))
+
+  /** The t58 model's ONE sufficient statistic: the (w1, w2, w3, c3)
+    * trigram count table over the given doc slice. EVERY other table
+    * the interpolated scorer needs derives from it exactly — trigram
+    * context totals (Σ by w1,w2), middle-bigram counts (Σ by w2,w3),
+    * middle-context totals (Σ by w2), final-word unigrams (Σ by w3),
+    * N (Σ all) and the smoothing V (|distinct w3|) — so this single
+    * additive table is the whole model of record: what t59 lands,
+    * what t60's refresh adds delta counts into, what t61's forget
+    * subtracts from. */
+  private[graft] def lm3C3Of(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lm3TriplesOf(docs)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("c3"))
+
+  /** The interpolated-trigram scoring pass from a c3 table — t58's
+    * body, shared by the recompute / landed / refreshed / forgotten
+    * gates. Jelinek–Mercer interpolation with fixed weights
+    * λ = (0.5, 0.3, 0.2):
+    *
+    *   p(w3|w1,w2) = 0.5·c3/ctx2 + 0.3·cmid/c1ctx + 0.2·(c1+1)/(N+V)
+    *
+    * — trigram ML estimate backing off through the middle bigram to a
+    * Laplace-floored unigram (the CCNet/KenLM-class shape t53's
+    * bigram surrogate lacked: an unseen context costs by how unusual
+    * its PARTS are, not a flat smoothing floor). Cross-engine DOUBLE
+    * contract: every ratio is a BIGINT pair divided once, the three
+    * terms combine left-associatively with double-literal weights
+    * both engines parse identically, and the per-doc fold is t53's —
+    * (w1, w2, w3)-sorted sequential sum of m·log2(p), LmDocTypeCap
+    * row-width bound, round(·, 6) absorbing log2's last-ulp. Scale:
+    * all count tables are vocabulary-sized derivations of c3 (five
+    * hash joins + one 1-row broadcast), no document re-paired. */
+  private def lm3ScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
+      c3: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ctx2 = c3.groupBy("w1", "w2").agg(sum("c3").cast("long").as("ctx2"))
+    val mid = c3.groupBy("w2", "w3").agg(sum("c3").cast("long").as("cmid"))
+    val c1ctx = c3.groupBy("w2").agg(sum("c3").cast("long").as("c1ctx"))
+    val uni = c3.groupBy("w3").agg(sum("c3").cast("long").as("c1"))
+    val nv = c3.agg(sum("c3").cast("long").as("nn"),
+      countDistinct("w3").cast("long").as("v"))
+    val wDoc = Window.partitionBy("doc_id")
+    val held = lm3TriplesOf(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).cast("long").as("m"))
+      .withColumn("rk", row_number().over(
+        wDoc.orderBy(col("w1").asc, col("w2").asc, col("w3").asc)))
+      .withColumn("n_trigrams", sum("m").over(wDoc).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(wDoc).cast("long"))
+    held.filter(col("rk") <= lit(LmDocTypeCap))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(c1ctx, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("p",
+        when(col("ctx2").isNull, lit(0.0))
+          .otherwise(lit(0.5) * (coalesce(col("c3"), lit(0L)).cast("double") /
+            col("ctx2").cast("double"))) +
+        when(col("c1ctx").isNull, lit(0.0))
+          .otherwise(lit(0.3) * (coalesce(col("cmid"), lit(0L)).cast("double") /
+            col("c1ctx").cast("double"))) +
+        lit(0.2) * ((coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nn") + col("v")).cast("double")))
+      .select(col("doc_id"), col("n_trigrams"), col("n_types"),
+        struct(col("w1"), col("w2"), col("w3"), col("m"), col("p")).as("t"))
+      .groupBy("doc_id").agg(
+        max("n_trigrams").as("n_trigrams"), max("n_types").as("n_types"),
+        sum(col("t.m")).cast("long").as("n_scored"),
+        sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(expr(
+          """-aggregate(ts, CAST(0.0 AS DOUBLE),
+            |  (acc, x) -> acc + x.m * log2(x.p)) / n_scored""".stripMargin), 6)
+          .as("xent3_bits"),
+        greatest(col("n_types") - lit(LmDocTypeCap), lit(0L))
+          .cast("long").as("n_types_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** T59's landed trigram count store (t54's discipline on c3). */
+  private val lm3Landing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val lm3CountSchema =
+    "w1 STRING, w2 STRING, w3 STRING, c3 BIGINT"
+
+  private[graft] def lm3CountsLandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = lm3Landing.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) lm3Landing.remove(dir, memo)
+    lm3Landing.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t59_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { lm3Landing.remove(d); () })
+      Caches.trackPath(d, out)
+      lm3C3Of(lmTrainDocs(s, d)).write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** T60's pre-delta store: c3 over the training split MINUS the
+    * refresh batch (the same % 9 == 4 arrival carve as t55/t51). */
+  private val lm3Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def lm3StoreLandingFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val memo = lm3Store.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) lm3Store.remove(dir, memo)
+    lm3Store.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_t60_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { lm3Store.remove(d); () })
+      Caches.trackPath(d, out)
+      lm3C3Of(lmTrainDocs(s, d).filter(!PipelineQueries.bpeIsDelta))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
   /** T57's post-forget bigram counts: the full train-split store
     * (pre-delta landing + delta — t55's post-refresh version)
     * Z-set-merged with the e24 deletion batch's OWN c2 aggregate at
@@ -219,6 +360,21 @@ object TextQueries {
     store.unionByName(delta).unionByName(deleted)
       .groupBy("lhs", "rhs").agg(sum("c2").cast("long").as("c2"))
       .filter(col("c2") > 0)
+  }
+
+  /** T61's post-forget trigram counts — [[lmForgottenCounts]]'s shape
+    * on the c3 store (same e24 carve, same zero-drop no-resurrection
+    * contract). */
+  private[graft] def lm3ForgottenCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val store = s.read.schema(lm3CountSchema).parquet(lm3StoreLandingFor(s, dir))
+    val delta = lm3C3Of(lmTrainDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+    val deleted = lm3C3Of(lmTrainDocs(s, dir)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1))
+      .select(col("w1"), col("w2"), col("w3"), (-col("c3")).as("c3"))
+    store.unionByName(delta).unionByName(deleted)
+      .groupBy("w1", "w2", "w3").agg(sum("c3").cast("long").as("c3"))
+      .filter(col("c3") > 0)
   }
 
   /** t47's HTML fixture construction — the Fixture.scala discipline
@@ -367,6 +523,63 @@ object TextQueries {
       |FROM a ORDER BY doc_id""".stripMargin
 
   private lazy val lmPerplexityOracleSql: String = lmPerplexityOracleSqlFor("TRUE")
+
+  /** t58/t59/t60's shared twin (and, with the e24 kept-pred, t61's):
+    * the full interpolated-trigram recompute from raw text. Every
+    * double is built the same way the engine builds it — single
+    * BIGINT-pair divisions, CAST(0.5 AS DOUBLE)-style weights (a bare
+    * 0.5 parses as DECIMAL in DuckDB; the cast pins the exact double
+    * literal), left-associative term sum — so log2 + round(·, 6) is
+    * the only transcendental step on each side. */
+  private def lm3OracleSqlFor(trainKeptPred: String): String =
+    s"""WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      | tp AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+      |     w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
+      |   FROM pr, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      | tr AS (SELECT w1, w2, w3 FROM tp
+      |   WHERE doc_id % 5 <> 0 AND ($trainKeptPred)),
+      | c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      |   FROM tr GROUP BY 1, 2, 3),
+      | x2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ctx2
+      |   FROM tr GROUP BY 1, 2),
+      | md AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cmid
+      |   FROM tr GROUP BY 1, 2),
+      | x1 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c1ctx FROM tr GROUP BY 1),
+      | un AS (SELECT w3, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+      | nv AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |     CAST(count(DISTINCT w3) AS BIGINT) AS v FROM tr),
+      | hd AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+      |   FROM tp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3, 4),
+      | rkd AS (SELECT *,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY w1, w2, w3) AS rk,
+      |     CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_trigrams,
+      |     CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_types
+      |   FROM hd),
+      | j AS (SELECT h.doc_id, h.w1, h.w2, h.w3, h.m, h.n_trigrams, h.n_types,
+      |     (CASE WHEN x2.ctx2 IS NULL THEN CAST(0.0 AS DOUBLE)
+      |       ELSE CAST(0.5 AS DOUBLE) *
+      |         (COALESCE(c3.c3, 0) / CAST(x2.ctx2 AS DOUBLE)) END
+      |      + CASE WHEN x1.c1ctx IS NULL THEN CAST(0.0 AS DOUBLE)
+      |       ELSE CAST(0.3 AS DOUBLE) *
+      |         (COALESCE(md.cmid, 0) / CAST(x1.c1ctx AS DOUBLE)) END
+      |      + CAST(0.2 AS DOUBLE) *
+      |         ((COALESCE(un.c1, 0) + 1) / CAST(nv.nn + nv.v AS DOUBLE))) AS p
+      |   FROM rkd h LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN x2 USING (w1, w2)
+      |   LEFT JOIN md USING (w2, w3) LEFT JOIN x1 USING (w2)
+      |   LEFT JOIN un USING (w3) CROSS JOIN nv WHERE h.rk <= 65536),
+      | a AS (SELECT doc_id, max(n_trigrams) AS n_trigrams,
+      |     max(n_types) AS n_types, CAST(sum(m) AS BIGINT) AS n_scored,
+      |     list(struct_pack(m := m, p := p) ORDER BY w1, w2, w3) AS ts
+      |   FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams,
+      | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+      |     x -> x.m * log2(x.p))), (acc, x) -> acc + x) / n_scored, 6)
+      |   AS xent3_bits,
+      | CAST(greatest(n_types - 65536, 0) AS BIGINT) AS n_types_dropped
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  private lazy val lm3OracleSql: String = lm3OracleSqlFor("TRUE")
 
   /** The extraction lifecycle gates' twin: the full markup-algebra
     * replay over the served doc slice, projecting every landed column
@@ -888,6 +1101,46 @@ object TextQueries {
     "t57_lm_forget" -> ((s, dir) =>
       lmScoreWith(s, dir, lmModelOf(lmForgottenCounts(s, dir)))),
 
+    // ---- T58: interpolated TRIGRAM perplexity — the step from t53's
+    // bigram-Laplace surrogate toward the CCNet/KenLM-class signal: a
+    // Jelinek–Mercer trigram LM (λ = 0.5/0.3/0.2 through trigram →
+    // middle bigram → Laplace-floored unigram) scoring each held-out
+    // document's cross-entropy in bits per trigram. The whole model
+    // derives from ONE additive c3 table ([[lm3C3Of]]), so the t54/
+    // t55/t57 store lifecycle applies verbatim (t59/t60/t61). See
+    // [[lm3ScoreWith]] for the cross-engine double contract. ----
+    "t58_lm3_perplexity" -> ((s, dir) =>
+      lm3ScoreWith(s, dir, lm3C3Of(lmTrainDocs(s, dir)))),
+
+    // ---- T59: trigram scoring from the LANDED count store — the c3
+    // table lands once per (JVM, dir) and every serve re-derives the
+    // four context tables + (N, V) from landed rows (vocabulary-sized
+    // aggregates — no document re-paired). Oracle is t58's full
+    // recompute: landed ≡ recomputed. ----
+    "t59_lm3_landed_score" -> ((s, dir) =>
+      lm3ScoreWith(s, dir,
+        s.read.schema(lm3CountSchema).parquet(lm3CountsLandingFor(s, dir)))),
+
+    // ---- T60: trigram model REFRESH from the count store — t55's
+    // additive contract on c3: the pre-delta store absorbs the
+    // arrival batch's OWN aggregate, every derived table re-derives,
+    // and scoring must hash-equal t58's full retrain. O(delta +
+    // store); history never re-paired. ----
+    "t60_lm3_refresh" -> ((s, dir) => {
+      val store = s.read.schema(lm3CountSchema).parquet(lm3StoreLandingFor(s, dir))
+      val delta = lm3C3Of(lmTrainDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+      val merged = store.unionByName(delta)
+        .groupBy("w1", "w2", "w3").agg(sum("c3").cast("long").as("c3"))
+      lm3ScoreWith(s, dir, merged)
+    }),
+
+    // ---- T61: trigram model FORGET — t57's signed Z-set merge on c3
+    // (the e24 erasure carve): subtract the deleted training docs'
+    // own trigram aggregate, drop zero rows, rescore. Oracle is the
+    // full recompute on train ∖ deleted. ----
+    "t61_lm3_forget" -> ((s, dir) =>
+      lm3ScoreWith(s, dir, lm3ForgottenCounts(s, dir))),
+
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1329,6 +1582,10 @@ object TextQueries {
     "t55_lm_refresh" -> lmPerplexityOracleSql,
     // forget ≡ full recompute on train ∖ deleted (the e24 erasure carve)
     "t57_lm_forget" -> lmPerplexityOracleSqlFor(e24DeletedKeptPredSql),
+    "t58_lm3_perplexity" -> lm3OracleSql,
+    "t59_lm3_landed_score" -> lm3OracleSql,
+    "t60_lm3_refresh" -> lm3OracleSql,
+    "t61_lm3_forget" -> lm3OracleSqlFor(e24DeletedKeptPredSql),
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))

@@ -68,6 +68,35 @@ class QualitySpec extends AnyFunSuite {
     assert(!new java.io.File(p1).exists(), "release must reclaim the store")
   }
 
+  test("t58 trigram LM: fluent text scores lowest; landed/refresh serves equal the retrain") {
+    val fluent = "the cat sat on the mat and the dog ran to the park"
+    val scrambled = "park mat the to cat ran dog the on and sat the mat"
+    val oov = "qzx wvv jkl pqr mno zzz qqq xxy yzz aab cde fgh ijk"
+    val dir = docsDir(Seq(
+      fluent, fluent, fluent, fluent, fluent,
+      scrambled, fluent, fluent, fluent, fluent, oov))
+    val out = SparkEntry.queries("t58_lm3_perplexity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(0L, 5L, 10L), s"${out.keySet}")
+    Seq(0L -> fluent, 5L -> scrambled, 10L -> oov).foreach { case (id, t) =>
+      assert(out(id)._1 === t.split(" ").length - 2, s"doc $id trigram count") }
+    val (xf, xs, xo) = (out(0L)._2, out(5L)._2, out(10L)._2)
+    assert(xf < xs && xf < xo,
+      s"fluent text must score lowest: fluent $xf scrambled $xs oov $xo")
+    assert(xs - xf > 1.0 && xo - xf > 1.0,
+      s"junk must sit >= 1 bit above fluent: $xf / $xs / $xo")
+    // the trigram signal separates HARDER than the bigram surrogate on
+    // the same junk: an unseen trigram context backs off through its
+    // parts instead of hitting one flat smoothing floor
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSeq
+    val base = rows("t58_lm3_perplexity")
+    assert(rows("t59_lm3_landed_score") === base,
+      "landed-store trigram scoring must equal the recompute")
+    assert(rows("t60_lm3_refresh") === base,
+      "trigram count-store refresh must equal the full retrain")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("model-store forget: deleted-only mass never resurrects; serves leave the stores untouched") {
     // docs 1 and 8 are the erasure targets (% 10 != 0 && % 7 == 1 —
     // the e24 carve) and both sit in the training split (% 5 != 0);
@@ -592,20 +621,26 @@ class QualitySpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
-  test("t49 public-sample lang-ID: held-out recovery far above the 20% chance floor") {
+  test("t49 public-sample lang-ID: held-out recovery far above the chance floor") {
     val out = SparkEntry.queries("t49_public_lang_id")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(4), r.getBoolean(5)))
-    // sid ≡ 0 (mod 3) across the six 14-sentence blocks (bases 0,
-    // 100, 200, 300, 400, 500 shift the residues): 5+4+5+5+4+5 = 28
-    // held out (el is the non-Latin script leg)
-    assert(out.length === 28, s"held-out split size: ${out.length}")
+    // sid ≡ 0 (mod 3) across the seven 14-sentence blocks (bases 0,
+    // 100, ..., 600 shift the residues): 5+4+5+5+4+5+5 = 33 held out
+    // (el is the non-Latin script leg, zh the no-whitespace leg)
+    assert(out.length === 33, s"held-out split size: ${out.length}")
     val acc = out.count(_._5).toDouble / out.length
     assert(acc >= 0.8,
-      s"held-out accuracy $acc must clear chance (1/6) with a wide margin: " +
+      s"held-out accuracy $acc must clear chance (1/7) with a wide margin: " +
         out.filterNot(_._5).map(r => s"${r._1}:${r._2}->${r._3}").mkString(", "))
     assert(out.filter(_._5).forall(_._4 > 0),
       "every correct prediction must carry a positive margin")
+    // the no-whitespace leg must recover PERFECTLY: with no word
+    // boundaries, only a genuinely character-level profile can key on
+    // it, and its codepoint range is disjoint from every other block
+    val zh = out.filter(_._2 == "zh")
+    assert(zh.length === 5 && zh.forall(_._5),
+      s"zh held-out must all recover: ${zh.mkString(", ")}")
   }
 
   test("BPE landing: model lands once and serves; refresh from the count store equals retrain") {
