@@ -967,18 +967,30 @@ object TextQueries {
       // RefinedWeb per-domain cap, a domain-partitioned window, no
       // global sort). The language budget then applies to the capped
       // set, and the report carries the per-language cap losses.
+      // project the page content away FIRST: the domain window
+      // shuffles its input, and canon's `c` column is the full
+      // extracted text — KBs per row the cap never reads
       val wd = Window.partitionBy("reg_domain")
         .orderBy(col("toks").desc, col("doc_id"))
       val capped = graft.functions.Url.withParsed(
-          canon.withColumn("url",
-            graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+          canon.select(col("doc_id"), col("source"), col("pred_lang"), col("toks"))
+            .withColumn("url",
+              graft.functions.Url.urlOf(col("doc_id"), col("source"))))
         .withColumn("rnd", row_number().over(wd))
         .filter(col("rnd") <= lit(WebQueries.DomainCapDocs))
+        .select("doc_id", "pred_lang", "toks")
       val ordered = graft.operators.GlobalOrder.withRunningTotalWithin(
-        capped.select("doc_id", "pred_lang", "toks"), "cum", Seq("pred_lang"),
+        capped, "cum", Seq("pred_lang"),
         col("toks"), col("toks").desc, col("doc_id"))
+      // ONE aggregate carries both the token budget and the post-cap
+      // doc count, and the kept join's broadcast carries BOTH onward,
+      // so the prefix-sum subtree (this query's expensive shape) is
+      // evaluated exactly twice per run — budgets and kept — the same
+      // count the pre-cap funnel had; n_domain_capped then derives
+      // from the kept aggregate with no third consumption
       val budgets = ordered.groupBy("pred_lang")
-        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"))
+        .agg(expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").as("budget"),
+          count(lit(1)).as("np"))
       val kept = ordered.join(broadcast(budgets), Seq("pred_lang"))
         .filter(col("cum") < col("budget"))
       routed.groupBy("pred_lang").agg(count(lit(1)).as("n_routed"))
@@ -987,13 +999,10 @@ object TextQueries {
           Seq("pred_lang"))
         .join(kept.groupBy("pred_lang")
           .agg(max("budget").as("budget"), count(lit(1)).as("n_kept"),
-            sum("toks").as("kept_tokens")),
+            sum("toks").as("kept_tokens"), max("np").as("np")),
           Seq("pred_lang"))
-        .join(canon.groupBy("pred_lang").agg(count(lit(1)).as("nc"))
-          .join(capped.groupBy("pred_lang").agg(count(lit(1)).as("np")),
-            Seq("pred_lang"))
-          .select(col("pred_lang"), (col("nc") - col("np")).as("n_domain_capped")),
-          Seq("pred_lang"))
+        .withColumn("n_domain_capped", col("n_dedup") - col("np"))
+        .drop("np")
         .orderBy("pred_lang")
     }),
 
@@ -1539,7 +1548,8 @@ object TextQueries {
          | capd AS (SELECT * FROM (SELECT *, row_number() OVER (
          |     PARTITION BY reg_domain ORDER BY toks DESC, doc_id) AS rnd
          |   FROM dom) WHERE rnd <= ${WebQueries.DomainCapDocs}),
-         | bud AS (SELECT pred_lang, CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget
+         | bud AS (SELECT pred_lang, CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget,
+         |     CAST(count(*) AS BIGINT) AS np
          |   FROM capd GROUP BY 1),
          | cm AS (SELECT *, CAST(COALESCE(sum(toks) OVER (PARTITION BY pred_lang
          |     ORDER BY toks DESC, doc_id
@@ -1550,15 +1560,13 @@ object TextQueries {
          |   FROM routed GROUP BY 1),
          | dd AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_dedup,
          |     CAST(sum(toks) AS BIGINT) AS dedup_tokens FROM canon GROUP BY 1),
-         | dc AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_capped
-         |   FROM capd GROUP BY 1),
          | kp AS (SELECT pred_lang, CAST(max(budget) AS BIGINT) AS budget,
          |     CAST(count(*) AS BIGINT) AS n_kept,
-         |     CAST(sum(toks) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
+         |     CAST(sum(toks) AS BIGINT) AS kept_tokens,
+         |     CAST(max(np) AS BIGINT) AS np FROM kept GROUP BY 1)
          |SELECT pred_lang, n_routed, n_dedup, dedup_tokens, budget, n_kept,
-         |  kept_tokens, CAST(n_dedup - n_capped AS BIGINT) AS n_domain_capped
-         |FROM r JOIN dd USING (pred_lang) JOIN dc USING (pred_lang)
-         |  JOIN kp USING (pred_lang)
+         |  kept_tokens, CAST(n_dedup - np AS BIGINT) AS n_domain_capped
+         |FROM r JOIN dd USING (pred_lang) JOIN kp USING (pred_lang)
          |ORDER BY pred_lang""".stripMargin,
 
     // The lifecycle twins recompute extraction from raw markup over the

@@ -63,8 +63,14 @@ object WebQueries {
     // (bucketed LSH, never all-pairs), semi-joined onto the doc spine.
     // dup_rate in basis points keeps the gate integer-exact. ----
     "w2_domain_rollup" -> ((s, dir) => {
-      val docs = parsedDocs(s, dir)
-        .select(col("doc_id"), col("reg_domain"), tokensOf(col("text")).as("toks"))
+      // CACHED: the parse chain is wide builtin algebra; inlined into
+      // BOTH aggregate branches of this query it collapses into one
+      // giant grouping expression that blows codegen's method limit
+      // and silently falls back to interpreted eval (measured 10.6 s
+      // vs 0.4 s at sf0.1). The cached (doc_id, reg_domain, toks)
+      // frame is 3 columns — both branches scan attributes instead.
+      val docs = Caches.trackCached(dir, parsedDocs(s, dir)
+        .select(col("doc_id"), col("reg_domain"), tokensOf(col("text")).as("toks")))
       val edges = DedupQueries.d2EdgesFor(s, dir)
       val dupDocs = edges.select(col("doc1").as("doc_id"))
         .unionByName(edges.select(col("doc2").as("doc_id"))).distinct()

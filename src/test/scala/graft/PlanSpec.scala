@@ -522,6 +522,43 @@ class PlanSpec extends AnyFunSuite {
       s"q20 plans an all-pairs join:\n$plan")
   }
 
+  test("w2 domain rollup joins stay equi-keyed (no all-pairs), URL parse is in-plan string algebra") {
+    val df = SparkEntry.queries("w2_domain_rollup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"w2 plans an all-pairs join:\n$plan")
+    // no UDF anywhere in the parse: the modality's 100 TB claim is
+    // that URL algebra rides codegen'd builtins
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"URL parse fell out of builtin algebra:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"rollup not map-side partial-aggregated:\n$plan")
+  }
+
+  test("w3 per-domain cap windows by domain — never a single-partition sort") {
+    val df = SparkEntry.queries("w3_domain_filter")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the final orderBy is a range exchange (display order); the CAP
+    // window itself must hash-partition on reg_domain
+    assert(plan.contains("hashpartitioning(reg_domain"),
+      s"cap window not domain-partitioned:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"w3 collapsed to a single partition:\n$plan")
+  }
+
+  test("t58 trigram scorer: derivation joins stay equi-keyed, scalar attaches by broadcast") {
+    val df = SparkEntry.queries("t58_lm3_perplexity")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"t58 plans an all-pairs join:\n$plan")
+    // the only nested-loop is the 1-row (N, V) scalar attach
+    assert(plan.contains("BroadcastNestedLoopJoin") == plan.contains("BuildRight, Cross"),
+      s"unexpected non-scalar nested loop:\n$plan")
+  }
+
   test("s18 bucketed join is exchange- and sort-free end to end") {
     val df = graft.queries.PipelineQueries.s18Joined(spark, sfDir)
     df.collect()
