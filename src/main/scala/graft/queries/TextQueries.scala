@@ -124,7 +124,12 @@ object TextQueries {
   private def lmScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
       model: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)): org.apache.spark.sql.DataFrame = {
-    val (c2, c1, v) = model
+    // cache the c2 table: c1 and v derive from it, so all three
+    // consumers substitute the in-memory relation instead of re-running
+    // the count lineage (corpus pair extraction for t53, the signed
+    // store merge for t55/t57) three times per score
+    val (c2raw, c1, v) = model
+    val c2 = Caches.trackCached(dir, c2raw)
     val wDoc = Window.partitionBy("doc_id")
     val held = lmPairsOf(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
       .groupBy("doc_id", "lhs", "rhs").agg(count(lit(1)).cast("long").as("m"))
@@ -251,7 +256,13 @@ object TextQueries {
     * all count tables are vocabulary-sized derivations of c3 (five
     * hash joins + one 1-row broadcast), no document re-paired. */
   private def lm3ScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
-      c3: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      c3In: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // CACHED: six consumers read the c3 table (the direct join, four
+    // derivation aggregates, and the (N, V) scalar); uncached, each
+    // would re-run the whole count lineage — for t58 the corpus
+    // trigram extraction, for t60/t61 the store read + delta/deletion
+    // merge — six times per score
+    val c3 = Caches.trackCached(dir, c3In)
     val ctx2 = c3.groupBy("w1", "w2").agg(sum("c3").cast("long").as("ctx2"))
     val mid = c3.groupBy("w2", "w3").agg(sum("c3").cast("long").as("cmid"))
     val c1ctx = c3.groupBy("w2").agg(sum("c3").cast("long").as("c1ctx"))
