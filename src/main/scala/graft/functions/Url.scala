@@ -48,8 +48,12 @@ object Url {
     * real mass. */
   def urlOf(id: Column, source: Column): Column = {
     val d = id.cast("string")
-    val i13 = pmod(id, lit(13L)).cast("string")
-    val shape = pmod(id, lit(11L))
+    // sign-of-dividend `%`, NOT pmod: the DuckDB twin's `%` keeps the
+    // dividend's sign, so a negative doc_id must take the same arm
+    // (negative remainder → no WHEN matches → the ELSE hub shape) and
+    // embed the same "-k" label text in both engines
+    val i13 = (id % lit(13L)).cast("string")
+    val shape = id % lit(11L)
     val src = lower(regexp_replace(coalesce(source, lit("nosrc")),
       "[^A-Za-z0-9]", ""))
     when(shape === 0, concat(lit("site-"), i13, lit(".com/p/"), d))
@@ -68,7 +72,7 @@ object Url {
       .when(shape === 7, concat(lit("http://blog.site-"), i13, lit(".org")))
       .when(shape === 8,
         concat(lit("http://10.0."), i13, lit("."),
-          pmod(id, lit(251L)).cast("string"), lit("/admin")))
+          (id % lit(251L)).cast("string"), lit("/admin")))
       .when(shape === 9,
         concat(lit("http://news.site-"), i13, lit(".co.uk/story/"), d))
       .otherwise(concat(lit("https://hub.crawl-hub.com/t/"), src, lit("/"), d))
@@ -97,9 +101,14 @@ object Url {
       .withColumn("_after", col("_rest")
         .substr(length(col("_auth")) + lit(1), length(col("_rest"))))
       .withColumn("userinfo", regexp_extract(col("_auth"), "^([^@]*)@", 1))
-      .withColumn("_hostport", when(col("userinfo") === "", col("_auth"))
-        .otherwise(col("_auth")
-          .substr(length(col("userinfo")) + lit(2), length(col("_auth")))))
+      // strip is gated on the authority CONTAINING '@', not on userinfo
+      // being non-empty: 'http://@host/x' (a real crawl shape) has an
+      // EMPTY userinfo that must still be stripped, else host carries a
+      // leading '@' and silently misses blocklist/cap matching
+      .withColumn("_hostport", when(instr(col("_auth"), "@") > 0,
+        col("_auth")
+          .substr(length(col("userinfo")) + lit(2), length(col("_auth"))))
+        .otherwise(col("_auth")))
       .withColumn("_portstr", regexp_extract(col("_hostport"), ":([0-9]+)$", 1))
       .withColumn("host", regexp_replace(
         lower(regexp_replace(col("_hostport"), ":[0-9]+$", "")), "\\.$", ""))

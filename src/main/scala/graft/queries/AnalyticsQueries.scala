@@ -172,17 +172,21 @@ object AnalyticsQueries {
     // quantity total is aggregated (O(|lineitem|) with map-side partial
     // combine — the shuffle this query exists to exercise), the >250
     // survivors become a key set, and the fact re-scan SEMI-joins on it
-    // (at scale: a broadcast of the tiny hot-key set, never a shuffle
-    // of lineitem against itself) before the final small rollup.
-    // Quantities aggregate as exact BIGINTs; top-100 breaks ties on
-    // o_orderkey so the LIMIT is deterministic. ----
+    // before the final small rollup. The hot set is UN-HINTED: its
+    // density is tiny (~0.4% of orders) but its absolute cardinality
+    // grows linearly with SF — at 100 TB it is past any broadcast — so
+    // the planner (AQE runtime stats) picks broadcast when it fits and
+    // degrades to a shuffle semi-join when it doesn't, instead of a
+    // forced hint dying at the 8 GB limit (PlanSpec pins the broadcast
+    // shape at test scale). Quantities aggregate as exact BIGINTs;
+    // top-100 breaks ties on o_orderkey so the LIMIT is deterministic. ----
     "q18_big_orders" -> ((s, dir) => {
       val qty = round(col("l_quantity")).cast("long")
       val hot = Tables.lineitem(s, dir)
         .groupBy("l_orderkey").agg(sum(qty).as("oq"))
         .filter(col("oq") > 250).select("l_orderkey")
       Tables.lineitem(s, dir)
-        .join(broadcast(hot), Seq("l_orderkey"), "left_semi")
+        .join(hot, Seq("l_orderkey"), "left_semi")
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),

@@ -2130,8 +2130,7 @@ object DedupQueries {
       Caches.trackPath(d, hotOut)
       hot.write.mode("overwrite").parquet(hotOut.getAbsolutePath)
       d34HotPath.put(d, hotOut.getAbsolutePath)
-      fps.join(broadcast(hot), Seq("fp_h"), "left_anti")
-        .select("doc_id", "fp_pos", "fp_h")
+      d34BuildJoin(fps, hot)
         .repartition(32, col("fp_h"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(32, "fp_h").sortBy("fp_h")
@@ -2140,6 +2139,19 @@ object DedupQueries {
       tbl
     })
   }
+
+  /** The d34 index-build anti-join, UN-HINTED like its siblings (d26's
+    * gram-index build and d23's run extraction): the hot set is every
+    * fingerprint hash with df > 64 over the corpus —
+    * O(corpus_positions / 64), Zipf-tailed and data-dependent, so on a
+    * boilerplate-heavy 100 TB crawl it plausibly reaches 10⁸–10⁹ rows.
+    * A forced `broadcast(hot)` would die at the 8 GB broadcast hard
+    * limit; left un-hinted the planner degrades the anti-join to a
+    * shuffle join that scales with the data. Exposed so PlanSpec can
+    * pin the hint's absence in the analyzed plan. */
+  private[graft] def d34BuildJoin(fps: DataFrame, hot: DataFrame): DataFrame =
+    fps.join(hot, Seq("fp_h"), "left_anti")
+      .select("doc_id", "fp_pos", "fp_h")
 
   /** E27's landed DELTA winnow index + newly-hot tombstones — e22's
     * append algebra transplanted to the fingerprint tier. Wave-1

@@ -260,8 +260,14 @@ object PipelineQueries {
     })
   }
 
-  /** T51's arrival carve — the refresh batch (a new crawl slice). */
-  private[graft] def bpeIsDelta: Column = pmod(col("doc_id"), lit(9L)) === 4
+  /** T51's arrival carve — the refresh batch (a new crawl slice).
+    * TOTAL predicate (coalesce pins a null doc_id to the store side):
+    * every consumer reconstructs the full corpus as store(!pred) ∪
+    * delta(pred), and a null-valued pred would fail BOTH filters,
+    * vanishing the doc from the merged counts while the t56/t61
+    * oracles' kept-pred ('doc_id IS NULL OR NOT ...') retains it. */
+  private[graft] def bpeIsDelta: Column =
+    pmod(coalesce(col("doc_id"), lit(0L)), lit(9L)) === 4
 
   /** T56's post-forget word counts: the full-corpus store (pre-delta
     * landing + delta — t51's lambda fold) Z-set-merged with the e24

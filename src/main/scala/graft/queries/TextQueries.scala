@@ -1553,9 +1553,14 @@ object TextQueries {
          | canon AS (SELECT * FROM (SELECT *,
          |     row_number() OVER (PARTITION BY md5(c) ORDER BY doc_id) AS rn
          |   FROM routed) WHERE rn = 1),
-         | ${WebQueries.urlParseCteSql},
-         | dom AS (SELECT cn.*, p.reg_domain
-         |   FROM canon cn JOIN parsed p USING (doc_id)),
+         | ${
+           // parse INLINE over canon (as the engine does) — a join back
+           // to the all-documents chain would inner-drop a null-doc_id
+           // canon row the engine keeps (null url → null reg_domain
+           // partition, still capped)
+           WebQueries.urlParseCteSqlFrom("canon", "doc_id", "source",
+             Seq("doc_id", "toks", "pred_lang"))},
+         | dom AS (SELECT doc_id, toks, pred_lang, reg_domain FROM parsed),
          | capd AS (SELECT * FROM (SELECT *, row_number() OVER (
          |     PARTITION BY reg_domain ORDER BY toks DESC, doc_id) AS rnd
          |   FROM dom) WHERE rnd <= ${WebQueries.DomainCapDocs}),

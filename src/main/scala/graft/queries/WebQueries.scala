@@ -129,12 +129,17 @@ object WebQueries {
   private def suffixInList: String =
     Url.MultiLabelSuffixes.map(sx => s"'$sx'").mkString("(", ", ", ")")
 
-  /** The parse-chain twin of [[Url.parsed]], ending in a `parsed` CTE
-    * with (doc_id, text, url, scheme, userinfo, host, port,
-    * reg_domain, path, query). */
-  private[queries] val urlParseCteSql: String =
-    s"""u AS (SELECT doc_id, text, ${urlSqlFor("doc_id", "source")} AS url
-       |      FROM documents),
+  /** The parse-chain twin of [[Url.withParsed]], parameterized on the
+    * source relation so consumers (t48's funnel) can parse INLINE over
+    * their own frame exactly as the engine does — a join back to the
+    * all-documents chain would drop null-doc_id rows the engine keeps.
+    * Ends in a `parsed` CTE with (`carried`..., url, scheme, userinfo,
+    * host, port, reg_domain, path, query). */
+  private[queries] def urlParseCteSqlFrom(rel: String, idExpr: String,
+      srcExpr: String, carried: Seq[String]): String = {
+    val cs = carried.mkString(", ")
+    s"""u AS (SELECT $cs, ${urlSqlFor(idExpr, srcExpr)} AS url
+       |      FROM $rel),
        | p0 AS (SELECT *, regexp_extract(url,
        |     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS schemeraw FROM u),
        | p1 AS (SELECT *, CASE WHEN schemeraw = '' THEN url
@@ -143,8 +148,9 @@ object WebQueries {
        |   FROM p1),
        | p3 AS (SELECT *, substr(rest, length(authority) + 1) AS afterauth,
        |     regexp_extract(authority, '^([^@]*)@', 1) AS userinfo FROM p2),
-       | p4 AS (SELECT *, CASE WHEN userinfo = '' THEN authority
-       |     ELSE substr(authority, length(userinfo) + 2) END AS hostport FROM p3),
+       | p4 AS (SELECT *, CASE WHEN instr(authority, '@') > 0
+       |     THEN substr(authority, length(userinfo) + 2)
+       |     ELSE authority END AS hostport FROM p3),
        | p5 AS (SELECT *, regexp_extract(hostport, ':([0-9]+)$$', 1) AS portstr,
        |     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
        |       '\\.$$', '') AS host FROM p4),
@@ -153,7 +159,7 @@ object WebQueries {
        |     regexp_extract(afterauth, '^([^?#]*)', 1) AS path,
        |     regexp_extract(afterauth, '^[^#?]*\\?([^#]*)', 1) AS query,
        |     string_split(host, '.') AS labels FROM p5),
-       | parsed AS (SELECT doc_id, text, url, lower(schemeraw) AS scheme,
+       | parsed AS (SELECT $cs, url, lower(schemeraw) AS scheme,
        |     userinfo, host, port,
        |     CASE WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$$')
        |            OR len(labels) <= 2 THEN host
@@ -162,6 +168,12 @@ object WebQueries {
        |            THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
        |          ELSE labels[-2] || '.' || labels[-1] END AS reg_domain,
        |     path, query FROM p6)""".stripMargin
+  }
+
+  /** The all-documents instance of [[urlParseCteSqlFrom]] — the w1/w2/w3
+    * twins' shared chain. */
+  private[queries] val urlParseCteSql: String =
+    urlParseCteSqlFrom("documents", "doc_id", "source", Seq("doc_id", "text"))
 
   val oracle: Map[String, String] = Map(
     "w1_url_parse" ->

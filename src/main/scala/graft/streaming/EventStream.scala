@@ -78,6 +78,12 @@ object EventStream {
     * picks up new versions between batches; the broadcast keeps the
     * stream un-shuffled. */
   def enrichEvents(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    // SIZE BOUND for the forced broadcast: `dim` is a per-key dimension
+    // snapshot (one row per user in the fixture; one row per entity in
+    // production) — entity-cardinality, not event-cardinality, and the
+    // contract of this API is a broadcast-sized dimension. A dimension
+    // past ~8 GB hashed belongs in the CapGate/stream-static shuffle
+    // path instead (see encodeArrivals), not this helper.
     events.join(
       org.apache.spark.sql.functions.broadcast(dim),
       events("user_id") === dim(dimKey), "left")
@@ -96,6 +102,13 @@ object EventStream {
     * for row — the machine-checked form of the contiguity argument. */
   def enrichPointInTime(facts: DataFrame, dim: DataFrame,
       key: String, factTime: org.apache.spark.sql.Column): DataFrame =
+    // SIZE BOUND for the forced broadcast: the SCD2 dimension is
+    // entity-cardinality × version-count — bounded by the dimension's
+    // own history, not by the fact stream — and the interval join
+    // below is a non-equi join that MUST be broadcast to stay
+    // stateless (a shuffled interval join on a stream would need state
+    // the watermark can't bound). A history past broadcast size needs
+    // the batch AsOfJoin kernel over landed micro-batches instead.
     facts.join(org.apache.spark.sql.functions.broadcast(dim),
       facts(key) === dim(key) &&
         dim("valid_from") <= factTime &&
@@ -651,9 +664,10 @@ object EventStream {
 
   /** Streaming tokenizer serve — t52's stream twin: each arriving page
     * is charged its token count from the LANDED BPE model (t50's
-    * versioned vocab artifact, broadcast onto the stream and re-planned
-    * per micro-batch, so a refreshed model version takes effect on the
-    * next batch). The word stream LEFT-joins the vocab — OOV words fall
+    * versioned vocab artifact CapGated onto the stream; the JOIN
+    * re-plans per micro-batch so a refreshed model's rows take effect,
+    * but the gate's broadcast-or-shuffle decision is fixed at stream
+    * construction). The word stream LEFT-joins the vocab — OOV words fall
     * back to character-level symbols (length(w), the word-level apply
     * table's honest fallback) — and rolls up per arrival keyed
     * (ts, doc_id) inside the watermark: state is exactly one group per
@@ -667,11 +681,13 @@ object EventStream {
     // must not resurrect them as (0,0,0) rows (stream ≡ batch
     // row-for-row, pinned by StreamingSpec's planted null-text arrival)
     val a = arrivals.filter(col("text").isNotNull).withWatermark("ts", "2 hours")
-    // static vocab through CapGate: broadcast under the 2²² row cap
-    // (re-planned per micro-batch so a refreshed model takes effect),
+    // static vocab through CapGate: broadcast under the 2²² row cap,
     // planner-chosen stream-static equi-join past it — a Heaps-law web
     // vocabulary outgrows any broadcast, and a forced hint would OOM
-    // the stream instead of degrading
+    // the stream instead of degrading. NOTE: the gate's count() runs
+    // ONCE at stream construction — only the join itself re-plans per
+    // micro-batch. A model refresh that could cross the cap requires
+    // re-creating the streaming query so the gate re-decides.
     val gatedVocab = graft.operators.CapGate.gate(vocab).frame
     val words = a
       .select(col("ts"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -692,8 +708,9 @@ object EventStream {
 
   /** Streaming perplexity gate — t53's stream twin: each arriving
     * document scores its bigram cross-entropy against the TRAINED LM
-    * counts (static sides broadcast onto the stream and re-planned per
-    * micro-batch, so refreshed counts take effect on the next batch;
+    * counts (static sides CapGated onto the stream; the joins re-plan
+    * per micro-batch so refreshed count ROWS take effect, but the
+    * gate's broadcast-or-shuffle decision is construction-time;
     * `vocab` is the one-row |distinct rhs| smoothing constant the
     * caller collects once). Stream shape: a document's bigrams all
     * originate in its ONE arrival row, so the per-(lhs, rhs)
@@ -710,9 +727,11 @@ object EventStream {
       leftCounts: DataFrame, vocab: Long): DataFrame = {
     val a = arrivals.withWatermark("ts", "2 hours")
     // the count tables are BIGRAM-VOCABULARY-sized — even larger than
-    // the word vocab — so both ride CapGate: broadcast under the cap
-    // (re-planned per micro-batch), planner-chosen stream-static
-    // equi-join past it, matching the batch lmScoreWith's discipline
+    // the word vocab — so both ride CapGate: broadcast under the cap,
+    // planner-chosen stream-static equi-join past it, matching the
+    // batch lmScoreWith's discipline. The gate decision is fixed at
+    // stream construction (see encodeArrivals) — swap the query, not
+    // just the files, to re-gate a refreshed model.
     val gatedC2 = graft.operators.CapGate.gate(bigramCounts).frame
     val gatedC1 = graft.operators.CapGate.gate(leftCounts).frame
     // sort key comparison is UTF-8 BYTE order — what the batch side's

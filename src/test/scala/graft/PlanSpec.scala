@@ -342,8 +342,11 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q18_big_orders")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the >250 survivors are a tiny key set at any scale — the fact
-    // re-scan must semi-join against them (broadcast, no self-shuffle)
+    // the >250 survivors are a tiny key set at test scale — the fact
+    // re-scan must semi-join against them, and with the hint removed
+    // (the set grows linearly with SF) AQE's runtime stats must still
+    // CHOOSE broadcast here, proving the un-hinted shape keeps the
+    // map-side semi-join where it fits
     assert(plan.contains("LeftSemi"), s"no semi join on the hot-key set:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"hot-key semi join not broadcast:\n$plan")
     // the O(|lineitem|) quantity rollup must combine map-side
@@ -557,6 +560,22 @@ class PlanSpec extends AnyFunSuite {
     // the only nested-loop is the 1-row (N, V) scalar attach
     assert(plan.contains("BroadcastNestedLoopJoin") == plan.contains("BuildRight, Cross"),
       s"unexpected non-scalar nested loop:\n$plan")
+  }
+
+  test("d34 index build leaves the hot anti-join un-hinted (CapGate cliff class)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The hot set (df > 64 fingerprint hashes) is data-dependent and
+    // Zipf-tailed — O(corpus_positions / 64) rows on a boilerplate-heavy
+    // crawl. d26's gram build and d23's run extraction leave the same
+    // anti-join un-hinted so the planner can degrade it to a shuffle
+    // join; d34's build must match (r16's one forced hint, now removed).
+    val fps = Seq((1L, 0, 10L), (2L, 3, 11L)).toDF("doc_id", "fp_pos", "fp_h")
+    val hot = Seq(Tuple1(10L)).toDF("fp_h")
+    val analyzed = graft.queries.DedupQueries.d34BuildJoin(fps, hot)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      s"d34 build must not force-broadcast the data-dependent hot set:\n$analyzed")
   }
 
   test("s18 bucketed join is exchange- and sort-free end to end") {

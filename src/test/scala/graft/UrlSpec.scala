@@ -48,10 +48,25 @@ class UrlSpec extends AnyFunSuite {
         "/p", ""),
       // single-label host: its own registrable domain
       ("http://localhost:8080/x", "http", "", "localhost", 8080L,
-        "localhost", "/x", ""))
+        "localhost", "/x", ""),
+      // EMPTY userinfo before '@' (a real crawl shape): the strip is
+      // gated on the authority containing '@', so host must not carry
+      // a leading '@' that would dodge blocklist/cap matching
+      ("http://@site-3.com/x", "http", "", "site-3.com", 0L,
+        "site-3.com", "/x", ""))
     cases.foreach { case (u, sc, ui, h, pt, rd, pa, q) =>
       assert(parse(u) === ((sc, ui, h, pt, rd, pa, q)), s"url: $u")
     }
+  }
+
+  test("urlOf takes the sign-of-dividend arm on negative doc_ids (DuckDB % parity)") {
+    // the twin's CASE uses plain '%' (sign of dividend): -3 % 11 = -3
+    // matches no WHEN and falls to the ELSE hub shape with the signed
+    // id embedded — the Spark side must construct the identical bytes
+    val out = Seq((-3L, "src1")).toDF("doc_id", "source")
+      .select(graft.functions.Url.urlOf(col("doc_id"), col("source")).as("url"))
+      .collect().head.getString(0)
+    assert(out === "https://hub.crawl-hub.com/t/src1/-3")
   }
 
   test("w3 blocklist + per-domain cap verdicts are exhaustive and precedence-ordered") {
