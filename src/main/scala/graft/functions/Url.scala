@@ -78,6 +78,25 @@ object Url {
       .otherwise(concat(lit("https://hub.crawl-hub.com/t/"), src, lit("/"), d))
   }
 
+  /** Canonical RESOURCE URL from the parsed components (w4's recrawl
+    * key): schemeless frontier entries default to http, userinfo is
+    * dropped (credentials are not part of resource identity), the
+    * fragment is already excluded by the parse, an empty path
+    * canonicalizes to '/', the default port is omitted. Two fetches of
+    * the same page — different crawl entries, credentials, fragments,
+    * host casing — collapse to one key. Pure builtin algebra over a
+    * [[withParsed]] frame; the SQL twin
+    * ([[graft.queries.WebQueries.canonUrlSql]]) mirrors it CASE by
+    * CASE, null url propagating to a null key in both engines. */
+  def canonUrl: Column =
+    concat(
+      when(col("scheme") === "", lit("http")).otherwise(col("scheme")),
+      lit("://"), col("host"),
+      when(col("port") > 0, concat(lit(":"), col("port").cast("string")))
+        .otherwise(lit("")),
+      when(col("path") === "", lit("/")).otherwise(col("path")),
+      when(col("query") === "", lit("")).otherwise(concat(lit("?"), col("query"))))
+
   /** Add parsed components of the `url` column to `df`:
     * scheme, userinfo, host, port, reg_domain, path, query.
     * A null url yields all-null fields (port included) — the same

@@ -102,6 +102,35 @@ object WebQueries {
             .when(col("rank_in_domain") > lit(DomainCapDocs), "over_cap")
             .otherwise("kept"))
         .orderBy("doc_id")
+    }),
+
+    // ---- W4: canonical-URL recrawl dedup — keep-NEWEST-per-URL, the
+    // freshness twin of content dedup that every recurring-crawl
+    // pipeline hits first: two fetches of the same page a week apart
+    // are not near-duplicates to merge but VERSIONS to supersede. The
+    // canonical key ([[Url.canonUrl]]) collapses scheme defaulting,
+    // credentials, host casing, and fragments, so the fixture's
+    // shape-7 (bare blog host) and shape-2 (per-fetch userinfo) URLs
+    // become genuine recrawl groups; fetch recency is the
+    // deterministic fetch_day derived from the crawl sequence (both
+    // engines compute (doc_id * 7) % 100 — sign-of-dividend in each).
+    // s14's CDC last-wins shape on the URL key: ONE hash shuffle for
+    // the window (newest fetch_day, doc_id breaking ties), every
+    // verdict and the per-URL fetch count ride the same partitioning —
+    // no second exchange. At 100 TB the key is page-cardinality, the
+    // state one row per page version, and nothing is corpus-global. ----
+    "w4_recrawl_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("canon_url")
+        .orderBy(col("fetch_day").desc, col("doc_id").desc)
+      val wc = Window.partitionBy("canon_url")
+      parsedDocs(s, dir)
+        .withColumn("canon_url", Url.canonUrl)
+        .withColumn("fetch_day", (col("doc_id") * lit(7L)) % lit(100L))
+        .select(col("doc_id"), col("canon_url"), col("fetch_day"))
+        .withColumn("n_fetches", count(lit(1)).over(wc).cast("long"))
+        .withColumn("verdict",
+          when(row_number().over(w) === 1, "kept").otherwise("superseded"))
+        .orderBy("doc_id")
     }))
 
   /** URL construction twin — must mirror [[Url.urlOf]] byte-for-byte
@@ -125,6 +154,16 @@ object WebQueries {
        | ELSE 'https://hub.crawl-hub.com/t/' || $src || '/' || $d
        |END""".stripMargin
   }
+
+  /** [[Url.canonUrl]]'s twin over the `parsed` CTE's columns — CASE by
+    * CASE, so a null url propagates to a null key in both engines. */
+  private[queries] val canonUrlSql: String =
+    // single line: consumers embed this inside their own stripMargin
+    // blocks, where a line-leading '||' would lose a pipe to the margin
+    "(CASE WHEN scheme = '' THEN 'http' ELSE scheme END || '://' || host || " +
+      "CASE WHEN port > 0 THEN ':' || CAST(port AS VARCHAR) ELSE '' END || " +
+      "CASE WHEN path = '' THEN '/' ELSE path END || " +
+      "CASE WHEN query = '' THEN '' ELSE '?' || query END)"
 
   private def suffixInList: String =
     Url.MultiLabelSuffixes.map(sx => s"'$sx'").mkString("(", ", ", ")")
@@ -210,5 +249,19 @@ object WebQueries {
          |       THEN 'blocked'
          |       WHEN rank_in_domain > ${DomainCapDocs} THEN 'over_cap'
          |       ELSE 'kept' END AS verdict
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "w4_recrawl_dedup" ->
+      s"""WITH $urlParseCteSql,
+         | canon AS (SELECT doc_id, $canonUrlSql AS canon_url,
+         |     (doc_id * 7) % 100 AS fetch_day FROM parsed),
+         | rk AS (SELECT *,
+         |     row_number() OVER (PARTITION BY canon_url
+         |       ORDER BY fetch_day DESC, doc_id DESC) AS rn,
+         |     CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+         |       AS n_fetches
+         |   FROM canon)
+         |SELECT doc_id, canon_url, fetch_day, n_fetches,
+         |  CASE WHEN rn = 1 THEN 'kept' ELSE 'superseded' END AS verdict
          |FROM rk ORDER BY doc_id""".stripMargin)
 }

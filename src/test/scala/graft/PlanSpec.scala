@@ -551,6 +551,24 @@ class PlanSpec extends AnyFunSuite {
       s"w3 collapsed to a single partition:\n$plan")
   }
 
+  test("w4 recrawl dedup rides ONE URL-key exchange (both windows and verdicts share it)") {
+    val df = SparkEntry.queries("w4_recrawl_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(canon_url"),
+      s"last-wins window not partitioned on the canonical URL:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"w4 collapsed to a single partition:\n$plan")
+    // the count window and the last-wins window share the URL-key
+    // partitioning — the s14 CDC shape's one-shuffle contract; the
+    // only other exchange is the display orderBy's range partitioning
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"w4 re-shuffles between its windows ($hashEx hash exchanges):\n$plan")
+  }
+
   test("t58 trigram scorer: derivation joins stay equi-keyed, scalar attaches by broadcast") {
     val df = SparkEntry.queries("t58_lm3_perplexity")(spark, sfDir)
     df.collect()

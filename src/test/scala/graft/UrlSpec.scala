@@ -59,6 +59,28 @@ class UrlSpec extends AnyFunSuite {
     }
   }
 
+  test("canonUrl collapses credentials, casing, scheme default, and fragments to one key") {
+    val urls = Seq(
+      "http://u1:pw@site-2.com/account",
+      "http://u99:pw@site-2.com/account", // different credentials, same page
+      "blog.site-7.org", // schemeless frontier entry, empty path
+      "http://blog.site-7.org",
+      "HTTP://BLOG.Site-7.ORG.", // casing + DNS root dot
+      "https://x.com/p#frag1", "https://x.com/p#frag2") // fragments
+    val keys = graft.functions.Url.withParsed(urls.toDF("url"))
+      .select(graft.functions.Url.canonUrl.as("k"))
+      .collect().map(_.getString(0))
+    assert(keys(0) === "http://site-2.com/account" && keys(1) === keys(0))
+    assert(keys(2) === "http://blog.site-7.org/" &&
+      keys(3) === keys(2) && keys(4) === keys(2))
+    assert(keys(5) === "https://x.com/p" && keys(6) === keys(5))
+    // a port and a query stay part of resource identity
+    assert(graft.functions.Url.withParsed(
+        Seq("https://h.com:8443/a?b=1").toDF("url"))
+      .select(graft.functions.Url.canonUrl).collect().head.getString(0)
+      === "https://h.com:8443/a?b=1")
+  }
+
   test("urlOf takes the sign-of-dividend arm on negative doc_ids (DuckDB % parity)") {
     // the twin's CASE uses plain '%' (sign of dividend): -3 % 11 = -3
     // matches no WHEN and falls to the ELSE hub shape with the signed
