@@ -43,6 +43,78 @@ object WebQueries {
       .select(col("doc_id"), col("text"),
         Url.urlOf(col("doc_id"), col("source")).as("url")))
 
+  /** Per-domain additive stats of a doc slice — the mergeable
+    * sufficient statistic behind the domain modality (docs and tokens
+    * are SUMS over disjoint document sets, so the t43/t55 count-store
+    * contract applies verbatim). */
+  private def domainStatsOf(parsed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    parsed.select(col("reg_domain"), tokensOf(col("text")).as("toks"))
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"))
+
+  private[graft] val domainStatSchema =
+    "reg_domain STRING, n_docs BIGINT, n_tokens BIGINT"
+
+  /** W5's landed PER-DOMAIN stat store: (reg_domain, n_docs, n_tokens)
+    * over the PRE-DELTA corpus (the shared %9==4 arrival carve). A new
+    * crawl slice aggregates ALONE and adds in — history is never
+    * re-parsed. Domain cardinality is Heaps-sublinear in pages, so the
+    * store stays far smaller than the corpus at any scale. */
+  private val domainStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def domainStoreFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = domainStore.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) domainStore.remove(dir, memo)
+    domainStore.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_w5_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { domainStore.remove(d); () })
+      Caches.trackPath(d, out)
+      domainStatsOf(parsedDocs(s, d).filter(!PipelineQueries.bpeIsDelta))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** The landed BLOCKLIST table (replacing w3's r16 literal `Seq`): at
+    * production scale the blocklist is maintained data, not code — a
+    * landed table consumed via a broadcast membership join. Bounded by
+    * construction: a curated list of blocked registrable domains
+    * (thousands at most), never corpus-derived — the broadcast is safe
+    * at any corpus scale. */
+  private val blocklistLanding =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def blocklistFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = blocklistLanding.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) blocklistLanding.remove(dir, memo)
+    blocklistLanding.computeIfAbsent(dir, d => {
+      import s.implicits._
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_w3bl_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { blocklistLanding.remove(d); () })
+      Caches.trackPath(d, out)
+      BlockedDomains.toDF("reg_domain")
+        .coalesce(1).write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** The landed blocklist as a broadcastable membership frame. */
+  private[graft] def blockedFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.schema("reg_domain STRING").parquet(blocklistFor(s, dir))
+      .withColumn("is_blocked", lit(true))
+
   val queries: Map[String, QueryFn] = Map(
     // ---- W1: URL parse + canonicalization — every component the
     // downstream domain operators key on, over all eleven hostile
@@ -91,17 +163,45 @@ object WebQueries {
     // registrable domain drops wholesale; an unblocked domain admits
     // its first [[DomainCapDocs]] docs (doc_id order — deterministic
     // in both engines) and marks the rest over_cap. The window is
-    // domain-partitioned (no global sort); blocked wins precedence. ----
+    // domain-partitioned (no global sort); blocked wins precedence.
+    // r17: the blocklist is a LANDED table consumed via a broadcast
+    // membership join (blockedFrame — maintained data, not a literal);
+    // a null reg_domain never equi-matches it, exactly the literal
+    // isin's null semantics, so the twin's IN list is unchanged. ----
     "w3_domain_filter" -> ((s, dir) => {
       val w = Window.partitionBy("reg_domain").orderBy("doc_id")
       parsedDocs(s, dir)
         .select(col("doc_id"), col("reg_domain"))
+        .join(broadcast(blockedFrame(s, dir)), Seq("reg_domain"), "left")
         .withColumn("rank_in_domain", row_number().over(w).cast("long"))
         .withColumn("verdict",
-          when(col("reg_domain").isin(BlockedDomains: _*), "blocked")
+          when(col("is_blocked"), "blocked")
             .when(col("rank_in_domain") > lit(DomainCapDocs), "over_cap")
             .otherwise("kept"))
+        .select("doc_id", "reg_domain", "rank_in_domain", "verdict")
         .orderBy("doc_id")
+    }),
+
+    // ---- W5: the domain stat store's REFRESH — w2's rollup as a
+    // landed additive artifact (the t43/t55 count-store contract on
+    // the newest modality): the pre-delta corpus lands once
+    // ([[domainStoreFor]]), the arriving crawl slice (the shared
+    // %9==4 carve) aggregates ALONE, and serving sums store + delta
+    // per domain — history is never re-parsed. The oracle recomputes
+    // the rollup from ALL documents, so the hash gate proves
+    // store(hist) + agg(delta) ≡ agg(hist ∪ delta). Scale: the store
+    // is domain-cardinality (Heaps-sublinear), the refresh touches
+    // only the delta's pages, the merge one store-sized shuffle. ----
+    "w5_domain_refresh" -> ((s, dir) => {
+      val store = s.read.schema(domainStatSchema)
+        .parquet(domainStoreFor(s, dir))
+      val delta = domainStatsOf(
+        parsedDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+      store.unionByName(delta)
+        .groupBy("reg_domain")
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("reg_domain")
     }),
 
     // ---- W4: canonical-URL recrawl dedup — keep-NEWEST-per-URL, the
@@ -250,6 +350,17 @@ object WebQueries {
          |       WHEN rank_in_domain > ${DomainCapDocs} THEN 'over_cap'
          |       ELSE 'kept' END AS verdict
          |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // w5's gate is the landed≡recomputed proof: the engine serves
+    // store + delta, the oracle recomputes from all documents
+    "w5_domain_refresh" ->
+      s"""WITH $urlParseCteSql,
+         | toks AS (SELECT doc_id, reg_domain, CASE WHEN text IS NULL THEN 0
+         |     ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS toks
+         |   FROM parsed)
+         |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM toks GROUP BY 1 ORDER BY reg_domain""".stripMargin,
 
     "w4_recrawl_dedup" ->
       s"""WITH $urlParseCteSql,

@@ -972,6 +972,75 @@ object EventStream {
       .withColumn("n_crossings", col("seq_last") - col("seq_first"))
   }
 
+  /** [[admitByDomain]]'s group state: the window's arrivals for one
+    * registrable domain (doc ids + the domain's blocklist flag). */
+  case class DomainWindowAcc(docs: Seq[Long], blocked: Boolean)
+
+  /** Streaming DOMAIN ADMISSION — w3's stream twin over a crawl feed:
+    * each arriving page parses its URL map-side (the staged builtin
+    * algebra — no UDF, no state), checks the LANDED blocklist by a
+    * broadcast membership join (curated maintained data, bounded by
+    * construction — a domain list, never corpus-derived), and at most
+    * `capPerWindow` docs per (1-hour window × registrable domain) are
+    * admitted, the rest marked over_cap. Per-domain counts cannot be
+    * assigned record-at-a-time without order sensitivity, so the
+    * verdicts EMIT ON WINDOW CLOSE (event-time timeout): state is one
+    * group per (window, domain) in the watermark horizon holding that
+    * window's doc ids — watermark-bounded, O(arrivals per horizon),
+    * never O(stream) — and ranks are doc_id-ordered, so the emitted
+    * verdicts are micro-batch-invariant and equal the batch twin
+    * row-for-row (StreamingSpec). Blocked wins precedence, exactly
+    * w3's arm order. */
+  def admitByDomain(arrivals: DataFrame, blocklist: DataFrame,
+      capPerWindow: Long): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    val winMs = 3600L * 1000L
+    val parsed = graft.functions.Url.withParsed(
+        arrivals.select(col("ts"), col("doc_id"), col("source"))
+          .withColumn("url",
+            graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+      .select(col("ts"), col("doc_id"), col("reg_domain"))
+    val flagged = parsed
+      .join(broadcast(blocklist.select("reg_domain")
+        .withColumn("is_blocked", lit(true))), Seq("reg_domain"), "left")
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("doc_id"), col("reg_domain"),
+        coalesce(col("is_blocked"), lit(false)).as("blk"))
+      .as[(java.sql.Timestamp, Long, String, Boolean)]
+    flagged
+      .groupByKey { case (t, _, dom, _) =>
+        (t.getTime / winMs * winMs, Option(dom)) }
+      .flatMapGroupsWithState[DomainWindowAcc,
+        (java.sql.Timestamp, Long, String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((winStart, dom), it, state) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            acc.docs.sorted.iterator.zipWithIndex.map { case (id, i) =>
+              val rank = i + 1L
+              val verdict =
+                if (acc.blocked) "blocked"
+                else if (rank > capPerWindow) "over_cap"
+                else "kept"
+              (new java.sql.Timestamp(winStart), id, dom.orNull, rank, verdict)
+            }
+          } else {
+            val acc0 = state.getOption.getOrElse(DomainWindowAcc(Nil, blocked = false))
+            val batch = it.toSeq
+            val acc = DomainWindowAcc(acc0.docs ++ batch.map(_._2),
+              acc0.blocked || batch.exists(_._4))
+            state.update(acc)
+            // close when the watermark passes the window end (clamped
+            // just above the current watermark — see sessionize)
+            state.setTimeoutTimestamp(math.max(
+              winStart + winMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("win_start", "doc_id", "reg_domain", "rank_in_domain", "verdict")
+  }
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

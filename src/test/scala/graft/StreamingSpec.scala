@@ -519,6 +519,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming domain admission ≡ the windowed batch twin, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = SparkTestBase.sfDir
+    val cap = 1L
+    // a crawl feed: two 1-hour windows of arrivals, sources from the
+    // fixture so the URL construction has its full shape rotation
+    // (incl. the blocked crawl-hub shape)
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 120).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .map { case (id, src) => (ts((id % 120).toInt), id, src) }
+    assert(arrivals.size >= 100, "fixture too small for two windows")
+    val blocked = graft.queries.WebQueries.blockedFrame(spark, dir)
+    // batch twin: the same parse + blocklist join + per-(window,
+    // domain) doc_id-ordered rank — w3's algebra windowed by hour
+    val parsedBatch = graft.functions.Url.withParsed(
+        arrivals.toDF("ts", "doc_id", "source")
+          .withColumn("url",
+            graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+      .withColumn("win_start", window(col("ts"), "1 hour").getField("start"))
+      .join(broadcast(blocked), Seq("reg_domain"), "left")
+      .withColumn("rank_in_domain", row_number().over(
+        Window.partitionBy("win_start", "reg_domain").orderBy("doc_id"))
+        .cast("long"))
+      .withColumn("verdict",
+        when(coalesce(col("is_blocked"), lit(false)), "blocked")
+          .when(col("rank_in_domain") > cap, "over_cap")
+          .otherwise("kept"))
+      .select("win_start", "doc_id", "reg_domain", "rank_in_domain", "verdict")
+    val expected = parsedBatch.collect().map(_.toSeq).toSet
+    val verdicts = expected.map(_.apply(4).asInstanceOf[String])
+    assert(verdicts === Set("kept", "over_cap", "blocked"),
+      s"fixture must exercise all three verdicts, got $verdicts")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.admitByDomain(
+        input.toDF().toDF("ts", "doc_id", "source"), blocked, cap)
+      .writeStream.format("memory").queryName("domain_admission")
+      .outputMode("append").start()
+    try {
+      // split ACROSS micro-batches inside each window: ranks must be
+      // doc_id-ordered on window close, not arrival-ordered
+      val (a, b) = arrivals.partition(_._2 % 2 == 0)
+      input.addData(b: _*)
+      q.processAllAvailable()
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "advancer"))
+      q.processAllAvailable()
+      val streamed = spark.table("domain_admission")
+        .filter(col("doc_id") =!= -999L).collect().map(_.toSeq).toSet
+      assert(streamed === expected,
+        "stream domain admission must equal the windowed batch twin")
+      // state is watermark-bounded: after the advancer closes both
+      // arrival windows, only the advancer's own group remains
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1,
+        s"state $stateRows rows — closed windows were not evicted")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("the quick brown fox jumps over the lazy dog",
