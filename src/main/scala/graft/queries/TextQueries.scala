@@ -256,7 +256,9 @@ object TextQueries {
     * all count tables are vocabulary-sized derivations of c3 (five
     * hash joins + one 1-row broadcast), no document re-paired. */
   private def lm3ScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
-      c3In: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      c3In: org.apache.spark.sql.DataFrame,
+      heldDocs: org.apache.spark.sql.DataFrame = null)
+      : org.apache.spark.sql.DataFrame = {
     // CACHED: six consumers read the c3 table (the direct join, four
     // derivation aggregates, and the (N, V) scalar); uncached, each
     // would re-run the whole count lineage — for t58 the corpus
@@ -270,8 +272,11 @@ object TextQueries {
     val nv = c3.agg(sum("c3").cast("long").as("nn"),
       countDistinct("w3").cast("long").as("v"))
     val wDoc = Window.partitionBy("doc_id")
-    val held = lm3TriplesOf(
-        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+    // scored slice: the % 5 held-out split by default; e34 passes its
+    // checkpointed arrival frame so the composed verdict re-reads no
+    // arrival text
+    val held = lm3TriplesOf(Option(heldDocs).getOrElse(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).cast("long").as("m"))
       .withColumn("rk", row_number().over(
         wDoc.orderBy(col("w1").asc, col("w2").asc, col("w3").asc)))
@@ -308,6 +313,102 @@ object TextQueries {
           .cast("long").as("n_types_dropped"))
       .orderBy("doc_id")
   }
+
+  /** The KNESER–NEY-style scoring pass from the SAME c3 table — t62's
+    * body (t58's backoff upgraded from Jelinek–Mercer mixing to
+    * absolute discounting with continuation counts). Every statistic
+    * is still a derivation of the ONE additive c3 store, so the landed
+    * / refresh / forget legs carry over unchanged:
+    *
+    *   p(w3|w1,w2) = max(c3−D,0)/ctx2 + D·N₁₊(w1,w2,·)/ctx2 · p_mid
+    *   p_mid(w3|w2) = max(N₁₊(·,w2,w3)−D,0)/N₁₊(·,w2,·)
+    *                  + D·N₁₊(w2,·)/N₁₊(·,w2,·) · p_uni
+    *   p_uni(w3)   = (N₁₊(·,w3)+1)/(N₁₊(·,·)+V)
+    *
+    * with discount D = 0.75 — and because c3 rows are DISTINCT
+    * (w1,w2,w3) triples, each N₁₊ continuation count is a plain
+    * count(*)/count(distinct) aggregate over c3. An unseen trigram
+    * context backs off to genuinely-diverse continuations ("seen after
+    * many distinct contexts") instead of raw frequency — the KN
+    * property that demotes boilerplate n-grams frequent in one
+    * template only. Cross-engine DOUBLE contract, t58's discipline:
+    * D = 3/4 keeps every ratio a BIGINT pair — max(4·c−3,0)/(4·n) —
+    * divided exactly once; λ·p products and the two-term sums combine
+    * in the same written order in both engines; the per-doc fold is
+    * the shared (w1,w2,w3)-sorted capped sequential sum. p > 0 always:
+    * the unigram floor is Laplace-smoothed and every λ ≥ 1/(4·n). */
+  private def lm3KnScoreWith(s: org.apache.spark.sql.SparkSession, dir: String,
+      c3In: org.apache.spark.sql.DataFrame,
+      heldDocs: org.apache.spark.sql.DataFrame = null)
+      : org.apache.spark.sql.DataFrame = {
+    // CACHED: seven consumers read c3 (direct join + six aggregates)
+    val c3 = Caches.trackCached(dir, c3In)
+    val ctx2 = c3.groupBy("w1", "w2").agg(sum("c3").cast("long").as("ctx2"),
+      count(lit(1)).cast("long").as("n1f12"))
+    val cont23 = c3.groupBy("w2", "w3")
+      .agg(count(lit(1)).cast("long").as("cont23"))
+    val cont2d = c3.groupBy("w2").agg(count(lit(1)).cast("long").as("cont2d"),
+      countDistinct("w3").cast("long").as("n1f2"))
+    val cont3 = c3.groupBy("w3")
+      .agg(countDistinct("w2").cast("long").as("cont3"))
+    // N₁₊(·,·) = distinct (w2,w3) pairs; V = distinct w3 (t58's V)
+    val nv = c3.select(col("w2"), col("w3")).distinct()
+      .agg(count(lit(1)).cast("long").as("ctot"),
+        countDistinct("w3").cast("long").as("v"))
+    val wDoc = Window.partitionBy("doc_id")
+    val held = lm3TriplesOf(Option(heldDocs).getOrElse(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).cast("long").as("m"))
+      .withColumn("rk", row_number().over(
+        wDoc.orderBy(col("w1").asc, col("w2").asc, col("w3").asc)))
+      .withColumn("n_trigrams", sum("m").over(wDoc).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(wDoc).cast("long"))
+    val pUni = (coalesce(col("cont3"), lit(0L)) + lit(1L)).cast("double") /
+      (col("ctot") + col("v")).cast("double")
+    val pMid = when(col("cont2d").isNull, col("p_uni")).otherwise(
+      greatest(lit(4L) * coalesce(col("cont23"), lit(0L)) - lit(3L), lit(0L))
+        .cast("double") / (lit(4L) * col("cont2d")).cast("double") +
+      (lit(3L) * col("n1f2")).cast("double") /
+        (lit(4L) * col("cont2d")).cast("double") * col("p_uni"))
+    val pKn = when(col("ctx2").isNull, col("p_mid")).otherwise(
+      greatest(lit(4L) * coalesce(col("c3"), lit(0L)) - lit(3L), lit(0L))
+        .cast("double") / (lit(4L) * col("ctx2")).cast("double") +
+      (lit(3L) * col("n1f12")).cast("double") /
+        (lit(4L) * col("ctx2")).cast("double") * col("p_mid"))
+    held.filter(col("rk") <= lit(LmDocTypeCap))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(cont23, Seq("w2", "w3"), "left")
+      .join(cont2d, Seq("w2"), "left")
+      .join(cont3, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("p_uni", pUni)
+      .withColumn("p_mid", pMid)
+      .withColumn("p", pKn)
+      .select(col("doc_id"), col("n_trigrams"), col("n_types"),
+        struct(col("w1"), col("w2"), col("w3"), col("m"), col("p")).as("t"))
+      .groupBy("doc_id").agg(
+        max("n_trigrams").as("n_trigrams"), max("n_types").as("n_types"),
+        sum(col("t.m")).cast("long").as("n_scored"),
+        sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(expr(
+          """-aggregate(ts, CAST(0.0 AS DOUBLE),
+            |  (acc, x) -> acc + x.m * log2(x.p)) / n_scored""".stripMargin), 6)
+          .as("xent3kn_bits"),
+        greatest(col("n_types") - lit(LmDocTypeCap), lit(0L))
+          .cast("long").as("n_types_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** e34's perplexity axis: score an arbitrary (doc_id, text) frame
+    * against the LANDED t59 c3 store — serve-from-landed, so the
+    * composed verdict's gate doubles as a landed ≡ recomputed proof. */
+  private[queries] def lm3LandedScoreOf(s: org.apache.spark.sql.SparkSession,
+      dir: String, held: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lm3ScoreWith(s, dir,
+      s.read.schema(lm3CountSchema).parquet(lm3CountsLandingFor(s, dir)), held)
 
   /** T59's landed trigram count store (t54's discipline on c3). */
   private val lm3Landing =
@@ -542,7 +643,8 @@ object TextQueries {
     * 0.5 parses as DECIMAL in DuckDB; the cast pins the exact double
     * literal), left-associative term sum — so log2 + round(·, 6) is
     * the only transcendental step on each side. */
-  private def lm3OracleSqlFor(trainKeptPred: String): String =
+  private[queries] def lm3OracleSqlFor(trainKeptPred: String,
+      scorePred: String = "doc_id % 5 = 0"): String =
     s"""WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
       |            FROM documents WHERE text IS NOT NULL),
       | tp AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
@@ -561,7 +663,7 @@ object TextQueries {
       | nv AS (SELECT CAST(count(*) AS BIGINT) AS nn,
       |     CAST(count(DISTINCT w3) AS BIGINT) AS v FROM tr),
       | hd AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
-      |   FROM tp WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3, 4),
+      |   FROM tp WHERE $scorePred GROUP BY 1, 2, 3, 4),
       | rkd AS (SELECT *,
       |     row_number() OVER (PARTITION BY doc_id ORDER BY w1, w2, w3) AS rk,
       |     CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_trigrams,
@@ -591,6 +693,70 @@ object TextQueries {
       |FROM a ORDER BY doc_id""".stripMargin
 
   private lazy val lm3OracleSql: String = lm3OracleSqlFor("TRUE")
+
+  /** t62/t63's twin: the Kneser–Ney-style recompute from raw text —
+    * [[lm3KnScoreWith]]'s formula CASE by CASE. D = 3/4 keeps every
+    * ratio a BIGINT pair (greatest(4·c−3,0) / CAST(4·n AS DOUBLE))
+    * divided once; term order matches the engine expression exactly so
+    * log2 + round(·,6) is the only transcendental step on each side. */
+  private def lm3KnOracleSqlFor(trainKeptPred: String,
+      scorePred: String = "doc_id % 5 = 0"): String =
+    s"""WITH pr AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE text IS NOT NULL),
+      | tp AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+      |     w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
+      |   FROM pr, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      | tr AS (SELECT w1, w2, w3 FROM tp
+      |   WHERE doc_id % 5 <> 0 AND ($trainKeptPred)),
+      | c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      |   FROM tr GROUP BY 1, 2, 3),
+      | x2 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx2,
+      |     CAST(count(*) AS BIGINT) AS n1f12 FROM c3 GROUP BY 1, 2),
+      | k23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cont23
+      |   FROM c3 GROUP BY 1, 2),
+      | k2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont2d,
+      |     CAST(count(DISTINCT w3) AS BIGINT) AS n1f2 FROM c3 GROUP BY 1),
+      | k3 AS (SELECT w3, CAST(count(DISTINCT w2) AS BIGINT) AS cont3
+      |   FROM c3 GROUP BY 1),
+      | nv AS (SELECT CAST(count(*) AS BIGINT) AS ctot,
+      |     CAST(count(DISTINCT w3) AS BIGINT) AS v
+      |   FROM (SELECT DISTINCT w2, w3 FROM c3)),
+      | hd AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+      |   FROM tp WHERE $scorePred GROUP BY 1, 2, 3, 4),
+      | rkd AS (SELECT *,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY w1, w2, w3) AS rk,
+      |     CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_trigrams,
+      |     CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_types
+      |   FROM hd),
+      | j0 AS (SELECT h.doc_id, h.w1, h.w2, h.w3, h.m, h.n_trigrams, h.n_types,
+      |     x2.ctx2, x2.n1f12, c3.c3, k23.cont23, k2.cont2d, k2.n1f2,
+      |     ((COALESCE(k3.cont3, 0) + 1) / CAST(nv.ctot + nv.v AS DOUBLE)) AS p_uni
+      |   FROM rkd h LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN x2 USING (w1, w2)
+      |   LEFT JOIN k23 USING (w2, w3) LEFT JOIN k2 USING (w2)
+      |   LEFT JOIN k3 USING (w3) CROSS JOIN nv WHERE h.rk <= 65536),
+      | j1 AS (SELECT *, CASE WHEN cont2d IS NULL THEN p_uni
+      |     ELSE (greatest(4 * COALESCE(cont23, 0) - 3, 0)
+      |         / CAST(4 * cont2d AS DOUBLE))
+      |       + ((3 * n1f2) / CAST(4 * cont2d AS DOUBLE)) * p_uni END AS p_mid
+      |   FROM j0),
+      | j AS (SELECT doc_id, w1, w2, w3, m, n_trigrams, n_types,
+      |     CASE WHEN ctx2 IS NULL THEN p_mid
+      |     ELSE (greatest(4 * COALESCE(c3, 0) - 3, 0)
+      |         / CAST(4 * ctx2 AS DOUBLE))
+      |       + ((3 * n1f12) / CAST(4 * ctx2 AS DOUBLE)) * p_mid END AS p
+      |   FROM j1),
+      | a AS (SELECT doc_id, max(n_trigrams) AS n_trigrams,
+      |     max(n_types) AS n_types, CAST(sum(m) AS BIGINT) AS n_scored,
+      |     list(struct_pack(m := m, p := p) ORDER BY w1, w2, w3) AS ts
+      |   FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams,
+      | round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+      |     x -> x.m * log2(x.p))), (acc, x) -> acc + x) / n_scored, 6)
+      |   AS xent3kn_bits,
+      | CAST(greatest(n_types - 65536, 0) AS BIGINT) AS n_types_dropped
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  private lazy val lm3KnOracleSql: String = lm3KnOracleSqlFor("TRUE")
 
   /** The extraction lifecycle gates' twin: the full markup-algebra
     * replay over the served doc slice, projecting every landed column
@@ -1161,6 +1327,23 @@ object TextQueries {
     "t61_lm3_forget" -> ((s, dir) =>
       lm3ScoreWith(s, dir, lm3ForgottenCounts(s, dir))),
 
+    // ---- T62: KNESER–NEY-style trigram perplexity — t58's backoff
+    // upgraded to absolute discounting with continuation counts, all
+    // derived from the SAME single additive c3 statistic (see
+    // [[lm3KnScoreWith]]), so nothing about the store lifecycle
+    // changes. QualitySpec pins that it separates fluent from
+    // scrambled/OOV text at least as well as t58. ----
+    "t62_lm3kn_perplexity" -> ((s, dir) =>
+      lm3KnScoreWith(s, dir, lm3C3Of(lmTrainDocs(s, dir)))),
+
+    // ---- T63: KN scoring served from the LANDED c3 store — because
+    // the continuation counts are derivations of c3, t59's landed leg
+    // carries over verbatim; the oracle recomputes from raw text, so
+    // the gate is the landed ≡ recomputed proof for the KN model. ----
+    "t63_lm3kn_landed" -> ((s, dir) =>
+      lm3KnScoreWith(s, dir,
+        s.read.schema(lm3CountSchema).parquet(lm3CountsLandingFor(s, dir)))),
+
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1610,6 +1793,8 @@ object TextQueries {
     "t59_lm3_landed_score" -> lm3OracleSql,
     "t60_lm3_refresh" -> lm3OracleSql,
     "t61_lm3_forget" -> lm3OracleSqlFor(e24DeletedKeptPredSql),
+    "t62_lm3kn_perplexity" -> lm3KnOracleSql,
+    "t63_lm3kn_landed" -> lm3KnOracleSql,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))

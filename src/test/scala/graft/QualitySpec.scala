@@ -97,6 +97,58 @@ class QualitySpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("t62 KN trigram LM: fluent lowest, junk >= 1 bit above, landed serve equals retrain") {
+    val fluent = "the cat sat on the mat and the dog ran to the park"
+    val scrambled = "park mat the to cat ran dog the on and sat the mat"
+    val oov = "qzx wvv jkl pqr mno zzz qqq xxy yzz aab cde fgh ijk"
+    val dir = docsDir(Seq(
+      fluent, fluent, fluent, fluent, fluent,
+      scrambled, fluent, fluent, fluent, fluent, oov))
+    def scores(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kn = scores("t62_lm3kn_perplexity")
+    assert(kn.keySet === Set(0L, 5L, 10L), s"${kn.keySet}")
+    val (xf, xs, xo) = (kn(0L), kn(5L), kn(10L))
+    assert(xf < xs && xf < xo,
+      s"fluent text must score lowest under KN: fluent $xf scrambled $xs oov $xo")
+    assert(xs - xf > 1.0 && xo - xf > 1.0,
+      s"junk must sit >= 1 bit above fluent under KN: $xf / $xs / $xo")
+    // continuation counts are c3 derivations, so the landed leg is free
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSeq
+    assert(rows("t63_lm3kn_landed") === rows("t62_lm3kn_perplexity"),
+      "landed-store KN scoring must equal the recompute")
+    graft.queries.Caches.release(spark, dir)
+  }
+
+  test("t62 KN demotes frequent-but-single-context words harder than t58's JM mixture") {
+    // the Kneser–Ney signature: 'francisco' is FREQUENT in training but
+    // only ever follows 'san' (the boilerplate shape — an n-gram
+    // frequent inside one template). The junk doc drops it after SEEN
+    // contexts ('to the', 'the ... bay'), engaging the discounted
+    // λ-backoff path on both models — there KN's continuation count
+    // (1 distinct predecessor) prices it low while JM's raw-frequency
+    // unigram backoff stays generous, so KN must separate the junk doc
+    // from the fluent baseline harder. (With UNSEEN junk contexts both
+    // models fall to their floors and the comparison says nothing —
+    // KN's full fall-through floor is the higher of the two.)
+    val fluent = "we flew to san francisco and saw the big bay"
+    val other = "the dog ran to the park and saw the cat"
+    val junk = "we flew to the francisco and saw the francisco bay"
+    val dir = docsDir(Seq(
+      fluent, fluent, other, fluent, other,
+      junk, fluent, other, fluent, fluent,
+      fluent))
+    def sep(q: String) = {
+      val m = SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      m(5L) - m(0L)
+    }
+    val (knSep, jmSep) = (sep("t62_lm3kn_perplexity"), sep("t58_lm3_perplexity"))
+    assert(knSep > jmSep,
+      s"KN must separate the boilerplate-junk doc harder than JM: KN $knSep JM $jmSep")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("model-store forget: deleted-only mass never resurrects; serves leave the stores untouched") {
     // docs 1 and 8 are the erasure targets (% 10 != 0 && % 7 == 1 —
     // the e24 carve) and both sit in the training split (% 5 != 0);
