@@ -664,6 +664,83 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** e15/e34's shared arrival featurization — ONE batch scan: the
+    * arrival slice is read once and featurized once — text, length,
+    * shingles (band axis), gram hashes (substring axis), plus the
+    * source/lang keys the e34 axes derive from — into an
+    * eagerly-checkpointed frame all axes consume (the semantic axis
+    * keys on the arrival ids; its vectors ride the d14 memo). Before
+    * this, each axis re-derived and re-hashed the batch independently
+    * (three text passes); at 100 TB/day of arrivals that's redundant
+    * corpus-scale scans per ingest. Checkpoint size is
+    * batch-proportional (shingles + one 8-byte hash per char
+    * position). */
+  private def e15ArrivalFor(s: SparkSession, dir: String): DataFrame =
+    Caches.checkpointed(dir,
+      withShingles(Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"), col("source"), col("lang")))
+        .withColumn("len", length(col("text")))
+        .withColumn("grams",
+          graft.plans.GraftGramHashes.column(col("text"), 60)))
+
+  /** e15's three-axis dedup verdict over the checkpointed arrival
+    * frame — factored so e34 composes it with the language/perplexity/
+    * domain axes without a second featurization. */
+  private def e15VerdictOf(s: SparkSession, dir: String,
+      arrival: DataFrame): DataFrame = {
+    val band = classifyBatch(s, dir, arrival.select("doc_id", "text"),
+      arrival.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
+        .toDF("doc_id", "band", "key"),
+      s.table(bandLandingFor(s, dir))
+        .select(col("doc_id"), col("band"), col("key")))
+    val subBatch = arrival
+      .filter(col("text").isNotNull && col("len") >= 60)
+      .select(col("doc_id"), col("text"), col("len"))
+    val bg = arrival.filter(col("text").isNotNull && col("len") >= 60)
+      .select(col("doc_id").as("b_id"), posexplode(col("grams")).as(Seq("ib", "h")))
+    val sub = substringAdmission(s, dir, subBatch, bg).select(col("doc_id"),
+      col("n_partners").as("sub_partners"),
+      col("best_match").as("sub_match"),
+      col("dup_chars").as("sub_dup_chars"),
+      col("coverage_pct").as("sub_coverage"),
+      col("admit").as("sub_admit"))
+    // semantic axis: the d14 edge memo restricted to batch↔corpus
+    // pairs (embeddings' vec_id parallels documents' doc_id in this
+    // schema), deterministic argmax: highest rounded cosine, then
+    // smallest corpus id — the d18 tie-break convention
+    val cross = d14EdgesFor(s, dir)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("doc_id"),
+        when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("sem_id"),
+        col("cosine"))
+    val semBest = cross.groupBy("doc_id")
+      .agg(max(struct(col("cosine").as("c"), (-col("sem_id")).as("n"))).as("b"))
+      .select(col("doc_id"), (-col("b.n")).as("sem_match"), col("b.c").as("sem_cosine"))
+    band
+      .join(sub, Seq("doc_id"), "left")
+      .join(semBest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("match_id"), col("similarity"),
+        coalesce(col("sub_partners"), lit(0L)).as("sub_partners"),
+        col("sub_match").cast("long").as("sub_match"),
+        coalesce(col("sub_dup_chars"), lit(0L)).as("sub_dup_chars"),
+        coalesce(col("sub_coverage"), lit(0.0)).as("sub_coverage"),
+        coalesce(col("sub_admit"), lit(true)).as("sub_admit"),
+        col("sem_match").cast("long").as("sem_match"),
+        col("sem_cosine"),
+        (col("status") === "novel" && coalesce(col("sub_admit"), lit(true)) &&
+          col("sem_match").isNull).as("admit"))
+      .orderBy("doc_id")
+  }
+
+  /** e34's admission thresholds: perplexity gate in bits per trigram
+    * (sf0.01 arrival xent3 spans 4.2–5.4, median 5.11 — both branches
+    * fire) and the per-domain history budget (sf0.01 history counts
+    * span 0–40 over 98 domains, the .com cluster straddling 12). */
+  private[queries] val E34PplAdmitBits = 5.2
+  private[queries] val E34DomainCapDocs = 12L
+
   /** D3's candidate stage (prefix equi-join + lossless size band +
     * positional bound), shared by the query and the scaling-growth
     * measurement tool (BASELINE.md records the candidate-count
@@ -1708,64 +1785,86 @@ object DedupQueries {
     // coverage under 50% AND no semantic partner at cosine ≥ 0.45.
     // The oracle nests the three standalone twins verbatim, so the
     // hash gate proves composed ≡ independently-computed per axis. ----
-    "e15_ingest_verdict" -> ((s, dir) => {
-      // ONE batch scan: the arrival slice is read once and featurized
-      // once — text, length, shingles (band axis), gram hashes
-      // (substring axis) — into an eagerly-checkpointed frame all
-      // axes consume (the semantic axis keys on the arrival ids; its
-      // vectors ride the d14 memo). Before this, each axis re-derived
-      // and re-hashed the batch independently (three text passes);
-      // at 100 TB/day of arrivals that's two redundant corpus-scale
-      // scans per ingest. Checkpoint size is batch-proportional
-      // (shingles + one 8-byte hash per char position).
-      val arrival = Caches.checkpointed(dir,
-        withShingles(Tables.documents(s, dir)
-            .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
-          .withColumn("len", length(col("text")))
-          .withColumn("grams",
-            graft.plans.GraftGramHashes.column(col("text"), 60)))
-      val band = classifyBatch(s, dir, arrival.select("doc_id", "text"),
-        arrival.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
-          .toDF("doc_id", "band", "key"),
-        s.table(bandLandingFor(s, dir))
-          .select(col("doc_id"), col("band"), col("key")))
-      val subBatch = arrival
-        .filter(col("text").isNotNull && col("len") >= 60)
-        .select(col("doc_id"), col("text"), col("len"))
-      val bg = arrival.filter(col("text").isNotNull && col("len") >= 60)
-        .select(col("doc_id").as("b_id"), posexplode(col("grams")).as(Seq("ib", "h")))
-      val sub = substringAdmission(s, dir, subBatch, bg).select(col("doc_id"),
-        col("n_partners").as("sub_partners"),
-        col("best_match").as("sub_match"),
-        col("dup_chars").as("sub_dup_chars"),
-        col("coverage_pct").as("sub_coverage"),
-        col("admit").as("sub_admit"))
-      // semantic axis: the d14 edge memo restricted to batch↔corpus
-      // pairs (embeddings' vec_id parallels documents' doc_id in this
-      // schema), deterministic argmax: highest rounded cosine, then
-      // smallest corpus id — the d18 tie-break convention
-      val cross = d14EdgesFor(s, dir)
-        .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
-        .select(
-          when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("doc_id"),
-          when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("sem_id"),
-          col("cosine"))
-      val semBest = cross.groupBy("doc_id")
-        .agg(max(struct(col("cosine").as("c"), (-col("sem_id")).as("n"))).as("b"))
-        .select(col("doc_id"), (-col("b.n")).as("sem_match"), col("b.c").as("sem_cosine"))
-      band
-        .join(sub, Seq("doc_id"), "left")
-        .join(semBest, Seq("doc_id"), "left")
+    "e15_ingest_verdict" -> ((s, dir) =>
+      e15VerdictOf(s, dir, e15ArrivalFor(s, dir))),
+
+    // ---- E34: the FULL admission verdict — e15's three dedup axes
+    // COMPOSED with the three landed quality/policy axes a production
+    // ingest gate also decides on (the r16 verdict's #2): language
+    // (t39's landed trained profile via the memoized offline-train/
+    // online-apply verdict frame), trigram perplexity (t58's model
+    // served from the LANDED t59 c3 store — the composed gate doubles
+    // as a landed ≡ recomputed proof), and domain policy (w3's landed
+    // blocklist + a per-domain budget check against the landed
+    // history store). One verdict row per arrival, all six axes, one
+    // final admit bit.
+    //
+    // Axis semantics, chosen to stay STATELESS per arrival given the
+    // landed state (so the streaming twin is stream-static joins + the
+    // one watermark-bounded fold — no per-domain rank state):
+    //  - lang_ok: the arrival routed to SOME language (e21's
+    //    quarantine convention — null text / < 3 chars is unroutable);
+    //  - ppl_ok: trigram cross-entropy vs the landed store at most
+    //    [[E34PplAdmitBits]]; a doc too short to score passes (no
+    //    evidence is not rejection — sub_admit's convention);
+    //  - domain: 'blocked' from the landed blocklist wins; 'over_cap'
+    //    when the domain's landed HISTORY already holds ≥
+    //    [[E34DomainCapDocs]] docs (within-batch over-admission is
+    //    batch-bounded and reconciled at the next history refresh —
+    //    the same additive-store cadence as w5);
+    //  - admit = dedup_admit ∧ lang_ok ∧ ppl_ok ∧ domain_ok.
+    //
+    // Scale: the three new axes add ZERO arrival text scans — language
+    // joins the memoized verdict frame, perplexity re-reads the
+    // CHECKPOINTED featurization, domain derives from (doc_id, source)
+    // — and the static sides are landed artifacts (profile ≤ 200
+    // rows/lang broadcast; c3 tables CapGated vocabulary joins; the
+    // blocklist curated-small broadcast; the history store
+    // domain-cardinality through CapGate). The oracle nests the SIX
+    // standalone twins verbatim, so the hash gate proves composed ≡
+    // independently-computed per axis. ----
+    "e34_full_ingest_verdict" -> ((s, dir) => {
+      val arrival = e15ArrivalFor(s, dir)
+      val base = e15VerdictOf(s, dir, arrival)
+      val lang = PipelineQueries.langVerdictsAll(s, dir)
+        .select(col("doc_id"), col("pred_lang"),
+          col("margin").as("lang_margin"))
+      val ppl = TextQueries.lm3LandedScoreOf(s, dir,
+          arrival.select("doc_id", "text"))
+        .select(col("doc_id"), col("xent3_bits"))
+      val hist = graft.operators.CapGate.gate(
+        s.read.schema(WebQueries.domainStatSchema)
+          .parquet(WebQueries.e34DomainHistFor(s, dir))
+          .select(col("reg_domain"), col("n_docs").as("hist_docs"))).frame
+      val dom = graft.functions.Url.withParsed(
+          arrival.select(col("doc_id"), col("source"))
+            .withColumn("url",
+              graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+        .select(col("doc_id"), col("reg_domain"))
+        .join(broadcast(WebQueries.blockedFrame(s, dir)), Seq("reg_domain"), "left")
+        .join(hist, Seq("reg_domain"), "left")
+        .select(col("doc_id"), col("reg_domain"),
+          coalesce(col("hist_docs"), lit(0L)).as("hist_docs"),
+          when(col("is_blocked"), "blocked")
+            .when(coalesce(col("hist_docs"), lit(0L)) >= lit(E34DomainCapDocs),
+              "over_cap")
+            .otherwise("ok").as("domain_verdict"))
+      val langOk = col("pred_lang").isNotNull
+      val pplOk = coalesce(col("xent3_bits") <= lit(E34PplAdmitBits), lit(true))
+      val domOk = col("domain_verdict") === "ok"
+      base.withColumnRenamed("admit", "dedup_admit")
+        .join(lang, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
+        .join(dom, Seq("doc_id"))
         .select(col("doc_id"), col("status"), col("match_id"), col("similarity"),
-          coalesce(col("sub_partners"), lit(0L)).as("sub_partners"),
-          col("sub_match").cast("long").as("sub_match"),
-          coalesce(col("sub_dup_chars"), lit(0L)).as("sub_dup_chars"),
-          coalesce(col("sub_coverage"), lit(0.0)).as("sub_coverage"),
-          coalesce(col("sub_admit"), lit(true)).as("sub_admit"),
-          col("sem_match").cast("long").as("sem_match"),
-          col("sem_cosine"),
-          (col("status") === "novel" && coalesce(col("sub_admit"), lit(true)) &&
-            col("sem_match").isNull).as("admit"))
+          col("sub_partners"), col("sub_match"), col("sub_dup_chars"),
+          col("sub_coverage"), col("sub_admit"), col("sem_match"),
+          col("sem_cosine"), col("dedup_admit"),
+          col("pred_lang"), col("lang_margin"), langOk.as("lang_ok"),
+          col("xent3_bits"), pplOk.as("ppl_ok"),
+          col("reg_domain"), col("hist_docs"), col("domain_verdict"),
+          domOk.as("domain_ok"),
+          (col("dedup_admit") && langOk && pplOk && domOk).as("admit"))
         .orderBy("doc_id")
     }),
 
@@ -3420,7 +3519,9 @@ object DedupQueries {
     // exactly like d24/x19.
     "d26_substring_admission" -> d26OracleSql,
 
-    "e15_ingest_verdict" -> e15OracleSql
+    "e15_ingest_verdict" -> e15OracleSql,
+
+    "e34_full_ingest_verdict" -> e34OracleSql
   )
 
   /** d26's DuckDB twin, factored to a val so e15's composed oracle can
@@ -3531,6 +3632,57 @@ object DedupQueries {
        |LEFT JOIN sub s ON s.doc_id = b.doc_id
        |LEFT JOIN (SELECT * FROM semb WHERE rn = 1) m ON m.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  /** e34's twin NESTS all six standalone oracles: e15's composed
+    * three-axis twin (itself nesting d18/d26/the exact cosine set),
+    * t39's lang-ID replay scored on the arrival carve, t58's
+    * interpolated-trigram recompute scored on the arrival carve
+    * (the engine serves the LANDED t59 store, so this leg is also a
+    * landed ≡ recomputed proof), and the URL-parse chain feeding both
+    * the blocklist CASE and the per-domain history count. Hash
+    * equality proves the composed one-pass verdict equals running
+    * each published gate independently and joining on doc_id. */
+  private lazy val e34OracleSql: String = {
+    val langSql = PipelineQueries.t39LangIdCteFor("doc_id % 10 = 0") +
+      "\nSELECT doc_id, pred_lang, margin FROM verdicts"
+    val pplSql = TextQueries.lm3OracleSqlFor("TRUE", "doc_id % 10 = 0")
+    val domParse = WebQueries.urlParseCteSqlFrom(
+      "documents", "doc_id", "source", Seq("doc_id"))
+    val blocked = WebQueries.BlockedDomains
+      .map(d => s"'$d'").mkString("(", ", ", ")")
+    s"""WITH base AS (SELECT * FROM ($e15OracleSql)),
+       | lang AS (SELECT * FROM ($langSql)),
+       | ppl AS (SELECT doc_id, xent3_bits FROM ($pplSql)),
+       | dom0 AS (SELECT * FROM (WITH $domParse
+       |   SELECT doc_id, reg_domain FROM parsed)),
+       | hist AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS hist_docs
+       |   FROM dom0 WHERE doc_id % 10 <> 0 GROUP BY 1),
+       | dom AS (SELECT a.doc_id, a.reg_domain,
+       |     COALESCE(h.hist_docs, 0) AS hist_docs,
+       |     CASE WHEN a.reg_domain IN $blocked THEN 'blocked'
+       |          WHEN COALESCE(h.hist_docs, 0) >= $E34DomainCapDocs
+       |            THEN 'over_cap'
+       |          ELSE 'ok' END AS domain_verdict
+       |   FROM (SELECT doc_id, reg_domain FROM dom0 WHERE doc_id % 10 = 0) a
+       |   LEFT JOIN hist h USING (reg_domain))
+       |SELECT b.doc_id, b.status, b.match_id, b.similarity, b.sub_partners,
+       |  b.sub_match, b.sub_dup_chars, b.sub_coverage, b.sub_admit,
+       |  b.sem_match, b.sem_cosine, b.admit AS dedup_admit,
+       |  l.pred_lang, CAST(l.margin AS BIGINT) AS lang_margin,
+       |  l.pred_lang IS NOT NULL AS lang_ok,
+       |  p.xent3_bits,
+       |  COALESCE(p.xent3_bits <= CAST($E34PplAdmitBits AS DOUBLE), TRUE) AS ppl_ok,
+       |  d.reg_domain, d.hist_docs, d.domain_verdict,
+       |  d.domain_verdict = 'ok' AS domain_ok,
+       |  (b.admit AND l.pred_lang IS NOT NULL
+       |    AND COALESCE(p.xent3_bits <= CAST($E34PplAdmitBits AS DOUBLE), TRUE)
+       |    AND d.domain_verdict = 'ok') AS admit
+       |FROM base b
+       |LEFT JOIN lang l ON l.doc_id = b.doc_id
+       |LEFT JOIN ppl p ON p.doc_id = b.doc_id
+       |JOIN dom d ON d.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
 
   /** d21's chunk replay (doc_id, chunk_no, c_len, c_md5) — shared by
     * the d21 gate and d30's dedup-accounting rollup. */

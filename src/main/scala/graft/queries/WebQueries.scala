@@ -82,6 +82,32 @@ object WebQueries {
     })
   }
 
+  /** e34's landed per-domain HISTORY: n_docs per registrable domain
+    * over the e15 CORPUS carve (doc_id % 10 ≠ 0) — the admission
+    * gate's view of how much budget a domain has already consumed.
+    * Same store shape as [[domainStoreFor]] (w5's additive contract),
+    * different population: w5 refreshes on the %9 delta carve, e34
+    * admits the %10 arrival carve against everything else. */
+  private val e34Hist =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def e34DomainHistFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = e34Hist.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) e34Hist.remove(dir, memo)
+    e34Hist.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e34h_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { e34Hist.remove(d); () })
+      Caches.trackPath(d, out)
+      domainStatsOf(parsedDocs(s, d).filter(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
   /** The landed BLOCKLIST table (replacing w3's r16 literal `Seq`): at
     * production scale the blocklist is maintained data, not code — a
     * landed table consumed via a broadcast membership join. Bounded by

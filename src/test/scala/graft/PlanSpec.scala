@@ -173,6 +173,41 @@ class PlanSpec extends AnyFunSuite {
       s"arrival features are not served from the shared checkpoint:\n$plan")
   }
 
+  test("e34 composes all six axes from landed state with one arrival featurization") {
+    val df = SparkEntry.queries("e34_full_ingest_verdict")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // dedup axes: e15's pins hold through the composition
+    assert(plan.contains("graft_d24_bands"),
+      s"band axis did not read the landed d24 table:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"memoized frames (d14 edges / lang verdicts) not reused:\n$plan")
+    // BroadcastNestedLoopJoin appears ONLY as the LM scorer's one-row
+    // (N, V) scalar attach (crossJoin(broadcast(nv)) — the repo's
+    // accepted scalar-attach shape); a cartesian over real relations
+    // is still forbidden
+    assert(!plan.contains("CartesianProduct"),
+      s"composed verdict plans a cartesian product:\n$plan")
+    // the three NEW axes serve LANDED artifacts: the t59 c3 store
+    // (perplexity) and the e34 domain-history store are parquet scans
+    // of their landing dirs, never recomputes of corpus text
+    assert(plan.contains("graft_t59_"),
+      s"perplexity axis did not read the landed c3 store:\n$plan")
+    assert(plan.contains("graft_e34h_"),
+      s"domain axis did not read the landed history store:\n$plan")
+    // ONE arrival featurization: every axis reads the arrival slice
+    // through the shared checkpoint (Scan ExistingRDD); the only
+    // documents FileScans left are corpus sides (exact axis), never
+    // a re-scan of the arrival batch per axis
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val docScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"composed verdict re-scans the arrival batch ($docScans documents scans):\n$plan")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"arrival features are not served from the shared checkpoint:\n$plan")
+  }
+
   test("e11 anomaly gate is a broadcast map-side filter (one stats shuffle only)") {
     val df = SparkEntry.queries("e11_anomaly")(spark, sfDir)
     df.collect()
