@@ -738,8 +738,8 @@ object DedupQueries {
     * (sf0.01 arrival xent3 spans 4.2–5.4, median 5.11 — both branches
     * fire) and the per-domain history budget (sf0.01 history counts
     * span 0–40 over 98 domains, the .com cluster straddling 12). */
-  private[queries] val E34PplAdmitBits = 5.2
-  private[queries] val E34DomainCapDocs = 12L
+  private[graft] val E34PplAdmitBits = 5.2
+  private[graft] val E34DomainCapDocs = 12L
 
   /** D3's candidate stage (prefix equi-join + lossless size band +
     * positional bound), shared by the query and the scaling-growth

@@ -91,7 +91,7 @@ object WebQueries {
   private val e34Hist =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[queries] def e34DomainHistFor(s: org.apache.spark.sql.SparkSession,
+  private[graft] def e34DomainHistFor(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val memo = e34Hist.get(dir)
     if (memo != null && !new java.io.File(memo).exists()) e34Hist.remove(dir, memo)

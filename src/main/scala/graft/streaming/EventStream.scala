@@ -26,6 +26,7 @@ object EventStream {
     * regrouped to multiplicities and truncated at LmDocTypeCap. */
   case class LmKeptType(lhs: String, rhs: String, m: Long)
   case class LmPrep(n_bigrams: Long, n_types_dropped: Long, kept: Seq[LmKeptType])
+  case class Lm3Type(w1: String, w2: String, w3: String, m: Long)
 
   /** Logical schema of the events fixture, with ts's physical type
     * substituted per encoding at read time (see [[readEvents]]). */
@@ -436,11 +437,26 @@ object EventStream {
       bandIndex: DataFrame, gramIndex: DataFrame,
       arrivalVecs: DataFrame, corpusVecs: DataFrame,
       cacheScope: String): DataFrame = {
+    val a = arrivals.withWatermark("ts", "2 hours")
+      .withColumn("len", coalesce(length(col("text")), lit(0)))
+    val evidence = dedupEvidence(a, corpusDocs, bandIndex, gramIndex,
+      arrivalVecs, corpusVecs, cacheScope)
+    ingestFold(evidence)
+  }
+
+  /** The three-dedup-axis evidence union (axes 0–4) factored out of
+    * [[ingestVerdict]] so [[fullIngestVerdict]] composes the same
+    * stateless stream-static sources with the language/perplexity/
+    * domain axes before the ONE shared fold. `a` is the
+    * already-watermarked arrival frame carrying (ts, doc_id, text,
+    * len) (extra columns pass through untouched). */
+  private def dedupEvidence(a: DataFrame, corpusDocs: DataFrame,
+      bandIndex: DataFrame, gramIndex: DataFrame,
+      arrivalVecs: DataFrame, corpusVecs: DataFrame,
+      cacheScope: String): DataFrame = {
     import graft.queries.DedupQueries.{bandKeysUdf, docShinglesOf, dotExpr,
       intersectUdf, norm2Expr, withShingles}
     val K = 60
-    val a = arrivals.withWatermark("ts", "2 hours")
-      .withColumn("len", coalesce(length(col("text")), lit(0)))
     // axis 3 — exact: stream-static text equi-join (content-hash
     // bucket probe at scale); the fold takes min(partner)
     val exact = a.join(corpusDocs.select(col("doc_id").as("cand"), col("text")), Seq("text"))
@@ -559,6 +575,13 @@ object EventStream {
     // axis 0 — sentinel: every arrival gets a verdict row
     val sentinel = a.select(col("ts"), col("doc_id"), col("len"), lit(0).as("axis"),
       lit(-1L).as("cand"), lit(-1).as("ib"), lit(-1).as("ic"), lit(-1.0).as("score"))
+    exact.unionByName(near).unionByName(sub).unionByName(sem).unionByName(sentinel)
+  }
+
+  /** e15's verdict fold: ONE watermark-bounded (ts, doc_id, len)
+    * aggregation over the tagged evidence union. */
+  private def ingestFold(evidence: DataFrame): DataFrame = {
+    val K = 60
     val verdictU = udf((len: Int, ms: Seq[org.apache.spark.sql.Row]) => {
       def cand(r: org.apache.spark.sql.Row) = r.getLong(1)
       def score(r: org.apache.spark.sql.Row) = r.getDouble(4)
@@ -583,7 +606,7 @@ object EventStream {
       (status, matchId, sim, nPart, subMatch, subDup, subCov, subAdmit,
         semMatch, semCos, status == "novel" && subAdmit && semMatch.isEmpty)
     })
-    exact.unionByName(near).unionByName(sub).unionByName(sem).unionByName(sentinel)
+    evidence
       .groupBy(col("ts"), col("doc_id"), col("len"))
       .agg(collect_list(struct(col("axis"), col("cand"), col("ib"), col("ic"),
         col("score"))).as("ms"))
@@ -594,6 +617,241 @@ object EventStream {
         col("r._7").as("sub_coverage"), col("r._8").as("sub_admit"),
         col("r._9").as("sem_match"), col("r._10").as("sem_cosine"),
         col("r._11").as("admit"))
+  }
+
+  /** Stream twin of the batch e34 SIX-axis admission verdict: the
+    * three dedup axes ([[dedupEvidence]] — unchanged) composed with
+    * language, trigram-perplexity, and domain-policy evidence, all
+    * STATELESS stream-static sources folding through the ONE
+    * watermark-bounded (ts, doc_id) aggregation — state stays one
+    * group per arrival in the horizon however many axes fire, and the
+    * e34 axis semantics were chosen for exactly this shape (the domain
+    * cap reads the LANDED history store, never a per-domain rank over
+    * the stream).
+    *
+    * Static sides: `langProfile` is the landed t39 profile (bounded —
+    * collected driver-side so the dense zero-fill argmax runs map-side
+    * in one UDF, the identifyLanguage discipline); `c3Counts` is the
+    * landed t59 trigram store — its four context tables derive once,
+    * are cached under `cacheScope`, and ride CapGate (vocabulary-sized
+    * joins; the (N, V) scalar is collected at construction); the
+    * blocklist broadcasts (curated-small); `domainHist` rides CapGate
+    * (domain-cardinality). Arrivals carry (ts, doc_id, text, source,
+    * lang) — source feeds the URL construction, lang the planted-text
+    * fixture transform (both map-side column algebra). The perplexity
+    * prep (type regroup + LmDocTypeCap truncation + UTF-8 sort) runs
+    * map-side per arrival, scoreArrivals' discipline, so join probe
+    * and state are cap-bounded for book-length arrivals. */
+  def fullIngestVerdict(arrivals: DataFrame, corpusDocs: DataFrame,
+      bandIndex: DataFrame, gramIndex: DataFrame,
+      arrivalVecs: DataFrame, corpusVecs: DataFrame,
+      langProfile: DataFrame, c3Counts: DataFrame,
+      blocklist: DataFrame, domainHist: DataFrame,
+      cacheScope: String): DataFrame = {
+    val a = arrivals.withWatermark("ts", "2 hours")
+      .withColumn("len", coalesce(length(col("text")), lit(0)))
+    def widen(ev: DataFrame): DataFrame = ev
+      .withColumn("s1", lit(null).cast("string"))
+      .withColumn("s2", lit(null).cast("string"))
+      .withColumn("s3", lit(null).cast("string"))
+      .withColumn("lv", lit(-1L))
+    val dedup = widen(dedupEvidence(a, corpusDocs, bandIndex, gramIndex,
+      arrivalVecs, corpusVecs, cacheScope))
+    // axis 5 — language: profile collected driver-side (≤ 200 rows per
+    // language by construction), the batch dense-argmax replayed
+    // map-side; ties go to the smallest language name (langs ascending
+    // + strict-greater maxBy), the batch rank window's tie-break
+    val profRows = langProfile.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val gramW: Map[String, Seq[(String, Long)]] =
+      profRows.groupBy(_._1).view.mapValues(_.map(p => (p._3, p._2)).toSeq).toMap
+    val langs: Seq[String] = profRows.map(_._3).distinct.sorted.toSeq
+    val langU = udf((t: String) =>
+      if (t == null || t.length < 3) Option.empty[(String, Long, Long)]
+      else {
+        val sums = scala.collection.mutable.Map.empty[String, Long]
+        var i = 0
+        while (i <= t.length - 3) {
+          gramW.get(t.substring(i, i + 3)).foreach(_.foreach { case (l, w) =>
+            sums.update(l, sums.getOrElse(l, 0L) + w) })
+          i += 1
+        }
+        val dense = langs.map(l => l -> sums.getOrElse(l, 0L))
+        val (bestL, bestS) = dense.maxBy(_._2)
+        val second = dense.collect { case (l, s) if l != bestL => s }
+          .maxOption.getOrElse(0L)
+        Some((bestL, bestS, bestS - second))
+      })
+    val lang = a
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(col("ts"), col("doc_id"), col("len"),
+        langU(graft.queries.PipelineQueries.plantedLangText).as("lr"))
+      .filter(col("lr").isNotNull)
+      .select(col("ts"), col("doc_id"), col("len"), lit(5).as("axis"),
+        col("lr._2").as("cand"), lit(-1).as("ib"), lit(-1).as("ic"),
+        lit(-1.0).as("score"), col("lr._1").as("s1"),
+        lit(null).cast("string").as("s2"), lit(null).cast("string").as("s3"),
+        col("lr._3").as("lv"))
+    // axis 6 — perplexity vs the landed c3 store: map-side type
+    // regroup + cap (scoreArrivals' discipline), five CapGated
+    // stream-static LEFT joins, the batch interpolation expression
+    // verbatim; (N, V) collected once at construction
+    def cmpUtf8(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cap = graft.queries.TextQueries.LmDocTypeCap.toInt
+    val prep3U = udf((t: String) => {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Seq.empty[Lm3Type]
+      else (0 until w.length - 2).map(i => (w(i), w(i + 1), w(i + 2)))
+        .groupBy(identity).toSeq
+        .sortWith { case ((ka, _), (kb, _)) =>
+          val c1 = cmpUtf8(ka._1, kb._1)
+          if (c1 != 0) c1 < 0 else {
+            val c2 = cmpUtf8(ka._2, kb._2)
+            if (c2 != 0) c2 < 0 else cmpUtf8(ka._3, kb._3) < 0
+          }
+        }
+        .take(cap)
+        .map { case ((w1, w2, w3), occ) => Lm3Type(w1, w2, w3, occ.size.toLong) }
+    })
+    val c3c = graft.queries.Caches.trackCached(cacheScope, c3Counts)
+    def gated(df: DataFrame): DataFrame = graft.operators.CapGate.gate(
+      graft.queries.Caches.trackCached(cacheScope, df)).frame
+    val g3 = gated(c3c)
+    val gCtx2 = gated(c3c.groupBy("w1", "w2").agg(sum("c3").cast("long").as("ctx2")))
+    val gMid = gated(c3c.groupBy("w2", "w3").agg(sum("c3").cast("long").as("cmid")))
+    val gC1ctx = gated(c3c.groupBy("w2").agg(sum("c3").cast("long").as("c1ctx")))
+    val gUni = gated(c3c.groupBy("w3").agg(sum("c3").cast("long").as("c1")))
+    val nvRow = c3c.agg(sum("c3").cast("long"), countDistinct("w3").cast("long")).head()
+    val nnv: Long = nvRow.getLong(0) + nvRow.getLong(1)
+    val ppl = a.filter(col("text").isNotNull)
+      .select(col("ts"), col("doc_id"), col("len"),
+        explode(prep3U(col("text"))).as("k"))
+      .select(col("ts"), col("doc_id"), col("len"), col("k.w1").as("w1"),
+        col("k.w2").as("w2"), col("k.w3").as("w3"), col("k.m").as("m"))
+      .join(g3, Seq("w1", "w2", "w3"), "left")
+      .join(gCtx2, Seq("w1", "w2"), "left")
+      .join(gMid, Seq("w2", "w3"), "left")
+      .join(gC1ctx, Seq("w2"), "left")
+      .join(gUni, Seq("w3"), "left")
+      .select(col("ts"), col("doc_id"), col("len"), lit(6).as("axis"),
+        lit(-1L).as("cand"), lit(-1).as("ib"), lit(-1).as("ic"),
+        (when(col("ctx2").isNull, lit(0.0))
+          .otherwise(lit(0.5) * (coalesce(col("c3"), lit(0L)).cast("double") /
+            col("ctx2").cast("double"))) +
+        when(col("c1ctx").isNull, lit(0.0))
+          .otherwise(lit(0.3) * (coalesce(col("cmid"), lit(0L)).cast("double") /
+            col("c1ctx").cast("double"))) +
+        lit(0.2) * ((coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+          lit(nnv).cast("double"))).as("score"),
+        col("w1").as("s1"), col("w2").as("s2"), col("w3").as("s3"),
+        col("m").as("lv"))
+    // axis 7 — domain policy: map-side URL parse, broadcast blocklist
+    // membership, CapGated landed-history lookup — fully stateless
+    val dom = graft.functions.Url.withParsed(
+        a.select(col("ts"), col("doc_id"), col("len"), col("source"))
+          .withColumn("url",
+            graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+      .select(col("ts"), col("doc_id"), col("len"), col("reg_domain"))
+      .join(broadcast(blocklist.select(col("reg_domain"),
+        col("is_blocked"))), Seq("reg_domain"), "left")
+      .join(graft.operators.CapGate.gate(domainHist
+        .select(col("reg_domain"), col("n_docs").as("hist_docs"))).frame,
+        Seq("reg_domain"), "left")
+      .select(col("ts"), col("doc_id"), col("len"), lit(7).as("axis"),
+        coalesce(col("hist_docs"), lit(0L)).as("cand"),
+        lit(-1).as("ib"), lit(-1).as("ic"), lit(-1.0).as("score"),
+        col("reg_domain").as("s1"), lit(null).cast("string").as("s2"),
+        lit(null).cast("string").as("s3"),
+        when(col("is_blocked"), 1L).otherwise(0L).as("lv"))
+    val K = 60
+    val pplBits = graft.queries.DedupQueries.E34PplAdmitBits
+    val domCap = graft.queries.DedupQueries.E34DomainCapDocs
+    val fullU = udf((len: Int, ms: Seq[org.apache.spark.sql.Row]) => {
+      def cand(r: org.apache.spark.sql.Row) = r.getLong(1)
+      def score(r: org.apache.spark.sql.Row) = r.getDouble(4)
+      val byAxis = ms.groupBy(_.getInt(0))
+      val exacts = byAxis.getOrElse(3, Nil)
+      val nears = byAxis.getOrElse(2, Nil)
+      val (status, matchId, sim) =
+        if (exacts.nonEmpty) ("exact", Some(exacts.map(cand).min), Some(1.0))
+        else if (nears.nonEmpty) {
+          val b = nears.maxBy(r => (score(r), -cand(r)))
+          ("near", Some(cand(b)), Some(score(b)))
+        } else ("novel", Option.empty[Long], Option.empty[Double])
+      val (nPart, subMatch, _, subDup, subCov, subAdmit) = substringVerdict(len,
+        byAxis.getOrElse(1, Nil).map(r => (cand(r), r.getInt(2), r.getInt(3))), K)
+      val sems = byAxis.getOrElse(4, Nil)
+      val (semMatch, semCos) =
+        if (sems.isEmpty) (Option.empty[Long], Option.empty[Double])
+        else {
+          val b = sems.maxBy(r => (score(r), -cand(r)))
+          (Some(cand(b)), Some(score(b)))
+        }
+      val dedupAdmit = status == "novel" && subAdmit && semMatch.isEmpty
+      // axis 5 — at most one row per arrival by construction;
+      // duplicate deliveries carry identical values, head is safe
+      val langRow = byAxis.getOrElse(5, Nil).headOption
+      val (predLang, langMargin) =
+        (langRow.map(_.getString(5)), langRow.map(_.getLong(8)))
+      val langOk = predLang.nonEmpty
+      // axis 6 — the batch fold: dedupe delivered types by key, sort
+      // UTF-8 by (w1, w2, w3), sequential m·log2(p) sum, HALF_UP 6
+      val tys = byAxis.getOrElse(6, Nil)
+        .groupBy(r => (r.getString(5), r.getString(6), r.getString(7)))
+        .map(_._2.head).toSeq
+        .sortWith { (x, y) =>
+          val c1 = cmpUtf8(x.getString(5), y.getString(5))
+          if (c1 != 0) c1 < 0 else {
+            val c2 = cmpUtf8(x.getString(6), y.getString(6))
+            if (c2 != 0) c2 < 0 else cmpUtf8(x.getString(7), y.getString(7)) < 0
+          }
+        }
+      val xent =
+        if (tys.isEmpty) Option.empty[Double]
+        else {
+          val nScored = tys.iterator.map(_.getLong(8)).sum
+          val s = tys.foldLeft(0.0) { (acc, r) =>
+            acc + r.getLong(8) * (StrictMath.log(r.getDouble(4)) /
+              StrictMath.log(2.0))
+          }
+          Some(BigDecimal(-s / nScored)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      val pplOk = xent.forall(_ <= pplBits)
+      // axis 7 — exactly one row per arrival (left joins preserve it)
+      val domRow = byAxis.getOrElse(7, Nil).headOption
+      val regDomain = domRow.flatMap(r =>
+        if (r.isNullAt(5)) None else Some(r.getString(5)))
+      val histDocs = domRow.map(cand).getOrElse(0L)
+      val domainVerdict =
+        if (domRow.exists(_.getLong(8) == 1L)) "blocked"
+        else if (histDocs >= domCap) "over_cap"
+        else "ok"
+      val domainOk = domainVerdict == "ok"
+      (status, matchId, sim, nPart, subMatch, subDup, subCov, subAdmit,
+        semMatch, semCos, dedupAdmit, predLang, langMargin, langOk, xent,
+        pplOk, regDomain, histDocs, domainVerdict, domainOk,
+        dedupAdmit && langOk && pplOk && domainOk)
+    })
+    dedup.unionByName(lang).unionByName(ppl).unionByName(dom)
+      .groupBy(col("ts"), col("doc_id"), col("len"))
+      .agg(collect_list(struct(col("axis"), col("cand"), col("ib"), col("ic"),
+        col("score"), col("s1"), col("s2"), col("s3"), col("lv"))).as("ms"))
+      .select(col("doc_id"), fullU(col("len"), col("ms")).as("r"))
+      .select(col("doc_id"), col("r._1").as("status"), col("r._2").as("match_id"),
+        col("r._3").as("similarity"), col("r._4").as("sub_partners"),
+        col("r._5").as("sub_match"), col("r._6").as("sub_dup_chars"),
+        col("r._7").as("sub_coverage"), col("r._8").as("sub_admit"),
+        col("r._9").as("sem_match"), col("r._10").as("sem_cosine"),
+        col("r._11").as("dedup_admit"), col("r._12").as("pred_lang"),
+        col("r._13").as("lang_margin"), col("r._14").as("lang_ok"),
+        col("r._15").as("xent3_bits"), col("r._16").as("ppl_ok"),
+        col("r._17").as("reg_domain"), col("r._18").as("hist_docs"),
+        col("r._19").as("domain_verdict"), col("r._20").as("domain_ok"),
+        col("r._21").as("admit"))
   }
 
   /** Stream twin of the batch t39 language-ID gate: arrivals (ts,

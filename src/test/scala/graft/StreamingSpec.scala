@@ -701,6 +701,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FULL ingest verdict ≡ the batch e34 query on all six axes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.sfDir
+    val expected = graft.queries.DedupQueries
+      .queries("e34_full_ingest_verdict")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // every NEW axis must exercise both branches or the parity proves
+    // nothing (the dedup axes are pinned by the e15 twin test)
+    def colIdx(name: String) = Seq("status", "match_id", "similarity",
+      "sub_partners", "sub_match", "sub_dup_chars", "sub_coverage",
+      "sub_admit", "sem_match", "sem_cosine", "dedup_admit", "pred_lang",
+      "lang_margin", "lang_ok", "xent3_bits", "ppl_ok", "reg_domain",
+      "hist_docs", "domain_verdict", "domain_ok", "admit").indexOf(name)
+    assert(expected.values.map(_(colIdx("pred_lang"))).toSet.size > 1,
+      "language axis fires")
+    assert(expected.values.exists(_(colIdx("ppl_ok")) == false),
+      "perplexity axis rejects someone")
+    assert(expected.values.map(_(colIdx("domain_verdict"))).toSet ===
+      Set("ok", "over_cap", "blocked"), "domain axis fires on all branches")
+    assert(expected.values.exists(_(colIdx("admit")) == true), "someone admitted")
+    assert(expected.values.exists(_(colIdx("admit")) == false), "someone rejected")
+    val corpusDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val bandIdx = spark.table(
+      graft.queries.DedupQueries.bandLandingFor(spark, dir))
+    val gramIdx = spark.table(
+      graft.queries.DedupQueries.d26LandingFor(spark, dir))
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpusVecs = vecs.filter(col("vec_id") % 10 =!= 0)
+    val langProfile = graft.queries.PipelineQueries.langProfileFor(spark, dir)
+    val c3 = spark.read.schema(graft.queries.TextQueries.lm3CountSchema)
+      .parquet(graft.queries.TextQueries.lm3CountsLandingFor(spark, dir))
+    val blocklist = graft.queries.WebQueries.blockedFrame(spark, dir)
+    val hist = spark.read.schema(graft.queries.WebQueries.domainStatSchema)
+      .parquet(graft.queries.WebQueries.e34DomainHistFor(spark, dir))
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text", "source", "lang").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    val input = MemoryStream[(Timestamp, Long, String, String, String)]
+    val q = EventStream.fullIngestVerdict(
+        input.toDF().toDF("ts", "doc_id", "text", "source", "lang"),
+        corpusDocs, bandIdx, gramIdx, vecs, corpusVecs,
+        langProfile, c3, blocklist, hist, cacheScope = dir)
+      .writeStream.format("memory").queryName("full_ingest_verdict")
+      .outputMode("append").start()
+    try {
+      // arrivals spread over several micro-batch event times; plus a
+      // planted NULL-TEXT arrival (-998) — unroutable (lang_ok false),
+      // unscoreable (xent null → ppl_ok true), and its -998 % 11 = -8
+      // URL shape falls to the blocked crawl-hub ELSE branch
+      input.addData(arrivals.zipWithIndex.map { case ((id, t, src, lg), i) =>
+        (ts(i % 60), id, t, src, lg) }: _*)
+      q.processAllAvailable()
+      input.addData((ts(61), -998L, null, "srcX", "en"))
+      q.processAllAvailable()
+      input.addData((ts(600), -999L, "watermark advancer", "srcY", "en"))
+      q.processAllAvailable()
+      val streamedAll = spark.table("full_ingest_verdict")
+        .filter(col("doc_id") =!= -999L).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val planted = streamedAll(-998L)
+      assert(planted(colIdx("pred_lang")) == null &&
+        planted(colIdx("lang_ok")) == false,
+        s"null-text arrival must be unroutable: $planted")
+      assert(planted(colIdx("xent3_bits")) == null &&
+        planted(colIdx("ppl_ok")) == true,
+        s"null-text arrival must be unscoreable but not rejected: $planted")
+      assert(planted(colIdx("domain_verdict")) == "blocked" &&
+        planted(colIdx("admit")) == false,
+        s"planted arrival must be domain-blocked: $planted")
+      val streamed = streamedAll - (-998L)
+      assert(streamed === expected,
+        "stream full verdict must equal the batch e34 result")
+      // ONE aggregation group per arrival in the horizon — the point
+      // of folding all six axes through a single aggregation
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= arrivals.size + 2,
+        s"state $stateRows exceeds the arrival horizon ${arrivals.size + 2}")
+      val lastPlan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!lastPlan.contains("CartesianProduct") &&
+          !lastPlan.contains("BroadcastNestedLoopJoin"),
+        "streaming full-verdict plan must stay free of cartesian/nested-loop joins")
+    } finally q.stop()
+  }
+
   test("streaming language ID equals the batch t39 verdicts micro-batch-invariantly") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
