@@ -1344,6 +1344,23 @@ object TextQueries {
       lm3KnScoreWith(s, dir,
         s.read.schema(lm3CountSchema).parquet(lm3CountsLandingFor(s, dir)))),
 
+    // ---- T64/T65: KN REFRESH and FORGET — t60/t61's store algebra
+    // verbatim (the additive merge and the signed Z-set merge act on
+    // c3 itself; the KN statistics re-derive from the merged rows), so
+    // the KN model completes the full count-store lifecycle with zero
+    // new store machinery. Oracles are the KN recompute over the
+    // corresponding doc slices. ----
+    "t64_lm3kn_refresh" -> ((s, dir) => {
+      val store = s.read.schema(lm3CountSchema).parquet(lm3StoreLandingFor(s, dir))
+      val delta = lm3C3Of(lmTrainDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
+      val merged = store.unionByName(delta)
+        .groupBy("w1", "w2", "w3").agg(sum("c3").cast("long").as("c3"))
+      lm3KnScoreWith(s, dir, merged)
+    }),
+
+    "t65_lm3kn_forget" -> ((s, dir) =>
+      lm3KnScoreWith(s, dir, lm3ForgottenCounts(s, dir))),
+
     // ---- document fingerprinting: md5 over normalized text ----
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1795,6 +1812,8 @@ object TextQueries {
     "t61_lm3_forget" -> lm3OracleSqlFor(e24DeletedKeptPredSql),
     "t62_lm3kn_perplexity" -> lm3KnOracleSql,
     "t63_lm3kn_landed" -> lm3KnOracleSql,
+    "t64_lm3kn_refresh" -> lm3KnOracleSql,
+    "t65_lm3kn_forget" -> lm3KnOracleSqlFor(e24DeletedKeptPredSql),
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | md5(lower(NULLIF(trim(regexp_replace(text, '${Cleaning.UnicodeWsRe2}+', ' ', 'g')), '')))

@@ -117,6 +117,8 @@ class QualitySpec extends AnyFunSuite {
     def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSeq
     assert(rows("t63_lm3kn_landed") === rows("t62_lm3kn_perplexity"),
       "landed-store KN scoring must equal the recompute")
+    assert(rows("t64_lm3kn_refresh") === rows("t62_lm3kn_perplexity"),
+      "KN count-store refresh must equal the full retrain")
     graft.queries.Caches.release(spark, dir)
   }
 
