@@ -108,6 +108,42 @@ object WebQueries {
     })
   }
 
+  /** e35's landed admission DELTA — the domain-history store's
+    * maintenance leg (e20's admit-then-append shape on the newest
+    * axis): wave-1 arrivals (doc_id % 20 == 0) admit against the
+    * LANDED history, and the ADMITTED docs' own domain stats land as
+    * a delta table — base files untouched, history never re-parsed.
+    * Wave-2 admission then serves base ∪ delta, so a domain filled to
+    * its cap by wave-1 admissions correctly rejects in wave 2. */
+  private val e35Delta =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def e35DeltaFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val memo = e35Delta.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) e35Delta.remove(dir, memo)
+    e35Delta.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e35d_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { e35Delta.remove(d); () })
+      Caches.trackPath(d, out)
+      val hist = graft.operators.CapGate.gate(
+        s.read.schema(domainStatSchema).parquet(e34DomainHistFor(s, d))
+          .select(col("reg_domain"), col("n_docs").as("hist_docs"))).frame
+      val admitted = parsedDocs(s, d).filter(col("doc_id") % 20 === 0)
+        .join(broadcast(blockedFrame(s, d)), Seq("reg_domain"), "left")
+        .join(hist, Seq("reg_domain"), "left")
+        .filter(!coalesce(col("is_blocked"), lit(false)) &&
+          coalesce(col("hist_docs"), lit(0L)) <
+            lit(DedupQueries.E34DomainCapDocs))
+      domainStatsOf(admitted)
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
   /** The landed BLOCKLIST table (replacing w3's r16 literal `Seq`): at
     * production scale the blocklist is maintained data, not code — a
     * landed table consumed via a broadcast membership join. Bounded by
@@ -245,6 +281,43 @@ object WebQueries {
     // verdict and the per-URL fetch count ride the same partitioning —
     // no second exchange. At 100 TB the key is page-cardinality, the
     // state one row per page version, and nothing is corpus-global. ----
+    // ---- E35: domain-history ADMIT-THEN-APPEND — the maintenance
+    // leg that keeps e34's domain budget honest across waves (e20/e22/
+    // e27/x20's shape on the newest store): wave 1 (doc_id % 20 == 0)
+    // admits against the LANDED history; its ADMITTED docs' domain
+    // stats land as a delta ([[e35DeltaFor]] — base files untouched);
+    // wave 2 (doc_id % 20 == 10) admits against base ∪ delta, so a
+    // domain filled to the cap BY wave-1 admissions rejects in wave 2
+    // (at sf0.01, two wave-2 docs cross the cap only via the delta —
+    // the branch this leg exists for). The oracle replays wave-1
+    // admit → delta → wave-2 admit relationally, so the hash gate
+    // proves serve-over-landed-delta ≡ recompute-over-updated-history.
+    // Scale: the delta is wave-sized; serving is two store-cardinality
+    // scans + the same stateless joins as e34; wave-2's own parse
+    // reads only (doc_id, source) — no text (PlanSpec pins the pruned
+    // ReadSchema). ----
+    "e35_domain_append" -> ((s, dir) => {
+      val hist = s.read.schema(domainStatSchema)
+        .parquet(e34DomainHistFor(s, dir))
+      val delta = s.read.schema(domainStatSchema)
+        .parquet(e35DeltaFor(s, dir))
+      val combined = graft.operators.CapGate.gate(
+        hist.unionByName(delta)
+          .groupBy("reg_domain")
+          .agg(sum("n_docs").cast("long").as("hist_docs"))).frame
+      parsedDocs(s, dir).filter(col("doc_id") % 20 === 10)
+        .select(col("doc_id"), col("reg_domain"))
+        .join(broadcast(blockedFrame(s, dir)), Seq("reg_domain"), "left")
+        .join(combined, Seq("reg_domain"), "left")
+        .select(col("doc_id"), col("reg_domain"),
+          coalesce(col("hist_docs"), lit(0L)).as("hist_docs"),
+          when(col("is_blocked"), "blocked")
+            .when(coalesce(col("hist_docs"), lit(0L)) >=
+              lit(DedupQueries.E34DomainCapDocs), "over_cap")
+            .otherwise("ok").as("domain_verdict"))
+        .orderBy("doc_id")
+    }),
+
     "w4_recrawl_dedup" -> ((s, dir) => {
       val w = Window.partitionBy("canon_url")
         .orderBy(col("fetch_day").desc, col("doc_id").desc)
@@ -387,6 +460,33 @@ object WebQueries {
          |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(toks) AS BIGINT) AS n_tokens
          |FROM toks GROUP BY 1 ORDER BY reg_domain""".stripMargin,
+
+    // e35's twin replays wave-1 admit → delta → wave-2 admit from raw
+    // documents, so the gate proves the landed-delta serve equals the
+    // recompute over the updated history
+    "e35_domain_append" -> {
+      val blocked = BlockedDomains.map(d => s"'$d'").mkString("(", ", ", ")")
+      s"""WITH $urlParseCteSql,
+         | hist AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS h
+         |   FROM parsed WHERE doc_id % 10 <> 0 GROUP BY 1),
+         | w1 AS (SELECT p.doc_id, p.reg_domain, COALESCE(h.h, 0) AS h
+         |   FROM parsed p LEFT JOIN hist h USING (reg_domain)
+         |   WHERE p.doc_id % 20 = 0),
+         | delta AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS d
+         |   FROM w1 WHERE reg_domain NOT IN $blocked
+         |     AND h < ${DedupQueries.E34DomainCapDocs} GROUP BY 1),
+         | w2 AS (SELECT p.doc_id, p.reg_domain,
+         |     COALESCE(h.h, 0) + COALESCE(d.d, 0) AS hist_docs
+         |   FROM parsed p LEFT JOIN hist h USING (reg_domain)
+         |   LEFT JOIN delta d USING (reg_domain)
+         |   WHERE p.doc_id % 20 = 10)
+         |SELECT doc_id, reg_domain, hist_docs,
+         |  CASE WHEN reg_domain IN $blocked THEN 'blocked'
+         |       WHEN hist_docs >= ${DedupQueries.E34DomainCapDocs}
+         |         THEN 'over_cap'
+         |       ELSE 'ok' END AS domain_verdict
+         |FROM w2 ORDER BY doc_id""".stripMargin
+    },
 
     "w4_recrawl_dedup" ->
       s"""WITH $urlParseCteSql,

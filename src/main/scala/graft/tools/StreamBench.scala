@@ -128,6 +128,54 @@ object StreamBench {
       in => EventStream.ingestVerdict(in, corpusDocs, bandIdx, gramIdx, vecs, corpusVecs,
         cacheScope = sfDir))
 
+    // the six-axis twin needs (ts, doc_id, text, source, lang) arrivals
+    def driveFull(name: String, mk: DataFrame => DataFrame): Unit = {
+      if (!onlyTwin.forall(_ == name)) return
+      val baseArr5 = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 === 0 && col("text").isNotNull)
+        .select("doc_id", "text", "source", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3)))
+      val pool5 = (0 until repl).flatMap(k => baseArr5.map {
+        case (id, t, src, lg) => (id + 1000000L * (k + 1), t, src, lg) }).toArray
+      val input = MemoryStream[(Timestamp, Long, String, String, String)]
+      val q = mk(input.toDF().toDF("ts", "doc_id", "text", "source", "lang"))
+        .writeStream.format("memory").queryName(s"bench_$name")
+        .outputMode("append").start()
+      try {
+        input.addData(pool5.zipWithIndex.map { case ((id, t, src, lg), i) =>
+          (ts(0, i), id, t, src, lg) }.toSeq: _*)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        var n = 0
+        (1 to waves).foreach { w =>
+          val data = pool5.zipWithIndex.map { case ((id, t, src, lg), i) =>
+            (ts(w, i), id + 100000000L * w, t, src, lg) }
+          input.addData(data.toSeq: _*)
+          q.processAllAvailable()
+          n += data.length
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        println(f"""{"twin":"$name","sf":"$sfDir","arrivals":$n,"sec":$sec%.3f,""" +
+          f""""arrivals_per_sec":${n / sec}%.1f,"state_rows":$state,""" +
+          f""""wave_size":${pool5.length}}""")
+      } finally q.stop()
+    }
+    lazy val langProfile = graft.queries.PipelineQueries.langProfileFor(spark, sfDir)
+    lazy val c3Store = spark.read
+      .schema(graft.queries.TextQueries.lm3CountSchema)
+      .parquet(graft.queries.TextQueries.lm3CountsLandingFor(spark, sfDir))
+    lazy val blocklist = graft.queries.WebQueries.blockedFrame(spark, sfDir)
+    lazy val domainHist = spark.read
+      .schema(graft.queries.WebQueries.domainStatSchema)
+      .parquet(graft.queries.WebQueries.e34DomainHistFor(spark, sfDir))
+    driveFull("fullIngestVerdict",
+      in => EventStream.fullIngestVerdict(in, corpusDocs, bandIdx, gramIdx,
+        vecs, corpusVecs, langProfile, c3Store, blocklist, domainHist,
+        cacheScope = sfDir))
+
     spark.stop()
   }
 }

@@ -208,6 +208,43 @@ class PlanSpec extends AnyFunSuite {
       s"arrival features are not served from the shared checkpoint:\n$plan")
   }
 
+  test("e35 serves wave-2 admission from base ∪ delta with a text-free scan") {
+    import org.apache.spark.sql.functions.col
+    // base-file stability: building the delta must not rewrite the
+    // landed history (e20's append discipline)
+    val basePath = graft.queries.WebQueries.e34DomainHistFor(spark, sfDir)
+    def snap = Option(new java.io.File(basePath).listFiles()).get
+      .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    val before = snap
+    graft.queries.WebQueries.e35DeltaFor(spark, sfDir)
+    assert(snap === before, "delta landing rewrote the base history files")
+    val df = SparkEntry.queries("e35_domain_append")(spark, sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_e34h_") && plan.contains("graft_e35d_"),
+      s"wave-2 serve must read the landed base AND delta:\n$plan")
+    // the serve's documents scan carries only (doc_id, source) — the
+    // URL/domain verdict never reads page text
+    val docScanSchemas = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents"))
+      .toSeq
+    assert(docScanSchemas.nonEmpty && docScanSchemas.forall(l =>
+        !l.contains("text:")),
+      s"wave-2 parse must not read document text:\n${docScanSchemas.mkString("\n")}")
+    // the leg's point: some wave-2 domain is over_cap ONLY because
+    // wave-1 admissions filled it (base history below the cap)
+    val baseCounts = spark.read
+      .schema(graft.queries.WebQueries.domainStatSchema).parquet(basePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val crossed = rows.filter(r => r.getString(3) == "over_cap" &&
+      baseCounts.getOrElse(r.getString(1), 0L) <
+        graft.queries.DedupQueries.E34DomainCapDocs)
+    assert(crossed.nonEmpty,
+      "no wave-2 domain crossed the cap via wave-1 admissions — the append leg is untested")
+    assert(rows.map(_.getString(3)).toSet === Set("blocked", "over_cap", "ok"),
+      "wave-2 verdicts must exercise every branch")
+  }
+
   test("e11 anomaly gate is a broadcast map-side filter (one stats shuffle only)") {
     val df = SparkEntry.queries("e11_anomaly")(spark, sfDir)
     df.collect()
