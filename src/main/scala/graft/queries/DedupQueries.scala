@@ -265,22 +265,43 @@ object DedupQueries {
       // floor); asymptotically cp → 2 groups as g = √(N/50) grows, so
       // per-row assignment work stays O(√N · D).
       val cp = 1 + math.ceil(3.0 * MaxProbes / gFor(s, d)).toInt
-      val group1U = udf((v: Seq[Double]) =>
-        nearestCells(v, coarse, 1).headOption.getOrElse(-1L))
-      val groupsU = udf((v: Seq[Double]) => nearestCells(v, coarse, cp))
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", norm2Expr(col("v")))
-      val fine = emb.filter(col("vec_id") % 50 === 1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-        .withColumn("gid", group1U(col("cv")))
-      val probed = emb.withColumn("gid", explode(groupsU(col("v"))))
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      Caches.trackCached(d, probed.join(fine, Seq("gid"))
-        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") <= MaxProbes)
-        .select(col("vec_id"), col("v"), col("n2"), col("cid"), col("arn")))
+      // SEEDLESS escape hatch (the streaming ingestVerdict's, now on
+      // the batch side too): a corpus too small to contain any
+      // vec_id % 50 == 1 fine seed previously yielded an EMPTY cell
+      // index — zero candidates, zero semantic recall — while the
+      // stream twin degenerated to one bucket. Both sides now agree:
+      // no fine seeds → every vector lands in ONE pseudo-cell (full
+      // scan of a corpus that tiny, never of a real one; any sf
+      // fixture has seeds and takes the indexed path unchanged).
+      val seedless = emb.filter(col("vec_id") % 50 === 1).isEmpty
+      if (seedless) {
+        Caches.trackCached(d, emb.filter(col("v").isNotNull)
+          .select(col("vec_id"), col("v"), col("n2"),
+            lit(-1L).as("cid"), lit(1).as("arn")))
+      } else {
+        // a coarse level can still be empty when g > 1 thins the seed
+        // stride past the corpus (ids ≡ 51 mod 100, say) — the stream
+        // hatch's other arm: one coarse bucket, fine ranking intact
+        val group1U = udf((v: Seq[Double]) =>
+          if (coarse.isEmpty) -1L
+          else nearestCells(v, coarse, 1).headOption.getOrElse(-1L))
+        val groupsU = udf((v: Seq[Double]) =>
+          if (coarse.isEmpty) { if (v == null) Seq.empty[Long] else Seq(-1L) }
+          else nearestCells(v, coarse, cp))
+        val fine = emb.filter(col("vec_id") % 50 === 1)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+          .withColumn("gid", group1U(col("cv")))
+        val probed = emb.withColumn("gid", explode(groupsU(col("v"))))
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+        Caches.trackCached(d, probed.join(fine, Seq("gid"))
+          .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") <= MaxProbes)
+          .select(col("vec_id"), col("v"), col("n2"), col("cid"), col("arn")))
+      }
     })
 
   /** The `p` nearest centroids for a vector, ordered by

@@ -132,10 +132,15 @@ object WebQueries {
       val hist = graft.operators.CapGate.gate(
         s.read.schema(domainStatSchema).parquet(e34DomainHistFor(s, d))
           .select(col("reg_domain"), col("n_docs").as("hist_docs"))).frame
+      // reg_domain IS NOT NULL aligns with the twin's `NOT IN` (NULL
+      // drops there); a null-domain delta row would be invisible in
+      // every serve anyway (null never equi-joins), but the two
+      // engines' delta TABLES should partition identically
       val admitted = parsedDocs(s, d).filter(col("doc_id") % 20 === 0)
         .join(broadcast(blockedFrame(s, d)), Seq("reg_domain"), "left")
         .join(hist, Seq("reg_domain"), "left")
-        .filter(!coalesce(col("is_blocked"), lit(false)) &&
+        .filter(col("reg_domain").isNotNull &&
+          !coalesce(col("is_blocked"), lit(false)) &&
           coalesce(col("hist_docs"), lit(0L)) <
             lit(DedupQueries.E34DomainCapDocs))
       domainStatsOf(admitted)

@@ -126,6 +126,35 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has planted semantic near-dups")
   }
 
+  test("seedless corpus degenerates the IVF cell index to one full bucket (batch = stream hatch)") {
+    import org.apache.spark.sql.functions.col
+    // a corpus with NO vec_id % 50 == 1 fine seed previously built an
+    // EMPTY cell index — zero candidates, zero semantic recall — while
+    // the streaming twin degenerated to one bucket. Both sides now
+    // share the escape hatch: every vector lands in one pseudo-cell,
+    // so the candidate stage covers all pairs of a corpus that tiny.
+    import SparkTestBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seedless").toString
+    val rnd = new scala.util.Random(7)
+    val ids = Seq(-220L, -110L, -20L, 0L, 5L, 7L, 9L, 20L, 50L, 90L)
+    ids.map(id => (id, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 1).isEmpty, "fixture must be seedless")
+    val ranks = graft.queries.DedupQueries.cellRanks(spark, dir).collect()
+    assert(ranks.length === ids.length,
+      s"every vector must index into the pseudo-cell: ${ranks.length}")
+    assert(ranks.forall(r => r.getLong(3) == -1L && r.getInt(4) == 1),
+      "pseudo-cell must be the single bucket at rank 1")
+    val cands = graft.queries.DedupQueries.d14Candidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = ids.length
+    assert(cands.size === n * (n - 1) / 2,
+      s"seedless candidates must cover all pairs: ${cands.size}")
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("d18 incremental dedup classifies the batch consistently with its parts") {
     // internal consistency on the gate fixture: every batch doc appears
     // exactly once; exact rows really are text-equal to their match;
