@@ -268,40 +268,25 @@ object DedupQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", norm2Expr(col("v")))
-      // SEEDLESS escape hatch (the streaming ingestVerdict's, now on
-      // the batch side too): a corpus too small to contain any
-      // vec_id % 50 == 1 fine seed previously yielded an EMPTY cell
-      // index — zero candidates, zero semantic recall — while the
-      // stream twin degenerated to one bucket. Both sides now agree:
-      // no fine seeds → every vector lands in ONE pseudo-cell (full
-      // scan of a corpus that tiny, never of a real one; any sf
-      // fixture has seeds and takes the indexed path unchanged).
-      val seedless = emb.filter(col("vec_id") % 50 === 1).isEmpty
-      if (seedless) {
-        Caches.trackCached(d, emb.filter(col("v").isNotNull)
-          .select(col("vec_id"), col("v"), col("n2"),
-            lit(-1L).as("cid"), lit(1).as("arn")))
-      } else {
-        // a coarse level can still be empty when g > 1 thins the seed
-        // stride past the corpus (ids ≡ 51 mod 100, say) — the stream
-        // hatch's other arm: one coarse bucket, fine ranking intact
-        val group1U = udf((v: Seq[Double]) =>
-          if (coarse.isEmpty) -1L
-          else nearestCells(v, coarse, 1).headOption.getOrElse(-1L))
-        val groupsU = udf((v: Seq[Double]) =>
-          if (coarse.isEmpty) { if (v == null) Seq.empty[Long] else Seq(-1L) }
-          else nearestCells(v, coarse, cp))
-        val fine = emb.filter(col("vec_id") % 50 === 1)
-          .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-          .withColumn("gid", group1U(col("cv")))
-        val probed = emb.withColumn("gid", explode(groupsU(col("v"))))
-        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-        Caches.trackCached(d, probed.join(fine, Seq("gid"))
-          .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-          .withColumn("arn", row_number().over(w))
-          .filter(col("arn") <= MaxProbes)
-          .select(col("vec_id"), col("v"), col("n2"), col("cid"), col("arn")))
-      }
+      // a coarse level can be empty when g > 1 thins the seed stride
+      // past the corpus (ids ≡ 51 mod 100, say) — the stream hatch's
+      // coarse arm: one coarse bucket, fine ranking intact
+      val group1U = udf((v: Seq[Double]) =>
+        if (coarse.isEmpty) -1L
+        else nearestCells(v, coarse, 1).headOption.getOrElse(-1L))
+      val groupsU = udf((v: Seq[Double]) =>
+        if (coarse.isEmpty) { if (v == null) Seq.empty[Long] else Seq(-1L) }
+        else nearestCells(v, coarse, cp))
+      val fine = emb.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .withColumn("gid", group1U(col("cv")))
+      val probed = emb.withColumn("gid", explode(groupsU(col("v"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      Caches.trackCached(d, probed.join(fine, Seq("gid"))
+        .withColumn("ccos", dotExpr(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") <= MaxProbes)
+        .select(col("vec_id"), col("v"), col("n2"), col("cid"), col("arn")))
     })
 
   /** The `p` nearest centroids for a vector, ordered by
@@ -360,6 +345,23 @@ object DedupQueries {
     * sides are slices of the shared [[cellRanks]] index artifact:
     * membership is the arn=1 row, probes the arn ≤ EdgeProbes prefix. */
   private[graft] def d14Candidates(s: SparkSession, dir: String): DataFrame = {
+    // SEEDLESS escape hatch (the streaming ingestVerdict's, on the
+    // batch EDGE path): a corpus with no vec_id % 50 == 1 fine seed
+    // has an empty cell index — zero candidates, zero semantic recall
+    // against d14's exact-pair-set oracle — while the stream twin
+    // degenerates to one bucket. The hatch lives HERE and not in
+    // [[cellRanks]]: the edge set's contract is RECALL (its oracle is
+    // d5's exact all-pairs SQL, which a one-bucket cover satisfies on
+    // a corpus this tiny), while the x-family serving oracles replay
+    // the seeded two-level SPEC verbatim — an engine-side degenerate
+    // cover there would diverge from the replay by construction.
+    val emb = Tables.embeddings(s, dir)
+    if (emb.filter(col("vec_id") % 50 === 1).isEmpty) {
+      val ids = emb.select(col("vec_id"))
+      return ids.as("a").join(ids.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    }
     val ranks = cellRanks(s, dir)
     val assigned = ranks.filter(col("arn") === 1).select(col("vec_id"), col("cid"))
     val probes = ranks.filter(col("arn") <= EdgeProbes).select(col("vec_id"), col("cid"))

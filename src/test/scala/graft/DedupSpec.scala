@@ -126,13 +126,14 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has planted semantic near-dups")
   }
 
-  test("seedless corpus degenerates the IVF cell index to one full bucket (batch = stream hatch)") {
+  test("seedless corpus: the EDGE path covers all pairs (batch = stream hatch); the serving index stays spec-shaped") {
     import org.apache.spark.sql.functions.col
-    // a corpus with NO vec_id % 50 == 1 fine seed previously built an
-    // EMPTY cell index — zero candidates, zero semantic recall — while
-    // the streaming twin degenerated to one bucket. Both sides now
-    // share the escape hatch: every vector lands in one pseudo-cell,
-    // so the candidate stage covers all pairs of a corpus that tiny.
+    // a corpus with NO vec_id % 50 == 1 fine seed previously gave the
+    // batch edge path an EMPTY candidate set — zero semantic recall
+    // against d14's exact-pair-set oracle — while the streaming twin
+    // degenerated to one bucket. The hatch lives in d14Candidates
+    // (whose contract is RECALL); cellRanks stays the seeded SPEC the
+    // x-family oracles replay verbatim, so it is legitimately empty.
     import SparkTestBase.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_seedless").toString
     val rnd = new scala.util.Random(7)
@@ -142,16 +143,13 @@ class DedupSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 50 === 1).isEmpty, "fixture must be seedless")
-    val ranks = graft.queries.DedupQueries.cellRanks(spark, dir).collect()
-    assert(ranks.length === ids.length,
-      s"every vector must index into the pseudo-cell: ${ranks.length}")
-    assert(ranks.forall(r => r.getLong(3) == -1L && r.getInt(4) == 1),
-      "pseudo-cell must be the single bucket at rank 1")
+    assert(graft.queries.DedupQueries.cellRanks(spark, dir).isEmpty,
+      "the serving cell index must stay the seeded spec (empty here)")
     val cands = graft.queries.DedupQueries.d14Candidates(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val n = ids.length
     assert(cands.size === n * (n - 1) / 2,
-      s"seedless candidates must cover all pairs: ${cands.size}")
+      s"seedless edge candidates must cover all pairs: ${cands.size}")
     graft.queries.Caches.release(spark, dir)
   }
 
