@@ -97,11 +97,20 @@ object GlobalOrder {
       .join(broadcast(countsB), sameGroup && col("_go_pid_b") < col("_go_pid"), "left")
       .groupBy(col("_go_pid") +: grp: _*)
       .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
-    local.join(broadcast(offsets), "_go_pid" +: groupCols)
+    // null-safe attach: a USING join on groupCols silently DROPS null
+    // groups (null == null is false) — the offsets side must re-join
+    // through <=> like the triangular join above it
+    val offsetsB = offsets.select(
+      groupCols.map(g => col(g).as(s"_go_o_$g")) :+
+        col("_go_pid").as("_go_pid_o") :+ col("_go_offset"): _*)
+    val attach = groupCols.map(g => col(s"_go_o_$g") <=> col(g))
+      .reduce(_ && _) && col("_go_pid_o") === col("_go_pid")
+    local.join(broadcast(offsetsB), attach)
       // LONG position: an int cast silently wraps past 2^31 rows —
       // this operator exists precisely for batches too big to window
       .withColumn(posCol, (col("_go_local").cast("long") + col("_go_offset")))
-      .drop("_go_pid", "_go_local", "_go_offset", "_go_cnt")
+      .drop(Seq("_go_pid", "_go_pid_o", "_go_local", "_go_offset", "_go_cnt") ++
+        groupCols.map(g => s"_go_o_$g"): _*)
   }
 
   /** Scale-safe PER-GROUP exclusive running total — [[withRunningTotal]]
@@ -131,9 +140,16 @@ object GlobalOrder {
       .join(broadcast(countsB), sameGroup && col("_go_pid_b") < col("_go_pid"), "left")
       .groupBy(col("_go_pid") +: grp: _*)
       .agg(coalesce(sum("_go_cnt_b"), lit(0L)).as("_go_offset"))
-    local.join(broadcast(offsets), "_go_pid" +: groupCols)
+    // null-safe attach — see withPositionWithin: USING drops null groups
+    val offsetsB = offsets.select(
+      groupCols.map(g => col(g).as(s"_go_o_$g")) :+
+        col("_go_pid").as("_go_pid_o") :+ col("_go_offset"): _*)
+    val attach = groupCols.map(g => col(s"_go_o_$g") <=> col(g))
+      .reduce(_ && _) && col("_go_pid_o") === col("_go_pid")
+    local.join(broadcast(offsetsB), attach)
       .withColumn(outCol, col("_go_local") + col("_go_offset"))
-      .drop("_go_pid", "_go_w", "_go_local", "_go_offset", "_go_cnt")
+      .drop(Seq("_go_pid", "_go_pid_o", "_go_w", "_go_local", "_go_offset",
+        "_go_cnt") ++ groupCols.map(g => s"_go_o_$g"): _*)
   }
 
   def withPosition(df: DataFrame, posCol: String, sortCols: Column*): DataFrame = {

@@ -1218,7 +1218,8 @@ object AnnQueries {
        | sub AS (SELECT vec_id, u.s, qv[u.s * 16 + 1 : u.s * 16 + 16] AS sub
        |   FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) u),
        | subt AS (SELECT * FROM sub WHERE vec_id < 4096),
-       | cb0 AS (SELECT vec_id AS code, s, sub AS csub FROM sub WHERE vec_id < 16),
+       | cb0 AS (SELECT row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+       |     s, sub AS csub FROM sub WHERE vec_id < 16),
        | ${assignSql("subt", "cb0", "a1")},
        | ${lloydSql("a1", "cb0", "cb1")},
        | ${assignSql("subt", "cb1", "a2")},
@@ -1522,6 +1523,9 @@ object AnnQueries {
 
     // Same integer grid, slices, and (L2², code) argmin as the Spark
     // plan — every distance is BIGINT, so the hash gate is exact.
+    // cb0 labels codes DENSELY by seed rank (row_number − 1), matching
+    // the engine's array-index codes on any id domain — `code = vec_id`
+    // only coincides when the seed ids happen to be exactly 0..15.
     // Twin of the 2-iteration integer Lloyd refinement: the assignment
     // and centroid-update CTE pair repeats per iteration over the
     // bounded training sample `subt` (vec_id < 4096 — the same sample

@@ -923,7 +923,8 @@ object DedupQueries {
     // partitionings; no rand()). Window is partitioned by source, so
     // every stratum samples in parallel. ----
     "d8_group_sample" -> ((s, dir) => {
-      val w = Window.partitionBy("source").orderBy(col("hkey").asc, col("doc_id").asc)
+      val w = Window.partitionBy("source")
+        .orderBy(col("hkey").asc_nulls_last, col("doc_id").asc_nulls_last)
       Tables.documents(s, dir)
         .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000003L)
         .withColumn("pick", row_number().over(w))
@@ -3062,11 +3063,14 @@ object DedupQueries {
          |SELECT doc1 AS train_doc, doc2 AS benchmark_doc, round(j, 4) AS jaccard
          |FROM verified WHERE j >= $T ORDER BY train_doc, benchmark_doc""".stripMargin,
 
+    // pmod form (((x % p) + p) % p): the engine's pmod() is always
+    // non-negative while DuckDB's % is sign-of-dividend — a negative
+    // doc_id would otherwise sample at 100% here (negative < 20)
     "d7_stratified_sample" ->
       """SELECT source, count(*) AS total_docs,
-        | count(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20 THEN 1 END) AS sampled_docs,
+        | count(CASE WHEN (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 % 100 < 20 THEN 1 END) AS sampled_docs,
         | COALESCE(string_agg(
-        |     CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20
+        |     CASE WHEN (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 % 100 < 20
         |          THEN CAST(doc_id AS VARCHAR) END, ','
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
@@ -3090,7 +3094,9 @@ object DedupQueries {
           "list_transform(regexp_extract_all(s, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
           s"(a, b) -> (a * $m + b) % 2147483647)"
       s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh
-         |              FROM documents),
+         |              FROM documents
+         |              WHERE text IS NOT NULL
+         |                AND len(string_split(text, ' ')) >= 3),
          | feats AS (SELECT doc_id, list_transform(sh, s ->
          |     [${fold(131)}, ${fold(137)}, ${fold(139)}, ${fold(149)}]) AS hs
          |   FROM docs),
@@ -3559,7 +3565,16 @@ object DedupQueries {
     * corpus predicate, the classifyRecomputeSql convention. `capPred`
     * (defaults to the corpus predicate) is the population the df-cap
     * is computed over: e25's cap-then-delete serve caps on the FULL
-    * build corpus while serving only surviving documents. */
+    * build corpus while serving only surviving documents.
+    *
+    * The island stages union over DISTINCT intervals (pspan/dspan):
+    * the multiset form computed `ni` in one window pass and the
+    * prefix-sum `island` in another, and with TIED (sb, eb) rows
+    * DuckDB may order the two passes differently (run-to-run
+    * nondeterministic overcount on a tie-heavy corpus); the engine's
+    * single WindowExec computes both over one sorted partition, so
+    * only the twin needed the tie-free form — a union is unchanged
+    * by deduplication. */
   private def d26OracleSqlFor(batchPred: String, corpusPred: String,
       capPred: String = null): String = {
      val cap = Option(capPred).getOrElse(corpusPred)
@@ -3591,9 +3606,11 @@ object DedupQueries {
         |   FROM ver),
         | spans AS (SELECT b_id, c_id, min(ib) AS sb, max(ib) + 59 AS eb
         |   FROM runs1 GROUP BY b_id, c_id, delta, grp),
+        | pspan AS (SELECT DISTINCT b_id, c_id, sb, eb FROM spans),
+        | dspan AS (SELECT DISTINCT b_id, sb, eb FROM spans),
         | pisl AS (SELECT *, CASE WHEN sb > COALESCE(max(eb) OVER (PARTITION BY b_id, c_id
         |       ORDER BY sb, eb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-        |     THEN 1 ELSE 0 END AS ni FROM spans),
+        |     THEN 1 ELSE 0 END AS ni FROM pspan),
         | pisl2 AS (SELECT *, sum(ni) OVER (PARTITION BY b_id, c_id ORDER BY sb, eb
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM pisl),
         | pairu AS (SELECT b_id, c_id, sum(me - ms + 1) AS shared FROM
@@ -3601,7 +3618,7 @@ object DedupQueries {
         |    FROM pisl2 GROUP BY b_id, c_id, island) GROUP BY b_id, c_id),
         | disl AS (SELECT *, CASE WHEN sb > COALESCE(max(eb) OVER (PARTITION BY b_id
         |       ORDER BY sb, eb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-        |     THEN 1 ELSE 0 END AS ni FROM spans),
+        |     THEN 1 ELSE 0 END AS ni FROM dspan),
         | disl2 AS (SELECT *, sum(ni) OVER (PARTITION BY b_id ORDER BY sb, eb
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM disl),
         | dup AS (SELECT b_id, sum(me - ms + 1) AS dup_chars FROM
@@ -3710,7 +3727,8 @@ object DedupQueries {
   /** d21's chunk replay (doc_id, chunk_no, c_len, c_md5) — shared by
     * the d21 gate and d30's dedup-accounting rollup. */
   private lazy val d21ChunksSql: String =
-    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |    WHERE text IS NOT NULL),
       | cuts AS (SELECT doc_id, text, n,
       |    list_filter(range(8, greatest(n, 8)),
       |      e -> list_reduce(list_prepend(CAST(0 AS BIGINT),

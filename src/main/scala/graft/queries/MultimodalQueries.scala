@@ -168,7 +168,8 @@ object MultimodalQueries {
     * (truncated-IFD branch); every 17th row is headerless text
     * (corrupt branch). */
   private def exifMedia: org.apache.spark.sql.Column = {
-    val pad = (col("doc_id") % 19 + 4).cast("int")
+    // pmod — the pad is a byte count; see m7's note
+    val pad = (pmod(col("doc_id"), lit(19)) + 4).cast("int")
     val w = (lit(200) + col("doc_id") % 4000).cast("int")
     val o = (lit(1) + col("doc_id") % 8).cast("int")
     val wbe = lpad(hex(w), 8, "0")
@@ -186,7 +187,7 @@ object MultimodalQueries {
       .otherwise(concat(lit("12010300" + "01000000"), ole, lit("0000")))
     val header = concat(
       lit("FFD8FFFE"), lpad(hex(pad + 2), 4, "0"),
-      expr("repeat('41', CAST(doc_id % 19 + 4 AS INT))"),
+      expr("repeat('41', CAST(pmod(doc_id, 19) + 4 AS INT))"),
       lit("FFE1"), when(trunc, lit("001E")).otherwise(lit("002E")),
       lit("457869660000"), tiffHdr, entry1,
       when(trunc, lit("")).otherwise(concat(entry2, lit("00000000"))),
@@ -729,9 +730,13 @@ object MultimodalQueries {
     // fields. Every 17th blob is headerless (corrupt branch). ----
     "m7_jpeg_meta" -> ((s, dir) => {
       import s.implicits._
-      val comPay = (col("doc_id") % 23 + 4).cast("int")
+      // pmod, not %: the COM payload length is a BYTE COUNT — a
+      // negative doc_id would otherwise plant a negative declared
+      // length (repeat('41', -16) = ''), derailing the marker walk
+      // differently from the twin's offset arithmetic
+      val comPay = (pmod(col("doc_id"), lit(23)) + 4).cast("int")
       val header = concat(lit("FFD8FFFE"), lpad(hex(comPay + 2), 4, "0"),
-        expr("repeat('41', CAST(doc_id % 23 + 4 AS INT))"),
+        expr("repeat('41', CAST(pmod(doc_id, 23) + 4 AS INT))"),
         lit("FFC0001108"),
         lpad(hex((lit(100) + col("doc_id") % 1000).cast("int")), 4, "0"),
         lpad(hex((lit(100) + col("doc_id") % 1900).cast("int")), 4, "0"),
@@ -1083,10 +1088,11 @@ object MultimodalQueries {
          |    lpad(hex(CAST(200 + doc_id % 4000 AS INT)), 8, '0') AS wbe,
          |    lpad(hex(CAST(1 + doc_id % 8 AS INT)), 4, '0') AS obe
          |   FROM documents),
-         | m AS (SELECT doc_id,
-         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text)) ELSE
-         |     'FFD8FFFE' || lpad(hex(CAST(doc_id % 19 + 6 AS INT)), 4, '0') ||
-         |     repeat('41', CAST(doc_id % 19 + 4 AS INT)) ||
+         | m AS (SELECT doc_id, text IS NOT NULL AND doc_id % 17 <> 0 AS ok,
+         |   CASE WHEN text IS NULL THEN ''
+         |     WHEN doc_id % 17 = 0 THEN hex(encode(text)) ELSE
+         |     'FFD8FFFE' || lpad(hex(CAST(((doc_id % 19) + 19) % 19 + 6 AS INT)), 4, '0') ||
+         |     repeat('41', CAST(((doc_id % 19) + 19) % 19 + 4 AS INT)) ||
          |     'FFE1' || CASE WHEN doc_id % 13 = 0 THEN '001E' ELSE '002E' END ||
          |     '457869660000' ||
          |     CASE WHEN doc_id % 3 = 0 THEN '4D4D002A000000080002'
@@ -1101,17 +1107,17 @@ object MultimodalQueries {
          |           substring(obe, 3, 2) || substring(obe, 1, 2) || '0000' END ||
          |       '00000000' END ||
          |     'FFD9' || hex(encode(text)) END AS hs,
-         |   doc_id % 19 + 4 AS pad
-         |  FROM w0)
-         |SELECT doc_id, doc_id % 17 <> 0 AS has_exif,
-         | CASE WHEN doc_id % 17 <> 0 THEN
+         |   ((doc_id % 19) + 19) % 19 + 4 AS pad
+         |  FROM w0 WHERE doc_id IS NOT NULL)
+         |SELECT doc_id, ok AS has_exif,
+         | CASE WHEN ok THEN
          |   CASE WHEN doc_id % 3 = 0 THEN 'MM' ELSE 'II' END END AS byte_order,
-         | CASE WHEN doc_id % 17 <> 0 THEN
+         | CASE WHEN ok THEN
          |   CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 2 END AS BIGINT) END AS n_entries,
-         | CASE WHEN doc_id % 17 <> 0 THEN
+         | CASE WHEN ok THEN
          |   CASE WHEN doc_id % 3 = 0 THEN ${beFold("(34 + pad) * 2 + 1", 4)}
          |     ELSE ${leFold("(34 + pad) * 2 + 1", 4)} END END AS width,
-         | CASE WHEN doc_id % 17 <> 0 AND doc_id % 13 <> 0 THEN
+         | CASE WHEN ok AND doc_id % 13 <> 0 THEN
          |   CASE WHEN doc_id % 3 = 0 THEN ${beFold("(46 + pad) * 2 + 1", 2)}
          |     ELSE ${leFold("(46 + pad) * 2 + 1", 2)} END END AS orientation
          |FROM m ORDER BY doc_id""".stripMargin
@@ -1192,14 +1198,15 @@ object MultimodalQueries {
           s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
           "(a, b) -> a * 16 + b)"
       s"""WITH m AS (SELECT doc_id,
-         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
-         |        ELSE 'FFD8FFFE' || lpad(hex(CAST(doc_id % 23 + 6 AS INT)), 4, '0') ||
-         |          repeat('41', CAST(doc_id % 23 + 4 AS INT)) || 'FFC0001108' ||
+         |   CASE WHEN text IS NULL THEN ''
+         |        WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |        ELSE 'FFD8FFFE' || lpad(hex(CAST(((doc_id % 23) + 23) % 23 + 6 AS INT)), 4, '0') ||
+         |          repeat('41', CAST(((doc_id % 23) + 23) % 23 + 4 AS INT)) || 'FFC0001108' ||
          |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 4, '0') ||
          |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 4, '0') ||
          |          '03011100021101031101' || hex(encode(text)) END AS hs,
-         |   CAST(6 + doc_id % 23 + 4 AS BIGINT) AS so
-         |  FROM documents),
+         |   CAST(6 + ((doc_id % 23) + 23) % 23 + 4 AS BIGINT) AS so
+         |  FROM documents WHERE doc_id IS NOT NULL),
          | p AS (SELECT doc_id, hs, so, starts_with(hs, 'FFD8') AS is_jpeg FROM m)
          |SELECT doc_id, is_jpeg,
          | CASE WHEN is_jpeg THEN ${fold("(so + 4) * 2 + 1", 2)} END AS bits,
@@ -1218,12 +1225,13 @@ object MultimodalQueries {
           s"CAST(strpos('0123456789ABCDEF', substring(hs, CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
           "(a, b) -> a * 16 + b)"
       s"""WITH m AS (SELECT doc_id,
-         |   CASE WHEN doc_id % 17 = 0 THEN hex(encode(text))
+         |   CASE WHEN text IS NULL THEN ''
+         |        WHEN doc_id % 17 = 0 THEN hex(encode(text))
          |        ELSE '89504E470D0A1A0A0000000D49484452' ||
          |          lpad(hex(CAST(100 + doc_id % 1900 AS INT)), 8, '0') ||
          |          lpad(hex(CAST(100 + doc_id % 1000 AS INT)), 8, '0') ||
          |          '0806' || hex(encode(text)) END AS hs
-         |  FROM documents),
+         |  FROM documents WHERE doc_id IS NOT NULL),
          | p AS (SELECT doc_id, hs, CAST(length(hs) // 2 AS BIGINT) AS n_bytes,
          |   starts_with(hs, '89504E470D0A1A0A') AS is_png FROM m)
          |SELECT doc_id, n_bytes, is_png,

@@ -67,7 +67,7 @@ object PipelineQueries {
       graft.sources.TrainingShards.write(
         Tables.documents(s, dir).select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
-        col("n_tok"), col("doc_id"), S20Shards, out)
+        col("n_tok"), col("doc_id").asc_nulls_last, S20Shards, out)
       out
     })
 
@@ -674,8 +674,12 @@ object PipelineQueries {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"))
         .withColumn("k", (col("doc_id") * 2654435761L) % 1000000007L)
+      // nulls-last on BOTH keys: Spark's bare asc sorts nulls FIRST
+      // while the DuckDB twin's window default is NULLS LAST — a
+      // null-id arrival must take the same rank in both engines
       graft.operators.GlobalOrder
-        .withPosition(keyed, "pos", col("k"), col("doc_id"))
+        .withPosition(keyed, "pos",
+          col("k").asc_nulls_last, col("doc_id").asc_nulls_last)
         .select(col("doc_id"),
           ((col("pos") - 1) % S).cast("long").as("shard"),
           // integral DIV, not Column./ (double division truncates past
@@ -1713,7 +1717,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("toks"))
       graft.operators.GlobalOrder
-        .withRunningTotalWithin(docs, "cum", Seq("source"), col("toks"), col("doc_id"))
+        .withRunningTotalWithin(docs, "cum", Seq("source"), col("toks"),
+          col("doc_id").asc_nulls_last) // nulls-last — the s21 convention
         .select(col("doc_id"), col("source"), col("toks"), col("cum"),
           expr("cum div 512").as("seq_first"),
           expr("cum % 512").as("seq_off"),
@@ -1796,7 +1801,8 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       graft.operators.GlobalOrder
-        .withRunningTotal(docs, "start_offset", col("n_tokens"), col("doc_id"))
+        .withRunningTotal(docs, "start_offset", col("n_tokens"),
+          col("doc_id").asc_nulls_last) // nulls-last — the s21 convention
         .withColumn("first_pack", expr(s"start_offset div $ctx"))
         .withColumn("last_pack", expr(s"(start_offset + n_tokens - 1) div $ctx"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),
@@ -2293,9 +2299,13 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val ranked = graft.operators.GlobalOrder.withPositionWithin(
-        docs, "pos", Seq("source"), col("n_chars").desc, col("doc_id").asc)
+        docs, "pos", Seq("source"),
+        col("n_chars").desc_nulls_last, col("doc_id").asc_nulls_last)
       val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(totals), Seq("source"))
+      // <=> attach: a USING join drops the null-source stratum the
+      // grouped rank just kept (same carve as GlobalOrder's fix)
+      ranked.join(broadcast(totals.withColumnRenamed("source", "_src")),
+          col("_src") <=> col("source")).drop("_src")
         .withColumn("kept", col("pos") <= expr("n * 9 div 10"))
         .groupBy("source")
         .agg(count(when(col("kept"), 1)).cast("long").as("n_kept"),
@@ -2359,9 +2369,11 @@ object PipelineQueries {
         .agg(expr("sum(CAST(n AS DECIMAL(38,0)) * l) div sum(n)").as("weight")))
       val base = docs.select("doc_id", "source").join(wt, Seq("doc_id"))
       val ranked = graft.operators.GlobalOrder.withPositionWithin(
-        base, "r", Seq("source"), col("weight").desc, col("doc_id").asc)
+        base, "r", Seq("source"),
+        col("weight").desc_nulls_last, col("doc_id").asc_nulls_last)
       val ns = base.groupBy("source").agg(count(lit(1)).as("ns"))
-      ranked.join(broadcast(ns), Seq("source"))
+      ranked.join(broadcast(ns.withColumnRenamed("source", "_src")),
+          col("_src") <=> col("source")).drop("_src") // see t26's note
         .select(col("doc_id"), col("source"), col("weight"),
           (col("r") <= expr("(ns + 3) div 4")).as("selected"))
         .orderBy("doc_id")
@@ -2371,9 +2383,11 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
         .withColumn("hkey", (col("doc_id") * 2654435761L) % 1000000007L)
       val ranked = graft.operators.GlobalOrder
-        .withPositionWithin(docs, "pos", Seq("source"), col("hkey"), col("doc_id"))
+        .withPositionWithin(docs, "pos", Seq("source"),
+          col("hkey").asc_nulls_last, col("doc_id").asc_nulls_last)
       val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(totals), Seq("source"))
+      ranked.join(broadcast(totals.withColumnRenamed("source", "_src")),
+          col("_src") <=> col("source")).drop("_src") // see t26's note
         .withColumn("split",
           when(col("pos") <= expr("n * 8 div 10"), "train")
             .when(col("pos") <= expr("n * 9 div 10"), "val")
@@ -2592,8 +2606,8 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, source,
          |    CASE source $caseSql ELSE 1.0 END AS w FROM documents)
          |SELECT doc_id, source, CAST(w AS DOUBLE) AS weight,
-         |  CAST(floor(w) + CASE WHEN ((doc_id % 1000000007) * 2654435761)
-         |      % 1000000007 % 1000 <
+         |  CAST(floor(w) + CASE WHEN (((doc_id % 1000000007) + 1000000007)
+         |      % 1000000007 * 2654435761) % 1000000007 % 1000 <
          |    (w - floor(w)) * 1000 THEN 1 ELSE 0 END AS BIGINT) AS multiplicity
          |FROM t ORDER BY doc_id""".stripMargin
     },

@@ -1023,9 +1023,12 @@ object TextQueries {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val ranked = graft.operators.GlobalOrder.withPositionWithin(
-        d, "rk", Seq("source"), col("n_chars"), col("doc_id"))
+        d, "rk", Seq("source"),
+        col("n_chars").asc_nulls_last, col("doc_id").asc_nulls_last)
       val sizes = d.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
-      ranked.join(broadcast(sizes), Seq("source"))
+      // <=> attach — a USING join drops the null-source stratum
+      ranked.join(broadcast(sizes.withColumnRenamed("source", "_src")),
+          col("_src") <=> col("source")).drop("_src")
         .withColumn("bin", expr("(CAST(rk - 1 AS BIGINT) * 10) div n_src"))
         .groupBy("source", "bin")
         .agg(count(lit(1)).cast("long").as("n"),
@@ -1996,9 +1999,9 @@ object TextQueries {
 
     "t5_rolling_hash" ->
       """SELECT doc_id,
-        | list_reduce(list_prepend(0,
+        | CASE WHEN text IS NOT NULL THEN list_reduce(list_prepend(0,
         |   list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
-        |   (h, c) -> (h * 31 + c) % 1000000007) AS doc_hash,
+        |   (h, c) -> (h * 31 + c) % 1000000007) END AS doc_hash,
         | CASE WHEN length(text) >= 8 THEN
         |   list_min(list_transform(range(1, length(text) - 6),
         |     i -> list_reduce(list_prepend(0,
