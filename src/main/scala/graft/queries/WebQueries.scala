@@ -46,10 +46,19 @@ object WebQueries {
   /** Per-domain additive stats of a doc slice — the mergeable
     * sufficient statistic behind the domain modality (docs and tokens
     * are SUMS over disjoint document sets, so the t43/t55 count-store
-    * contract applies verbatim). */
-  private def domainStatsOf(parsed: org.apache.spark.sql.DataFrame)
+    * contract applies verbatim).
+    *
+    * The narrow (reg_domain, toks) projection is CACHED before the
+    * aggregate (w2's fix, applied at the source): CollapseProject
+    * otherwise inlines the whole URL-parse chain into the grouping
+    * key, and with e35's two extra join branches on top the generated
+    * hashAgg method crossed janino's 64 KB limit — the silent
+    * interpreted-eval fallback the CodegenGuard exists to catch
+    * (found in the r17 close bench log as ERROR CodeGenerator). */
+  private def domainStatsOf(dir: String, parsed: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    parsed.select(col("reg_domain"), tokensOf(col("text")).as("toks"))
+    Caches.trackCached(dir,
+        parsed.select(col("reg_domain"), tokensOf(col("text")).as("toks")))
       .groupBy("reg_domain")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("toks").cast("long").as("n_tokens"))
@@ -76,7 +85,7 @@ object WebQueries {
         s"graft_w5_${ProcessHandle.current().pid()}_$tag")
       Caches.track(d)(() => { domainStore.remove(d); () })
       Caches.trackPath(d, out)
-      domainStatsOf(parsedDocs(s, d).filter(!PipelineQueries.bpeIsDelta))
+      domainStatsOf(d, parsedDocs(s, d).filter(!PipelineQueries.bpeIsDelta))
         .write.mode("overwrite").parquet(out.getAbsolutePath)
       out.getAbsolutePath
     })
@@ -102,7 +111,7 @@ object WebQueries {
         s"graft_e34h_${ProcessHandle.current().pid()}_$tag")
       Caches.track(d)(() => { e34Hist.remove(d); () })
       Caches.trackPath(d, out)
-      domainStatsOf(parsedDocs(s, d).filter(col("doc_id") % 10 =!= 0))
+      domainStatsOf(d, parsedDocs(s, d).filter(col("doc_id") % 10 =!= 0))
         .write.mode("overwrite").parquet(out.getAbsolutePath)
       out.getAbsolutePath
     })
@@ -136,14 +145,20 @@ object WebQueries {
       // drops there); a null-domain delta row would be invisible in
       // every serve anyway (null never equi-joins), but the two
       // engines' delta TABLES should partition identically
-      val admitted = parsedDocs(s, d).filter(col("doc_id") % 20 === 0)
+      // CACHED before the joins — the parse chain plus two join
+      // branches in one whole-stage pushed processNext() past 64 KB
+      // (domainStatsOf's note); the cached frame is wave-sized
+      val wave1 = Caches.trackCached(d,
+        parsedDocs(s, d).filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), col("reg_domain"), col("text")))
+      val admitted = wave1
         .join(broadcast(blockedFrame(s, d)), Seq("reg_domain"), "left")
         .join(hist, Seq("reg_domain"), "left")
         .filter(col("reg_domain").isNotNull &&
           !coalesce(col("is_blocked"), lit(false)) &&
           coalesce(col("hist_docs"), lit(0L)) <
             lit(DedupQueries.E34DomainCapDocs))
-      domainStatsOf(admitted)
+      domainStatsOf(d, admitted)
         .write.mode("overwrite").parquet(out.getAbsolutePath)
       out.getAbsolutePath
     })
@@ -262,7 +277,7 @@ object WebQueries {
     "w5_domain_refresh" -> ((s, dir) => {
       val store = s.read.schema(domainStatSchema)
         .parquet(domainStoreFor(s, dir))
-      val delta = domainStatsOf(
+      val delta = domainStatsOf(dir,
         parsedDocs(s, dir).filter(PipelineQueries.bpeIsDelta))
       store.unionByName(delta)
         .groupBy("reg_domain")
@@ -310,8 +325,12 @@ object WebQueries {
         hist.unionByName(delta)
           .groupBy("reg_domain")
           .agg(sum("n_docs").cast("long").as("hist_docs"))).frame
-      parsedDocs(s, dir).filter(col("doc_id") % 20 === 10)
-        .select(col("doc_id"), col("reg_domain"))
+      // CACHED slim frame — the domainStatsOf note's cliff, on the
+      // serve side: the parse chain inlined across the two joins and
+      // the verdict CASE pushed processNext() past 64 KB
+      Caches.trackCached(dir,
+          parsedDocs(s, dir).filter(col("doc_id") % 20 === 10)
+            .select(col("doc_id"), col("reg_domain")))
         .join(broadcast(blockedFrame(s, dir)), Seq("reg_domain"), "left")
         .join(combined, Seq("reg_domain"), "left")
         .select(col("doc_id"), col("reg_domain"),

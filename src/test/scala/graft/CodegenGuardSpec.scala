@@ -60,6 +60,12 @@ class CodegenGuardSpec extends AnyFunSuite {
     // chain into the grouping keys of both aggregates — the measured
     // 10.6 s vs 0.4 s silent-interpreted cliff. The generated code is
     // data-independent, so the small-SF plan reproduces it exactly.
+    // Released FIRST: a warm production cache (another suite ran w2
+    // earlier in this JVM) plan-matches the canary's subtree and
+    // CacheManager substitutes the InMemoryRelation — the chain never
+    // inlines and the canary is silently defeated (order-dependent
+    // flake seen when PlanSpec precedes this suite).
+    graft.queries.Caches.release(spark, sfDir)
     val docs = graft.queries.WebQueries.parsedDocs(spark, sfDir)
       .select(col("doc_id"), col("reg_domain"),
         when(col("text").isNull, lit(0L))
@@ -86,8 +92,39 @@ class CodegenGuardSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, sfDir)
   }
 
+  test("the guard DETECTS the pre-fix e35 delta-build shape (parse chain + joins into the aggregate)") {
+    // r17's e35 first draft: domainStatsOf aggregated the UNCACHED
+    // parse chain with the blocklist + history joins still inlined —
+    // the hashAgg method crossed 64 KB and the close bench logged
+    // ERROR CodeGenerator (the build still wrote correct rows,
+    // interpreted). The fix stages the narrow (reg_domain, toks)
+    // projection through the cache inside domainStatsOf itself.
+    // Released first — see the w2 canary's cache-substitution note.
+    graft.queries.Caches.release(spark, sfDir)
+    val parsed = graft.queries.WebQueries.parsedDocs(spark, sfDir)
+      .filter(col("doc_id") % 20 === 0)
+      .join(broadcast(graft.queries.WebQueries.blockedFrame(spark, sfDir)),
+        Seq("reg_domain"), "left")
+      .filter(col("reg_domain").isNotNull &&
+        !coalesce(col("is_blocked"), lit(false)))
+    val preFix = parsed
+      .select(col("reg_domain"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"))
+    val failures = CodegenGuard.fallbackFailures(preFix)
+    assert(failures.nonEmpty,
+      "the pre-fix e35 build aggregate must trip the guard — if this " +
+        "ever starts passing, Spark learned to stage the chain and " +
+        "domainStatsOf's cache can be revisited")
+    graft.queries.Caches.release(spark, sfDir)
+  }
+
   test("the widest production plans run fully codegen'd (no interpreted fallback)") {
-    Seq("w2_domain_rollup", "t48_crawl_funnel", "t58_lm3_perplexity").foreach { q =>
+    Seq("w2_domain_rollup", "t48_crawl_funnel", "t58_lm3_perplexity",
+        "w5_domain_refresh", "e35_domain_append").foreach { q =>
       val failures = CodegenGuard.fallbackFailures(
         SparkEntry.queries(q)(spark, sfDir))
       assert(failures.isEmpty,

@@ -224,8 +224,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("graft_e34h_") && plan.contains("graft_e35d_"),
       s"wave-2 serve must read the landed base AND delta:\n$plan")
     // the serve's documents scan carries only (doc_id, source) — the
-    // URL/domain verdict never reads page text
-    val docScanSchemas = plan.linesIterator
+    // URL/domain verdict never reads page text. The wave-2 frame is
+    // cached (the codegen-cliff fix), so the scan lives in the cached
+    // relation's child plan — search both.
+    val cachedPlans = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString("\n")
+    val docScanSchemas = (plan + "\n" + cachedPlans).linesIterator
       .filter(l => l.contains("FileScan") && l.contains("documents"))
       .toSeq
     assert(docScanSchemas.nonEmpty && docScanSchemas.forall(l =>
