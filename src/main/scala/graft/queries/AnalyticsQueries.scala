@@ -101,7 +101,11 @@ object AnalyticsQueries {
     // per user, in integer cents so the sliding sum is exact in both
     // engines (incremental double sums are not). ----
     "e6_moving_avg" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // nulls-LAST on the frame's order key — DuckDB's window default;
+      // a null-ts event otherwise heads the Spark frame and shifts
+      // every trailing window in the partition (edge-fixture sweep)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc_nulls_last, col("event_id"))
         .rowsBetween(-3, Window.currentRow)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),

@@ -1615,7 +1615,11 @@ object TextQueries {
     // exactly like the streaming state store). ----
     "e_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // nulls-LAST on the session order key (DuckDB's window default):
+      // a null-ts event tails its user's stream and extends the last
+      // session instead of opening the first (edge-fixture sweep)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id"))
       val gapUs = 30L * 60 * 1000000
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"),
@@ -1842,10 +1846,14 @@ object TextQueries {
         |SELECT purchase_id, user_id, click_id, (pus - cus) // 1000000 AS gap_sec
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
+    // ts IS NOT NULL mirrors Spark's TimeWindowing rule, which injects
+    // the same filter under every time window (a null timestamp has no
+    // bucket); DuckDB's time_bucket would otherwise keep a NULL group
     "e_window_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum("value"), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     "t7_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -1910,13 +1918,18 @@ object TextQueries {
          | CAST(COALESCE(f.ns, 0) AS BIGINT) AS n_sampled
          |FROM raw LEFT JOIN f ON raw.source = f.source ORDER BY raw.source""".stripMargin,
 
+    // the json_valid guard mirrors get_json_object's null-on-malformed
+    // contract — DuckDB's json_extract_string ERRORS on bad JSON, the
+    // one failure mode a telemetry props column is guaranteed to have
     "e_props_parse" ->
-      """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (SELECT event_type,
+        |     CASE WHEN json_valid(props)
+        |          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |     END AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same lexicographic fold order as the Spark aggregate — the
     // prepended 0.0 is the init accumulator, then one term per token
