@@ -354,6 +354,34 @@ object WebQueries {
         .withColumn("verdict",
           when(row_number().over(w) === 1, "kept").otherwise("superseded"))
         .orderBy("doc_id")
+    }),
+
+    // ---- W6: the recrawl FEED verdict — w4's arrival-shaped twin. w4
+    // answers "which fetch survives" retrospectively; a crawl frontier
+    // must answer it AT ARRIVAL: admit a fetch iff it is at least as
+    // fresh as the freshest prior fetch of its canonical URL in feed
+    // order (= doc_id; fetch_day is data, not order, so admissions are
+    // genuine running maxima). A null fetch_day never freshens the
+    // frontier but is admitted when the URL has no dated fetch yet —
+    // same null algebra in both engines. The running max over strict
+    // predecessors rides ONE canon_url exchange (w4's key); at 100 TB
+    // this is the same URL-hash shuffle the retrospective dedup pays.
+    // The streaming twin (EventStream.recrawlKeepNewest) folds the
+    // identical rule over per-URL frontier state. ----
+    "w6_recrawl_feed" -> ((s, dir) => {
+      val wPrev = Window.partitionBy("canon_url")
+        .orderBy(col("doc_id").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parsedDocs(s, dir)
+        .withColumn("canon_url", Url.canonUrl)
+        .withColumn("fetch_day", (col("doc_id") * lit(7L)) % lit(100L))
+        .select(col("doc_id"), col("canon_url"), col("fetch_day"))
+        .withColumn("prev_best", max("fetch_day").over(wPrev))
+        .withColumn("verdict",
+          when(col("prev_best").isNull || col("fetch_day") >= col("prev_best"),
+            "admitted").otherwise("stale"))
+        .drop("prev_best")
+        .orderBy("doc_id")
     }))
 
   /** URL construction twin — must mirror [[Url.urlOf]] byte-for-byte
@@ -524,5 +552,21 @@ object WebQueries {
          |   FROM canon)
          |SELECT doc_id, canon_url, fetch_day, n_fetches,
          |  CASE WHEN rn = 1 THEN 'kept' ELSE 'superseded' END AS verdict
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // w6's twin replays the same running-max-over-predecessors rule;
+    // NULLS LAST matches the engine's asc_nulls_last feed order, and
+    // the CASE's null fall-through matches Spark's null comparison
+    "w6_recrawl_feed" ->
+      s"""WITH $urlParseCteSql,
+         | canon AS (SELECT doc_id, $canonUrlSql AS canon_url,
+         |     (doc_id * 7) % 100 AS fetch_day FROM parsed),
+         | rk AS (SELECT *, max(fetch_day) OVER (PARTITION BY canon_url
+         |     ORDER BY doc_id NULLS LAST
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+         |   FROM canon)
+         |SELECT doc_id, canon_url, fetch_day,
+         |  CASE WHEN prev_best IS NULL OR fetch_day >= prev_best
+         |       THEN 'admitted' ELSE 'stale' END AS verdict
          |FROM rk ORDER BY doc_id""".stripMargin)
 }

@@ -1299,6 +1299,52 @@ object EventStream {
       .toDF("win_start", "doc_id", "reg_domain", "rank_in_domain", "verdict")
   }
 
+  /** Stream twin of the batch w6 recrawl-feed verdict
+    * ([[graft.queries.WebQueries]]): arrivals (ts, doc_id, source)
+    * derive the same canonical URL and fetch_day as w4/w6, and each
+    * fetch is admitted iff at least as fresh as the freshest prior
+    * dated fetch of its URL (a null fetch_day never freshens the
+    * frontier, and is admitted only while the URL has no dated fetch
+    * — the batch twin's null algebra). Within a micro-batch, a URL's
+    * arrivals fold in feed order (doc_id ascending, nulls last) — the
+    * batch window's order, so stream ≡ batch is per-row.
+    *
+    * State is the recrawl FRONTIER itself: ONE long per canonical URL
+    * (the freshest fetch_day seen), under NoTimeout BY DESIGN — a
+    * frontier must remember a URL across any watermark horizon
+    * (re-fetches arrive weeks apart), so its cardinality is the URL
+    * universe, not an arrival horizon. That is the same bound the
+    * batch pipeline owns: the landed w4 keep-newest compaction is the
+    * maintenance leg that checkpoints and rebounds this state. */
+  def recrawlKeepNewest(arrivals: DataFrame): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    val parsed = graft.functions.Url.withParsed(
+        arrivals.select(col("doc_id"), col("source"))
+          .withColumn("url",
+            graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+      .withColumn("canon_url", graft.functions.Url.canonUrl)
+      .withColumn("fetch_day", (col("doc_id") * lit(7L)) % lit(100L))
+      .select(col("doc_id"), col("canon_url"), col("fetch_day"))
+      .as[(Option[Long], Option[String], Option[Long])]
+    parsed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Option[Long], Option[String], Option[Long], String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          var best: Option[Long] = state.getOption
+          val out = it.toSeq
+            .sortBy(_._1.getOrElse(Long.MaxValue))
+            .map { case (id, cu, day) =>
+              val admitted = best.isEmpty || day.exists(_ >= best.get)
+              day.foreach(d => best = Some(best.fold(d)(math.max(_, d))))
+              (id, cu, day, if (admitted) "admitted" else "stale")
+            }
+          best.foreach(state.update)
+          out.iterator
+      }
+      .toDF("doc_id", "canon_url", "fetch_day", "verdict")
+  }
+
   /** Event-time sessionization: per-user sessions closed after
     * `gapMinutes` of inactivity (custom state via
     * flatMapGroupsWithState, emitted on event-time timeout). */

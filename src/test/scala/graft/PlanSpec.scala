@@ -647,6 +647,21 @@ class PlanSpec extends AnyFunSuite {
       s"w4 re-shuffles between its windows ($hashEx hash exchanges):\n$plan")
   }
 
+  test("w6 recrawl feed rides the same single URL-key exchange as w4") {
+    val df = SparkEntry.queries("w6_recrawl_feed")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(canon_url"),
+      s"running-max window not partitioned on the canonical URL:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"w6 collapsed to a single partition:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"w6 re-shuffles around its window ($hashEx hash exchanges):\n$plan")
+  }
+
   test("t58 trigram scorer: derivation joins stay equi-keyed, scalar attaches by broadcast") {
     val df = SparkEntry.queries("t58_lm3_perplexity")(spark, sfDir)
     df.collect()

@@ -582,6 +582,68 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("streaming recrawl keep-newest ≡ the batch w6 feed verdicts, state = frontier size") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ids ≡ 7 (mod 11) take the blog URL shape (no doc_id in the URL),
+    // so ids equal mod 143 share a canonical URL; +143 raises fetch_day
+    // (= id·7 mod 100) by 1, +143·99 lowers it by 1 — every triple
+    // exercises admit, admit-fresher, and STALE in feed order. Shape-0
+    // ids (0, 11, 22) are unique-URL controls; a duplicated id is an
+    // equal-freshness re-fetch (admitted — ties are "at least as
+    // fresh"); null ids form the null-URL group (null fetch_day never
+    // freshens, admitted while the frontier has no dated fetch).
+    val bases = Seq(7L, 18L, 29L, 40L)
+    val ids: Seq[Option[Long]] =
+      (bases.flatMap(b => Seq(b, b + 143L, b + 143L * 99)) ++
+        Seq(0L, 11L, 22L, 7L)).map(Some(_)) ++ Seq(None, None)
+    val arrivals = ids.zipWithIndex.map { case (id, i) => (ts(i), id, "web") }
+    val arrivalsDf = arrivals.toDF("ts", "doc_id", "source")
+    val batch = graft.functions.Url.withParsed(
+        arrivalsDf.withColumn("url",
+          graft.functions.Url.urlOf(col("doc_id"), col("source"))))
+      .withColumn("canon_url", graft.functions.Url.canonUrl)
+      .withColumn("fetch_day", (col("doc_id") * lit(7L)) % lit(100L))
+      .select(col("doc_id"), col("canon_url"), col("fetch_day"))
+      .withColumn("prev_best", max("fetch_day").over(
+        Window.partitionBy("canon_url").orderBy(col("doc_id").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("verdict",
+        when(col("prev_best").isNull || col("fetch_day") >= col("prev_best"),
+          "admitted").otherwise("stale"))
+      .drop("prev_best")
+    val expected = batch.collect().map(_.toSeq).toSet
+    assert(expected.map(_.apply(3).asInstanceOf[String]) ===
+      Set("admitted", "stale"),
+      "fixture must exercise both feed verdicts")
+    val input = MemoryStream[(Timestamp, Option[Long], String)]
+    val q = EventStream.recrawlKeepNewest(
+        input.toDF().toDF("ts", "doc_id", "source"))
+      .writeStream.format("memory").queryName("recrawl_feed")
+      .outputMode("append").start()
+    try {
+      // feed order = doc_id ascending (nulls last), split across three
+      // micro-batches as consecutive slices so each URL's re-fetches
+      // SPAN batches — the frontier must carry across micro-batches
+      val ordered = arrivals.sortBy(_._2.getOrElse(Long.MaxValue))
+      ordered.grouped((ordered.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("recrawl_feed").collect().map(_.toSeq).toSet
+      assert(streamed === expected,
+        "stream recrawl verdicts must equal the batch w6 twin row-for-row")
+      // state is the frontier: one row per canonical URL with a dated
+      // fetch (the null-URL group never updates state)
+      val nUrls = batch.filter(col("canon_url").isNotNull)
+        .select("canon_url").distinct().count()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows === nUrls,
+        s"state $stateRows rows != $nUrls frontier URLs")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch across micro-batches ≡ the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("the quick brown fox jumps over the lazy dog",
