@@ -933,6 +933,54 @@ object DedupQueries {
         .orderBy("source", "pick")
     }),
 
+    // ---- D35: temperature-weighted mixture sampling — the
+    // multi-source data-mixing pass (GPT-3/PaLM style): source s is
+    // sampled with probability ∝ n_s^α (α = 0.5), up-weighting small
+    // sources so no giant source dominates the mix, against a fixed
+    // budget of total/5 docs; a per-source rate > 1 clamps to 1 (a
+    // tiny source can't yield more docs than it has). The doc-level
+    // decision reuses d7's overflow-safe multiplicative hash at 2²⁰
+    // granularity. Cross-engine doubles: sqrt is correctly rounded in
+    // both engines, the normalizer folds per-source terms in SOURCE
+    // order (t18's sorted-fold convention), and each rate is the same
+    // multiply/divide sequence — identical terms, identical order,
+    // identical bits, so the threshold comparisons agree exactly.
+    // Scale: one source-keyed count, a Heaps-tiny rate table broadcast
+    // back onto the corpus, one source-keyed count of the kept set —
+    // no corpus shuffle beyond the two aggregates. ----
+    "d35_mixture_sample" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+      val norm = counts.agg(
+        expr("""aggregate(
+            array_sort(collect_list(struct(source AS s, sqrt(CAST(n_docs AS DOUBLE)) AS v)),
+              (l, r) -> CASE WHEN l.s IS NULL AND r.s IS NULL THEN 0
+                             WHEN l.s IS NULL THEN 1 WHEN r.s IS NULL THEN -1
+                             WHEN l.s < r.s THEN -1 WHEN l.s > r.s THEN 1
+                             ELSE 0 END),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("wsum"),
+        sum("n_docs").cast("long").as("n_total"))
+      val rates = counts.crossJoin(broadcast(norm))
+        .select(col("source").as("src"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) / col("wsum")).as("p"),
+          least(lit(1.0),
+            (expr("n_total div 5") * (sqrt(col("n_docs").cast("double")) / col("wsum")))
+              / col("n_docs")).as("rate"))
+      // null-safe attach: a null-source doc belongs to the null-source
+      // stratum, not to no stratum (the repo's group-key join rule)
+      val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)) % 1048576L
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(rates), col("source") <=> col("src"))
+        .withColumn("kept", u < col("rate") * 1048576.0)
+        .groupBy("src", "n_docs", "p", "rate")
+        .agg(count(when(col("kept"), 1)).cast("long").as("n_sampled"))
+        .select(col("src").as("source"), col("n_docs"),
+          round(col("p"), 6).as("mix_weight"),
+          round(col("rate"), 6).as("sample_rate"), col("n_sampled"))
+        .orderBy(col("source").asc_nulls_last)
+    }),
+
     // ---- D12: fixed-iteration PageRank — iterative distributed graph
     // compute beyond d9's reachability: node importance over the
     // order↔part bipartite graph (both directions, so no dangling
@@ -3074,6 +3122,30 @@ object DedupQueries {
         |          THEN CAST(doc_id AS VARCHAR) END, ','
         |     ORDER BY doc_id), '') AS sampled_ids
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the twin replays the α = 0.5 weights with the identical IEEE
+    // sequence: correctly-rounded sqrt, source-ordered fold for the
+    // normalizer, one multiply + two divides per rate
+    "d35_mixture_sample" ->
+      """WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |   FROM documents GROUP BY source),
+        | norm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source NULLS LAST)),
+        |       (acc, v) -> acc + v) AS wsum,
+        |     CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+        | rates AS (SELECT c.source, c.n_docs,
+        |     sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum AS p,
+        |     least(1.0, ((n.n_total // 5) * (sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum))
+        |       / c.n_docs) AS rate
+        |   FROM counts c CROSS JOIN norm n),
+        | j AS (SELECT d.doc_id, r.source, r.n_docs, r.p, r.rate,
+        |     (((d.doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761)
+        |       % 1000000007 % 1048576 AS u
+        |   FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source)
+        |SELECT source, n_docs, round(p, 6) AS mix_weight,
+        |  round(rate, 6) AS sample_rate,
+        |  CAST(count(CASE WHEN u < rate * 1048576.0 THEN 1 END) AS BIGINT) AS n_sampled
+        |FROM j GROUP BY source, n_docs, p, rate ORDER BY source""".stripMargin,
 
     "d8_group_sample" ->
       """WITH h AS (SELECT source, doc_id,

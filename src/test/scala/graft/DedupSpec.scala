@@ -1182,4 +1182,30 @@ class DedupSpec extends AnyFunSuite {
       s"forgotten G2 holder still matched (or survivor lost): ${out(20L)}")
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("d35 mixture weights flatten the source distribution (α = 0.5 temperature)") {
+    val out = SparkEntry.queries("d35_mixture_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("mix_weight"),
+        r.getAs[Double]("sample_rate"), r.getAs[Long]("n_sampled")))
+    assert(out.length >= 2, "fixture needs at least two sources")
+    // the weights are a distribution (rounding noise only)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4,
+      s"mix weights must sum to 1, got ${out.map(_._2).sum}")
+    // temperature flattening: for any smaller/larger source pair, the
+    // weight RATIO strictly exceeds the doc-share ratio (sqrt pulls
+    // ratios toward 1), while absolute ordering is preserved
+    for {
+      (na, wa, _, _) <- out; (nb, wb, _, _) <- out
+      if na < nb
+    } {
+      assert(wa <= wb, s"weight ordering inverted: $na->$wa vs $nb->$wb")
+      assert(wa / wb > na.toDouble / nb - 1e-9,
+        s"small source not up-weighted: $na/$nb share vs $wa/$wb weight")
+    }
+    // the sampler respects both the per-source population and the cap
+    out.foreach { case (n, _, rate, k) =>
+      assert(k <= n, s"sampled $k of $n")
+      assert(rate <= 1.0 + 1e-12 && rate >= 0.0)
+    }
+  }
 }
