@@ -1479,6 +1479,67 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- T66: repetition CHAR coverage — the MassiveText/Gopher
+    // filter family t8 only approximates at the count level: per doc,
+    // the fraction of characters claimed by the single most frequent
+    // 3-gram (count × gram chars / doc chars, overlap-naive as
+    // published) and the fraction of characters covered by DUPLICATED
+    // bigrams (distinct covered token positions → token chars — d10's
+    // coverage trick turned intra-document). One n per family here;
+    // the other window sizes in the published filters are the same
+    // plan with a different gram width. All ratios are BIGINT with one
+    // division + round. Scale: every stage keys on doc_id (gram
+    // counts, the top window, position coverage) — one doc-keyed
+    // exchange family, no corpus-wide state. Null-doc_id rows lump
+    // into one pseudo-doc in BOTH engines (null-safe attaches), the
+    // group-key convention of the edge sweep. ----
+    "t66_repetition_chars" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val toks = Caches.trackCached(dir, docs
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "t"))))
+      val tot = toks.groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(length(col("t"))).cast("long").as("n_chars"))
+      def grams(n: Int) = docs.filter(size(col("w")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> " +
+            s"struct(i AS p, concat_ws('_', slice(w, i + 1, $n)) AS g))")).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+      val wTop = Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, length(col("g")).desc, col("g").desc)
+      val top3 = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("doc_id").as("d3"), col("c").as("top3_count"),
+          (length(col("g")) - lit(2)).cast("long").as("top3_g_chars"))
+      val g2 = Caches.trackCached(dir, grams(2))
+      val dup2 = g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("doc_id").as("dd"), col("g").as("dg"))
+      val cov = g2
+        .join(dup2, col("doc_id") <=> col("dd") && col("g") === col("dg"))
+        .select(col("doc_id"), explode(expr("sequence(p, p + 1)")).as("cp"))
+        .distinct()
+        .join(toks.select(col("doc_id").as("td"), col("p").as("tp"),
+          length(col("t")).as("lt")),
+          col("doc_id") <=> col("td") && col("cp") === col("tp"))
+        .groupBy("doc_id").agg(sum("lt").cast("long").as("dup2_chars"))
+      tot
+        .join(top3, col("doc_id") <=> col("d3"), "left")
+        .join(cov.withColumnRenamed("doc_id", "dc"),
+          col("doc_id") <=> col("dc"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          coalesce(col("top3_count"), lit(0L)).cast("long").as("top3_count"),
+          round(when(col("n_chars") > 0,
+            coalesce(col("top3_count") * col("top3_g_chars"), lit(0L)) * lit(1.0)
+              / col("n_chars")).otherwise(lit(0.0)), 6).as("top3_char_frac"),
+          coalesce(col("dup2_chars"), lit(0L)).as("dup2_chars"),
+          round(when(col("n_chars") > 0,
+            coalesce(col("dup2_chars"), lit(0L)) * lit(1.0) / col("n_chars"))
+            .otherwise(lit(0.0)), 6).as("dup2_char_frac"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
     // ---- events: typed JSON metadata extraction — the ingest stage
     // that lifts semi-structured payloads into columns (get_json_object
     // is codegen'd; at scale this is a pure mapper feeding the same
@@ -1888,6 +1949,54 @@ object TextQueries {
         | round(top_count * 1.0 / n_bigrams, 4) AS top_share,
         | round(1.0 - n_distinct * 1.0 / n_bigrams, 4) AS dup_ratio
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // t66's twin rebuilds the same 1-based gram windows over the raw
+    // split array, the same (count, gram chars, gram) top tie-break,
+    // and the same distinct-position char coverage; every doc_id
+    // attach is IS NOT DISTINCT FROM (the engine's <=>), so null-id
+    // rows lump into one pseudo-doc identically
+    "t66_repetition_chars" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | tok AS (SELECT doc_id, x.p AS p, x.t AS t FROM (
+        |     SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |       i -> struct_pack(p := i - 1, t := w[i]))) AS x FROM w)),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |     CAST(sum(length(t)) AS BIGINT) AS n_chars FROM tok GROUP BY doc_id),
+        | g3 AS (SELECT doc_id, x.p AS p, x.g AS g FROM (
+        |     SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |       i -> struct_pack(p := i,
+        |         g := w[i+1] || '_' || w[i+2] || '_' || w[i+3]))) AS x FROM w)),
+        | top3 AS (SELECT doc_id, c AS top3_count,
+        |     CAST(length(g) - 2 AS BIGINT) AS top3_g_chars FROM (
+        |     SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+        |       row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY count(*) DESC, length(g) DESC, g DESC) AS rn
+        |     FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+        | g2 AS (SELECT doc_id, x.p AS p, x.g AS g FROM (
+        |     SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |       i -> struct_pack(p := i, g := w[i+1] || '_' || w[i+2]))) AS x FROM w)),
+        | dup2 AS (SELECT doc_id, g FROM g2 GROUP BY doc_id, g HAVING count(*) > 1),
+        | covpos0 AS (SELECT g2.doc_id AS doc_id, unnest([g2.p, g2.p + 1]) AS cp
+        |   FROM g2 JOIN dup2 ON g2.doc_id IS NOT DISTINCT FROM dup2.doc_id
+        |     AND g2.g = dup2.g),
+        | covpos AS (SELECT DISTINCT doc_id, cp FROM covpos0),
+        | cov AS (SELECT covpos.doc_id AS doc_id,
+        |     CAST(sum(length(tok.t)) AS BIGINT) AS dup2_chars
+        |   FROM covpos JOIN tok ON covpos.doc_id IS NOT DISTINCT FROM tok.doc_id
+        |     AND covpos.cp = tok.p
+        |   GROUP BY covpos.doc_id)
+        |SELECT tot.doc_id, n_tokens, n_chars,
+        |  CAST(COALESCE(top3_count, 0) AS BIGINT) AS top3_count,
+        |  round(CASE WHEN n_chars > 0
+        |      THEN COALESCE(top3_count * top3_g_chars, 0) * 1.0 / n_chars
+        |      ELSE 0.0 END, 6) AS top3_char_frac,
+        |  COALESCE(dup2_chars, 0) AS dup2_chars,
+        |  round(CASE WHEN n_chars > 0
+        |      THEN COALESCE(dup2_chars, 0) * 1.0 / n_chars
+        |      ELSE 0.0 END, 6) AS dup2_char_frac
+        |FROM tot LEFT JOIN top3 ON tot.doc_id IS NOT DISTINCT FROM top3.doc_id
+        |LEFT JOIN cov ON tot.doc_id IS NOT DISTINCT FROM cov.doc_id
+        |ORDER BY tot.doc_id NULLS LAST""".stripMargin,
 
     "e3_curation" ->
       s"""WITH t AS (SELECT doc_id, source, text,
