@@ -949,36 +949,48 @@ object DedupQueries {
     // back onto the corpus, one source-keyed count of the kept set —
     // no corpus shuffle beyond the two aggregates. ----
     "d35_mixture_sample" -> ((s, dir) => {
-      val counts = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
+      mixtureSampleFrom(docs,
+        docs.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs")))
+    }),
+
+    // ---- E36: mixture refresh — d35's landed leg. The source-count
+    // store is the smallest additive Z-set in the suite (one row per
+    // source), so the t51/t55 refresh contract applies verbatim: the
+    // arrival slice (the shared %9 carve) aggregates ALONE and adds
+    // into the landed base; rates derive from the merged counts via
+    // the IDENTICAL IEEE sequence, so serve ≡ retrain is the d35
+    // oracle unchanged. ----
+    "e36_mixture_refresh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = s.read.schema(mixCountSchema).parquet(mixStoreFor(s, dir))
+      val delta = docs.filter(PipelineQueries.bpeIsDelta)
         .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
-      val norm = counts.agg(
-        expr("""aggregate(
-            array_sort(collect_list(struct(source AS s, sqrt(CAST(n_docs AS DOUBLE)) AS v)),
-              (l, r) -> CASE WHEN l.s IS NULL AND r.s IS NULL THEN 0
-                             WHEN l.s IS NULL THEN 1 WHEN r.s IS NULL THEN -1
-                             WHEN l.s < r.s THEN -1 WHEN l.s > r.s THEN 1
-                             ELSE 0 END),
-            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("wsum"),
-        sum("n_docs").cast("long").as("n_total"))
-      val rates = counts.crossJoin(broadcast(norm))
-        .select(col("source").as("src"), col("n_docs"),
-          (sqrt(col("n_docs").cast("double")) / col("wsum")).as("p"),
-          least(lit(1.0),
-            (expr("n_total div 5") * (sqrt(col("n_docs").cast("double")) / col("wsum")))
-              / col("n_docs")).as("rate"))
-      // null-safe attach: a null-source doc belongs to the null-source
-      // stratum, not to no stratum (the repo's group-key join rule)
-      val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
-        lit(1000000007L)) % 1048576L
-      Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        .join(broadcast(rates), col("source") <=> col("src"))
-        .withColumn("kept", u < col("rate") * 1048576.0)
-        .groupBy("src", "n_docs", "p", "rate")
-        .agg(count(when(col("kept"), 1)).cast("long").as("n_sampled"))
-        .select(col("src").as("source"), col("n_docs"),
-          round(col("p"), 6).as("mix_weight"),
-          round(col("rate"), 6).as("sample_rate"), col("n_sampled"))
-        .orderBy(col("source").asc_nulls_last)
+      val merged = store.unionByName(delta)
+        .groupBy("source").agg(sum("n_docs").cast("long").as("n_docs"))
+        .filter(col("n_docs") > 0)
+      mixtureSampleFrom(docs, merged)
+    }),
+
+    // ---- E37: mixture forget — the store's erasure leg (the shared
+    // e24 deletion carve): the deleted docs' own per-source counts
+    // merge in at NEGATIVE sign (zero-count sources drop), and the
+    // sampling pass runs over the kept corpus via the null-keeping
+    // predicate carve (a null-id doc never equi-matches a deletion
+    // batch, so it is KEPT — e24DeletedKeptPredSql's arm). Serve ≡
+    // retrain-on-remainder, the t56/t61 contract. ----
+    "e37_mixture_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val delPred = col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1
+      val store = s.read.schema(mixCountSchema).parquet(mixStoreFor(s, dir))
+      val delta = docs.filter(PipelineQueries.bpeIsDelta)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+      val deleted = docs.filter(delPred)
+        .groupBy("source").agg((-count(lit(1))).cast("long").as("n_docs"))
+      val merged = store.unionByName(delta).unionByName(deleted)
+        .groupBy("source").agg(sum("n_docs").cast("long").as("n_docs"))
+        .filter(col("n_docs") > 0)
+      mixtureSampleFrom(docs.filter(coalesce(!delPred, lit(true))), merged)
     }),
 
     // ---- D12: fixed-iteration PageRank — iterative distributed graph
@@ -2166,6 +2178,96 @@ object DedupQueries {
     docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
       .select("doc_id")
 
+  /** D35's landed source-count store: (source, n_docs) over the
+    * pre-delta corpus (the shared %9 arrival carve) — one row per
+    * source, the smallest additive Z-set in the suite. */
+  private[graft] val mixCountSchema = "source STRING, n_docs BIGINT"
+
+  private val mixStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def mixStoreFor(s: SparkSession, dir: String): String = {
+    val memo = mixStore.get(dir)
+    if (memo != null && !new java.io.File(memo).exists()) mixStore.remove(dir, memo)
+    mixStore.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.nameUUIDFromBytes(
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_d35_${ProcessHandle.current().pid()}_$tag")
+      Caches.track(d)(() => { mixStore.remove(d); () })
+      Caches.trackPath(d, out)
+      Tables.documents(s, d).filter(!PipelineQueries.bpeIsDelta)
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+  }
+
+  /** D35/e36/e37's twin: the full mixture recompute from raw
+    * documents, carved by `keptPred` (TRUE for d35/e36 — e36's gate is
+    * thereby the landed ≡ retrain proof; the e24 kept predicate for
+    * e37). The corpus appears twice (counts and the sampled set), so
+    * the predicate applies to BOTH. */
+  private def mixtureOracleSqlFor(keptPred: String): String =
+    s"""WITH kept AS (SELECT doc_id, source FROM documents WHERE $keptPred),
+       | counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |   FROM kept GROUP BY source),
+       | norm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source NULLS LAST)),
+       |       (acc, v) -> acc + v) AS wsum,
+       |     CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+       | rates AS (SELECT c.source, c.n_docs,
+       |     sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum AS p,
+       |     least(1.0, ((n.n_total // 5) * (sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum))
+       |       / c.n_docs) AS rate
+       |   FROM counts c CROSS JOIN norm n),
+       | j AS (SELECT d.doc_id, r.source, r.n_docs, r.p, r.rate,
+       |     (((d.doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761)
+       |       % 1000000007 % 1048576 AS u
+       |   FROM kept d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source)
+       |SELECT source, n_docs, round(p, 6) AS mix_weight,
+       |  round(rate, 6) AS sample_rate,
+       |  CAST(count(CASE WHEN u < rate * 1048576.0 THEN 1 END) AS BIGINT) AS n_sampled
+       |FROM j GROUP BY source, n_docs, p, rate ORDER BY source""".stripMargin
+
+  /** D35's sampler, parameterized on the source-count table so the
+    * landed legs (e36 refresh, e37 forget) derive rates from merged
+    * stores through the IDENTICAL IEEE sequence as the retrain:
+    * correctly-rounded sqrt per source, the normalizer folded in
+    * SOURCE order (t18's sorted-fold convention), one shared
+    * multiply/divide sequence per rate. The doc-level decision is
+    * d7's overflow-safe multiplicative hash at 2²⁰ granularity; the
+    * rate table is Heaps-tiny and attaches null-safely (a null-source
+    * doc belongs to the null-source stratum, not to no stratum). */
+  private def mixtureSampleFrom(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val norm = counts.agg(
+      expr("""aggregate(
+          array_sort(collect_list(struct(source AS s, sqrt(CAST(n_docs AS DOUBLE)) AS v)),
+            (l, r) -> CASE WHEN l.s IS NULL AND r.s IS NULL THEN 0
+                           WHEN l.s IS NULL THEN 1 WHEN r.s IS NULL THEN -1
+                           WHEN l.s < r.s THEN -1 WHEN l.s > r.s THEN 1
+                           ELSE 0 END),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("wsum"),
+      sum("n_docs").cast("long").as("n_total"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .select(col("source").as("src"), col("n_docs"),
+        (sqrt(col("n_docs").cast("double")) / col("wsum")).as("p"),
+        least(lit(1.0),
+          (expr("n_total div 5") * (sqrt(col("n_docs").cast("double")) / col("wsum")))
+            / col("n_docs")).as("rate"))
+    val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+      lit(1000000007L)) % 1048576L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), col("source") <=> col("src"))
+      .withColumn("kept", u < col("rate") * 1048576.0)
+      .groupBy("src", "n_docs", "p", "rate")
+      .agg(count(when(col("kept"), 1)).cast("long").as("n_sampled"))
+      .select(col("src").as("source"), col("n_docs"),
+        round(col("p"), 6).as("mix_weight"),
+        round(col("rate"), 6).as("sample_rate"), col("n_sampled"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
   /** E23's compacted landing: one bucketed table holding exactly the
     * lambda index's served content — (base ∖ tombstones) ∪ delta —
     * with d26's bucket spec, built from index files only. */
@@ -3125,27 +3227,13 @@ object DedupQueries {
 
     // the twin replays the α = 0.5 weights with the identical IEEE
     // sequence: correctly-rounded sqrt, source-ordered fold for the
-    // normalizer, one multiply + two divides per rate
-    "d35_mixture_sample" ->
-      """WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-        |   FROM documents GROUP BY source),
-        | norm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |       list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source NULLS LAST)),
-        |       (acc, v) -> acc + v) AS wsum,
-        |     CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
-        | rates AS (SELECT c.source, c.n_docs,
-        |     sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum AS p,
-        |     least(1.0, ((n.n_total // 5) * (sqrt(CAST(c.n_docs AS DOUBLE)) / n.wsum))
-        |       / c.n_docs) AS rate
-        |   FROM counts c CROSS JOIN norm n),
-        | j AS (SELECT d.doc_id, r.source, r.n_docs, r.p, r.rate,
-        |     (((d.doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761)
-        |       % 1000000007 % 1048576 AS u
-        |   FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source)
-        |SELECT source, n_docs, round(p, 6) AS mix_weight,
-        |  round(rate, 6) AS sample_rate,
-        |  CAST(count(CASE WHEN u < rate * 1048576.0 THEN 1 END) AS BIGINT) AS n_sampled
-        |FROM j GROUP BY source, n_docs, p, rate ORDER BY source""".stripMargin,
+    // normalizer, one multiply + two divides per rate. e36's gate is
+    // the landed ≡ retrain proof (same full recompute); e37's carves
+    // the corpus with the null-keeping kept predicate.
+    "d35_mixture_sample" -> mixtureOracleSqlFor("TRUE"),
+    "e36_mixture_refresh" -> mixtureOracleSqlFor("TRUE"),
+    "e37_mixture_forget" ->
+      mixtureOracleSqlFor(TextQueries.e24DeletedKeptPredSql),
 
     "d8_group_sample" ->
       """WITH h AS (SELECT source, doc_id,

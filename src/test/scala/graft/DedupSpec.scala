@@ -1208,4 +1208,36 @@ class DedupSpec extends AnyFunSuite {
       assert(rate <= 1.0 + 1e-12 && rate >= 0.0)
     }
   }
+
+  test("e36/e37 serve the mixture from the landed count store; store files untouched") {
+    val dir = SparkTestBase.sfDir
+    val storePath = new java.io.File(DedupQueries.mixStoreFor(spark, dir))
+    def sig = storePath.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = sig
+    assert(before.nonEmpty, "landed store is empty")
+    // refresh serve ≡ the full retrain (the oracle's claim, pinned
+    // in-engine so a future refactor can't silently skew the merge)
+    val retrain = SparkEntry.queries("d35_mixture_sample")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val served = SparkEntry.queries("e36_mixture_refresh")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(served === retrain, "landed refresh diverged from the retrain")
+    // forget: the deletion carve's docs contribute to NEITHER the
+    // counts nor the sampled set — equal to d35 over the kept corpus
+    val deletedIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deletedIds.nonEmpty, "fixture has no deletion carve")
+    val forgot = SparkEntry.queries("e37_mixture_forget")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"))).toMap
+    val keptCounts = Tables.documents(spark, dir)
+      .filter(!col("doc_id").isin(deletedIds.toSeq: _*) || col("doc_id").isNull)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"))).toMap
+    assert(forgot === keptCounts, "forget counts diverged from the kept corpus")
+    assert(sig === before, "forget/refresh serves touched the landed store files")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
