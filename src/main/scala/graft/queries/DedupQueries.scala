@@ -2239,7 +2239,10 @@ object DedupQueries {
     * d7's overflow-safe multiplicative hash at 2²⁰ granularity; the
     * rate table is Heaps-tiny and attaches null-safely (a null-source
     * doc belongs to the null-source stratum, not to no stratum). */
-  private def mixtureSampleFrom(docs: DataFrame, counts: DataFrame): DataFrame = {
+  /** The rate table alone — (src, n_docs, p, rate) — from a count
+    * table; shared by [[mixtureSampleFrom]] and the streaming
+    * admission twin (which serves it broadcast over arrivals). */
+  private[graft] def mixtureRatesFrom(counts: DataFrame): DataFrame = {
     val norm = counts.agg(
       expr("""aggregate(
           array_sort(collect_list(struct(source AS s, sqrt(CAST(n_docs AS DOUBLE)) AS v)),
@@ -2249,14 +2252,29 @@ object DedupQueries {
                            ELSE 0 END),
           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("wsum"),
       sum("n_docs").cast("long").as("n_total"))
-    val rates = counts.crossJoin(broadcast(norm))
+    counts.crossJoin(broadcast(norm))
       .select(col("source").as("src"), col("n_docs"),
         (sqrt(col("n_docs").cast("double")) / col("wsum")).as("p"),
         least(lit(1.0),
           (expr("n_total div 5") * (sqrt(col("n_docs").cast("double")) / col("wsum")))
             / col("n_docs")).as("rate"))
-    val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+  }
+
+  /** The landed store's serving rates — what the streaming admission
+    * twin broadcasts (the store's view: pre-delta counts; an e36
+    * refresh lands a new store and the next micro-batch re-plans). */
+  private[graft] def mixtureRatesFor(s: SparkSession, dir: String): DataFrame =
+    mixtureRatesFrom(s.read.schema(mixCountSchema).parquet(mixStoreFor(s, dir)))
+
+  /** D35's doc-level sampling decision, shared with the stream twin:
+    * d7's overflow-safe multiplicative hash at 2²⁰ granularity. */
+  private[graft] val mixtureHash: org.apache.spark.sql.Column =
+    pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
       lit(1000000007L)) % 1048576L
+
+  private def mixtureSampleFrom(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val rates = mixtureRatesFrom(counts)
+    val u = mixtureHash
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), col("source") <=> col("src"))
       .withColumn("kept", u < col("rate") * 1048576.0)

@@ -1299,6 +1299,28 @@ object EventStream {
       .toDF("win_start", "doc_id", "reg_domain", "rank_in_domain", "verdict")
   }
 
+  /** Stream twin of d35's doc-level mixture sampling: arrivals
+    * (ts, doc_id, source) decide against the LANDED rate table
+    * ([[graft.queries.DedupQueries.mixtureRatesFor]]) — a broadcast
+    * stream-static join whose static rows re-plan per micro-batch, so
+    * an e36 refresh landing a new store takes effect on the next
+    * batch. Stateless by design: the corpus-level statistics live in
+    * the landed store (the batch pipeline's t51-contract Z-set), and
+    * the per-arrival decision is the SAME multiplicative hash d35
+    * gates, so stream ≡ batch is structural. A source the store has
+    * never seen is flagged `unrated` rather than silently admitted —
+    * the mix is a budget, and an unbudgeted source must route to the
+    * refresh leg, not around it. */
+  def sampleArrivals(arrivals: DataFrame, rates: DataFrame): DataFrame =
+    arrivals.select(col("ts"), col("doc_id"), col("source"))
+      .join(broadcast(rates.select(col("src"), col("rate"))),
+        col("source") <=> col("src"), "left")
+      .select(col("ts"), col("doc_id"), col("source"),
+        when(col("rate").isNull, "unrated")
+          .when(graft.queries.DedupQueries.mixtureHash < col("rate") * 1048576.0,
+            "sampled")
+          .otherwise("skipped").as("verdict"))
+
   /** Stream twin of the batch w6 recrawl-feed verdict
     * ([[graft.queries.WebQueries]]): arrivals (ts, doc_id, source)
     * derive the same canonical URL and fetch_day as w4/w6, and each

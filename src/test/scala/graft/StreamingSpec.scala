@@ -582,6 +582,57 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Caches.release(spark, dir)
   }
 
+  test("streaming mixture sampling ≡ the batch decision against the landed rates; stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestBase.sfDir
+    val rates = graft.queries.DedupQueries.mixtureRatesFor(spark, dir)
+    val base = Tables.documents(spark, dir).select("doc_id", "source")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1))).toSeq
+    // every fixture doc, plus a source the store never counted
+    // (unrated) and a null-id arrival (hash null → skipped)
+    val arrivals = (base ++ Seq((Some(999999L), "never-seen-source"),
+        (None, base.head._2)))
+      .zipWithIndex.map { case ((id, src), i) => (ts(i % 30), id, src) }
+    val arrivalsDf = arrivals.toDF("ts", "doc_id", "source")
+    // independent batch twin: d35's decision written out longhand
+    val u = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+      lit(1000000007L)) % 1048576L
+    val expected = arrivalsDf
+      .join(rates.select(col("src"), col("rate")),
+        col("source") <=> col("src"), "left")
+      .select(col("ts"), col("doc_id"), col("source"),
+        when(col("rate").isNull, "unrated")
+          .when(u < col("rate") * 1048576.0, "sampled")
+          .otherwise("skipped").as("verdict"))
+      .collect().map(_.toSeq).toSet
+    assert(expected.map(_.apply(3).asInstanceOf[String]) ===
+      Set("sampled", "skipped", "unrated"),
+      "fixture must exercise all three verdicts")
+    val input = MemoryStream[(Timestamp, Option[Long], String)]
+    val q = EventStream.sampleArrivals(
+        input.toDF().toDF("ts", "doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mixture_sampling")
+      .outputMode("append").start()
+    try {
+      val (a, b) = arrivals.partition(_._2.exists(_ % 2 == 0))
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mixture_sampling")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === expected,
+        "stream mixture verdicts must equal the batch decision")
+      // stateless: the corpus statistics live in the landed store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum === 0L,
+        "mixture sampling must carry no stream state")
+    } finally q.stop()
+    graft.queries.Caches.release(spark, dir)
+  }
+
   test("streaming recrawl keep-newest ≡ the batch w6 feed verdicts, state = frontier size") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
