@@ -251,4 +251,45 @@ class RobustnessSpec extends AnyFunSuite {
     } finally q.stop()
     graft.queries.Caches.release(spark, dir)
   }
+
+  test("t66 char coverage is exact on degenerate docs (all-one-token book, two-token doc, empty)") {
+    import org.apache.spark.sql.functions._
+    val src = SparkTestBase.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_t66doc").toString
+    // doc 0: a 10⁵-word document of ONE repeated token — every bigram
+    // is the same duplicated gram, so dup2 coverage must be EXACTLY
+    // total chars and top3 count exactly n-2 (the repetition filter's
+    // design case: boilerplate spam); doc 1: two tokens (no 3-gram,
+    // one unduplicated bigram — both fractions 0); doc 2: empty text
+    // (one zero-length token; guarded division)
+    val n = 100000L
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") === 0, expr(
+          s"array_join(transform(sequence(1, $n), i -> 'spam'), ' ')"))
+          .when(col("doc_id") === 1, lit("only two"))
+          .when(col("doc_id") === 2, lit(""))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("t66_repetition_chars")(spark, dir)
+      .filter(col("doc_id") <= 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spam = out(0L)
+    assert(spam.getAs[Long]("n_tokens") === n)
+    assert(spam.getAs[Long]("n_chars") === 4 * n)
+    assert(spam.getAs[Long]("top3_count") === n - 2)
+    assert(spam.getAs[Long]("dup2_chars") === 4 * n,
+      "every char of the all-one-token doc is covered by duplicated bigrams")
+    assert(spam.getAs[Double]("dup2_char_frac") === 1.0)
+    val two = out(1L)
+    assert(two.getAs[Long]("top3_count") === 0 &&
+      two.getAs[Long]("dup2_chars") === 0 &&
+      two.getAs[Double]("dup2_char_frac") === 0.0)
+    val empty = out(2L)
+    assert(empty.getAs[Long]("n_chars") === 0 &&
+      empty.getAs[Double]("top3_char_frac") === 0.0 &&
+      empty.getAs[Double]("dup2_char_frac") === 0.0,
+      "zero-char doc must hit the guarded division, not NaN")
+    graft.queries.Caches.release(spark, dir)
+  }
 }
