@@ -132,6 +132,14 @@ object DedupQueries {
       .withColumn("sz", size(col("sh")))
       .drop("_w")
 
+  // r17 optimization note: a ScanFan fan-out here was measured and
+  // REVERTED — the shingle cache's cheap consumers (d4's one-UDF pass,
+  // the verify probes) pay ~32 extra task dispatches per stage against
+  // a 5k-row cached frame, and the heavy consumers' next exchange is
+  // token-keyed (freq groupBy), so nothing reuses the doc-keyed
+  // shuffle: isolated A/B read d3 17.1→24.5 / d4 1.2→2.6 / d6 5.6→14.1
+  // CPU-s with flat wall. Fan-out only pays where a doc-keyed
+  // window/groupBy swallows the exchange (winnow, LM folds, t66).
   private[graft] def docShinglesOf(df: DataFrame): DataFrame =
     withShingles(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("sh"), col("sz"))
@@ -871,9 +879,14 @@ object DedupQueries {
     // join at 100 TB), and coverage is a (doc, position) distinct — a
     // second key-partitioned agg. No windows, no driver loops. ----
     "d10_boilerplate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+      // fan-out before the bigram explode: the cached gram frame
+      // otherwise inherits the fixture scan's single partition and
+      // every consumer re-reads it serially (r17, guide §2.5)
+      val docs = graft.operators.ScanFan.byKey(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens")),
+        col("doc_id"))
       // cached: the bigram explosion feeds BOTH the df table and the
       // coverage join — uncached it re-parses and re-explodes the
       // corpus twice (same idiom as d6's shingle cache; released
@@ -2824,9 +2837,13 @@ object DedupQueries {
   /** Documents admitted to the d23/d25 shared-span family: non-null
     * text of at least gram length. */
   private def d23DocsFor(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .filter(col("text").isNotNull && length(col("text")) >= 60)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // fan-out: the 60-gram rolling-hash pass over every corpus char
+    // otherwise runs in the fixture's single scan task (r17, guide §2.5)
+    graft.operators.ScanFan.byKey(
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 60)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len")),
+      col("doc_id"))
 
   /** Byte verification WITHOUT per-candidate substring-at-offset:
     * UTF-8 offsets aren't random-access, so `substring(t, i+1, K)`

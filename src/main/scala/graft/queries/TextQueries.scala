@@ -36,7 +36,15 @@ object TextQueries {
     // silent overflow). QualitySpec exercises the guard; the t45 twin
     // carries the same error() guard so neither engine can silently
     // mis-fingerprint an oversized doc.
-    val docs = docsIn.filter(col("text").isNotNull && length(col("text")) >= K + W - 1)
+    // fan out the narrow (doc_id, text) rows BEFORE the gram explode:
+    // the per-doc window below re-uses this exchange (hashpartitioning
+    // on doc_id satisfies its clustering), so the shuffle carries the
+    // source text instead of one row per corpus position, and the
+    // rolling-hash pass runs on every core instead of the fixture's
+    // single scan task (r17 optimization round; guide §2.3/§2.5)
+    val docs = graft.operators.ScanFan.byKey(
+      docsIn.filter(col("text").isNotNull && length(col("text")) >= K + W - 1),
+      col("doc_id"))
       .withColumn("text",
         when(length(col("text")) <= lit(ENC + K - 1), col("text"))
           .otherwise(raise_error(concat(
@@ -61,8 +69,8 @@ object TextQueries {
     * per doc, shared by the batch gate and (via [[lmTrainCounts]]) the
     * streaming scorer's static side. */
   private[graft] def lmPairsOf(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = df
-    .filter(col("text").isNotNull)
+      : org.apache.spark.sql.DataFrame = graft.operators.ScanFan.byKey(
+      df.filter(col("text").isNotNull), col("doc_id"))
     .select(col("doc_id"), split(col("text"), " ").as("w"))
     .filter(size(col("w")) >= 2)
     .select(col("doc_id"), explode(expr(
@@ -212,8 +220,8 @@ object TextQueries {
     * DESCENDS when stop < start, so a 2-word doc would otherwise
     * fabricate indices. */
   private[graft] def lm3TriplesOf(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = df
-    .filter(col("text").isNotNull)
+      : org.apache.spark.sql.DataFrame = graft.operators.ScanFan.byKey(
+      df.filter(col("text").isNotNull), col("doc_id"))
     .select(col("doc_id"), split(col("text"), " ").as("w"))
     .filter(size(col("w")) >= 3)
     .select(col("doc_id"), explode(expr(
@@ -1495,8 +1503,12 @@ object TextQueries {
     // group-key convention of the edge sweep. ----
     "t66_repetition_chars" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // fan-out before the token/gram explodes: every downstream stage
+      // keys on doc_id, so the one doc-keyed exchange moves BEFORE the
+      // explosion and the gram passes parallelize (r17, guide §2.5)
+      val docs = graft.operators.ScanFan.byKey(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w")), col("doc_id"))
       val toks = Caches.trackCached(dir, docs
         .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "t"))))
       val tot = toks.groupBy("doc_id").agg(
