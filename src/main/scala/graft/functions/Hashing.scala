@@ -295,6 +295,47 @@ object Hashing extends Serializable {
     }
     out
   }
+
+  /** t45's winnow selection over [[gramHashes]] in ONE O(L) pass
+    * (r17 optimization round): the distinct minima of
+    * e(i) = h(i)·2²² + (2²²−1−i) over every full window of `w`
+    * consecutive gram positions — the exact set the explode +
+    * doc-window + distinct formulation selects, produced by a
+    * monotonic deque instead of shuffling one row per corpus position
+    * into a per-doc sort. Each e value's min-reign over the sliding
+    * window is contiguous (a later, smaller e permanently evicts
+    * earlier ones; e values are distinct by the position term), so
+    * emit-on-change yields exactly the distinct set. Returns encoded
+    * e values in scan order; empty below w full windows. The caller
+    * owns the 2²²-position encoding guard, as before. */
+  final def winnowedEncoded(s: String, k: Int, w: Int): Array[Long] = {
+    val ENC = 1L << 22
+    val hs = gramHashes(s, k)
+    val n = hs.length
+    if (n < w) return Array.empty[Long]
+    val e = new Array[Long](n)
+    var i = 0
+    while (i < n) { e(i) = hs(i) * ENC + (ENC - 1 - i); i += 1 }
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](n - w + 1) // ≤ one emit per full window
+    var m = 0
+    var last = -1L
+    i = 0
+    while (i < n) {
+      while (tail > head && e(dq(tail - 1)) >= e(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        while (dq(head) < i - w + 1) head += 1
+        val mn = e(dq(head))
+        if (mn != last) { out(m) = mn; m = m + 1; last = mn }
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
 }
 
 /** Primitive-loop vector kernels shared by the embedding operators. The

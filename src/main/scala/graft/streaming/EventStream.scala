@@ -312,22 +312,16 @@ object EventStream {
       corpusDocs: DataFrame): DataFrame = {
     val K = 20
     val winnowU = udf((t: String) => {
-      val hs = graft.functions.Hashing.gramHashes(t, K)
       val ENC = 1L << 22
       // same doc-size contract as TextQueries.winnowedFingerprints:
       // the single-Long encoding holds positions < 2^22 only
-      require(hs.length <= ENC,
+      require(t.length - K + 1 <= ENC,
         s"winnow: arrival exceeds the 2^22 gram-position encoding limit")
-      val sel = (0 to hs.length - 8).map { j =>
-        var best = Long.MaxValue; var p = -1
-        var i = j
-        while (i < j + 8) {
-          val e = hs(i) * ENC + (ENC - 1 - i)
-          if (e < best) { best = e; p = i }
-          i += 1
-        }
-        (p, hs(p))
-      }.distinct
+      // the shared one-pass deque kernel (r17) — the same distinct
+      // window-min set the previous per-window argmin scan produced,
+      // decoded back to (pos, hash)
+      val sel = graft.functions.Hashing.winnowedEncoded(t, K, 8)
+        .map(e => ((ENC - 1 - e % ENC).toInt, e / ENC)).toSeq
       val hot = sel.groupBy(_._2).collect { case (h, o) if o.length > 64 => h }.toSet
       sel.filterNot(x => hot.contains(x._2))
     })
