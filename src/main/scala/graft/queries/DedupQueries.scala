@@ -484,10 +484,16 @@ object DedupQueries {
     * |A∩B| over 64-bit hashes equals the string intersection except
     * under an xxhash64 collision inside one pair's union (~10⁻¹⁴ per
     * pair) — the standard trade for set-similarity verify at scale. */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame, t: Double): DataFrame = {
-    val interned = docs.select(col("doc_id"),
+  /** `memoDir` (r17): when set, the interned sorted-hash arrays are
+    * cached per dir — d3 and d6 verify against the identical corpus
+    * interning, which otherwise re-hashes and re-sorts every shingle
+    * list per invocation (the candidate generators already memoize). */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, t: Double,
+      memoDir: Option[String] = None): DataFrame = {
+    val internedRaw = docs.select(col("doc_id"),
       array_sort(transform(filter(col("sh"), s => s.isNotNull),
         s => xxhash64(s))).as("shi"), col("sz"))
+    val interned = memoDir.fold(internedRaw)(Caches.trackCached(_, internedRaw))
     val a = interned.select(col("doc_id").as("doc1"), col("shi").as("shi1"), col("sz").as("sz1"))
     val b = interned.select(col("doc_id").as("doc2"), col("shi").as("shi2"), col("sz").as("sz2"))
     cand.join(a, "doc1").join(b, "doc2")
@@ -706,19 +712,43 @@ object DedupQueries {
     * corpus-scale scans per ingest. Checkpoint size is
     * batch-proportional (shingles + one 8-byte hash per char
     * position). */
+  private val e15Arrival =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def e15ArrivalFor(s: SparkSession, dir: String): DataFrame =
-    Caches.checkpointed(dir,
-      withShingles(Tables.documents(s, dir)
-          .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), col("text"), col("source"), col("lang")))
-        .withColumn("len", length(col("text")))
-        .withColumn("grams",
-          graft.plans.GraftGramHashes.column(col("text"), 60)))
+    // memoized per dir (r17): every invocation previously cut a FRESH
+    // localCheckpoint — re-featurizing the arrival batch once per
+    // consumer per bench pass; the memo also gives e15/e34 the same
+    // LogicalRDD, so the shared verdict cache below can hit
+    e15Arrival.computeIfAbsent(dir, d => {
+      Caches.track(d)(() => { e15Arrival.remove(d); () })
+      Caches.checkpointed(d,
+        withShingles(Tables.documents(s, d)
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text"), col("source"), col("lang")))
+          .withColumn("len", length(col("text")))
+          .withColumn("grams",
+            graft.plans.GraftGramHashes.column(col("text"), 60)))
+    })
 
   /** e15's three-axis dedup verdict over the checkpointed arrival
     * frame — factored so e34 composes it with the language/perplexity/
     * domain axes without a second featurization. */
+  // cached per dir (r17): e15 AND e34 consume the identical three-axis
+  // verdict over the same memoized arrival — e34 previously re-ran the
+  // whole band/substring/semantic probe machinery on top of e15's own
+  // run (the langVerdictsAll memo precedent, applied to the composed
+  // dedup verdict). e34 joins the UNORDERED cached frame; e15's query
+  // adds its display sort on top.
+  private def e15VerdictCached(s: SparkSession, dir: String,
+      arrival: DataFrame): DataFrame =
+    Caches.trackCached(dir, e15VerdictBody(s, dir, arrival))
+
   private def e15VerdictOf(s: SparkSession, dir: String,
+      arrival: DataFrame): DataFrame =
+    e15VerdictCached(s, dir, arrival).orderBy("doc_id")
+
+  private def e15VerdictBody(s: SparkSession, dir: String,
       arrival: DataFrame): DataFrame = {
     val band = classifyBatch(s, dir, arrival.select("doc_id", "text"),
       arrival.select(col("doc_id"), posexplode(bandKeysUdf(col("sh"))))
@@ -762,7 +792,6 @@ object DedupQueries {
         col("sem_cosine"),
         (col("status") === "novel" && coalesce(col("sub_admit"), lit(true)) &&
           col("sem_match").isNull).as("admit"))
-      .orderBy("doc_id")
   }
 
   /** e34's admission thresholds: perplexity gate in bits per trigram
@@ -772,19 +801,30 @@ object DedupQueries {
   private[graft] val E34PplAdmitBits = 5.2
   private[graft] val E34DomainCapDocs = 12L
 
+  /** The df-RANKED token table (one row per (doc, shingle) with its
+    * corpus df-rank inside the doc) — the shared front of every
+    * prefix-filter family member: d3/d6 keep the (1−t)·sz+1 rarest
+    * prefix, d31 additionally posts the full ranked big side. The
+    * lineage is IDENTICAL across the three, so it is cached per dir
+    * (r17 optimization round — each query previously re-exploded and
+    * re-ranked the 2.4M-token table per invocation). */
+  private[graft] def rankedTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Caches.trackCached(dir, docShingles(s, dir))
+    val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
+    Caches.trackCached(dir, tok.join(freq, "t")
+      .withColumn("rk", row_number().over(w))
+      .select(col("t"), col("doc_id"), col("sz"), col("rk")))
+  }
+
   /** D3's candidate stage (prefix equi-join + lossless size band +
     * positional bound), shared by the query and the scaling-growth
     * measurement tool (BASELINE.md records the candidate-count
     * exponent measured through this exact plan). */
   private[graft] def d3Candidates(s: SparkSession, dir: String): DataFrame = {
-    val docs = Caches.trackCached(dir, docShingles(s, dir))
-    val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
-    val pref = tok.join(freq, "t")
-      .withColumn("rk", row_number().over(w))
+    val pref = rankedTokens(s, dir)
       .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
-      .select(col("t"), col("doc_id"), col("sz"), col("rk"))
     pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
           // lossless size band: J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|)
@@ -797,7 +837,8 @@ object DedupQueries {
   val queries: Map[String, QueryFn] = Map(
     // ---- D3: exact n-gram Jaccard dedup via prefix-filtered join ----
     "d3_ngram_jaccard" -> ((s, dir) =>
-      verifyJaccard(d3Candidates(s, dir), Caches.trackCached(dir, docShingles(s, dir)), T)),
+      verifyJaccard(d3Candidates(s, dir), Caches.trackCached(dir, docShingles(s, dir)), T,
+        memoDir = Some(dir))),
 
     // ---- D2: MinHash + LSH banding. The signature is one primitive JVM
     // pass per doc (32 derived hashes per shingle), not an interpreted
@@ -846,13 +887,8 @@ object DedupQueries {
     // candidates cross the two sets instead of self-joining. ----
     "d6_decontaminate" -> ((s, dir) => {
       val docs = Caches.trackCached(dir, docShingles(s, dir))
-      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
-      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
-      val pref = tok.join(freq, "t")
-        .withColumn("rk", row_number().over(w))
+      val pref = rankedTokens(s, dir)
         .filter(col("rk") <= floor((lit(1.0) - T) * col("sz")) + 1)
-        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
       val bench = pref.filter(col("doc_id") % 20 === 0)
       val train = pref.filter(col("doc_id") % 20 =!= 0)
       val cand = train.as("a").join(bench.as("b"),
@@ -861,7 +897,7 @@ object DedupQueries {
             positionalBound(col("a.sz"), col("a.rk"), col("b.sz"), col("b.rk")))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
-      verifyJaccard(cand, docs, T)
+      verifyJaccard(cand, docs, T, memoDir = Some(dir))
         .select(col("doc1").as("train_doc"), col("doc2").as("benchmark_doc"), col("jaccard"))
         .orderBy("train_doc", "benchmark_doc")
     }),
@@ -1365,12 +1401,7 @@ object DedupQueries {
     "d31_containment" -> ((s, dir) => {
       val ct = 0.9
       val docs = Caches.trackCached(dir, docShingles(s, dir))
-      val tok = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("t"))
-      val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("t").asc)
-      val ranked = tok.join(freq, "t")
-        .withColumn("rk", row_number().over(w))
-        .select(col("t"), col("doc_id"), col("sz"), col("rk"))
+      val ranked = rankedTokens(s, dir)
       // prefix length = sz − ⌈ct·sz⌉ + 1, via the same epsilon-guarded
       // ceil as the positional bound: floor((1−ct)·sz) in doubles is one
       // token SHORT whenever ct·sz is an integer (1.0−0.9 has no exact
@@ -1386,9 +1417,11 @@ object DedupQueries {
               ceil(lit(ct) * col("a.sz") - lit(1e-9))))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
-      val interned = docs.select(col("doc_id"),
+      // same interning lineage as verifyJaccard's — the per-dir cache
+      // is shared with d3/d6's entry (r17)
+      val interned = Caches.trackCached(dir, docs.select(col("doc_id"),
         array_sort(transform(filter(col("sh"), x => x.isNotNull),
-          x => xxhash64(x))).as("shi"), col("sz"))
+          x => xxhash64(x))).as("shi"), col("sz")))
       cand
         .join(interned.select(col("doc_id").as("doc1"),
           col("shi").as("shi1"), col("sz").as("sz1")), "doc1")
@@ -1922,7 +1955,7 @@ object DedupQueries {
     // independently-computed per axis. ----
     "e34_full_ingest_verdict" -> ((s, dir) => {
       val arrival = e15ArrivalFor(s, dir)
-      val base = e15VerdictOf(s, dir, arrival)
+      val base = e15VerdictCached(s, dir, arrival)
       val lang = PipelineQueries.langVerdictsAll(s, dir)
         .select(col("doc_id"), col("pred_lang"),
           col("margin").as("lang_margin"))

@@ -304,7 +304,10 @@ object TextQueries {
         wDoc.orderBy(col("w1").asc, col("w2").asc, col("w3").asc)))
       .withColumn("n_trigrams", sum("m").over(wDoc).cast("long"))
       .withColumn("n_types", count(lit(1)).over(wDoc).cast("long"))
-    val held = if (heldDocs == null) Caches.trackCached(dir, heldRaw) else heldRaw
+    // cached for BOTH scored slices: the default %5 split is identical
+    // lineage across the family's legs, and e34's arrival slice rides
+    // the memoized checkpoint, so its plan is per-dir stable too
+    val held = Caches.trackCached(dir, heldRaw)
     held.filter(col("rk") <= lit(LmDocTypeCap))
       .join(c3, Seq("w1", "w2", "w3"), "left")
       .join(ctx2, Seq("w1", "w2"), "left")
@@ -392,7 +395,7 @@ object TextQueries {
         wDoc.orderBy(col("w1").asc, col("w2").asc, col("w3").asc)))
       .withColumn("n_trigrams", sum("m").over(wDoc).cast("long"))
       .withColumn("n_types", count(lit(1)).over(wDoc).cast("long"))
-    val held = if (heldDocs == null) Caches.trackCached(dir, heldRaw) else heldRaw
+    val held = Caches.trackCached(dir, heldRaw)
     val pUni = (coalesce(col("cont3"), lit(0L)) + lit(1L)).cast("double") /
       (col("ctot") + col("v")).cast("double")
     val pMid = when(col("cont2d").isNull, col("p_uni")).otherwise(
