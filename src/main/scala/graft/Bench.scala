@@ -61,9 +61,17 @@ object Bench {
     // "key=value;key=value" session confs, so config experiments run
     // against the identical bench without a recompile.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).filter(_.contains("="))
+      .flatMap(_.split(";")).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
+        // fail loudly on malformed entries (r17 advisor: a dropped or
+        // empty-keyed token makes an A/B run silently measure the
+        // baseline), and log each applied pair so the run's log proves
+        // the conf landed
+        val Array(k, v) = kv.split("=", 2) match {
+          case ok @ Array(key, _) if key.nonEmpty => ok
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' (want key=value)")
+        }
+        System.err.println(s"[bench] extra conf: $k=$v")
         builder.config(k, v)
       }
     val spark = builder.getOrCreate()
@@ -168,10 +176,20 @@ object Bench {
         s""""queries":$qs,"queries_cpu":$qsCpu,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_results.json"), full.getBytes(StandardCharsets.UTF_8))
 
-    // Stdout gets a SHORT line (total + count + slowest-5) that survives
-    // the driver's line-length limit intact — the full per-query map is
-    // in the committed bench_results.json. (Rounds 2-4 printed the full
-    // map and the driver's record truncated mid-JSON: "parsed": null.)
+    // The FULL contract line ({"metric",...,"queries":{...}}) goes to
+    // stdout FIRST: a consumer that reads the whole stream gets the
+    // per-query map (the driver contract's literal shape — PERF_r17
+    // recorded per_query empty because only the short line below was
+    // ever parseable from the captured tail).
+    println(full)
+    // ... and stdout ALSO gets a SHORT line (total + count + slowest-5)
+    // LAST, so a consumer that keeps only a bounded tail of stdout
+    // still parses an intact JSON line. (Rounds 2-4 printed ONLY the
+    // full map and the driver's 2000-char captured tail truncated it
+    // mid-JSON: "parsed": null — the head of the line was cut, so the
+    // tail never contained a complete '{"metric"...' candidate. With
+    // full-then-short, the short line is the only complete candidate
+    // in the tail; a full-stream consumer can prefer the first.)
     val slowest = best.toSeq.sortBy(-_._2).take(5)
       .map { case (n, v) => s"""{"query":"$n","sec":${fmt(v)}}""" }
       .mkString("[", ",", "]")

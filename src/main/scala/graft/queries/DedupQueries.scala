@@ -713,15 +713,19 @@ object DedupQueries {
     * batch-proportional (shingles + one 8-byte hash per char
     * position). */
   private val e15Arrival =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def e15ArrivalFor(s: SparkSession, dir: String): DataFrame =
-    // memoized per dir (r17): every invocation previously cut a FRESH
+    // memoized per (session, dir) (r17; session added per the r17
+    // advisor — a dir-only key would serve a LogicalRDD bound to a
+    // stopped session, with unrecoverable truncated lineage, to a new
+    // session that skipped Caches.release; the MatchQueries.ctxCache
+    // convention): every invocation previously cut a FRESH
     // localCheckpoint — re-featurizing the arrival batch once per
     // consumer per bench pass; the memo also gives e15/e34 the same
     // LogicalRDD, so the shared verdict cache below can hit
-    e15Arrival.computeIfAbsent(dir, d => {
-      Caches.track(d)(() => { e15Arrival.remove(d); () })
+    e15Arrival.computeIfAbsent((s, dir), { case (_, d) =>
+      Caches.track(d)(() => { e15Arrival.remove((s, d)); () })
       Caches.checkpointed(d,
         withShingles(Tables.documents(s, d)
             .filter(col("doc_id") % 10 === 0)
